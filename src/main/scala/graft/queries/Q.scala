@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Shared helpers for the query corpus.
+  *
+  * Every oracle-checked query must be *integer-exact* across engines:
+  * the driver hash-compares our parquet against DuckDB's result, and
+  * cross-engine floating-point summation order differs. So money-ish
+  * doubles (2-decimal) are scaled to cents as longs BEFORE aggregation,
+  * and any double in an output is produced by an expression tree written
+  * op-for-op identically in the Spark code and the oracle SQL (per-row
+  * IEEE arithmetic is deterministic; only reassociated sums are not).
+  */
+object Q {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Spark sessions the driver hands us may lack configs we rely on;
+    * apply them idempotently at query entry. */
+  def tune(s: SparkSession): SparkSession = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    // default; read as long nanos and do exact integer arithmetic.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s
+  }
+
+  /** 2-decimal double -> exact cents as long. Positive values round
+    * identically under Spark HALF_UP and DuckDB half-away-from-zero. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+  /** SQL mirror of [[cents]]. */
+  def centsSql(x: String): String = s"CAST(round(($x)*100,0) AS BIGINT)"
+
+  /** Exact integer-valued double -> long (l_quantity is integral). */
+  def asLong(c: Column): Column = c.cast("long")
+
+  // -------------------------------------------------------------------
+  // Derived interval collection from `events`: one interval per event,
+  // [epoch_sec(ts), epoch_sec(ts) + floor(value) + 1), keyed by user.
+  // `ts div 1e9` is exact integer division — nanos exceed 2^53 so any
+  // double round-trip could land on the wrong second.
+  // -------------------------------------------------------------------
+  def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(tune(s), dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("ts div 1000000000").as("s"),
+      (expr("ts div 1000000000") + floor(col("value")).cast("long") + 1).as("e"))
+
+  /** DuckDB mirror of [[ev]], optionally filtered by event type. */
+  def evSql(typ: String = null): String = {
+    val w = if (typ == null) "" else s" WHERE event_type = '$typ'"
+    "SELECT event_id, user_id, event_type, " +
+      "epoch_ns(ts)//1000000000 AS s, " +
+      "epoch_ns(ts)//1000000000 + CAST(floor(value) AS BIGINT) + 1 AS e " +
+      s"FROM events$w"
+  }
+
+  def evTyped(s: SparkSession, dir: String, typ: String): DataFrame =
+    ev(s, dir).filter(col("event_type") === typ)
+
+  /** DuckDB island-pattern coalesce of [[evSql]] intervals (mirror of
+    * IntervalOps.coalesce): merge overlapping-or-touching, close gaps
+    * <= gap. Emits a CTE body selecting (user_id, s, e). */
+  def coalesceSql(src: String, gap: Long = 0): String =
+    s"""SELECT user_id, min(s) AS s, max(e) AS e FROM (
+       |  SELECT user_id, s, e, CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp FROM (
+       |    SELECT user_id, s, e, CASE WHEN runmax IS NULL OR s > runmax + $gap THEN 1 ELSE 0 END AS isnew FROM (
+       |      SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+       |      FROM ($src) iv) m) g) gg
+       |GROUP BY user_id, grp""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Derived bounding boxes from lineitem (deterministic, both engines):
+  // frame = l_orderkey, box id = l_linenumber. Exercises the reference's
+  // face/bbox spatial surface on the driver's tables.
+  // -------------------------------------------------------------------
+  def boxes(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(tune(s), dir).select(
+      col("l_orderkey").as("frame_id"), col("l_linenumber").as("box_id"),
+      ((col("l_partkey") % 60).cast("double") / 100.0).as("x1"),
+      ((col("l_partkey") % 60).cast("double") / 100.0 +
+        (lit(10) + col("l_suppkey") % 20).cast("double") / 100.0).as("x2"),
+      ((col("l_partkey") % 37).cast("double") / 100.0).as("y1"),
+      ((col("l_partkey") % 37).cast("double") / 100.0 +
+        (lit(10) + col("l_quantity").cast("long") % 25).cast("double") / 100.0).as("y2"))
+
+  val boxesSql: String =
+    """SELECT l_orderkey AS frame_id, l_linenumber AS box_id,
+      |  (l_partkey % 60) / 100.0 AS x1,
+      |  (l_partkey % 60) / 100.0 + (10 + l_suppkey % 20) / 100.0 AS x2,
+      |  (l_partkey % 37) / 100.0 AS y1,
+      |  (l_partkey % 37) / 100.0 + (10 + CAST(l_quantity AS BIGINT) % 25) / 100.0 AS y2
+      |FROM lineitem""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Token table + deterministic token dictionary over `documents`
+  // (caption/token surface; dictionary = dense_rank over sorted distinct
+  // tokens so minhash/simhash arithmetic is identical in both engines).
+  // -------------------------------------------------------------------
+  def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(tune(s), dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  val toksSql: String =
+    """SELECT doc_id, u.z[2] AS pos, u.z[1] AS tok
+      |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+      |  unnest(list_zip(t.l, generate_series(0, len(t.l)-1))) AS u(z)""".stripMargin
+
+  def tokDict(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // vocabulary is tiny (tens of tokens); the single-partition window is
+    // deliberate — at scale swap for distinct + zipWithIndex over sorted.
+    toks(s, dir).select("tok").distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy("tok")).cast("long"))
+  }
+
+  val tokDictSql: String =
+    s"""SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
+       |FROM (SELECT DISTINCT tok FROM ($toksSql) tk) d""".stripMargin
+}

@@ -1,0 +1,675 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Fns
+import Q._
+
+/** Relational operator coverage: SURVEY §2.2 (P), §2.3 (J), §2.5 (A),
+  * §2.7 (O), §2.8 (F) — each `queries` entry is one inventory line,
+  * re-expressed Spark-first on the driver's tables, with a DuckDB
+  * oracle that mirrors the arithmetic op-for-op. */
+object RelationalQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(tune(s), d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(tune(s), d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(tune(s), d)
+
+  val queries: Map[String, QFn] = Map(
+    // ---------------- P: projection / filter -------------------------
+    // P1 projection (reference: .values(), app/query/base_models.py:39-41)
+    "p01_projection" -> ((s, d) =>
+      li(s, d).select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")),
+
+    // P2 computed column (annotate/F-expressions, base_models.py:197-200)
+    "p02_computed" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_cents"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("charge_cents"))
+        .orderBy("l_orderkey", "l_linenumber", "rev_cents", "charge_cents")),
+
+    // P3 date-part extraction (spark.py:92-100, spark_util.py:46-47)
+    "p03_date_parts" -> ((s, d) =>
+      ord(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey")),
+
+    // P4 comparison filters (rekall_query.py:183-200)
+    "p04_filter_compare" -> ((s, d) =>
+      li(s, d).filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
+
+    // P5 boolean predicate algebra (Q-objects OR/AND/NOT)
+    "p05_boolean_algebra" -> ((s, d) =>
+      li(s, d).filter((col("l_returnflag") === "R" || col("l_linestatus") === "F")
+          && !(col("l_quantity") < 10))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")),
+
+    // P6 NULL predicates (isnull lookups)
+    "p06_null_predicates" -> ((s, d) =>
+      li(s, d).select(expr("nullif(l_returnflag, 'N')").as("rf"))
+        .agg(count(lit(1)).as("n_total"), count(col("rf")).as("n_notnull"),
+          sum(when(col("rf").isNull, 1L).otherwise(0L)).as("n_null"))),
+
+    // P7 IN-list + IN-subquery as left-semi join (other_queries.py:84-88)
+    "p07_in_semijoin" -> ((s, d) => {
+      val o = ord(s, d).select(col("o_custkey"))
+      cust(s, d).filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
+    }),
+
+    // P8 string match (contains / like / prefix, spark_util.py:277-280)
+    "p08_string_match" -> ((s, d) =>
+      Tables.part(tune(s), d)
+        .filter(col("p_name").like("%e%"))
+        .select(col("p_partkey"), col("p_name"),
+          col("p_name").contains("red").as("has_red"),
+          col("p_name").startsWith("s").as("s_prefix"))
+        .orderBy("p_partkey")),
+
+    // P9 range/date filter (time__range, topics.py:191-193)
+    "p09_range_date" -> ((s, d) =>
+      ord(s, d).filter(col("o_orderdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+        .orderBy("o_orderkey")),
+
+    // P10 modulo/stride sampling (widget.py:210-215, spark_util.py:402-405)
+    "p10_stride_sample" -> ((s, d) =>
+      Tables.events(tune(s), d).filter(pmod(col("event_id"), lit(10)) === 0)
+        .select("event_id", "user_id", "event_type").orderBy("event_id")),
+
+    // P11 random sampling (order_by('?')) — seeded, Spark-side determinism
+    // only; no cross-engine oracle (RNGs differ).
+    "p11_random_sample" -> ((s, d) =>
+      Tables.events(tune(s), d).sample(withReplacement = false, 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"),
+          (count(lit(1)) > 0).as("nonempty"))),
+
+    // P12 conditional expression (gender-prob flip UDF -> when/otherwise,
+    // spark_util.py:480-491)
+    "p12_conditional" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          cents(when(col("l_returnflag") === "R", col("l_discount"))
+            .otherwise(lit(1.0) - col("l_discount"))).as("flip_cents"))
+        .orderBy("l_orderkey", "l_linenumber", "flip_cents")),
+
+    // ---------------- J: joins ---------------------------------------
+    // J1 equi inner join chain + agg (the flagship screen-time shape,
+    // spark_util.py:373-405; db_perf Q-A)
+    "j01_equi_join_agg" -> ((s, d) => {
+      val n = broadcast(Tables.nation(tune(s), d))
+      li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // J2 left outer join + fill (spark_util.py:419-424)
+    "j02_left_outer" -> ((s, d) =>
+      cust(s, d).join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("total_cents"))
+        .orderBy("c_custkey")),
+
+    // J3 FK path join (ORM __ traversal -> explicit chain w/ broadcast dims)
+    "j03_fk_chain" -> ((s, d) => {
+      val t = tune(s)
+      Tables.supplier(t, d)
+        .join(broadcast(Tables.nation(t, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(t, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name").orderBy("s_suppkey")
+    }),
+
+    // J4 correlated per-row count subquery -> groupBy + join
+    // ("frames with exactly N faces", panels_sql.py:13-18)
+    "j04_correlated_count" -> ((s, d) => {
+      val counts = li(s, d).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      ord(s, d).join(counts, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("n_items") === 4)
+        .select("o_orderkey", "n_items").orderBy("o_orderkey")
+    }),
+
+    // J5 self theta-join within a group (man-left-of-woman pairs,
+    // unused_queries.py:4-36)
+    "j05_self_theta" -> ((s, d) => {
+      val a = li(s, d).select(col("l_orderkey"), col("l_linenumber").as("ln1"),
+        col("l_quantity").as("q1"))
+      val b = li(s, d).select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
+        col("l_quantity").as("q2"))
+      a.join(b, col("l_orderkey") === col("ok2") && col("ln1") < col("ln2")
+          && col("q1") > col("q2") + 20)
+        .select("l_orderkey", "ln1", "ln2", "q1", "q2")
+        .orderBy("l_orderkey", "ln1", "ln2", "q1", "q2")
+    }),
+
+    // J6 set-intersection join (shots with A and B, other_queries.py:73-88)
+    "j06_set_intersection" -> ((s, d) =>
+      ord(s, d).groupBy(col("o_custkey"))
+        .agg(max(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("has_f"),
+          max(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("has_o"))
+        .filter(col("has_f") === 1 && col("has_o") === 1)
+        .select("o_custkey").orderBy("o_custkey")),
+
+    // J16 many-to-many through link table (segment.topics,
+    // spark_util.py:220-232): part<->customer through lineitem+orders
+    "j16_m2m_link" -> ((s, d) => {
+      val t = tune(s)
+      Tables.part(t, d).filter(col("p_size") >= 48)
+        .join(li(s, d), col("p_partkey") === col("l_partkey"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---------------- A: aggregation ---------------------------------
+    // A1 plain aggregates (Sum/Max/Count/Avg)
+    "a01_plain_agg" -> ((s, d) =>
+      li(s, d).agg(count(lit(1)).as("n"),
+        sum(asLong(col("l_quantity"))).as("sum_qty"),
+        max(cents(col("l_extendedprice"))).as("max_price_cents"),
+        (sum(asLong(col("l_quantity"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"))),
+
+    // A2 group-by + sums (screen time by show/channel; TPC-H Q1 shape)
+    "a02_group_sum" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(asLong(col("l_quantity"))).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A3 weighted sum + variance — probabilistic screen time
+    // E = sum(d*p), Var = sum(p*(1-p)*d^2) (spark_util.py:629-663),
+    // done in scaled integers: p == l_discount (2 decimals) -> k=100p.
+    "a03_weighted_sum_var" -> ((s, d) => {
+      val k = round(col("l_discount") * 100).cast("long")
+      val q = asLong(col("l_quantity"))
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg((sum(q * k).cast("double") / 100.0).as("e_val"),
+          (sum(k * (lit(100L) - k) * q * q).cast("double") / 10000.0).as("var_val"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A4 sum over distinct keys (spark_util.py:666-727 driver-side dedup
+    // -> row_number window, pure built-ins)
+    // (l_orderkey, l_linenumber) is not unique in the driver data, so the
+    // dedup ordering includes the measure columns — any remaining ties are
+    // full duplicates and sum identically in both engines.
+    "a04_sum_distinct" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      li(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(count(lit(1)).as("n_orders"), sum(asLong(col("l_quantity"))).as("sum_qty"))
+    }),
+
+    // A5 top-K by aggregate (major_canonical_shows.py:8-24)
+    "a05_topk_agg" -> ((s, d) =>
+      li(s, d).join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(10)),
+
+    // A6 distinct values of a column (views.py:83-96 schema endpoint)
+    "a06_distinct_values" -> ((s, d) =>
+      ord(s, d).select(col("o_orderpriority")).distinct()
+        .orderBy("o_orderpriority").limit(100)),
+
+    // A7 first-per-group / distinct-on (other_queries.py:297)
+    "a07_first_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_date"))
+        .orderBy("o_custkey")
+    }),
+
+    // A8 argmax per group (max-probability identity, spark_util.py:741-778)
+    "a08_argmax" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("best_cents"))
+        .orderBy("o_custkey")
+    }),
+
+    // A9 histogram buckets + CDF via windowed prefix sum
+    // (size-percentile, spark_util.py:432-464)
+    "a09_histogram_cdf" -> ((s, d) => {
+      val b = floor(col("o_totalprice") / 50000).cast("long")
+      ord(s, d).groupBy(b.as("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy("bucket")
+    }),
+
+    // A10 median / quantiles — exact percentile with linear interpolation
+    // (approxQuantile in the reference, spark.py:65-66; exact here so the
+    // oracle matches bit-for-bit on integral quantities)
+    "a10_median" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy("l_returnflag")),
+
+    // A11 count per group to dict (spark_util.py:21-31)
+    "a11_count_per_group" -> ((s, d) =>
+      Tables.events(tune(s), d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")),
+
+    // A12 jaccard co-occurrence of id sets (spark_identity.py:102-134)
+    "a12_jaccard_cooccur" -> ((s, d) => {
+      val dts = Tables.events(tune(s), d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val totals = dts.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+      val a = dts.select(col("event_type").as("ta"), col("user_id"))
+      val b = dts.select(col("event_type").as("tb"), col("user_id").as("ub"))
+      a.join(b, col("user_id") === col("ub") && col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("inter"))
+        .join(totals.select(col("event_type").as("ta"), col("nt").as("na")), "ta")
+        .join(totals.select(col("event_type").as("tb"), col("nt").as("nb")), "tb")
+        .select(col("ta"), col("tb"), col("inter"), col("na"), col("nb"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jacc"))
+        .orderBy("ta", "tb")
+    }),
+
+    // A15 confusion matrix (validation.py:84-198): rule-based prediction
+    // vs actual label, pair counts
+    "a15_confusion_matrix" -> ((s, d) =>
+      li(s, d).select(
+          when(col("l_quantity") > 25, "R").otherwise("A").as("pred"),
+          col("l_returnflag").as("actual"))
+        .groupBy(col("pred"), col("actual")).agg(count(lit(1)).as("n"))
+        .orderBy("pred", "actual")),
+
+    // ---------------- O: sort / limit / set ops ----------------------
+    // O1 multi-key ordering
+    "o01_multi_order" -> ((s, d) =>
+      ord(s, d).orderBy(col("o_orderpriority").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          cents(col("o_totalprice")).as("price_cents"))
+        .limit(100)),
+
+    // O2 limit + stride slicing ([:limit*stride:stride], widget.py:139-143)
+    "o02_limit_stride" -> ((s, d) =>
+      Tables.events(tune(s), d).filter(pmod(col("event_id"), lit(7)) === 0)
+        .orderBy("event_id").select("event_id", "event_type").limit(50)),
+
+    // O4 union (R5 / python set unions)
+    "o04_union" -> ((s, d) => {
+      val c = cust(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .union(c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey")))
+        .distinct().orderBy("c_custkey")
+    }),
+
+    // O5 intersect / except of id sets (other_queries.py:84-88)
+    "o05_intersect_except" -> ((s, d) => {
+      val o = ord(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      f.intersect(p).except(urgent).orderBy("o_custkey")
+    }),
+
+    // ---------------- F: scalar functions ----------------------------
+    // F1 math builtins
+    "f01_math" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") / 10).as("f_floor"),
+          ceil(col("l_extendedprice") / 10).as("f_ceil"),
+          abs(col("l_discount") - 0.05).as("f_abs"),
+          (col("l_orderkey") % 97).as("f_mod"),
+          greatest(asLong(col("l_quantity")), col("l_partkey") % 50).as("f_greatest"),
+          least(asLong(col("l_quantity")), col("l_partkey") % 50).as("f_least"))
+        .orderBy("l_orderkey", "l_linenumber", "f_floor", "f_abs", "f_greatest", "f_least")),
+
+    // F2 bbox geometry library over derived boxes (base_models.py:225-230,
+    // validation.py:51-64): height/width/area/IoU vs a shifted copy
+    "f02_bbox_geometry" -> ((s, d) =>
+      boxes(s, d).select(col("frame_id"), col("box_id"),
+          Fns.bboxHeight(col("y1"), col("y2")).as("h"),
+          Fns.bboxWidth(col("x1"), col("x2")).as("w"),
+          Fns.bboxArea(col("x1"), col("x2"), col("y1"), col("y2")).as("area"),
+          Fns.iou(col("x1"), col("x2"), col("y1"), col("y2"),
+            col("x1") + 0.05, col("x2") + 0.05, col("y1"), col("y2")).as("iou_shift"))
+        .orderBy("frame_id", "box_id", "h", "w", "area")),
+
+    // F3 time functions (date_format / unix epoch / weekday)
+    "f03_time_funcs" -> ((s, d) =>
+      ord(s, d).select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy("o_orderkey")),
+
+    // F4 string functions incl. lowercase-ratio heuristic
+    // (commercial_detection_rekall.py:88-97)
+    "f04_string_funcs" -> ((s, d) =>
+      Tables.documents(tune(s), d).select(col("doc_id"),
+          length(col("text")).as("len"),
+          substring(lower(col("text")), 1, 3).as("pre3"),
+          (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+            .as("n_spaces"),
+          col("text").contains("spark").as("has_spark"))
+        .orderBy("doc_id")),
+
+    // F5 array / higher-order functions (keypoint slicing analogue,
+    // base_models.py:318-329)
+    "f05_array_funcs" -> ((s, d) => {
+      val t = split(col("text"), " ")
+      Tables.documents(tune(s), d).select(col("doc_id"),
+          size(t).as("ntok"),
+          element_at(t, 1).as("tok_first"),
+          element_at(t, -1).as("tok_last"),
+          array_join(slice(t, 1, 3), "-").as("first3"))
+        .orderBy("doc_id")
+    }),
+
+    // F6 JSON-ish extraction via regexp (props payload; widget JSON layer)
+    "f06_json_regex" -> ((s, d) =>
+      Tables.events(tune(s), d).select(col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .orderBy("event_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p01_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag""".stripMargin,
+
+    "p02_computed" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${centsSql("l_extendedprice * (1.0 - l_discount)")} AS rev_cents,
+         |  ${centsSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS charge_cents
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, rev_cents, charge_cents""".stripMargin,
+
+    "p03_date_parts" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p04_filter_compare" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+
+    "p05_boolean_algebra" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+        |FROM lineitem
+        |WHERE (l_returnflag = 'R' OR l_linestatus = 'F') AND NOT (l_quantity < 10)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity""".stripMargin,
+
+    "p06_null_predicates" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(nullif(l_returnflag,'N')) AS BIGINT) AS n_notnull,
+        |  CAST(sum(CASE WHEN nullif(l_returnflag,'N') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |FROM lineitem""".stripMargin,
+
+    "p07_in_semijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "p08_string_match" ->
+      """SELECT p_partkey, p_name, contains(p_name, 'red') AS has_red,
+        |  starts_with(p_name, 's') AS s_prefix
+        |FROM part WHERE p_name LIKE '%e%' ORDER BY p_partkey""".stripMargin,
+
+    "p09_range_date" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "p10_stride_sample" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin,
+
+    "p12_conditional" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${centsSql("CASE WHEN l_returnflag = 'R' THEN l_discount ELSE 1.0 - l_discount END")} AS flip_cents
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, flip_cents""".stripMargin,
+
+    "j01_equi_join_agg" ->
+      s"""SELECT n_name,
+         |  CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j02_left_outer" ->
+      s"""SELECT c_custkey, c_name, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+         |  CAST(coalesce(sum(${centsSql("o_totalprice")}), 0) AS BIGINT) AS total_cents
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "j03_fk_chain" ->
+      """SELECT s_suppkey, s_name, n_name, r_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "j04_correlated_count" ->
+      """SELECT o_orderkey, CAST(4 AS BIGINT) AS n_items FROM orders
+        |WHERE (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) = 4
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j05_self_theta" ->
+      """SELECT a.l_orderkey, a.l_linenumber AS ln1, b.l_linenumber AS ln2,
+        |  a.l_quantity AS q1, b.l_quantity AS q2
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        |  AND a.l_quantity > b.l_quantity + 20
+        |ORDER BY a.l_orderkey, ln1, ln2, q1, q2""".stripMargin,
+
+    "j06_set_intersection" ->
+      """SELECT o_custkey FROM orders GROUP BY o_custkey
+        |HAVING max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 1
+        |   AND max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "j16_m2m_link" ->
+      """SELECT p_partkey, p_name, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_size >= 48
+        |GROUP BY p_partkey, p_name ORDER BY p_partkey""".stripMargin,
+
+    "a01_plain_agg" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(max(${centsSql("l_extendedprice")}) AS BIGINT) AS max_price_cents,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+         |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship
+         |FROM lineitem""".stripMargin,
+
+    "a02_group_sum" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |  CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_cents,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a03_weighted_sum_var" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_discount*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS e_val,
+        |  CAST(sum(CAST(round(l_discount*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))
+        |    * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 10000.0 AS var_val
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a04_sum_distinct" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+        |      FROM lineitem) t
+        |WHERE rn = 1""".stripMargin,
+
+    "a05_topk_agg" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(sum(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name
+         |ORDER BY revenue_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "a06_distinct_values" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority LIMIT 100",
+
+    "a07_first_per_group" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "a08_argmax" ->
+      s"""SELECT o_custkey, o_orderkey, ${centsSql("o_totalprice")} AS best_cents
+         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+         |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t
+         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "a09_histogram_cdf" ->
+      """SELECT bucket, n, CAST(sum(n) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |FROM (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY bucket""".stripMargin,
+
+    "a10_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a11_count_per_group" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a12_jaccard_cooccur" ->
+      """WITH dts AS (SELECT DISTINCT event_type, user_id FROM events),
+        |totals AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nt FROM dts GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, CAST(count(*) AS BIGINT) AS inter
+        |  FROM dts a JOIN dts b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, inter, x.nt AS na, y.nt AS nb,
+        |  CAST(inter AS DOUBLE) / CAST(x.nt + y.nt - inter AS DOUBLE) AS jacc
+        |FROM pairs JOIN totals x ON pairs.ta = x.event_type
+        |JOIN totals y ON pairs.tb = y.event_type
+        |ORDER BY ta, tb""".stripMargin,
+
+    "a15_confusion_matrix" ->
+      """SELECT CASE WHEN l_quantity > 25 THEN 'R' ELSE 'A' END AS pred,
+        |  l_returnflag AS actual, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY pred, actual""".stripMargin,
+
+    "o01_multi_order" ->
+      s"""SELECT o_orderkey, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS od,
+         |  ${centsSql("o_totalprice")} AS price_cents
+         |FROM orders ORDER BY o_orderpriority DESC, o_orderdate ASC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
+
+    "o02_limit_stride" ->
+      """SELECT event_id, event_type FROM events WHERE event_id % 7 = 0
+        |ORDER BY event_id LIMIT 50""".stripMargin,
+
+    "o04_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "o05_intersect_except" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "f01_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice / 10) AS BIGINT) AS f_floor,
+        |  CAST(ceil(l_extendedprice / 10) AS BIGINT) AS f_ceil,
+        |  abs(l_discount - 0.05) AS f_abs,
+        |  l_orderkey % 97 AS f_mod,
+        |  greatest(CAST(l_quantity AS BIGINT), l_partkey % 50) AS f_greatest,
+        |  least(CAST(l_quantity AS BIGINT), l_partkey % 50) AS f_least
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, f_floor, f_abs, f_greatest, f_least""".stripMargin,
+
+    "f02_bbox_geometry" ->
+      s"""WITH b AS ($boxesSql)
+         |SELECT frame_id, box_id, y2 - y1 AS h, x2 - x1 AS w,
+         |  (x2 - x1) * (y2 - y1) AS area,
+         |  greatest(least(x2, x2 + 0.05) - greatest(x1, x1 + 0.05), 0.0)
+         |    * greatest(least(y2, y2) - greatest(y1, y1), 0.0)
+         |  / ((x2 - x1) * (y2 - y1) + ((x2 + 0.05) - (x1 + 0.05)) * (y2 - y1)
+         |     - greatest(least(x2, x2 + 0.05) - greatest(x1, x1 + 0.05), 0.0)
+         |       * greatest(least(y2, y2) - greatest(y1, y1), 0.0)) AS iou_shift
+         |FROM b ORDER BY frame_id, box_id, h, w, area""".stripMargin,
+
+    "f03_time_funcs" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f04_string_funcs" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS len, substr(lower(text), 1, 3) AS pre3,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
+        |  contains(text, 'spark') AS has_spark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f05_array_funcs" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS ntok,
+        |  (string_split(text,' '))[1] AS tok_first,
+        |  (string_split(text,' '))[-1] AS tok_last,
+        |  array_to_string((string_split(text,' '))[1:3], '-') AS first3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f06_json_regex" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
