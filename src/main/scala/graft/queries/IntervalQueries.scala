@@ -1,0 +1,387 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.IntervalOps
+import graft.operators.IntervalOps.{Allen, Cols}
+import Q._
+
+/** Interval-algebra coverage: SURVEY §2.4 (R — the Rekall surface) and
+  * the interval joins §2.3 J7-J9, exercised on intervals derived from
+  * the `events` table (user_id plays the reference's video_id role).
+  * Every op here is the Spark-native form used by IntervalOps: island
+  * windows, range joins on the key, explode(sequence) — no driver-side
+  * per-video loops (reference: app/esper/rekall_query.py et al.). */
+object IntervalQueries {
+
+  private val C = Cols("user_id", "s", "e")
+  private def clicks(s: org.apache.spark.sql.SparkSession, d: String) =
+    evTyped(s, d, "click").select("user_id", "event_id", "s", "e")
+  private def views(s: org.apache.spark.sql.SparkSession, d: String) =
+    evTyped(s, d, "view").select("user_id", "event_id", "s", "e")
+  private def purchases(s: org.apache.spark.sql.SparkSession, d: String) =
+    evTyped(s, d, "purchase").select("user_id", "event_id", "s", "e")
+
+  // bare (user_id, s, e) for set-level ops
+  private def bare(df: org.apache.spark.sql.DataFrame) =
+    df.select("user_id", "s", "e")
+
+  val queries: Map[String, QFn] = Map(
+    // R1 coalesce (rekall_query.py:217 etc.)
+    "r01_coalesce" -> ((s, d) =>
+      IntervalOps.coalesce(bare(clicks(s, d)), C).orderBy("user_id", "s", "e")),
+
+    // R2 dilate ±d with clamp (rekall_query.py:238)
+    "r02_dilate" -> ((s, d) =>
+      IntervalOps.dilate(clicks(s, d), 30, C)
+        .select("user_id", "event_id", "s", "e")
+        .orderBy("user_id", "event_id")),
+
+    // R3 filter_length (interview.py:101-103)
+    "r03_filter_length" -> ((s, d) =>
+      IntervalOps.filterLength(clicks(s, d), 30, 120, C)
+        .select("user_id", "event_id", "s", "e")
+        .orderBy("user_id", "event_id")),
+
+    // R5 set_union then coalesce (commercial_detection_rekall.py:223)
+    "r05_union_coalesce" -> ((s, d) =>
+      IntervalOps.coalesce(
+        IntervalOps.union(bare(clicks(s, d)), bare(views(s, d))), C)
+        .orderBy("user_id", "s", "e")),
+
+    // R6 minus — time-span subtraction (commercial_detection_rekall.py:191-205)
+    "r06_minus" -> ((s, d) =>
+      IntervalOps.minus(bare(views(s, d)), bare(purchases(s, d)), C)
+        .orderBy("user_id", "s", "e")),
+
+    // R7 overlaps with clip (rekall_query.py:323)
+    "r07_overlaps" -> ((s, d) =>
+      IntervalOps.overlaps(bare(clicks(s, d)), bare(views(s, d)), C)
+        .orderBy("user_id", "s", "e")),
+
+    // R8 merge(pred) span-union pairs, then coalesce
+    // (interview_with_person_x.py:53-57: click before purchase <= 120 s)
+    "r08_merge_spans" -> ((s, d) =>
+      IntervalOps.coalesce(
+        IntervalOps.mergeSpans(bare(clicks(s, d)), bare(purchases(s, d)),
+          Allen.before(120), C), C)
+        .orderBy("user_id", "s", "e")),
+
+    // R10 filter_against semi-join with working window
+    // (rekall_query.py:133-136: clicks with a purchase within ±60 s)
+    "r10_filter_against" -> ((s, d) =>
+      IntervalOps.filterAgainst(clicks(s, d), bare(purchases(s, d)),
+        Allen.orPred(Allen.before(60), Allen.after(60), Allen.overlapsPred _), C)
+        .select("user_id", "event_id", "s", "e")
+        .orderBy("user_id", "event_id")),
+
+    // R12 time-unit rescale (frame<->second, rekall_query.py:84-101):
+    // seconds -> whole minutes (floor start, ceil end)
+    "r12_rescale" -> ((s, d) =>
+      clicks(s, d).select(col("user_id"), col("event_id"),
+          expr("s div 60").as("s_min"),
+          expr("(e + 59) div 60").as("e_min"))
+        .orderBy("user_id", "event_id")),
+
+    // R13 split into <= 30 s chunks (rekall_query.py:111-127)
+    "r13_split" -> ((s, d) =>
+      IntervalOps.split(bare(purchases(s, d)), 30, C)
+        .orderBy("user_id", "s", "e")),
+
+    // R14 Allen predicate classification over pairs
+    "r14_allen_pairs" -> ((s, d) => {
+      val a = clicks(s, d).select(col("user_id"), col("event_id").as("aid"),
+        col("s"), col("e"))
+      val b = purchases(s, d).select(col("user_id").as("u2"),
+        col("event_id").as("bid"), col("s").as("__bs"), col("e").as("__be"))
+      a.join(b, col("user_id") === col("u2"))
+        .withColumn("rel",
+          when(Allen.overlapsPred(C), "overlaps")
+            .when(Allen.before(60)(C), "before")
+            .when(Allen.after(60)(C), "after"))
+        .filter(col("rel").isNotNull)
+        .select("user_id", "aid", "bid", "rel")
+        .orderBy("user_id", "aid", "bid")
+    }),
+
+    // R15 scene_graph spatial pattern (panels_rekall.py:41-57): ordered
+    // triples of same-frame boxes, left-to-right, same row (|dy|<=0.10),
+    // height >= 0.15 — the "panel of 3" query on derived boxes.
+    "r15_scene_graph" -> ((s, d) => {
+      val bx = boxes(s, d)
+      def side(i: Int) = bx.select(col("frame_id").as(s"f$i"),
+        col("box_id").as(s"b$i"), col("x1").as(s"x1_$i"), col("x2").as(s"x2_$i"),
+        col("y1").as(s"y1_$i"), col("y2").as(s"y2_$i"))
+      side(1).join(side(2), col("f1") === col("f2"))
+        .join(side(3), col("f1") === col("f3"))
+        .filter(col("x2_1") <= col("x1_2") && col("x2_2") <= col("x1_3") &&
+          abs(col("y1_1") - col("y1_2")) <= 0.10 &&
+          abs(col("y1_2") - col("y1_3")) <= 0.10 &&
+          col("y2_1") - col("y1_1") >= 0.15 &&
+          col("y2_2") - col("y1_2") >= 0.15 &&
+          col("y2_3") - col("y1_3") >= 0.15)
+        .select(col("f1").as("frame_id"), col("b1"), col("b2"), col("b3"))
+        .orderBy("frame_id", "b1", "b2", "b3")
+    }),
+
+    // R17 remove_isolated_interval macro (rekall_query.py:130-140):
+    // keep views >= 60 s, plus shorter ones within 30 s of another view
+    "r17_remove_isolated" -> ((s, d) =>
+      IntervalOps.removeIsolated(bare(views(s, d)), 60, 30, C)
+        .orderBy("user_id", "s", "e")),
+
+    // R18 dilate-coalesce-undilate smoothing (rekall_query.py:232-239)
+    "r18_smooth" -> ((s, d) =>
+      IntervalOps.smooth(bare(clicks(s, d)), 15, C)
+        .orderBy("user_id", "s", "e")),
+
+    // J7 interval containment join (spark.py:122-158): clicks inside
+    // smoothed view segments
+    "j07_containment" -> ((s, d) => {
+      val segs = IntervalOps.coalesce(bare(IntervalOps.dilate(views(s, d), 60, C)), C)
+      IntervalOps.containedIn(clicks(s, d), segs, C)
+        .select(col("user_id"), col("event_id"), col("s"), col("e"),
+          col("__bs").as("seg_s"), col("__be").as("seg_e"))
+        .orderBy("user_id", "event_id", "seg_s")
+    }),
+
+    // J8 overlap join + clip + first-match (spark_util.py:247-269)
+    "j08_overlap_clip_first" -> ((s, d) => {
+      val a = clicks(s, d)
+      val b = purchases(s, d).select(col("user_id").as("u2"),
+        col("s").as("__bs"), col("e").as("__be"))
+      val joined = a.join(b, col("user_id") === col("u2") &&
+        col("__bs") < col("e") && col("__be") > col("s"))
+      val w = Window.partitionBy(col("event_id")).orderBy(col("__bs"), col("__be"))
+      joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"),
+          greatest(col("s"), col("__bs")).as("clip_s"),
+          least(col("e"), col("__be")).as("clip_e"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // J9 overlap-seconds annotation (spark_util.py:594-622): per click,
+    // total seconds overlapped by purchase intervals
+    "j09_overlap_seconds" -> ((s, d) => {
+      val a = clicks(s, d)
+      val b = purchases(s, d).select(col("user_id").as("u2"),
+        col("s").as("__bs"), col("e").as("__be"))
+      a.join(b, col("user_id") === col("u2") &&
+          col("__bs") < col("e") && col("__be") > col("s"), "left")
+        .groupBy(col("user_id"), col("event_id"))
+        .agg(coalesce(sum(least(col("e"), col("__be")) -
+          greatest(col("s"), col("__bs"))), lit(0L)).as("overlap_sec"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // A13 interval-overlap totals with set semantics (topics.py:75-146):
+    // per user, |coalesced(clicks) ∩ coalesced(views)| in seconds
+    "a13_overlap_totals" -> ((s, d) => {
+      val ca = IntervalOps.coalesce(bare(clicks(s, d)), C)
+      val cb = IntervalOps.coalesce(bare(views(s, d)), C)
+      IntervalOps.overlaps(ca, cb, C)
+        .groupBy(col("user_id"))
+        .agg(sum(col("e") - col("s")).as("overlap_sec"))
+        .orderBy("user_id")
+    }),
+
+    // R11 bounded fold (commercial_detection_rekall.py:168-187): merge
+    // overlapping clicks but cap merged span at 300 s. Inherently
+    // sequential per key -> typed flatMapGroups; rows-only oracle (the
+    // stack fold is not expressible in one SQL pass).
+    "r11_bounded_coalesce" -> ((s, d) =>
+      IntervalOps.boundedCoalesce(bare(clicks(s, d)), 300, C)
+        .orderBy("user_id", "s", "e")),
+
+    // ST1 sessionization — the reference's coalesce sweep as session
+    // windows (SURVEY §2.9; streaming variant in StreamingSpec)
+    "st01_sessionize" -> ((s, d) => {
+      val pts = ev(s, d).select(col("user_id"), col("s"), (col("s") + 1).as("e"))
+      IntervalOps.coalesce(pts, C, gap = 1800)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("e") - col("s")).as("total_span_sec"),
+          max(col("e") - col("s")).as("max_span_sec"))
+        .orderBy("user_id")
+    }),
+
+    // ST2 tumbling event-time window aggregation (hour buckets)
+    "st02_window_agg" -> ((s, d) =>
+      ev(s, d).groupBy(expr("s div 3600").as("hour_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour_bucket", "event_type")),
+
+    // ST3 keyed dedup keep-first (ScannerJob ledger semantics,
+    // scannerutil.py:136-146): one event per (user, type, 10-min slot)
+    "st03_dedup_first" -> ((s, d) => {
+      val slotted = ev(s, d).withColumn("slot", expr("s div 600"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("slot"))
+        .orderBy(col("s"), col("event_id"))
+      slotted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_type", "slot", "event_id")
+        .orderBy("user_id", "event_type", "slot")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles. Interval CTEs mirror Q.evSql / Q.coalesceSql.
+  // ------------------------------------------------------------------
+  private def iv(typ: String) = s"(${evSql(typ)})"
+
+  val oracle: Map[String, String] = Map(
+    "r01_coalesce" ->
+      s"""${coalesceSql(evSql("click"))}
+         |ORDER BY user_id, s, e""".stripMargin,
+
+    "r02_dilate" ->
+      s"""SELECT user_id, event_id, greatest(s - 30, 0) AS s, e + 30 AS e
+         |FROM ${iv("click")} a ORDER BY user_id, event_id""".stripMargin,
+
+    "r03_filter_length" ->
+      s"""SELECT user_id, event_id, s, e FROM ${iv("click")} a
+         |WHERE e - s BETWEEN 30 AND 120 ORDER BY user_id, event_id""".stripMargin,
+
+    "r05_union_coalesce" ->
+      s"""${coalesceSql(s"${evSql("click")} UNION ALL ${evSql("view")}")}
+         |ORDER BY user_id, s, e""".stripMargin,
+
+    "r06_minus" ->
+      s"""WITH a AS (SELECT *, event_id AS aid FROM ${iv("view")} x),
+         |bc AS (${coalesceSql(evSql("purchase"))}),
+         |j AS (SELECT a.user_id, a.aid, a.s, a.e, bc.s AS bs, bc.e AS be
+         |      FROM a LEFT JOIN bc ON bc.user_id = a.user_id
+         |        AND bc.s < a.e AND bc.e > a.s),
+         |x AS (SELECT *,
+         |        greatest(s, coalesce(lag(be) OVER (PARTITION BY aid ORDER BY bs), s)) AS segs,
+         |        max(be) OVER (PARTITION BY aid) AS maxbe,
+         |        row_number() OVER (PARTITION BY aid ORDER BY bs DESC NULLS LAST) AS rn_last
+         |      FROM j)
+         |SELECT user_id, s, e FROM (
+         |  SELECT user_id, segs AS s, bs AS e FROM x
+         |  WHERE bs IS NOT NULL AND segs < bs
+         |  UNION ALL
+         |  SELECT user_id,
+         |    CASE WHEN maxbe IS NULL THEN s ELSE greatest(s, maxbe) END AS s, e
+         |  FROM x WHERE rn_last = 1
+         |    AND (CASE WHEN maxbe IS NULL THEN s ELSE greatest(s, maxbe) END) < e) t
+         |ORDER BY user_id, s, e""".stripMargin,
+
+    "r07_overlaps" ->
+      s"""SELECT a.user_id, greatest(a.s, b.s) AS s, least(a.e, b.e) AS e
+         |FROM ${iv("click")} a JOIN ${iv("view")} b
+         |  ON b.user_id = a.user_id AND b.s < a.e AND b.e > a.s
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "r08_merge_spans" ->
+      s"""${coalesceSql(
+        s"""SELECT a.user_id, a.user_id AS uid2, least(a.s, b.s) AS s, greatest(a.e, b.e) AS e
+           |FROM ${iv("click")} a JOIN ${iv("purchase")} b
+           |  ON b.user_id = a.user_id AND b.s - a.e BETWEEN 0 AND 120""".stripMargin)}
+         |ORDER BY user_id, s, e""".stripMargin,
+
+    "r10_filter_against" ->
+      s"""SELECT a.user_id, a.event_id, a.s, a.e FROM ${iv("click")} a
+         |WHERE EXISTS (SELECT 1 FROM ${iv("purchase")} b
+         |  WHERE b.user_id = a.user_id AND (
+         |    (b.s - a.e BETWEEN 0 AND 60) OR (a.s - b.e BETWEEN 0 AND 60)
+         |    OR (b.s < a.e AND b.e > a.s)))
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "r12_rescale" ->
+      s"""SELECT user_id, event_id, s // 60 AS s_min, (e + 59) // 60 AS e_min
+         |FROM ${iv("click")} a ORDER BY user_id, event_id""".stripMargin,
+
+    "r13_split" ->
+      s"""SELECT user_id, gs AS s, least(gs + 30, e) AS e
+         |FROM (SELECT user_id, e, unnest(generate_series(s, e - 1, 30)) AS gs
+         |      FROM ${iv("purchase")} a) t
+         |ORDER BY user_id, s, e""".stripMargin,
+
+    "r14_allen_pairs" ->
+      s"""SELECT a.user_id, a.event_id AS aid, b.event_id AS bid,
+         |  CASE WHEN b.s < a.e AND b.e > a.s THEN 'overlaps'
+         |       WHEN b.s - a.e BETWEEN 0 AND 60 THEN 'before'
+         |       WHEN a.s - b.e BETWEEN 0 AND 60 THEN 'after' END AS rel
+         |FROM ${iv("click")} a JOIN ${iv("purchase")} b ON b.user_id = a.user_id
+         |WHERE (b.s < a.e AND b.e > a.s) OR (b.s - a.e BETWEEN 0 AND 60)
+         |   OR (a.s - b.e BETWEEN 0 AND 60)
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "r15_scene_graph" ->
+      s"""WITH bx AS ($boxesSql)
+         |SELECT a.frame_id, a.box_id AS b1, b.box_id AS b2, c.box_id AS b3
+         |FROM bx a JOIN bx b ON a.frame_id = b.frame_id
+         |JOIN bx c ON a.frame_id = c.frame_id
+         |WHERE a.x2 <= b.x1 AND b.x2 <= c.x1
+         |  AND abs(a.y1 - b.y1) <= 0.10 AND abs(b.y1 - c.y1) <= 0.10
+         |  AND a.y2 - a.y1 >= 0.15 AND b.y2 - b.y1 >= 0.15 AND c.y2 - c.y1 >= 0.15
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "r17_remove_isolated" ->
+      s"""WITH v AS (SELECT user_id, s, e FROM ${iv("view")} x)
+         |SELECT user_id, s, e FROM (
+         |  SELECT user_id, s, e FROM v WHERE e - s >= 60
+         |  UNION ALL
+         |  SELECT a.user_id, a.s, a.e FROM v a WHERE a.e - a.s < 60 AND EXISTS (
+         |    SELECT 1 FROM v b WHERE b.user_id = a.user_id
+         |      AND ((b.s - a.e BETWEEN 0 AND 30) OR (a.s - b.e BETWEEN 0 AND 30)
+         |           OR (b.s < a.e AND b.e > a.s))
+         |      AND NOT (b.s = a.s AND b.e = a.e))) t
+         |ORDER BY user_id, s, e""".stripMargin,
+
+    "r18_smooth" ->
+      s"""SELECT user_id, greatest(s + 15, 0) AS s, e - 15 AS e FROM (
+         |${coalesceSql(s"SELECT user_id, greatest(s - 15, 0) AS s, e + 15 AS e FROM (${evSql("click")}) q")}
+         |) c ORDER BY user_id, s, e""".stripMargin,
+
+    "j07_containment" ->
+      s"""WITH segs AS (${coalesceSql(
+        s"SELECT user_id, greatest(s - 60, 0) AS s, e + 60 AS e FROM (${evSql("view")}) q")})
+         |SELECT a.user_id, a.event_id, a.s, a.e, b.s AS seg_s, b.e AS seg_e
+         |FROM ${iv("click")} a JOIN segs b
+         |  ON b.user_id = a.user_id AND b.s <= a.s AND a.e <= b.e
+         |ORDER BY 1, 2, 5""".stripMargin,
+
+    "j08_overlap_clip_first" ->
+      s"""SELECT user_id, event_id, greatest(s, bs) AS clip_s, least(e, be) AS clip_e
+         |FROM (SELECT a.user_id, a.event_id, a.s, a.e, b.s AS bs, b.e AS be,
+         |        row_number() OVER (PARTITION BY a.event_id ORDER BY b.s, b.e) AS rn
+         |      FROM ${iv("click")} a JOIN ${iv("purchase")} b
+         |        ON b.user_id = a.user_id AND b.s < a.e AND b.e > a.s) t
+         |WHERE rn = 1 ORDER BY user_id, event_id""".stripMargin,
+
+    "j09_overlap_seconds" ->
+      s"""SELECT a.user_id, a.event_id,
+         |  CAST(coalesce(sum(least(a.e, b.e) - greatest(a.s, b.s)), 0) AS BIGINT) AS overlap_sec
+         |FROM ${iv("click")} a LEFT JOIN ${iv("purchase")} b
+         |  ON b.user_id = a.user_id AND b.s < a.e AND b.e > a.s
+         |GROUP BY a.user_id, a.event_id ORDER BY 1, 2""".stripMargin,
+
+    "a13_overlap_totals" ->
+      s"""WITH ca AS (${coalesceSql(evSql("click"))}),
+         |cb AS (${coalesceSql(evSql("view"))})
+         |SELECT ca.user_id, CAST(sum(least(ca.e, cb.e) - greatest(ca.s, cb.s)) AS BIGINT) AS overlap_sec
+         |FROM ca JOIN cb ON cb.user_id = ca.user_id AND cb.s < ca.e AND cb.e > ca.s
+         |GROUP BY ca.user_id ORDER BY 1""".stripMargin,
+
+    "st01_sessionize" ->
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(e - s) AS BIGINT) AS total_span_sec,
+         |  CAST(max(e - s) AS BIGINT) AS max_span_sec
+         |FROM (${coalesceSql(
+        s"SELECT user_id, s, s + 1 AS e FROM (${evSql()}) q", gap = 1800)}) t
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "st02_window_agg" ->
+      s"""SELECT s // 3600 AS hour_bucket, event_type, CAST(count(*) AS BIGINT) AS n
+         |FROM (${evSql()}) t GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "st03_dedup_first" ->
+      s"""SELECT user_id, event_type, slot, event_id FROM (
+         |  SELECT user_id, event_type, s // 600 AS slot, event_id,
+         |    row_number() OVER (PARTITION BY user_id, event_type, s // 600
+         |      ORDER BY s, event_id) AS rn
+         |  FROM (${evSql()}) t) x
+         |WHERE rn = 1 ORDER BY user_id, event_type, slot""".stripMargin
+  )
+}

@@ -43,18 +43,22 @@ object Q {
   // `ts div 1e9` is exact integer division — nanos exceed 2^53 so any
   // double round-trip could land on the wrong second.
   // -------------------------------------------------------------------
+  // Starts are wrapped into one day (% 86400) so per-user intervals
+  // actually overlap at test scale — the raw timestamps span a year and
+  // would make every interval op trivially empty.
   def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(tune(s), dir).select(
       col("event_id"), col("user_id"), col("event_type"),
-      expr("ts div 1000000000").as("s"),
-      (expr("ts div 1000000000") + floor(col("value")).cast("long") + 1).as("e"))
+      expr("(ts div 1000000000) % 86400").as("s"),
+      (expr("(ts div 1000000000) % 86400") +
+        floor(col("value")).cast("long") + 1).as("e"))
 
   /** DuckDB mirror of [[ev]], optionally filtered by event type. */
   def evSql(typ: String = null): String = {
     val w = if (typ == null) "" else s" WHERE event_type = '$typ'"
     "SELECT event_id, user_id, event_type, " +
-      "epoch_ns(ts)//1000000000 AS s, " +
-      "epoch_ns(ts)//1000000000 + CAST(floor(value) AS BIGINT) + 1 AS e " +
+      "(epoch_ns(ts)//1000000000) % 86400 AS s, " +
+      "(epoch_ns(ts)//1000000000) % 86400 + CAST(floor(value) AS BIGINT) + 1 AS e " +
       s"FROM events$w"
   }
 
