@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.text.TextOps
+import Q._
+
+/** Training-data text pipeline coverage (SURVEY §7.5): exact dedup,
+  * shingle-Jaccard near-dup, MinHash+LSH, SimHash, token analytics,
+  * quality scoring, langid heuristic, document fingerprinting, and
+  * binary-column metadata — all on the `documents` table, with DuckDB
+  * oracles mirroring the same deterministic integer arithmetic. */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(tune(s), d)
+
+  private val P = 1000003L
+
+  val queries: Map[String, QFn] = Map(
+    // T1 exact dedup stats (hash-groupBy dedup, one row)
+    "t01_exact_dedup" -> ((s, d) =>
+      docs(s, d).agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))),
+
+    // T2 blocked dedup groups by 2-token prefix key
+    "t02_prefix_groups" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("pkey", concat_ws(" ", slice(split(col("text"), " "), 1, 2)))
+        .groupBy(col("pkey"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"))
+        .filter(col("cnt") > 1)
+        .orderBy("pkey")),
+
+    // T3 exact n-gram (3-shingle) Jaccard near-dup pairs via
+    // inverted-index join — finds the planted near-duplicates
+    "t03_shingle_jaccard" -> ((s, d) => {
+      val sh = TextOps.shingles(docs(s, d), 3)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val a = sh.select(col("doc_id").as("d1"), col("sh"))
+      val b = sh.select(col("doc_id").as("d2"), col("sh"))
+      a.join(b, Seq("sh")).filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+        .withColumn("jacc", col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"))
+        .filter(col("jacc") >= 0.5)
+        .select("d1", "d2", "inter", "n1", "n2", "jacc")
+        .orderBy("d1", "d2")
+    }),
+
+    // T4 MinHash + LSH near-dup: shingle dict -> 8 minhashes -> 4 bands
+    // of 2 -> band-collision candidates + estimated jaccard
+    "t04_minhash_lsh" -> ((s, d) => {
+      val sh = TextOps.shingles(docs(s, d), 3)
+      val dict = TextOps.dict(sh, "sh", "sid")
+      val ids = sh.join(dict, "sh").select("doc_id", "sid")
+      val mh = TextOps.minhash(ids, 8, P)
+      val bands = TextOps.lshBands(mh, 2, P)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      cand
+        .join(mh.select(col("doc_id").as("d1"), col("i"), col("mh").as("mh1")), Seq("d1"))
+        .join(mh.select(col("doc_id").as("d2"), col("i"), col("mh").as("mh2")), Seq("d2", "i"))
+        .groupBy(col("d1"), col("d2"))
+        .agg((sum(when(col("mh1") === col("mh2"), 1).otherwise(0)).cast("double") / 8.0)
+          .as("est_jacc"))
+        .orderBy("d1", "d2")
+    }),
+
+    // T5 SimHash signatures over weighted token ids
+    "t05_simhash" -> ((s, d) => {
+      val cnts = toks(s, d).groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val withIds = cnts.join(tokDict(s, d), "tok").select("doc_id", "tid", "cnt")
+      TextOps.simhash(withIds, 16).orderBy("doc_id")
+    }),
+
+    // T6 SimHash-bucket near-dup pairs (equal 16-bit signature)
+    "t06_simhash_pairs" -> ((s, d) => {
+      val cnts = toks(s, d).groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+      val withIds = cnts.join(tokDict(s, d), "tok").select("doc_id", "tid", "cnt")
+      val sh = TextOps.simhash(withIds, 16)
+      sh.as("x").join(sh.as("y"),
+          col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.simhash").as("simhash"))
+        .orderBy("d1", "d2")
+    }),
+
+    // T7 quality scoring (length/uniqueness/token stats)
+    "t07_quality" -> ((s, d) => {
+      val cols = TextOps.qualityColumns(col("text"))
+      docs(s, d).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // T8 token counting: global top-20 tokens
+    "t08_token_topk" -> ((s, d) =>
+      toks(s, d).groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)),
+
+    // T9 rolling-hash document fingerprint
+    "t09_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+
+    // T10 per-language corpus stats
+    "t10_lang_stats" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("ntok", size(split(col("text"), " ")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_chars"),
+          sum(col("ntok").cast("long")).as("total_toks"))
+        .orderBy("lang")),
+
+    // T11 stopword-profile langid heuristic
+    "t11_langid_stopwords" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), col("lang"),
+          TextOps.stopwordRatio(col("text"), Seq("the", "a")).as("en_ratio"))
+        .withColumn("pred", when(col("en_ratio") > 0.08, "en").otherwise("other"))
+        .orderBy("doc_id")),
+
+    // M1 multimodal/binary column metadata: byte length + positional
+    // checksum of the opaque payload (decode itself is stubbed — see
+    // graft.multimodal)
+    "m01_binary_meta" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          octet_length(col("text")).as("nbytes"),
+          (ascii(substring(col("text"), 1, 1)) +
+            ascii(substring(col("text"), 17, 1)) * 31 +
+            ascii(substring(col("text"), 33, 1)) * 961).as("checksum"))
+        .orderBy("doc_id"))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles
+  // ------------------------------------------------------------------
+  /** Distinct 3-shingles per doc (mirror of TextOps.shingles). */
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+      |FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-2)) AS i
+      |      FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents) t0) t1""".stripMargin
+
+  private val shingleDictSql =
+    s"""SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) AS BIGINT) AS sid
+       |FROM (SELECT DISTINCT sh FROM ($shinglesSql) s) d""".stripMargin
+
+  private val minhashSql =
+    s"""SELECT doc_id, i, min((sid*(i*2+3) + (i*5+7)) % $P) AS mh
+       |FROM (SELECT doc_id, sid, unnest(generate_series(0, 7)) AS i
+       |      FROM (SELECT s.doc_id, dd.sid FROM ($shinglesSql) s
+       |            JOIN ($shingleDictSql) dd ON s.sh = dd.sh) ids) x
+       |GROUP BY doc_id, i""".stripMargin
+
+  private val simhashSql =
+    """SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM (
+      |  SELECT doc_id, j, sum(cnt * (((tid*(j*2+3) + j) % 97 % 2) * 2 - 1)) AS acc
+      |  FROM (SELECT doc_id, tid, cnt, unnest(generate_series(0, 15)) AS j
+      |        FROM (SELECT c.doc_id, dd.tid, c.cnt
+      |              FROM (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+      |                    FROM (%TOKS%) tk GROUP BY doc_id, tok) c
+      |              JOIN (%DICT%) dd ON c.tok = dd.tok) w) x
+      |  GROUP BY doc_id, j) y
+      |GROUP BY doc_id""".stripMargin
+
+  private def simhashFull = simhashSql
+    .replace("%TOKS%", Q.toksSql).replace("%DICT%", Q.tokDictSql)
+
+  val oracle: Map[String, String] = Map(
+    "t01_exact_dedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs
+        |FROM documents""".stripMargin,
+
+    "t02_prefix_groups" ->
+      """SELECT array_to_string((string_split(text,' '))[1:2], ' ') AS pkey,
+        |  CAST(count(*) AS BIGINT) AS cnt, CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY pkey""".stripMargin,
+
+    "t03_shingle_jaccard" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, inter, x.nsh AS n1, y.nsh AS n2,
+         |  CAST(inter AS DOUBLE) / CAST(x.nsh + y.nsh - inter AS DOUBLE) AS jacc
+         |FROM pairs JOIN sizes x ON pairs.d1 = x.doc_id
+         |JOIN sizes y ON pairs.d2 = y.doc_id
+         |WHERE CAST(inter AS DOUBLE) / CAST(x.nsh + y.nsh - inter AS DOUBLE) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
+    "t04_minhash_lsh" ->
+      s"""WITH mh AS ($minhashSql),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |            CAST(sum(CASE WHEN i % 2 = 0 THEN mh * $P ELSE mh END) AS BIGINT) AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         |SELECT d1, d2,
+         |  CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS est_jacc
+         |FROM cand JOIN mh a ON a.doc_id = d1 JOIN mh b ON b.doc_id = d2 AND b.i = a.i
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t05_simhash" -> (simhashSql
+      .replace("%TOKS%", Q.toksSql).replace("%DICT%", Q.tokDictSql)
+      + "\nORDER BY doc_id"),
+
+    "t06_simhash_pairs" ->
+      s"""WITH sh AS (${simhashSql.replace("%TOKS%", Q.toksSql).replace("%DICT%", Q.tokDictSql)})
+         |SELECT x.doc_id AS d1, y.doc_id AS d2, x.simhash
+         |FROM sh x JOIN sh y ON x.simhash = y.simhash AND x.doc_id < y.doc_id
+         |ORDER BY 1, 2""".stripMargin,
+
+    "t07_quality" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_tok,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_tok_len,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS uniq_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t08_token_topk" ->
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (${Q.toksSql}) t
+         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+
+    "t09_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t10_lang_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+        |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_toks
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t11_langid_stopwords" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS en_ratio,
+        |  CASE WHEN CAST(len(list_filter(string_split(text,' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |    / CAST(len(string_split(text,' ')) AS DOUBLE) > 0.08 THEN 'en' ELSE 'other' END AS pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m01_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS nbytes,
+        |  ascii(substr(text, 1, 1)) + ascii(substr(text, 17, 1)) * 31
+        |    + ascii(substr(text, 33, 1)) * 961 AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / dedup operators for a training-data pipeline over a
+  * `documents(doc_id, text, ...)` table: tokenization, shingling,
+  * MinHash+LSH near-dup, SimHash, quality scoring, language scoring and
+  * rolling-hash fingerprints (SURVEY §7.5; reference analogues: caption
+  * tokenization app/esper/spacy_tokenize.py, lowercase heuristics
+  * app/esper/commercial_detection_rekall.py:88-97).
+  *
+  * Everything is deterministic integer arithmetic over a token/shingle
+  * dictionary so results are engine-independent (DuckDB-checkable).
+  */
+object TextOps {
+
+  /** One row per (doc_id, pos, tok). */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  /** Distinct k-token shingles per doc (k=3): the set representation
+    * used for near-dup detection. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    // lead beyond the doc end yields null and concat_ws drops it, so
+    // short windows produce < k parts — filtered out below.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tokens(docs)
+      .withColumn("sh", concat_ws(" ",
+        (0 until k).map(i => lead(col("tok"), i).over(w)): _*))
+      .filter(size(split(col("sh"), " ")) === k)
+      .select(col("doc_id"), col("sh")).distinct()
+  }
+
+  /** Deterministic dictionary: shingle/token -> dense id by sort order.
+    * Single-partition window is fine for test-scale vocab; at 100 TB
+    * swap for a precomputed dictionary table (sortWithinPartitions +
+    * zipWithIndex) — the id only needs to be stable, not dense. */
+  def dict(values: DataFrame, valueCol: String, idCol: String): DataFrame =
+    values.select(col(valueCol)).distinct()
+      .withColumn(idCol, dense_rank().over(Window.orderBy(col(valueCol))).cast("long"))
+
+  /** MinHash signatures: k universal-ish hashes h_i(x) = (x*(2i+3)+(5i+7)) mod p
+    * over the doc's shingle-id set -> rows (doc_id, i, mh). */
+  def minhash(docShingleIds: DataFrame, k: Int = 8, p: Long = 1000003L): DataFrame =
+    docShingleIds
+      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("sid") * (col("i") * 2 + 3) + (col("i") * 5 + 7)) % p).as("mh"))
+
+  /** LSH banding over minhash rows: bands of `rows` hashes, one integer
+    * signature per (doc, band). Candidate near-dups collide on a band. */
+  def lshBands(mh: DataFrame, rows: Int = 2, p: Long = 1000003L): DataFrame =
+    mh.withColumn("band", expr(s"i div $rows"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(when(col("i") % rows === 0, col("mh") * p).otherwise(col("mh"))).as("sig"))
+
+  /** 16-bit SimHash over weighted token ids: bit j set iff
+    * sum(cnt * (2*((tid*(2j+3)+j) mod 97 mod 2) - 1)) > 0. */
+  def simhash(docTokenCounts: DataFrame, bits: Int = 16): DataFrame =
+    docTokenCounts
+      .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
+      .withColumn("bitsign",
+        ((col("tid") * (col("j") * 2 + 3) + col("j")) % 97 % 2) * 2 - 1)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("cnt") * col("bitsign")).as("acc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("acc") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(0L)).as("simhash"))
+
+  /** Polynomial rolling hash of the full text, mod 1e9+7 — a stable
+    * document fingerprint (content-defined identity). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  /** Quality-score components (length/uniqueness/token stats) — the
+    * pure-expression form of per-doc quality filters. */
+  def qualityColumns(textCol: Column): Seq[(String, Column)] = {
+    val toks = split(textCol, " ")
+    val ntok = size(toks)
+    Seq(
+      "n_tok" -> ntok,
+      "n_chars" -> length(textCol),
+      "avg_tok_len" -> ((length(textCol) - (ntok - 1)).cast("double") / ntok.cast("double")),
+      "uniq_ratio" -> (size(array_distinct(toks)).cast("double") / ntok.cast("double")))
+  }
+
+  /** Stopword-profile language scorer: fraction of tokens found in a
+    * per-language stopword list (n-gram-free heuristic langid). */
+  def stopwordRatio(textCol: Column, stopwords: Seq[String]): Column = {
+    val toks = split(textCol, " ")
+    val hits = filter(toks, t => stopwords.map(w => t === lit(w)).reduce(_ || _))
+    size(hits).cast("double") / size(toks).cast("double")
+  }
+}
