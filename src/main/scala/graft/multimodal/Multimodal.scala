@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §7.5): media payloads as opaque
+  * binary columns with typed metadata, batch-shaped decode / feature
+  * extraction over partitions. The reference's video plane (Scanner
+  * pipelines, app/esper/scannerutil.py) produced per-frame features
+  * from decoded video; here the Spark-side contract — schema,
+  * partitioning, per-partition batching — is real, while the codec call
+  * itself is STUBBED (no image/audio libs in this container) with a
+  * deterministic fake so tests can assert end-to-end shape.
+  */
+object Multimodal {
+
+  /** Typed metadata for an opaque media payload. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           checksum: Long, feature: Array[Float])
+
+  /** Attach a binary payload column (here: utf-8 of a text column —
+    * stand-in for image/audio bytes). */
+  def asMedia(df: DataFrame, idCol: String, textCol: String, kind: String): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"), lit(kind).as("kind"),
+      col(textCol).cast("binary").as("payload"))
+
+  /** STUB decode: a real implementation would hand each partition's
+    * payload batch to a codec (JNI/FFI) and emit fixed-width feature
+    * vectors; the deterministic fake derives an 8-float "feature" from
+    * byte statistics so the distributed plumbing (mapPartitions batch
+    * shape, schema, partition parallelism) is fully exercised.
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // batch boundary: a codec would be initialized once per partition
+      rows.map { r =>
+        val bytes = r.payload
+        var csum = 0L
+        var i = 0
+        while (i < bytes.length) { csum = (csum * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+        val feat = Array.tabulate(8) { j =>
+          var acc = 0L
+          var k = j
+          while (k < bytes.length) { acc += (bytes(k) & 0xff); k += 8 }
+          acc.toFloat / math.max(bytes.length, 1)
+        }
+        MediaFeatures(r.media_id, r.kind, bytes.length, csum, feat)
+      }
+    }
+  }
+
+  /** Frame-sample analogue: take every `stride`-th byte as a "frame"
+    * (the 1-frame-per-3s sampling, spark_util.py:402-405). */
+  def sampleBytes(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("media_id"), col("kind"),
+      filter(transform(sequence(lit(0), octet_length(col("payload")) - 1),
+          i => i), i => i % stride === 0).as("sampled_offsets"))
+}

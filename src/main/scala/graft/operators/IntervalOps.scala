@@ -55,11 +55,15 @@ object IntervalOps {
       .drop("__grp")
   }
 
-  /** R2: dilate — widen (d>0) or shrink (d<0) every interval by d on both
-    * sides, clamped at 0 (frame/second domains are nonnegative). */
-  def dilate(df: DataFrame, d: Long, c: Cols = Cols()): DataFrame =
-    df.withColumn(c.start, greatest(col(c.start) - d, lit(0L)))
-      .withColumn(c.end, col(c.end) + d)
+  /** R2: dilate — widen (d>0) or shrink (d<0) every interval by d on
+    * both sides. `clampAtZero` floors the start for frame/second
+    * domains; it must stay OFF inside dilate-coalesce-undilate ([[smooth]])
+    * or intervals near 0 shift right and lose coverage. */
+  def dilate(df: DataFrame, d: Long, c: Cols = Cols(),
+             clampAtZero: Boolean = false): DataFrame = {
+    val s = if (clampAtZero) greatest(col(c.start) - d, lit(0L)) else col(c.start) - d
+    df.withColumn(c.start, s).withColumn(c.end, col(c.end) + d)
+  }
 
   /** R3: filter_length — keep intervals with length in [minLen, maxLen]. */
   def filterLength(df: DataFrame, minLen: Long, maxLen: Long = Long.MaxValue,

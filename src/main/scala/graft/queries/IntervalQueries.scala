@@ -33,7 +33,7 @@ object IntervalQueries {
 
     // R2 dilate ±d with clamp (rekall_query.py:238)
     "r02_dilate" -> ((s, d) =>
-      IntervalOps.dilate(clicks(s, d), 30, C)
+      IntervalOps.dilate(clicks(s, d), 30, C, clampAtZero = true)
         .select("user_id", "event_id", "s", "e")
         .orderBy("user_id", "event_id")),
 
@@ -138,7 +138,8 @@ object IntervalQueries {
     // J7 interval containment join (spark.py:122-158): clicks inside
     // smoothed view segments
     "j07_containment" -> ((s, d) => {
-      val segs = IntervalOps.coalesce(bare(IntervalOps.dilate(views(s, d), 60, C)), C)
+      val segs = IntervalOps.coalesce(
+        bare(IntervalOps.dilate(views(s, d), 60, C, clampAtZero = true)), C)
       IntervalOps.containedIn(clicks(s, d), segs, C)
         .select(col("user_id"), col("event_id"), col("s"), col("e"),
           col("__bs").as("seg_s"), col("__be").as("seg_e"))
@@ -330,8 +331,8 @@ object IntervalQueries {
          |ORDER BY user_id, s, e""".stripMargin,
 
     "r18_smooth" ->
-      s"""SELECT user_id, greatest(s + 15, 0) AS s, e - 15 AS e FROM (
-         |${coalesceSql(s"SELECT user_id, greatest(s - 15, 0) AS s, e + 15 AS e FROM (${evSql("click")}) q")}
+      s"""SELECT user_id, s + 15 AS s, e - 15 AS e FROM (
+         |${coalesceSql(s"SELECT user_id, s - 15 AS s, e + 15 AS e FROM (${evSql("click")}) q")}
          |) c ORDER BY user_id, s, e""".stripMargin,
 
     "j07_containment" ->

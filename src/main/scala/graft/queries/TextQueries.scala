@@ -129,6 +129,17 @@ object TextQueries {
         .withColumn("pred", when(col("en_ratio") > 0.08, "en").otherwise("other"))
         .orderBy("doc_id")),
 
+    // M2 multimodal decode plumbing: text -> binary payload ->
+    // mapPartitions feature stub (graft.multimodal); the byte checksum
+    // equals the rolling hash so it IS oracle-checkable even though the
+    // decode runs in typed partition code
+    "m02_media_decode" -> ((s, d) =>
+      graft.multimodal.Multimodal.decodeFeatures(
+          graft.multimodal.Multimodal.asMedia(docs(s, d), "doc_id", "text", "text"))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("checksum"))
+        .orderBy("media_id")),
+
     // M1 multimodal/binary column metadata: byte length + positional
     // checksum of the opaque payload (decode itself is stubbed — see
     // graft.multimodal)
@@ -155,7 +166,7 @@ object TextQueries {
        |FROM (SELECT DISTINCT sh FROM ($shinglesSql) s) d""".stripMargin
 
   private val minhashSql =
-    s"""SELECT doc_id, i, min((sid*(i*2+3) + (i*5+7)) % $P) AS mh
+    s"""SELECT doc_id, i, min((sid*((i*2+3)*524287 % $P) + (i*5+7)*8191) % $P) AS mh
        |FROM (SELECT doc_id, sid, unnest(generate_series(0, 7)) AS i
        |      FROM (SELECT s.doc_id, dd.sid FROM ($shinglesSql) s
        |            JOIN ($shingleDictSql) dd ON s.sh = dd.sh) ids) x
@@ -258,6 +269,13 @@ object TextQueries {
         |  CASE WHEN CAST(len(list_filter(string_split(text,' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
         |    / CAST(len(string_split(text,' ')) AS DOUBLE) > 0.08 THEN 'en' ELSE 'other' END AS pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m02_media_decode" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS nbytes,

@@ -1,0 +1,86 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Embedding similarity search (SURVEY §2.3 J15, §7.5): brute-force
+  * cosine top-k as the exact baseline, random-hyperplane LSH bucketing
+  * as the scale path, near-dup pairing, and centroid classification —
+  * the Spark-native re-expression of the reference's rs-embed surface
+  * (app/esper/face_embeddings.py:74-131 knn/kmeans/logreg).
+  *
+  * Scale notes: queries/hyperplanes/centroids are tiny DataFrames and
+  * are broadcast; the corpus scan stays distributed. The LSH bucket id
+  * is an equi-join key, so the self-join shuffles hash-partitioned on
+  * bucket instead of computing the N^2 cross product.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set
+    * against the corpus, rank per query. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Fns.cosine(col("embedding"), col("q_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos6"))
+  }
+
+  /** Random-hyperplane signature: bit j = sign(dot(v, h_j)); hyperplanes
+    * are `nBits` corpus vectors (deterministic, seed-free). */
+  def lshBuckets(corpus: DataFrame, hyperplanes: DataFrame): DataFrame = {
+    val h = broadcast(hyperplanes.select(col("hid"), col("h_emb")))
+    corpus.crossJoin(h)
+      .withColumn("bit", when(Fns.dot(col("embedding"), col("h_emb")) > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(hid AS INT))")).otherwise(0L))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(sum(col("bit")).as("bucket"))
+  }
+
+  /** Near-duplicate pairs: LSH-bucketed self-join (candidates share a
+    * bucket) + exact cosine filter at tau. The scale path for
+    * embedding-cosine dedup: no N^2 cross join. */
+  def nearDupPairs(corpus: DataFrame, hyperplanes: DataFrame, tau: Double): DataFrame = {
+    val b = lshBuckets(corpus, hyperplanes)
+    val x = b.select(col("vec_id").as("d1"), col("embedding").as("e1"), col("bucket"))
+    val y = b.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+      col("bucket").as("b2"))
+    x.join(y, col("bucket") === col("b2") && col("d1") < col("d2"))
+      .withColumn("cos", Fns.cosine(col("e1"), col("e2")))
+      .filter(col("cos") >= tau)
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos6"))
+  }
+
+  /** Per-label centroids via posexplode + per-position mean. The
+    * per-position sum is made order-deterministic by folding a
+    * vec_id-sorted list, so repeated runs bit-match. */
+  def centroids(corpus: DataFrame): DataFrame =
+    corpus.select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
+          s => s.getField("v").cast("double")),
+        lit(0.0d), (acc, x) => acc + x) / count(lit(1))).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
+  /** Assign each vector to the nearest centroid by cosine; returns
+    * per-label assignment quality (n, n_correct). */
+  def centroidAssign(corpus: DataFrame): DataFrame = {
+    val c = broadcast(centroids(corpus)
+      .select(col("label").as("c_label"), col("centroid")))
+    val scored = corpus.crossJoin(c)
+      .withColumn("cos", Fns.cosine(col("embedding"), col("centroid")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("c_label"), 1L).otherwise(0L)).as("n_correct"))
+  }
+}

@@ -41,13 +41,17 @@ object TextOps {
     values.select(col(valueCol)).distinct()
       .withColumn(idCol, dense_rank().over(Window.orderBy(col(valueCol))).cast("long"))
 
-  /** MinHash signatures: k universal-ish hashes h_i(x) = (x*(2i+3)+(5i+7)) mod p
-    * over the doc's shingle-id set -> rows (doc_id, i, mh). */
+  /** MinHash signatures: k universal-ish hashes
+    * h_i(x) = (x * a_i + b_i) mod p with a_i = (2i+3)*524287 mod p,
+    * b_i = (5i+7)*8191 — the multipliers must be large enough that the
+    * product wraps mod p, otherwise h_i is monotone in x and every hash
+    * degenerates to "the minimum id" (caught by TextOpsSpec). */
   def minhash(docShingleIds: DataFrame, k: Int = 8, p: Long = 1000003L): DataFrame =
     docShingleIds
       .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
       .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("sid") * (col("i") * 2 + 3) + (col("i") * 5 + 7)) % p).as("mh"))
+      .agg(min((col("sid") * ((col("i") * 2 + 3) * 524287L % p) +
+        (col("i") * 5 + 7) * 8191L) % p).as("mh"))
 
   /** LSH banding over minhash rows: bands of `rows` hashes, one integer
     * signature per (doc, band). Candidate near-dups collide on a band. */

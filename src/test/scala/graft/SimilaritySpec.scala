@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+import graft.multimodal.Multimodal
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted geometry: 0/1 nearly parallel, 2 orthogonal, 3 anti-parallel
+  private val vecs = Seq(
+    (0L, Array(1f, 0.05f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+    (2L, Array(0f, 1f, 0f, 0f), 1),
+    (3L, Array(-1f, 0f, 0f, 0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosineTopK ranks the parallel vector first") {
+    val top = Similarity.cosineTopK(vecs, vecs.filter($"vec_id" === 0), 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(top.head === 1L)   // most similar
+    assert(top.last === 3L)   // anti-parallel last
+  }
+
+  test("nearDupPairs finds the planted near-duplicate") {
+    val h = vecs.select($"vec_id".as("hid"), $"embedding".as("h_emb"))
+    val pairs = Similarity.nearDupPairs(vecs, h, 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => (a, b) == (0L, 3L) })
+  }
+
+  test("centroidAssign is perfect on separated clusters") {
+    val sep = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0.1f, 0.9f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val res = Similarity.centroidAssign(sep)
+      .select("label", "n", "n_correct").as[(Int, Long, Long)].collect()
+    res.foreach { case (_, n, ok) => assert(n === ok) }
+  }
+
+  test("multimodal decode stub: schema, checksum and feature width") {
+    val media = Multimodal.asMedia(
+      Seq((7L, "hello world")).toDF("id", "text"), "id", "text", "text")
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.media_id === 7L && f.n_bytes === 11 && f.feature.length === 8)
+    val expect = "hello world".getBytes("UTF-8")
+      .foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+    assert(f.checksum === expect)
+  }
+}

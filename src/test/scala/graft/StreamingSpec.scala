@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Ingest
+
+/** Top-level so Spark's encoder can instantiate it on executors. */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Structured Streaming ingest: ledger dedup, session windows, tumbling
+  * windows, and the file-source -> parquet job (SURVEY §2.9). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset well past epoch 0 — timestamps at the initial watermark
+  // boundary get dropped as late rows
+  private def ts(s: Long) = new java.sql.Timestamp((1700000000L + s) * 1000L)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("dedupStream drops duplicate event ids") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(1, ts(5), 1, "click", 1.0, "{}"),
+      Ev(2, ts(10), 1, "view", 2.0, "{}"))
+    runToMemory(Ingest.dedupStream(in.toDF()), "dedup_out", "append")
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted
+    assert(ids === Array(1L, 2L))
+  }
+
+  test("sessionize groups by inactivity gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // two bursts for user 1 separated by > 30 min, one event for user 2
+    in.addData(
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(2, ts(60), 1, "click", 1.0, "{}"),
+      Ev(3, ts(60 * 60 * 3), 1, "click", 1.0, "{}"),
+      Ev(4, ts(30), 2, "view", 5.0, "{}"))
+    // advance watermark far enough to close all sessions
+    in.addData(Ev(99, ts(60 * 60 * 10), 9, "click", 0.0, "{}"))
+    runToMemory(Ingest.sessionize(in.toDF(), "30 minutes"), "sess_out", "append")
+    val sessions = spark.table("sess_out")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+    assert(sessions.contains((1L, 2L))) // first burst: 2 events
+    assert(sessions.contains((1L, 1L))) // second burst
+    assert(sessions.contains((2L, 1L)))
+  }
+
+  test("tumbling window counts per hour and type") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(1, ts(10), 1, "click", 1.0, "{}"),
+      Ev(2, ts(20), 2, "click", 2.0, "{}"),
+      Ev(3, ts(3700), 1, "view", 3.0, "{}"),
+      Ev(9, ts(60 * 60 * 10), 9, "x", 0.0, "{}"))
+    runToMemory(Ingest.tumblingCounts(in.toDF(), "1 hour"), "win_out", "append")
+    val rows = spark.table("win_out")
+      .select($"event_type", $"n").as[(String, Long)].collect().toSet
+    assert(rows.contains(("click", 2L)))
+    assert(rows.contains(("view", 1L)))
+  }
+
+  test("ingestJob end-to-end: files -> dedup -> parquet") {
+    val tmp = Files.createTempDirectory("graft_ingest").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
+    val batch = Seq(
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(1, ts(0), 1, "click", 1.0, "{}"),
+      Ev(2, ts(5), 2, "view", 2.0, "{}")).toDF()
+    batch.write.parquet(inDir)
+    val q = Ingest.ingestJob(spark, inDir, outDir, ck)
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(outDir)
+    assert(out.select("event_id").distinct().count() === 2)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "a b c d e"),
+    (1L, "a b c d x"),
+    (2L, "z z z z z q")
+  ).toDF("doc_id", "text")
+
+  test("shingles produce distinct full-width 3-grams") {
+    val sh = TextOps.shingles(docs, 3)
+    val got = sh.as[(Long, String)].collect().toSet
+    assert(got((0L, "a b c")) && got((0L, "c d e")))
+    assert(!got.exists(_._2.split(" ").length != 3))
+    // doc 2: "z z z" appears 3 times but is distinct-ed
+    assert(got.count(_._1 == 2L) === 2) // "z z z", "z z q"
+  }
+
+  test("minhash identical sets -> identical signatures; near sets agree mostly") {
+    val sh = TextOps.shingles(docs, 3)
+    val dict = TextOps.dict(sh, "sh", "sid")
+    val ids = sh.join(dict, "sh").select("doc_id", "sid")
+    val mh = TextOps.minhash(ids, 8)
+    val sig = mh.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    // doc0 and doc1 share 2 of 4 shingles -> some but not all hashes equal
+    val agree = sig(0L).zip(sig(1L)).count { case (a, b) => a == b }
+    assert(agree > 0 && agree < 8)
+    assert(sig(0L).zip(sig(2L)).count { case (a, b) => a == b } === 0)
+  }
+
+  test("fingerprint is the polynomial rolling hash") {
+    val fp = docs.filter($"doc_id" === 0)
+      .select(TextOps.fingerprint($"text")).as[Long].head()
+    val expect = "a b c d e".foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    assert(fp === expect)
+  }
+
+  test("simhash of identical token multisets matches") {
+    val cnts = TextOps.tokens(docs).groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("cnt"))
+    val dict = TextOps.dict(cnts, "tok", "tid")
+    val withIds = cnts.join(dict, "tok").select("doc_id", "tid", "cnt")
+    val sh = TextOps.simhash(withIds, 16).as[(Long, Long)].collect().toMap
+    assert(sh.size === 3)
+    assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  test("quality columns and stopword ratio") {
+    val q = docs.select($"doc_id" +:
+      TextOps.qualityColumns($"text").map { case (n, c) => c.as(n) }: _*)
+      .filter($"doc_id" === 2).head()
+    assert(q.getAs[Int]("n_tok") === 6)
+    val ratio = docs.filter($"doc_id" === 0)
+      .select(TextOps.stopwordRatio($"text", Seq("a", "b"))).as[Double].head()
+    assert(math.abs(ratio - 0.4) < 1e-9)
+  }
+}
