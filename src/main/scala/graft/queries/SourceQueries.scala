@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Q._
+
+/** Source/sink operator coverage (SURVEY §2.1): CSV round-trip with
+  * schema inference, inline-row construction, regexp catalog ingest and
+  * tokenizing ingest. Parquet scan (S2) backs every other query; the
+  * streaming source family (S11) lives in graft.streaming + its spec. */
+object SourceQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // S3: pg COPY->CSV->Spark analogue (spark.py:34-40): write region to
+    // CSV, read back with header + inferSchema
+    "s03_csv_roundtrip" -> ((s, d) => {
+      val t = tune(s)
+      val tmp = s"/tmp/graft_csv_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Tables.region(t, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      t.read.option("header", "true").option("inferSchema", "true").csv(tmp)
+        .select(col("r_regionkey").cast("int"), col("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
+    // S5: rows from in-memory values (createDataFrame, spark.py:42-48)
+    "s05_inline_rows" -> ((s, d) => {
+      val t = tune(s)
+      import t.implicits._
+      Seq((1L, "M", "male"), (2L, "F", "female"), (3L, "U", "unknown"))
+        .toDF("id", "code", "name").orderBy("id")
+    }),
+
+    // S10: catalog ingest via path/name parsing (regexp_extract ->
+    // dims, ingest.py:71-109): parse source label into numeric id
+    "s10_catalog_parse" -> ((s, d) =>
+      Tables.documents(tune(s), d)
+        .select(col("doc_id"),
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_num"))
+        .groupBy(col("src_num")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("src_num")),
+
+    // S13: caption/token ingest (srt -> rows; spacy_tokenize.py):
+    // token stream with positions for a slice of the corpus
+    "s13_tokenize_ingest" -> ((s, d) =>
+      toks(s, d).filter(col("doc_id") < 20)
+        .select("doc_id", "pos", "tok").orderBy("doc_id", "pos"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s03_csv_roundtrip" ->
+      "SELECT CAST(r_regionkey AS INT) AS r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "s05_inline_rows" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'M', 'male'),
+        |  (CAST(2 AS BIGINT), 'F', 'female'),
+        |  (CAST(3 AS BIGINT), 'U', 'unknown')) t(id, code, name)
+        |ORDER BY id""".stripMargin,
+
+    "s10_catalog_parse" ->
+      """SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY src_num""".stripMargin,
+
+    "s13_tokenize_ingest" ->
+      s"""SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM (${Q.toksSql}) t
+         |WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin
+  )
+}

@@ -36,7 +36,9 @@ object TextQueries {
     // T3 exact n-gram (3-shingle) Jaccard near-dup pairs via
     // inverted-index join — finds the planted near-duplicates
     "t03_shingle_jaccard" -> ((s, d) => {
-      val sh = TextOps.shingles(docs(s, d), 3)
+      // reused by sizes and both join sides — cache to avoid recomputing
+      // the shingle window lineage three times
+      val sh = TextOps.shingles(docs(s, d), 3).cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       val a = sh.select(col("doc_id").as("d1"), col("sh"))
       val b = sh.select(col("doc_id").as("d2"), col("sh"))
@@ -54,10 +56,11 @@ object TextQueries {
     // T4 MinHash + LSH near-dup: shingle dict -> 8 minhashes -> 4 bands
     // of 2 -> band-collision candidates + estimated jaccard
     "t04_minhash_lsh" -> ((s, d) => {
-      val sh = TextOps.shingles(docs(s, d), 3)
+      val sh = TextOps.shingles(docs(s, d), 3).cache()
       val dict = TextOps.dict(sh, "sh", "sid")
       val ids = sh.join(dict, "sh").select("doc_id", "sid")
-      val mh = TextOps.minhash(ids, 8, P)
+      // mh feeds banding AND the est_jacc double-join — cache it
+      val mh = TextOps.minhash(ids, 8, P).cache()
       val bands = TextOps.lshBands(mh, 2, P)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -85,7 +88,7 @@ object TextQueries {
       val cnts = toks(s, d).groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
       val withIds = cnts.join(tokDict(s, d), "tok").select("doc_id", "tid", "cnt")
-      val sh = TextOps.simhash(withIds, 16)
+      val sh = TextOps.simhash(withIds, 16).cache()
       sh.as("x").join(sh.as("y"),
           col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),

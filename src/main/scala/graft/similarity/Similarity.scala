@@ -45,7 +45,8 @@ object Similarity {
     * bucket) + exact cosine filter at tau. The scale path for
     * embedding-cosine dedup: no N^2 cross join. */
   def nearDupPairs(corpus: DataFrame, hyperplanes: DataFrame, tau: Double): DataFrame = {
-    val b = lshBuckets(corpus, hyperplanes)
+    // both self-join sides read the bucketed corpus — cache one pass
+    val b = lshBuckets(corpus, hyperplanes).cache()
     val x = b.select(col("vec_id").as("d1"), col("embedding").as("e1"), col("bucket"))
     val y = b.select(col("vec_id").as("d2"), col("embedding").as("e2"),
       col("bucket").as("b2"))
