@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ IntervalQueries.queries ++
-      TextQueries.queries ++ SimilarityQueries.queries ++ SourceQueries.queries
+      TextQueries.queries ++ SimilarityQueries.queries ++
+      SourceQueries.queries ++ PhraseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ IntervalQueries.oracle ++
-      TextQueries.oracle ++ SimilarityQueries.oracle ++ SourceQueries.oracle
+      TextQueries.oracle ++ SimilarityQueries.oracle ++
+      SourceQueries.oracle ++ PhraseQueries.oracle
 }

@@ -80,13 +80,16 @@ object IntervalOps {
   // consecutive b's (and the head/tail segments) with windows.
   // --------------------------------------------------------------------
   def minus(a: DataFrame, b: DataFrame, c: Cols = Cols()): DataFrame = {
+    // alias B's columns to fresh names: withColumnRenamed keeps attribute
+    // ids, which makes the join ambiguous when A and B share lineage
+    // (e.g. both derived from the same captions table)
     val bc = coalesce(b.select(col(c.key), col(c.start), col(c.end)), c)
-      .withColumnRenamed(c.start, "__bs").withColumnRenamed(c.end, "__be")
+      .select(col(c.key).as("__bk"), col(c.start).as("__bs"), col(c.end).as("__be"))
     val aa = a.withColumn("__aid", monotonically_increasing_id())
     val joined = aa.join(bc,
-      aa(c.key) === bc(c.key) &&
-        col("__bs") < aa(c.end) && col("__be") > aa(c.start),
-      "left").drop(bc(c.key))
+      col(c.key) === col("__bk") &&
+        col("__bs") < col(c.end) && col("__be") > col(c.start),
+      "left").drop("__bk")
     val win = Window.partitionBy(col("__aid")).orderBy(col("__bs"))
     // segment before this b: [max(a.s, prev_be), bs)
     val segStart = greatest(col(c.start),

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Caption/phrase search surface (SURVEY §3.3): n-gram phrase matching
+  * over the token table and a boolean query mini-language
+  * (`"a b" AND (c OR NOT d)`) compiled to a DataFrame plan — the
+  * Spark-native replacement for the reference's Rust caption index +
+  * query parser (app/esper/captions.py:99-140).
+  *
+  * Phrase matching uses the same lead-window n-gram construction as
+  * TextOps.shingles (one shuffle per doc set, no self-join chain);
+  * boolean operators become semi/anti joins on doc ids, which Catalyst
+  * executes as broadcast hash joins at dimension scale.
+  */
+object PhraseSearch {
+
+  /** Occurrences of an n-token phrase: (doc_id, pos) for each start. */
+  def phraseHits(toks: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val gram = concat_ws(" ", (0 until phrase.size).map(i => lead(col("tok"), i).over(w)): _*)
+    toks.withColumn("gram", gram)
+      .filter(col("gram") === phrase.mkString(" "))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** Docs containing the phrase at least once. */
+  def docsWithPhrase(toks: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseHits(toks, phrase).select("doc_id").distinct()
+
+  // ---------------- boolean query language --------------------------
+  sealed trait Q
+  final case class Phrase(words: Seq[String]) extends Q
+  final case class And(l: Q, r: Q) extends Q
+  final case class Or(l: Q, r: Q) extends Q
+  final case class Not(q: Q) extends Q
+
+  /** Tiny recursive-descent parser:
+    * expr := term (OR term)* ; term := factor (AND factor)* ;
+    * factor := NOT factor | '(' expr ')' | '"..."' | word */
+  def parse(s: String): Q = new Parser(tokenize(s)).parseExpr()
+
+  private def tokenize(s: String): List[String] = {
+    // bare words must not swallow parens (`dog)` is two tokens)
+    val re = """"[^"]*"|\(|\)|[^\s()"]+""".r
+    re.findAllIn(s).toList
+  }
+
+  private class Parser(var ts: List[String]) {
+    private def peek: Option[String] = ts.headOption
+    private def next(): String = { val h = ts.head; ts = ts.tail; h }
+    def parseExpr(): Q = {
+      var l = parseTerm()
+      while (peek.exists(_.equalsIgnoreCase("OR"))) { next(); l = Or(l, parseTerm()) }
+      l
+    }
+    private def parseTerm(): Q = {
+      var l = parseFactor()
+      while (peek.exists(t => t.equalsIgnoreCase("AND"))) { next(); l = And(l, parseFactor()) }
+      l
+    }
+    private def parseFactor(): Q = peek match {
+      case Some(t) if t.equalsIgnoreCase("NOT") => next(); Not(parseFactor())
+      case Some("(") =>
+        next(); val e = parseExpr()
+        require(next() == ")", "expected )"); e
+      case Some(t) if t.startsWith("\"") =>
+        next(); Phrase(t.stripPrefix("\"").stripSuffix("\"").split("\\s+").toSeq)
+      case Some(t) => next(); Phrase(Seq(t))
+      case None => throw new IllegalArgumentException("empty query")
+    }
+  }
+
+  /** Compile a boolean query to the matching doc-id set.
+    * `universe` = all doc ids (needed for NOT). */
+  def eval(q: Q, toks: DataFrame, universe: DataFrame): DataFrame = q match {
+    case Phrase(ws) => docsWithPhrase(toks, ws)
+    case And(l, r) =>
+      eval(l, toks, universe).join(eval(r, toks, universe), Seq("doc_id"), "left_semi")
+    case Or(l, r) =>
+      eval(l, toks, universe).union(eval(r, toks, universe)).distinct()
+    case Not(x) =>
+      universe.join(eval(x, toks, universe), Seq("doc_id"), "left_anti")
+  }
+
+  def search(query: String, toks: DataFrame, universe: DataFrame): DataFrame =
+    eval(parse(query), toks, universe)
+}
