@@ -208,6 +208,32 @@ object IntervalOps {
     * spanning several buckets must be exploded by the caller. */
   def bandBucket(start: Column, w: Long): Column = floor(start / w)
 
+  /** [[overlaps]] with the working_window optimization
+    * (rekall_query.py:136): both sides are exploded into the w-sized
+    * band buckets they span and the join keys on (key, bucket), so a
+    * skewed key with a long timeline hashes into many groups instead of
+    * one quadratic per-key nested loop. Pairs spanning several shared
+    * buckets are deduped on synthetic pair ids; the result multiset is
+    * identical to [[overlaps]] (IntervalBandedSpec proves it). */
+  def bandedOverlaps(a: DataFrame, b: DataFrame, w: Long,
+                     c: Cols = Cols()): DataFrame = {
+    require(w > 0)
+    val aa = a.select(col(c.key), col(c.start), col(c.end))
+      .withColumn("__aid", monotonically_increasing_id())
+      .withColumn("__ab", explode(sequence(
+        expr(s"${c.start} div $w"), expr(s"(${c.end} - 1) div $w"))))
+    val bb = b.select(col(c.key).as("__k2"), col(c.start).as("__bs"), col(c.end).as("__be"))
+      .withColumn("__bid", monotonically_increasing_id())
+      .withColumn("__bb", explode(sequence(
+        expr(s"__bs div $w"), expr(s"(__be - 1) div $w"))))
+    aa.join(bb, col(c.key) === col("__k2") && col("__ab") === col("__bb") &&
+        col("__bs") < col(c.end) && col("__be") > col(c.start))
+      .dropDuplicates("__aid", "__bid")
+      .select(col(c.key),
+        greatest(col(c.start), col("__bs")).as(c.start),
+        least(col(c.end), col("__be")).as(c.end))
+  }
+
   // --------------------------------------------------------------------
   // R11: ordered fold per key — the one inherently sequential operator
   // (bounded coalesce: merge overlapping intervals but cap the merged

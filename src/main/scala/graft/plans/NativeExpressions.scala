@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native Catalyst expressions (SURVEY §7.3 tier-b extension): hot
+  * interval predicates as codegen'd expressions so they stay inside
+  * whole-stage codegen and are callable from SQL text. The reference
+  * computed these in per-row Python (app/esper/spark_util.py:594-622
+  * overlap_seconds UDF); here it is a first-class expression with
+  * `doGenCode`, registered as SQL function `overlap_seconds` by
+  * [[GraftFunctions.register]].
+  */
+case class OverlapSeconds(aS: Expression, aE: Expression,
+                          bS: Expression, bE: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(aS, aE, bS, bE)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects 4 bigint arguments, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "overlap_seconds"
+
+  override def eval(input: InternalRow): Any = {
+    val as = aS.eval(input); val ae = aE.eval(input)
+    val bs = bS.eval(input); val be = bE.eval(input)
+    if (as == null || ae == null || bs == null || be == null) null
+    else {
+      val lo = math.max(as.asInstanceOf[Long], bs.asInstanceOf[Long])
+      val hi = math.min(ae.asInstanceOf[Long], be.asInstanceOf[Long])
+      java.lang.Long.valueOf(math.max(0L, hi - lo))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a1 = aS.genCode(ctx); val a2 = aE.genCode(ctx)
+    val b1 = bS.genCode(ctx); val b2 = bE.genCode(ctx)
+    val nullCheck =
+      if (nullable)
+        s"${a1.isNull} || ${a2.isNull} || ${b1.isNull} || ${b2.isNull}"
+      else "false"
+    ev.copy(code = code"""
+      ${a1.code}
+      ${a2.code}
+      ${b1.code}
+      ${b2.code}
+      boolean ${ev.isNull} = $nullCheck;
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        long graft_lo = Math.max(${a1.value}, ${b1.value});
+        long graft_hi = Math.min(${a2.value}, ${b2.value});
+        ${ev.value} = Math.max(0L, graft_hi - graft_lo);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(c(0), c(1), c(2), c(3))
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Column-API form. */
+  def overlapSeconds(aS: Column, aE: Column, bS: Column, bE: Column): Column =
+    Bridge.column(OverlapSeconds(
+      Bridge.expression(aS), Bridge.expression(aE),
+      Bridge.expression(bS), Bridge.expression(bE)))
+
+  /** Register as a SQL function (idempotent; per-session — skip when
+    * already present to avoid a per-call replace warning). */
+  def register(spark: SparkSession): Unit = {
+    val id = new org.apache.spark.sql.catalyst.FunctionIdentifier("overlap_seconds")
+    if (!spark.sessionState.functionRegistry.functionExists(id)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "overlap_seconds",
+        exprs => OverlapSeconds(exprs(0), exprs(1), exprs(2), exprs(3)),
+        "built-in")
+    }
+  }
+}
+
+/** SparkSessionExtensions entry point: build sessions with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) to get the
+  * native functions without per-session registration. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("overlap_seconds"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[OverlapSeconds].getName, "overlap_seconds"),
+      (exprs: Seq[Expression]) => OverlapSeconds(exprs(0), exprs(1), exprs(2), exprs(3))))
+}

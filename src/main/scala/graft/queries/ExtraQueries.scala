@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.IntervalOps
+import graft.operators.IntervalOps.Cols
+import Q._
+
+/** Extensions beyond the reference's own surface: the native codegen'd
+  * overlap_seconds expression in the oracle-checked path, the banded
+  * (working-window) interval join, and cube/rollup grouping (SURVEY
+  * §2.5 GAP line — free in Spark, now exercised). */
+object ExtraQueries {
+
+  private val C = Cols("user_id", "s", "e")
+
+  val queries: Map[String, QFn] = Map(
+    // X1: J9 recomputed through the native Catalyst expression
+    // (graft.plans.OverlapSeconds, registered by Q.tune) — proves the
+    // custom-codegen path bit-matches the oracle
+    "x01_native_overlap" -> ((s, d) => {
+      val a = evTyped(s, d, "click").select("user_id", "event_id", "s", "e")
+      val b = evTyped(s, d, "purchase").select(col("user_id").as("u2"),
+        col("s").as("bs"), col("e").as("be"))
+      a.join(b, col("user_id") === col("u2") &&
+          col("bs") < col("e") && col("be") > col("s"), "left")
+        .groupBy(col("user_id"), col("event_id"))
+        .agg(coalesce(sum(expr("overlap_seconds(s, e, bs, be)")), lit(0L))
+          .as("overlap_sec"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // X2: banded overlap join (working_window) — must equal r07
+    "x02_banded_overlaps" -> ((s, d) => {
+      val clicks = evTyped(s, d, "click").select("user_id", "s", "e")
+      val views = evTyped(s, d, "view").select("user_id", "s", "e")
+      IntervalOps.bandedOverlaps(clicks, views, w = 256, C)
+        .orderBy("user_id", "s", "e")
+    }),
+
+    // A16: cube over (returnflag, linestatus) — subtotals + grand total
+    "a16_cube" -> ((s, d) =>
+      Tables.lineitem(tune(s), d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // A17: rollup over (priority, status)
+    "a17_rollup" -> ((s, d) =>
+      Tables.orders(tune(s), d)
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x01_native_overlap" ->
+      s"""SELECT a.user_id, a.event_id,
+         |  CAST(coalesce(sum(CASE WHEN b.s IS NOT NULL
+         |    THEN greatest(0, least(a.e, b.e) - greatest(a.s, b.s)) END), 0) AS BIGINT) AS overlap_sec
+         |FROM (${evSql("click")}) a LEFT JOIN (${evSql("purchase")}) b
+         |  ON b.user_id = a.user_id AND b.s < a.e AND b.e > a.s
+         |GROUP BY a.user_id, a.event_id ORDER BY 1, 2""".stripMargin,
+
+    "x02_banded_overlaps" ->
+      s"""SELECT a.user_id, greatest(a.s, b.s) AS s, least(a.e, b.e) AS e
+         |FROM (${evSql("click")}) a JOIN (${evSql("view")}) b
+         |  ON b.user_id = a.user_id AND b.s < a.e AND b.e > a.s
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "a17_rollup" ->
+      s"""SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "a16_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  )
+}

@@ -170,8 +170,13 @@ object IntervalQueries {
       a.join(b, col("user_id") === col("u2") &&
           col("__bs") < col("e") && col("__be") > col("s"), "left")
         .groupBy(col("user_id"), col("event_id"))
-        .agg(coalesce(sum(least(col("e"), col("__be")) -
-          greatest(col("s"), col("__bs"))), lit(0L)).as("overlap_sec"))
+        // guard on match: least/greatest SKIP nulls in SQL semantics, so
+        // without the when() an unmatched left row would contribute the
+        // full a-interval length instead of 0 (bug surfaced by the
+        // null-propagating native overlap_seconds expression, x01)
+        .agg(coalesce(sum(when(col("__bs").isNotNull,
+          least(col("e"), col("__be")) - greatest(col("s"), col("__bs")))),
+          lit(0L)).as("overlap_sec"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -353,7 +358,8 @@ object IntervalQueries {
 
     "j09_overlap_seconds" ->
       s"""SELECT a.user_id, a.event_id,
-         |  CAST(coalesce(sum(least(a.e, b.e) - greatest(a.s, b.s)), 0) AS BIGINT) AS overlap_sec
+         |  CAST(coalesce(sum(CASE WHEN b.s IS NOT NULL
+         |    THEN least(a.e, b.e) - greatest(a.s, b.s) END), 0) AS BIGINT) AS overlap_sec
          |FROM ${iv("click")} a LEFT JOIN ${iv("purchase")} b
          |  ON b.user_id = a.user_id AND b.s < a.e AND b.e > a.s
          |GROUP BY a.user_id, a.event_id ORDER BY 1, 2""".stripMargin,

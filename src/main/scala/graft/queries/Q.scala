@@ -25,6 +25,7 @@ object Q {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.plans.GraftFunctions.register(s)
     s
   }
 
