@@ -116,13 +116,8 @@ object Q {
       |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
       |  unnest(list_zip(t.l, generate_series(0, len(t.l)-1))) AS u(z)""".stripMargin
 
-  def tokDict(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // vocabulary is tiny (tens of tokens); the single-partition window is
-    // deliberate — at scale swap for distinct + zipWithIndex over sorted.
-    toks(s, dir).select("tok").distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy("tok")).cast("long"))
-  }
+  def tokDict(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextOps.dict(toks(s, dir), "tok", "tid")
 
   val tokDictSql: String =
     s"""SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid

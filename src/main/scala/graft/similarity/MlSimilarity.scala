@@ -1,0 +1,42 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MLlib-backed similarity operators — the library path the reference
+  * delegated to its Rust rs-embed store (app/esper/face_embeddings.py:
+  * 74-131 knn/kmeans): approxSimilarityJoin for pairwise KNN at scale
+  * and KMeans clustering. Complements the hand-rolled LSH in
+  * [[Similarity]] (which is oracle-friendly); these are the
+  * battle-tested variants for the 100 TB path. */
+object MlSimilarity {
+
+  private def withVec(emb: DataFrame): DataFrame =
+    emb.withColumn("features", array_to_vector(col("embedding")))
+
+  /** Approximate similarity join: pairs within `maxL2` L2 distance
+    * (on normalized vectors, d^2 = 2 - 2cos). */
+  def approxPairs(emb: DataFrame, maxL2: Double, seed: Long = 42L): DataFrame = {
+    val v = withVec(emb).cache()
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0).setNumHashTables(3).setSeed(seed)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(v)
+    model.approxSimilarityJoin(v, v, maxL2, "dist")
+      .select(col("datasetA.vec_id").as("d1"), col("datasetB.vec_id").as("d2"),
+        round(col("dist"), 6).as("dist6"))
+      .filter(col("d1") < col("d2"))
+  }
+
+  /** KMeans clustering of the embedding space; returns (vec_id, label,
+    * cluster) assignments. */
+  def kmeansAssign(emb: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val v = withVec(emb)
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(v)
+    model.transform(v).select("vec_id", "label", "cluster")
+  }
+}

@@ -33,13 +33,21 @@ object TextOps {
       .select(col("doc_id"), col("sh")).distinct()
   }
 
-  /** Deterministic dictionary: shingle/token -> dense id by sort order.
-    * Single-partition window is fine for test-scale vocab; at 100 TB
-    * swap for a precomputed dictionary table (sortWithinPartitions +
-    * zipWithIndex) — the id only needs to be stable, not dense. */
-  def dict(values: DataFrame, valueCol: String, idCol: String): DataFrame =
-    values.select(col(valueCol)).distinct()
-      .withColumn(idCol, dense_rank().over(Window.orderBy(col(valueCol))).cast("long"))
+  /** Deterministic dictionary: shingle/token -> dense 1-based id by
+    * sort order — identical ids to `dense_rank() over (order by v)` but
+    * without the single-partition window: distinct -> range-partitioned
+    * sort -> zipWithIndex (one of the few legitimate RDD drops; the
+    * per-partition offset sum is what a window cannot do scalably). */
+  def dict(values: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val indexed = values.select(col(valueCol).cast("string")).distinct()
+      .as[String].rdd
+      .sortBy(identity)
+      .zipWithIndex()
+      .map { case (v, i) => (v, i + 1L) }
+    spark.createDataFrame(indexed).toDF(valueCol, idCol)
+  }
 
   /** MinHash signatures: k universal-ish hashes
     * h_i(x) = (x * a_i + b_i) mod p with a_i = (2i+3)*524287 mod p,

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Bootstrap
+import graft.similarity.MlSimilarity
+import graft.text.TextOps
+
+/** Bootstrap statistics, MLlib similarity variants, and the
+  * scale-path dictionary (zipWithIndex == dense_rank ids). */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poisson bootstrap recovers the mean with plausible spread") {
+    val n = 2000
+    val df = (1 to n).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val res = Bootstrap.bootstrapMean(df, "id", "v", trials = 100).head()
+    val est = res.getAs[Double]("est_mean")
+    val std = res.getAs[Double]("est_std")
+    assert(math.abs(est - 49.5) < 1.0)   // true mean 49.5
+    assert(std > 0.1 && std < 3.0)       // ~ sigma/sqrt(n) scale
+    assert(res.getAs[Long]("n_trials") === 100L)
+    // deterministic: same seed -> same estimate
+    val res2 = Bootstrap.bootstrapMean(df, "id", "v", trials = 100).head()
+    assert(res2.getAs[Double]("est_mean") === est)
+  }
+
+  test("dict ids equal dense_rank over sorted distinct values") {
+    val vals = Seq("pear", "apple", "apple", "fig", "banana").toDF("w")
+    val got = TextOps.dict(vals, "w", "wid").as[(String, Long)].collect().toMap
+    assert(got === Map("apple" -> 1L, "banana" -> 2L, "fig" -> 3L, "pear" -> 4L))
+  }
+
+  test("MLlib approx similarity join finds planted close pair") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.98f, 0.02f, 0f), 0),   // very close to 0
+      (2L, Array(0f, 1f, 0f), 1),
+      (3L, Array(0f, 0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = MlSimilarity.approxPairs(emb, maxL2 = 0.2)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => (a, b) == (0L, 2L) })
+  }
+
+  test("MLlib kmeans separates well-separated clusters") {
+    val emb = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array.fill(4)(0f)
+      base(c) = 10f + (i / 3).toFloat * 0.01f
+      (i.toLong, base, c)
+    }.toDF("vec_id", "embedding", "label")
+    val out = MlSimilarity.kmeansAssign(emb, k = 3)
+      .as[(Long, Int, Int)].collect()
+    // purity: every true label maps to exactly one cluster
+    val byLabel = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    byLabel.foreach { case (_, cs) => assert(cs.size === 1) }
+    assert(byLabel.values.flatten.toSet.size === 3)
+  }
+}
