@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ IntervalQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
-      SourceQueries.queries ++ PhraseQueries.queries ++ ExtraQueries.queries
+      SourceQueries.queries ++ PhraseQueries.queries ++
+      ExtraQueries.queries ++ EsperTvQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ IntervalQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++
-      SourceQueries.oracle ++ PhraseQueries.oracle ++ ExtraQueries.oracle
+      SourceQueries.oracle ++ PhraseQueries.oracle ++
+      ExtraQueries.oracle ++ EsperTvQueries.oracle
 }

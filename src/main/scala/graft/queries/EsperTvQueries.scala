@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.espertv.EsperQueries
+import Q._
+
+/** The reference's flagship domain pipelines run against the driver
+  * tables (clicks play the guest track, views the host track,
+  * user_id the video): the full interview-detection chain — coalesce,
+  * adjacency merge, overlap, union, smooth, length filter — is
+  * DuckDB-oracle-checked end-to-end, and interval screen time uses the
+  * integer-exact E/Var form. Commercial detection includes the
+  * sequential bounded fold, so it stays rows-only. */
+object EsperTvQueries {
+
+  val queries: Map[String, QFn] = Map(
+    // E1: "interview with person X" (§3.2) — the whole pipeline
+    "e01_interviews" -> ((s, d) => {
+      val guest = evTyped(s, d, "click")
+        .select(col("user_id").as("video_id"), col("s"), col("e"))
+      val host = evTyped(s, d, "view")
+        .select(col("user_id").as("video_id"), col("s"), col("e"))
+      EsperQueries.interviews(guest, host, maxGap = 20, minTotal = 45)
+    }),
+
+    // E2: commercial-detection composition (bounded fold inside ->
+    // rows-only); black frames := purchases, captions := props payloads
+    "e02_commercials" -> ((s, d) => {
+      val black = evTyped(s, d, "purchase")
+        .select(col("user_id").as("video_id"), col("s"), (col("s") + 2).as("e"))
+      val caps = Q.ev(s, d).filter(col("event_type") === "error")
+        .join(graft.sources.Tables.events(tune(s), d).select("event_id", "props"),
+          "event_id")
+        .select(col("user_id").as("video_id"), col("s"), col("e"),
+          col("props").as("text"))
+      EsperQueries.commercials(black, caps, minLen = 5, maxCommercial = 600)
+        .orderBy("video_id", "s", "e")
+    }),
+
+    // E3: probabilistic screen time over interval spans, integer-exact
+    // (identity := event_type, p := fractional cents of value)
+    "e03_screen_time" -> ((s, d) => {
+      val k = pmod(round(col("value") * 100).cast("long"), lit(100L))
+      val dur = (col("e") - col("s"))
+      Q.ev(s, d)
+        .join(graft.sources.Tables.events(tune(s), d).select("event_id", "value"),
+          "event_id")
+        .groupBy(col("event_type").as("identity"))
+        .agg((sum(dur * k).cast("double") / 100.0).as("expected_sec"),
+          (sum(k * (lit(100L) - k) * dur * dur).cast("double") / 10000.0)
+            .as("variance_sec2"),
+          count(lit(1)).as("n_spans"))
+        .orderBy("identity")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // e01 oracle: the interview chain in SQL, mirroring each IntervalOps
+  // stage (coalesce islands, merge spans, overlap clip, union-coalesce,
+  // dilate/coalesce/undilate smooth, length filter).
+  // ------------------------------------------------------------------
+  private val e01Sql: String = {
+    val g = coalesceSql(evSql("click"))
+    val h = coalesceSql(evSql("view"))
+    val paired =
+      s"""SELECT a.user_id, least(a.s, b.s) AS s, greatest(a.e, b.e) AS e
+         |FROM ($g) a JOIN ($h) b ON b.user_id = a.user_id AND (
+         |  (b.s - a.e BETWEEN 0 AND 20) OR (a.s - b.e BETWEEN 0 AND 20)
+         |  OR (b.s < a.e AND b.e > a.s))""".stripMargin
+    val overlapped =
+      s"""SELECT a.user_id, greatest(a.s, b.s) AS s, least(a.e, b.e) AS e
+         |FROM ($g) a JOIN ($h) b
+         |  ON b.user_id = a.user_id AND b.s < a.e AND b.e > a.s""".stripMargin
+    val cand = coalesceSql(s"$paired UNION ALL $overlapped")
+    val dilated = s"SELECT user_id, s - 10 AS s, e + 10 AS e FROM ($cand) c0"
+    val smoothed =
+      s"SELECT user_id, s + 10 AS s, e - 10 AS e FROM (${coalesceSql(dilated)}) c1"
+    s"""SELECT user_id AS video_id, s, e FROM ($smoothed) f
+       |WHERE e - s >= 45 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "e01_interviews" -> e01Sql,
+
+    "e03_screen_time" ->
+      s"""SELECT event_type AS identity,
+         |  CAST(sum((e - s) * (CAST(round(value*100,0) AS BIGINT) % 100)) AS DOUBLE) / 100.0 AS expected_sec,
+         |  CAST(sum((CAST(round(value*100,0) AS BIGINT) % 100)
+         |    * (100 - (CAST(round(value*100,0) AS BIGINT) % 100))
+         |    * (e - s) * (e - s)) AS DOUBLE) / 10000.0 AS variance_sec2,
+         |  CAST(count(*) AS BIGINT) AS n_spans
+         |FROM (SELECT ev.*, x.value FROM (${evSql()}) ev
+         |      JOIN events x ON x.event_id = ev.event_id) t
+         |GROUP BY event_type ORDER BY identity""".stripMargin
+  )
+}
