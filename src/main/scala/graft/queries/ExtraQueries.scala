@@ -39,6 +39,15 @@ object ExtraQueries {
         .orderBy("user_id", "s", "e")
     }),
 
+    // X3: R1 through the custom physical operator (CoalesceIntervalsExec:
+    // one exchange + sort + single-pass sweep instead of two windows) —
+    // same oracle as r01, so the custom SparkPlan is correctness-gated
+    "x03_native_coalesce" -> ((s, d) => {
+      val clicks = evTyped(s, d, "click").select("user_id", "s", "e")
+      graft.plans.CoalescePlan.coalesceNative(clicks, "user_id", "s", "e")
+        .orderBy("user_id", "s", "e")
+    }),
+
     // A16: cube over (returnflag, linestatus) — subtotals + grand total
     "a16_cube" -> ((s, d) =>
       Tables.lineitem(tune(s), d)
@@ -70,6 +79,10 @@ object ExtraQueries {
          |FROM (${evSql("click")}) a JOIN (${evSql("view")}) b
          |  ON b.user_id = a.user_id AND b.s < a.e AND b.e > a.s
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    "x03_native_coalesce" ->
+      s"""${coalesceSql(evSql("click"))}
+         |ORDER BY user_id, s, e""".stripMargin,
 
     "a17_rollup" ->
       s"""SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
