@@ -124,6 +124,20 @@ object IntervalQueries {
         .orderBy("frame_id", "b1", "b2", "b3")
     }),
 
+    // R16 payload parse/merge (rekall_query.py:293-300 in_array parser,
+    // payload_plus concat): coalesce clicks while collecting the merged
+    // member event ids per island (string-joined so the oracle can
+    // compare across engines)
+    "r16_coalesce_payload" -> ((s, d) =>
+      IntervalOps.coalesce(clicks(s, d), C,
+          payloadAggs = Seq(
+            // sort numerically BEFORE casting to string (lexicographic
+            // order would diverge from the oracle's ORDER BY event_id)
+            array_join(transform(array_sort(collect_list(col("event_id"))),
+              x => x.cast("string")), ",").as("members"),
+            count(lit(1)).as("n_members")))
+        .orderBy("user_id", "s", "e")),
+
     // R17 remove_isolated_interval macro (rekall_query.py:130-140):
     // keep views >= 60 s, plus shorter ones within 30 s of another view
     "r17_remove_isolated" -> ((s, d) =>
@@ -322,6 +336,20 @@ object IntervalQueries {
          |  AND abs(a.y1 - b.y1) <= 0.10 AND abs(b.y1 - c.y1) <= 0.10
          |  AND a.y2 - a.y1 >= 0.15 AND b.y2 - b.y1 >= 0.15 AND c.y2 - c.y1 >= 0.15
          |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "r16_coalesce_payload" ->
+      s"""SELECT user_id, min(s) AS s, max(e) AS e,
+         |  string_agg(event_id, ',' ORDER BY event_id) AS members,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM (
+         |  SELECT user_id, event_id, s, e, CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp FROM (
+         |    SELECT user_id, event_id, s, e,
+         |      CASE WHEN runmax IS NULL OR s > runmax THEN 1 ELSE 0 END AS isnew FROM (
+         |      SELECT user_id, event_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+         |      FROM (${evSql("click")}) iv) m) g) gg
+         |GROUP BY user_id, grp ORDER BY user_id, s, e""".stripMargin,
 
     "r17_remove_isolated" ->
       s"""WITH v AS (SELECT user_id, s, e FROM ${iv("view")} x)
