@@ -56,9 +56,11 @@ object TextQueries {
     // T4 MinHash + LSH near-dup: shingle dict -> 8 minhashes -> 4 bands
     // of 2 -> band-collision candidates + estimated jaccard
     "t04_minhash_lsh" -> ((s, d) => {
-      val sh = TextOps.shingles(docs(s, d), 3).cache()
-      val dict = TextOps.dict(sh, "sh", "sid")
-      val ids = sh.join(dict, "sh").select("doc_id", "sid")
+      val sh = TextOps.shingles(docs(s, d), 3)
+      // shingle id = cross-engine rolling hash of the shingle text: no
+      // dictionary build at all (fully distributed; collisions are just
+      // part of the hash family)
+      val ids = sh.select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
       // mh feeds banding AND the est_jacc double-join — cache it
       val mh = TextOps.minhash(ids, 8, P).cache()
       val bands = TextOps.lshBands(mh, 2, P)
@@ -164,15 +166,19 @@ object TextQueries {
       |FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-2)) AS i
       |      FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents) t0) t1""".stripMargin
 
-  private val shingleDictSql =
-    s"""SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) AS BIGINT) AS sid
-       |FROM (SELECT DISTINCT sh FROM ($shinglesSql) s) d""".stripMargin
+  /** Shingle id via the same rolling hash both engines compute — no
+    * dictionary build (mirrors the Spark side's fingerprint(sh)). */
+  private val shingleIdsSql =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (a, x) -> (a * 31 + x) % 1000000007) AS sid
+       |FROM ($shinglesSql) s""".stripMargin
 
   private val minhashSql =
     s"""SELECT doc_id, i, min((sid*((i*2+3)*524287 % $P) + (i*5+7)*8191) % $P) AS mh
        |FROM (SELECT doc_id, sid, unnest(generate_series(0, 7)) AS i
-       |      FROM (SELECT s.doc_id, dd.sid FROM ($shinglesSql) s
-       |            JOIN ($shingleDictSql) dd ON s.sh = dd.sh) ids) x
+       |      FROM ($shingleIdsSql) ids) x
        |GROUP BY doc_id, i""".stripMargin
 
   private val simhashSql =
