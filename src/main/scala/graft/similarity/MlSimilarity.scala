@@ -1,5 +1,6 @@
 package graft.similarity
 
+import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
@@ -38,5 +39,17 @@ object MlSimilarity {
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cluster").fit(v)
     model.transform(v).select("vec_id", "label", "cluster")
+  }
+
+  /** Identity classifier: multinomial logistic regression on the
+    * labeled embeddings (face_embeddings.py:98-131 logreg), returning
+    * (vec_id, label, pred) for held-out scoring. */
+  def logregClassify(train: DataFrame, test: DataFrame,
+                     maxIter: Int = 50): DataFrame = {
+    val model = new LogisticRegression().setMaxIter(maxIter)
+      .setFeaturesCol("features").setLabelCol("label")
+      .setPredictionCol("pred").fit(withVec(train))
+    model.transform(withVec(test))
+      .select(col("vec_id"), col("label"), col("pred").cast("int").as("pred"))
   }
 }

@@ -43,6 +43,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => (a, b) == (0L, 2L) })
   }
 
+  test("MLlib logistic regression classifies separated clusters") {
+    val emb = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.fill(4)(0.01f * i)
+      base(c) = 5f
+      (i.toLong, base, c)
+    }.toDF("vec_id", "embedding", "label")
+    val train = emb.filter($"vec_id" % 2 === 0)
+    val test_ = emb.filter($"vec_id" % 2 === 1)
+    val out = MlSimilarity.logregClassify(train, test_)
+      .as[(Long, Int, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, l, p) => l == p })
+  }
+
   test("MLlib kmeans separates well-separated clusters") {
     val emb = (0 until 30).map { i =>
       val c = i % 3
