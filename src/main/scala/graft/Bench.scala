@@ -1,9 +1,23 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR (default sf0.1) on local[32].
+  *
+  * Timing forces full materialization through the `noop` write sink so
+  * final sorts/projections are measured (a bare `count()` lets Catalyst's
+  * EliminateSorts + column pruning delete them). The single JSON result
+  * line is both printed to stdout (last line) and written to a file
+  * (SPARK_GRAFT_BENCH_OUT, default BENCH.json) so the artifact survives
+  * sbt log truncation.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,13 +26,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
+    println(json)
   }
 }

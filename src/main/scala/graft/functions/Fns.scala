@@ -46,10 +46,14 @@ object Fns {
 
   // ---------------- strings ------------------------------------------
   /** Fraction of letters that are lowercase
-    * (commercial_detection_rekall.py:88-97 caption-case heuristic). */
+    * (commercial_detection_rekall.py:88-97 caption-case heuristic).
+    * Letter-free text scores 0.0 (the nullif guard avoids ANSI-mode
+    * DIVIDE_BY_ZERO on payloads with no letters). */
   def lowercaseRatio(s: Column): Column =
-    length(regexp_replace(s, "[^a-z]", "")).cast("double") /
-      length(regexp_replace(s, "[^A-Za-z]", ""))
+    coalesce(
+      length(regexp_replace(s, "[^a-z]", "")).cast("double") /
+        nullif(length(regexp_replace(s, "[^A-Za-z]", "")), lit(0)),
+      lit(0.0))
 
   // ---------------- vectors (array<float>) ----------------------------
   /** Dot product via zip_with + aggregate — stays in codegen. */

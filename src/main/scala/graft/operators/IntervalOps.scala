@@ -154,9 +154,12 @@ object IntervalOps {
     a.join(bb, col(c.key) === col("__k2") && pred(c), "left_semi")
   }
 
-  /** R13: split — chop every interval into chunks of length <= step. */
+  /** R13: split — chop every interval into chunks of length <= step.
+    * Half-open empty/negative intervals (e <= s) yield no chunks (the
+    * guard keeps `sequence` from throwing on illegal boundaries). */
   def split(df: DataFrame, step: Long, c: Cols = Cols()): DataFrame =
-    df.withColumn("__gs",
+    df.filter(col(c.end) > col(c.start))
+      .withColumn("__gs",
         explode(sequence(col(c.start), col(c.end) - 1, lit(step))))
       .select(col(c.key), col("__gs").as(c.start),
         least(col("__gs") + step, col(c.end)).as(c.end))
@@ -203,10 +206,17 @@ object IntervalOps {
   def smooth(df: DataFrame, d: Long, c: Cols = Cols()): DataFrame =
     dilate(coalesce(dilate(df, d, c), c), -d, c)
 
+  /** Exact integer floor division (toward -inf): `x div w` truncates
+    * toward zero, and `floor(x / w)` rounds through double (wrong past
+    * 2^53, e.g. nano timestamps) — subtracting pmod first makes the
+    * numerator an exact multiple, so the integral divide is exact floor. */
+  private def floorDiv(x: Column, w: Long): Column =
+    call_function("div", x - pmod(x, lit(w)), lit(w))
+
   /** Optional band bucket for skewed keys: a second equi-join key of
     * width `w` (the reference's working_window; SURVEY §4). Intervals
     * spanning several buckets must be exploded by the caller. */
-  def bandBucket(start: Column, w: Long): Column = floor(start / w)
+  def bandBucket(start: Column, w: Long): Column = floorDiv(start, w)
 
   /** [[overlaps]] with the working_window optimization
     * (rekall_query.py:136): both sides are exploded into the w-sized
@@ -218,14 +228,19 @@ object IntervalOps {
   def bandedOverlaps(a: DataFrame, b: DataFrame, w: Long,
                      c: Cols = Cols()): DataFrame = {
     require(w > 0)
+    // e <= s rows can't satisfy the strict-overlap predicate anyway;
+    // filtering them keeps sequence() from throwing and keeps the
+    // result multiset identical to overlaps().
     val aa = a.select(col(c.key), col(c.start), col(c.end))
+      .filter(col(c.end) > col(c.start))
       .withColumn("__aid", monotonically_increasing_id())
       .withColumn("__ab", explode(sequence(
-        expr(s"${c.start} div $w"), expr(s"(${c.end} - 1) div $w"))))
+        floorDiv(col(c.start), w), floorDiv(col(c.end) - 1, w))))
     val bb = b.select(col(c.key).as("__k2"), col(c.start).as("__bs"), col(c.end).as("__be"))
+      .filter(col("__be") > col("__bs"))
       .withColumn("__bid", monotonically_increasing_id())
       .withColumn("__bb", explode(sequence(
-        expr(s"__bs div $w"), expr(s"(__be - 1) div $w"))))
+        floorDiv(col("__bs"), w), floorDiv(col("__be") - 1, w))))
     aa.join(bb, col(c.key) === col("__k2") && col("__ab") === col("__bb") &&
         col("__bs") < col(c.end) && col("__be") > col(c.start))
       .dropDuplicates("__aid", "__bid")

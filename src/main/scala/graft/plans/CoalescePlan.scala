@@ -60,11 +60,12 @@ case class CoalesceIntervalsExec(child: SparkPlan,
           LongType, LongType, LongType))
         private val out = new GenericInternalRow(3)
         private var hasCur = false
+        private var curKNull = false
         private var curK = 0L; private var curS = 0L; private var curE = 0L
-        private var pending: InternalRow = _
 
         private def emit(): InternalRow = {
-          out.update(0, curK); out.update(1, curS); out.update(2, curE)
+          if (curKNull) out.update(0, null) else out.update(0, curK)
+          out.update(1, curS); out.update(2, curE)
           proj(out)
         }
 
@@ -73,12 +74,19 @@ case class CoalesceIntervalsExec(child: SparkPlan,
         override def next(): InternalRow = {
           while (iter.hasNext) {
             val r = iter.next()
-            val k = r.getLong(kOrd); val rs = r.getLong(sOrd); val re = r.getLong(eOrd)
-            if (!hasCur) { hasCur = true; curK = k; curS = rs; curE = re }
-            else if (k == curK && rs <= curE + g) { if (re > curE) curE = re }
+            // null s/e rows were filtered in coalesceNative; a null key is
+            // its own group (matching the declarative window form, where
+            // partitionBy groups nulls together). NULLS FIRST ordering
+            // keeps the null-key group contiguous in the sorted stream.
+            val kNull = r.isNullAt(kOrd)
+            val k = if (kNull) 0L else r.getLong(kOrd)
+            val rs = r.getLong(sOrd); val re = r.getLong(eOrd)
+            val sameKey = kNull == curKNull && (kNull || k == curK)
+            if (!hasCur) { hasCur = true; curKNull = kNull; curK = k; curS = rs; curE = re }
+            else if (sameKey && rs <= curE + g) { if (re > curE) curE = re }
             else {
               val res = emit()
-              curK = k; curS = rs; curE = re
+              curKNull = kNull; curK = k; curS = rs; curE = re
               return res
             }
           }
@@ -109,13 +117,18 @@ object CoalescePlan {
       spark.experimental.extraStrategies = cur :+ CoalesceIntervalsStrategy
   }
 
-  /** Native coalesce over a DataFrame with long (key, s, e) columns. */
+  /** Native coalesce over a DataFrame with long (key, s, e) columns.
+    * Rows with null bounds are dropped (an interval without bounds is
+    * meaningless); null keys form their own group, as in the
+    * declarative window form. */
   def coalesceNative(df: DataFrame, keyName: String, sName: String,
                      eName: String, gap: Long = 0): DataFrame = {
     val spark = df.sparkSession
     install(spark)
     val slim = df.selectExpr(s"CAST($keyName AS BIGINT) AS $keyName",
       s"CAST($sName AS BIGINT) AS $sName", s"CAST($eName AS BIGINT) AS $eName")
+      .filter(org.apache.spark.sql.functions.col(sName).isNotNull &&
+        org.apache.spark.sql.functions.col(eName).isNotNull)
     val analyzed = slim.queryExecution.analyzed
     def a(n: String) = analyzed.output.find(_.name == n).get
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,

@@ -36,14 +36,18 @@ object TextOps {
   /** Deterministic dictionary: shingle/token -> dense 1-based id by
     * sort order — identical ids to `dense_rank() over (order by v)` but
     * without the single-partition window: distinct -> range-partitioned
-    * sort -> zipWithIndex (one of the few legitimate RDD drops; the
-    * per-partition offset sum is what a window cannot do scalably). */
+    * SQL sort -> zipWithIndex (one of the few legitimate RDD drops; the
+    * per-partition offset sum is what a window cannot do scalably).
+    * The sort stays in Spark SQL so the collation is UTF8String binary
+    * order (unsigned UTF-8 bytes) — identical to DuckDB's BINARY
+    * collation; an RDD sortBy on java.lang.String would use UTF-16
+    * code-unit order, which diverges on supplementary-plane text. */
   def dict(values: DataFrame, valueCol: String, idCol: String): DataFrame = {
     val spark = values.sparkSession
     import spark.implicits._
     val indexed = values.select(col(valueCol).cast("string")).distinct()
+      .orderBy(col(valueCol))
       .as[String].rdd
-      .sortBy(identity)
       .zipWithIndex()
       .map { case (v, i) => (v, i + 1L) }
     spark.createDataFrame(indexed).toDF(valueCol, idCol)
@@ -62,11 +66,18 @@ object TextOps {
         (col("i") * 5 + 7) * 8191L) % p).as("mh"))
 
   /** LSH banding over minhash rows: bands of `rows` hashes, one integer
-    * signature per (doc, band). Candidate near-dups collide on a band. */
-  def lshBands(mh: DataFrame, rows: Int = 2, p: Long = 1000003L): DataFrame =
+    * signature per (doc, band). Candidate near-dups collide on a band.
+    * Each hash is scaled positionally by p^(rows-1-(i%rows)) so the
+    * signature is a base-p positional encoding — distinct hash tuples
+    * never collide within a band (a uniform scale would make the sum
+    * order-insensitive). rows <= 3 keeps mh * p^(rows-1) < 2^63. */
+  def lshBands(mh: DataFrame, rows: Int = 2, p: Long = 1000003L): DataFrame = {
+    require(rows >= 1 && rows <= 3, s"rows=$rows would overflow the base-p signature")
+    val mult = Seq.iterate(1L, rows)(_ * p).reverse // p^(rows-1) ... p^0
     mh.withColumn("band", expr(s"i div $rows"))
       .groupBy(col("doc_id"), col("band"))
-      .agg(sum(when(col("i") % rows === 0, col("mh") * p).otherwise(col("mh"))).as("sig"))
+      .agg(sum(col("mh") * element_at(array(mult.map(lit): _*), (col("i") % rows).cast("int") + 1)).as("sig"))
+  }
 
   /** 16-bit SimHash over weighted token ids: bit j set iff
     * sum(cnt * (2*((tid*(2j+3)+j) mod 97 mod 2) - 1)) > 0. */
