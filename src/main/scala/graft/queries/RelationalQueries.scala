@@ -302,6 +302,17 @@ object RelationalQueries {
         .orderBy("ta", "tb")
     }),
 
+    // A14 bootstrap interval of mean(l_quantity) via the distributed
+    // Poisson bootstrap (validation.py:67-81 resamples on the driver;
+    // here every (row, trial) draws a seeded Poisson(1) weight in one
+    // pass — no collect, no driver loop). Rows-only: xxhash64 draws
+    // have no DuckDB equivalent.
+    "a14_bootstrap" -> ((s, d) =>
+      graft.analytics.Bootstrap.bootstrapMean(
+        li(s, d).withColumn("rid",
+          col("l_orderkey") * 10 + col("l_linenumber")),
+        "rid", "l_quantity", trials = 200)),
+
     // A15 confusion matrix (validation.py:84-198): rule-based prediction
     // vs actual label, pair counts
     "a15_confusion_matrix" -> ((s, d) =>

@@ -23,23 +23,33 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // V2: random-hyperplane LSH bucket histogram (the ANN scale path's
-    // partitioning key; hyperplanes = first 8 corpus vectors)
+    // V2: multi-table LSH bucket-population stats (8 tables x 12 bits =
+    // 4096 buckets/table, hyperplanes = first 96 corpus vectors): per
+    // table, how many buckets are occupied and how full the fullest
+    // gets — the direct scale check that the self-join key keeps
+    // candidates sub-quadratic. (Parameters picked by simulated recall
+    // on this corpus: 8x12 recovers the planted moderate-cosine pairs
+    // with ~0.3% of all pairs as candidates; wider 16-bit tables are
+    // the knob for true near-dup thresholds >= 0.9.)
     "v02_lsh_buckets" -> ((s, d) => {
       val e = emb(s, d)
-      val h = e.filter(col("vec_id") < 8)
+      val h = e.filter(col("vec_id") < 96)
         .select(col("vec_id").as("hid"), col("embedding").as("h_emb"))
-      Similarity.lshBuckets(e, h)
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .orderBy("bucket")
+      Similarity.lshBucketsMulti(e, h, 8, 12)
+        .groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
+        .groupBy(col("tbl"))
+        .agg(sum(col("n")).as("n_vecs"), count(lit(1)).as("n_buckets"),
+          max(col("n")).as("max_bucket"))
+        .orderBy("tbl")
     }),
 
-    // V3: embedding-cosine near-dup pairs via bucketed self-join
+    // V3: embedding-cosine near-dup pairs, candidates = same bucket in
+    // any of the 8 OR-construction tables, then exact cosine at 0.4
     "v03_near_dup_cosine" -> ((s, d) => {
       val e = emb(s, d)
-      val h = e.filter(col("vec_id") < 8)
+      val h = e.filter(col("vec_id") < 96)
         .select(col("vec_id").as("hid"), col("embedding").as("h_emb"))
-      Similarity.nearDupPairs(e, h, 0.4).orderBy("d1", "d2")
+      Similarity.nearDupPairsMulti(e, h, 8, 12, 0.4).orderBy("d1", "d2")
     }),
 
     // V4: centroid classification quality per label (kmeans-assign /

@@ -1,7 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Caption/phrase search surface (SURVEY §3.3): n-gram phrase matching
@@ -10,21 +9,30 @@ import org.apache.spark.sql.functions._
   * Spark-native replacement for the reference's Rust caption index +
   * query parser (app/esper/captions.py:99-140).
   *
-  * Phrase matching uses the same lead-window n-gram construction as
-  * TextOps.shingles (one shuffle per doc set, no self-join chain);
-  * boolean operators become semi/anti joins on doc ids, which Catalyst
-  * executes as broadcast hash joins at dimension scale.
+  * Phrase matching pre-filters the token table to the query vocabulary
+  * (a per-token equality predicate that pushes down to the scan) and
+  * position-joins the filtered sets on (doc_id, pos+i) — each join side
+  * holds only one term's postings, never the full corpus. Round 1
+  * windowed the whole token table per term (a full partitionBy(doc_id)
+  * sort of every token for a single-word query); this is the posting-
+  * list form the reference's Rust caption index uses. Boolean operators
+  * become semi/anti joins on doc ids, which Catalyst executes as
+  * broadcast hash joins at dimension scale.
   */
 object PhraseSearch {
 
-  /** Occurrences of an n-token phrase: (doc_id, pos) for each start. */
+  /** Occurrences of an n-token phrase: (doc_id, pos) for each start.
+    * Single-word phrases reduce to a pushed-down filter; n-grams
+    * left-semi-join the i-th term's postings shifted by i. */
   def phraseHits(toks: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val gram = concat_ws(" ", (0 until phrase.size).map(i => lead(col("tok"), i).over(w)): _*)
-    toks.withColumn("gram", gram)
-      .filter(col("gram") === phrase.mkString(" "))
+    val first = toks.filter(col("tok") === phrase.head)
       .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      val nxt = toks.filter(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+      acc.join(nxt, Seq("doc_id", "pos"), "left_semi")
+    }
   }
 
   /** Docs containing the phrase at least once. */

@@ -63,4 +63,39 @@ class NativeExprSpec extends SparkSpec {
     // parseable envelope: balanced braces
     assert(json.count(_ == '{') === json.count(_ == '}'))
   }
+
+  test("widget JSON frame result golden (widget.py:153-163)") {
+    val frames = Seq((1L, 10), (2L, 5)).toDF("video_id", "frame_number")
+    val json = WidgetJson.frameResult(frames, "Frame")
+    assert(json ===
+      """{"result":[{"type":"flat","label":"","elements":[{"video":1,"min_frame":10,"objects":[]}]},""" +
+      """{"type":"flat","label":"","elements":[{"video":2,"min_frame":5,"objects":[]}]}],""" +
+      """"count":2,"type":"Frame"}""")
+  }
+
+  test("widget JSON bbox result golden, frame-major (widget.py:165-254)") {
+    val boxes = Seq(
+      (1L, 10, 100L, 0.1, 0.2, 0.3, 0.4),
+      (1L, 10, 101L, 0.5, 0.6, 0.7, 0.8),
+      (2L, 7, 102L, 0.0, 1.0, 0.0, 1.0)
+    ).toDF("video_id", "frame_number", "obj_id",
+      "bbox_x1", "bbox_x2", "bbox_y1", "bbox_y2")
+    val json = WidgetJson.bboxResult(boxes, "Face")
+    assert(json ===
+      """{"result":[{"type":"flat","label":"","elements":[{"video":1,"min_frame":10,"objects":[""" +
+      """{"id":100,"type":"bbox","bbox_x1":0.1,"bbox_x2":0.2,"bbox_y1":0.3,"bbox_y2":0.4},""" +
+      """{"id":101,"type":"bbox","bbox_x1":0.5,"bbox_x2":0.6,"bbox_y1":0.7,"bbox_y2":0.8}]}]},""" +
+      """{"type":"flat","label":"","elements":[{"video":2,"min_frame":7,"objects":[""" +
+      """{"id":102,"type":"bbox","bbox_x1":0.0,"bbox_x2":1.0,"bbox_y1":0.0,"bbox_y2":1.0}]}]}],""" +
+      """"count":3,"type":"Face"}""")
+  }
+
+  test("widget JSON video result golden (widget.py:276-284)") {
+    val vids = Seq(3L, 1L, 3L).toDF("video_id")
+    val json = WidgetJson.videoResult(vids, "Video")
+    assert(json ===
+      """{"result":[{"type":"flat","label":"","elements":[{"video":1,"min_frame":0}]},""" +
+      """{"type":"flat","label":"","elements":[{"video":3,"min_frame":0}]}],""" +
+      """"count":2,"type":"Video"}""")
+  }
 }

@@ -30,6 +30,18 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => (a, b) == (0L, 3L) })
   }
 
+  test("nearDupPairsMulti (OR-construction) finds the planted near-duplicate") {
+    val h = vecs.select($"vec_id".as("hid"), $"embedding".as("h_emb"))
+    val pairs = Similarity.nearDupPairsMulti(vecs, h, 2, 2, 0.9)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => (a, b) == (0L, 3L) })
+    // bucket ids must stay within each table's bit width
+    val buckets = Similarity.lshBucketsMulti(vecs, h, 2, 2)
+      .select("bucket").as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 4))
+  }
+
   test("centroidAssign is perfect on separated clusters") {
     val sep = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),

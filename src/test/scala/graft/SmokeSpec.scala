@@ -14,7 +14,7 @@ class SmokeSpec extends SparkSpec {
     // keep the rows-only list explicit so additions are conscious choices
     assert(noOracle === Set("p11_random_sample", "r11_bounded_coalesce",
       "v01_cosine_topk", "v02_lsh_buckets", "v03_near_dup_cosine",
-      "v04_centroid_assign", "e02_commercials"))
+      "v04_centroid_assign", "e02_commercials", "a14_bootstrap"))
   }
 
   test("all queries execute at sf0.001") {
