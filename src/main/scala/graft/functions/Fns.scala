@@ -44,6 +44,14 @@ object Fns {
     * Requires the nanos column to be literally named `ts`. */
   val tsNanosToSec: Column = expr("ts div 1000000000")
 
+  /** Hour-of-day at a frame offset within a video that starts at
+    * `startHour` (spark_util.py:63-78 _annotate_hour — there a
+    * collect+UDF per row; here a pure expression that broadcasts
+    * through the video-dim join instead). */
+  def hourOffset(startHour: Column, minFrame: Column, fps: Column): Column =
+    pmod(floor(startHour + (minFrame / fps) / 3600.0).cast("long"), lit(24L))
+      .cast("int")
+
   // ---------------- strings ------------------------------------------
   /** Fraction of letters that are lowercase
     * (commercial_detection_rekall.py:88-97 caption-case heuristic).
@@ -54,6 +62,40 @@ object Fns {
       length(regexp_replace(s, "[^a-z]", "")).cast("double") /
         nullif(length(regexp_replace(s, "[^A-Za-z]", "")), lit(0)),
       lit(0.0))
+
+  // ---------------- keypoints -----------------------------------------
+  /** Named accessors over the reference's fixed flat keypoint layout
+    * (base_models.py:290-329): an array of (x, y, score) triples —
+    * 18 pose, then 70 face, then 2x21 hand keypoints. Pure `element_at`
+    * / `slice` expressions, 1-based like Spark/SQL arrays. */
+  object Keypoints {
+    val PoseCount = 18; val FaceCount = 70; val HandCount = 21
+    // pose keypoint indices (base_models.py:297-315)
+    val Nose = 0; val Neck = 1
+    val RShoulder = 2; val RElbow = 3; val RWrist = 4
+    val LShoulder = 5; val LElbow = 6; val LWrist = 7
+    val RHip = 8; val RKnee = 9; val RAnkle = 10
+    val LHip = 11; val LKnee = 12; val LAnkle = 13
+    val REye = 14; val LEye = 15; val REar = 16; val LEar = 17
+
+    def x(kps: Column, idx: Int): Column = element_at(kps, idx * 3 + 1)
+    def y(kps: Column, idx: Int): Column = element_at(kps, idx * 3 + 2)
+    def score(kps: Column, idx: Int): Column = element_at(kps, idx * 3 + 3)
+
+    /** The pose / face / left-hand / right-hand sub-arrays
+      * (base_models.py:318-329 pose/face/hand_keypoints). */
+    def pose(kps: Column): Column = slice(kps, 1, PoseCount * 3)
+    def face(kps: Column): Column = slice(kps, PoseCount * 3 + 1, FaceCount * 3)
+    def handLeft(kps: Column): Column =
+      slice(kps, (PoseCount + FaceCount) * 3 + 1, HandCount * 3)
+    def handRight(kps: Column): Column =
+      slice(kps, (PoseCount + FaceCount + HandCount) * 3 + 1, HandCount * 3)
+
+    /** Both wrists above the nose (image y grows downward) —
+      * unused_queries.py:41-42 hands_above_head. */
+    def handsAboveHead(kps: Column): Column =
+      y(kps, LWrist) < y(kps, Nose) && y(kps, RWrist) < y(kps, Nose)
+  }
 
   // ---------------- vectors (array<float>) ----------------------------
   /** Dot product via zip_with + aggregate — stays in codegen. */

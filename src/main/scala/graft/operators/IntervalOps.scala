@@ -125,6 +125,31 @@ object IntervalOps {
         least(col(c.end), col("__be")).as(c.end))
   }
 
+  /** Spatiotemporal (time x X x Y) overlap join — the Interval3D
+    * surface (reference captions.py:121-140 / rekall_vgrid Interval3D;
+    * SURVEY §1.1 optional x1..y2 columns). Both sides carry
+    * (key, s, e, x1, x2, y1, y2); pairs must overlap on ALL three
+    * dimensions and the output is the clipped 3-D intersection. The
+    * join stays an equi-join on key with the three range predicates
+    * applied per key group, exactly like [[overlaps]]. */
+  def overlaps3D(a: DataFrame, b: DataFrame, c: Cols = Cols()): DataFrame = {
+    val bb = b.select(col(c.key).as("__k2"),
+      col(c.start).as("__bs"), col(c.end).as("__be"),
+      col("x1").as("__bx1"), col("x2").as("__bx2"),
+      col("y1").as("__by1"), col("y2").as("__by2"))
+    a.join(bb, col(c.key) === col("__k2") &&
+        col("__bs") < col(c.end) && col("__be") > col(c.start) &&
+        col("__bx1") < col("x2") && col("__bx2") > col("x1") &&
+        col("__by1") < col("y2") && col("__by2") > col("y1"))
+      .select(col(c.key),
+        greatest(col(c.start), col("__bs")).as(c.start),
+        least(col(c.end), col("__be")).as(c.end),
+        greatest(col("x1"), col("__bx1")).as("x1"),
+        least(col("x2"), col("__bx2")).as("x2"),
+        greatest(col("y1"), col("__by1")).as("y1"),
+        least(col("y2"), col("__by2")).as("y2"))
+  }
+
   /** J7: containment join — rows of A fully inside some row of B
     * (b.s <= a.s && a.e <= b.e), keeping both sides' columns. */
   def containedIn(a: DataFrame, b: DataFrame, c: Cols = Cols()): DataFrame = {

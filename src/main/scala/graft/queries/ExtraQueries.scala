@@ -48,6 +48,32 @@ object ExtraQueries {
         .orderBy("user_id", "s", "e")
     }),
 
+    // X5: the plain overlaps call, auto-banded by the Catalyst rule
+    // (graft.plans.AutoBandOverlapJoin): the conf flips on the rewrite
+    // and the oracle is the same SQL as r07/x02 — proving the optimizer
+    // rule preserves the overlap-join semantics bit-for-bit
+    "x05_auto_banded" -> ((s, d) => {
+      val clicks = evTyped(s, d, "click").select("user_id", "s", "e")
+      val views = evTyped(s, d, "view").select("user_id", "s", "e")
+      s.conf.set("spark.graft.autoband.width", "256")
+      IntervalOps.overlaps(clicks, views, C)
+        .orderBy("user_id", "s", "e")
+    }),
+
+    // X4: spatiotemporal Interval3D overlap join (captions.py:121-140 /
+    // rekall Interval3D): events get deterministic bboxes; pairs must
+    // overlap in time AND space, output clipped on all three dims
+    "x04_overlaps_3d" -> ((s, d) => {
+      def with3d(typ: String) = evTyped(s, d, typ).select(
+        col("user_id"), col("s"), col("e"),
+        ((col("event_id") % 50).cast("double") / 100.0).as("x1"),
+        ((col("event_id") % 50).cast("double") / 100.0 + 0.3).as("x2"),
+        ((col("event_id") % 30).cast("double") / 100.0).as("y1"),
+        ((col("event_id") % 30).cast("double") / 100.0 + 0.4).as("y2"))
+      IntervalOps.overlaps3D(with3d("click"), with3d("view"), C)
+        .orderBy("user_id", "s", "e", "x1", "y1")
+    }),
+
     // A16: cube over (returnflag, linestatus) — subtotals + grand total
     "a16_cube" -> ((s, d) =>
       Tables.lineitem(tune(s), d)
@@ -83,6 +109,30 @@ object ExtraQueries {
     "x03_native_coalesce" ->
       s"""${coalesceSql(evSql("click"))}
          |ORDER BY user_id, s, e""".stripMargin,
+
+    "x05_auto_banded" ->
+      s"""SELECT a.user_id, greatest(a.s, b.s) AS s, least(a.e, b.e) AS e
+         |FROM (${evSql("click")}) a JOIN (${evSql("view")}) b
+         |  ON b.user_id = a.user_id AND b.s < a.e AND b.e > a.s
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "x04_overlaps_3d" ->
+      s"""WITH a AS (SELECT user_id, s, e,
+         |    (event_id % 50)/100.0 AS x1, (event_id % 50)/100.0 + 0.3 AS x2,
+         |    (event_id % 30)/100.0 AS y1, (event_id % 30)/100.0 + 0.4 AS y2
+         |  FROM (${evSql("click")}) ea),
+         |b AS (SELECT user_id, s, e,
+         |    (event_id % 50)/100.0 AS x1, (event_id % 50)/100.0 + 0.3 AS x2,
+         |    (event_id % 30)/100.0 AS y1, (event_id % 30)/100.0 + 0.4 AS y2
+         |  FROM (${evSql("view")}) eb)
+         |SELECT a.user_id, greatest(a.s, b.s) AS s, least(a.e, b.e) AS e,
+         |  greatest(a.x1, b.x1) AS x1, least(a.x2, b.x2) AS x2,
+         |  greatest(a.y1, b.y1) AS y1, least(a.y2, b.y2) AS y2
+         |FROM a JOIN b ON b.user_id = a.user_id
+         |  AND b.s < a.e AND b.e > a.s
+         |  AND b.x1 < a.x2 AND b.x2 > a.x1
+         |  AND b.y1 < a.y2 AND b.y2 > a.y1
+         |ORDER BY 1, 2, 3, 4, 6""".stripMargin,
 
     "a17_rollup" ->
       s"""SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,

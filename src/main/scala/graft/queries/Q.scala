@@ -26,6 +26,11 @@ object Q {
     s.conf.set("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     graft.plans.GraftFunctions.register(s)
+    graft.plans.AutoBand.install(s)
+    // auto-banding is per-query opt-in: every query passes through tune
+    // at build time, so a width set by one query (x05) never leaks into
+    // the next query's execution
+    s.conf.set("spark.graft.autoband.width", "0")
     s
   }
 

@@ -412,6 +412,30 @@ object RelationalQueries {
     "f06_json_regex" -> ((s, d) =>
       Tables.events(tune(s), d).select(col("event_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // F7 keypoint accessors (base_models.py:290-329 fixed layout;
+    // unused_queries.py:41-42 hands-above-head predicate) — the pose
+    // block is read out of the embedding array as (x, y, score) triples;
+    // raw extraction + comparisons only, so floats hash-match exactly
+    "f07_keypoints" -> ((s, d) => {
+      import graft.functions.Fns.Keypoints
+      val kps = Keypoints.pose(col("embedding"))
+      Tables.embeddings(tune(s), d).select(col("vec_id"),
+          Keypoints.x(kps, Keypoints.Nose).as("nose_x"),
+          Keypoints.y(kps, Keypoints.Nose).as("nose_y"),
+          Keypoints.y(kps, Keypoints.LWrist).as("lw_y"),
+          Keypoints.y(kps, Keypoints.RWrist).as("rw_y"),
+          Keypoints.handsAboveHead(kps).as("hands_up"))
+        .orderBy("vec_id")
+    }),
+
+    // F8 hour-of-day at an offset within a video (spark_util.py:63-78
+    // _annotate_hour): start hour 5, "frame" = wrapped event second,
+    // fps 0.25 — pure expression instead of the reference's collect+UDF
+    "f08_hour_offset" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+          graft.functions.Fns.hourOffset(lit(5), col("s"), lit(0.25)).as("hour"))
         .orderBy("event_id"))
   )
 
@@ -681,6 +705,17 @@ object RelationalQueries {
 
     "f06_json_regex" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f07_keypoints" ->
+      """SELECT vec_id, embedding[1] AS nose_x, embedding[2] AS nose_y,
+        |  embedding[23] AS lw_y, embedding[14] AS rw_y,
+        |  (embedding[23] < embedding[2] AND embedding[14] < embedding[2]) AS hands_up
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "f08_hour_offset" ->
+      s"""SELECT event_id,
+         |  CAST(CAST(floor(5 + (s / 0.25) / 3600.0) AS BIGINT) % 24 AS INT) AS hour
+         |FROM (${evSql()}) e ORDER BY event_id""".stripMargin
   )
 }

@@ -55,7 +55,27 @@ object SimilarityQueries {
     // V4: centroid classification quality per label (kmeans-assign /
     // knn-classify analogue, face_embeddings.py:98-131)
     "v04_centroid_assign" -> ((s, d) =>
-      Similarity.centroidAssign(emb(s, d)).orderBy("label"))
+      Similarity.centroidAssign(emb(s, d)).orderBy("label")),
+
+    // V5: logreg_predict surface (face_embeddings.py:123-126,
+    // spark_identity.py identity propagation): fit on the labeled
+    // corpus, score every vector with the winning class + probability
+    "v05_logreg_score" -> ((s, d) => {
+      val e = emb(s, d)
+      graft.similarity.MlSimilarity.logregScoreAll(e, e).orderBy("vec_id")
+    }),
+
+    // V6: knn_predict surface (face_embeddings.py:128-131): every 5th
+    // vector is "labeled"; the rest are scored by the mean label of
+    // their 5 nearest labeled neighbors under cosine
+    "v06_knn_predict" -> ((s, d) => {
+      val e = emb(s, d)
+      val train = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val rest = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      Similarity.knnPredict(rest, train, 5)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("vec_id")
+    })
   )
 
   /** Float pipelines: rows-only checks (see scaladoc). */

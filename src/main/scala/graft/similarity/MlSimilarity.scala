@@ -3,7 +3,7 @@ package graft.similarity
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,22 @@ object MlSimilarity {
     val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cluster").fit(v)
     model.transform(v).select("vec_id", "label", "cluster")
+  }
+
+  /** logreg_predict analogue (face_embeddings.py:123-126,
+    * spark_identity.py:30-49 identity propagation): fit on the labeled
+    * set, then score EVERY corpus vector — (vec_id, pred, score) where
+    * score is the predicted class's probability. The scoring pass is a
+    * broadcast of the model coefficients over a distributed corpus
+    * scan, so it runs at full-corpus scale. */
+  def logregScoreAll(train: DataFrame, corpus: DataFrame,
+                     maxIter: Int = 50): DataFrame = {
+    val model = new LogisticRegression().setMaxIter(maxIter)
+      .setFeaturesCol("features").setLabelCol("label")
+      .setPredictionCol("pred").setProbabilityCol("prob").fit(withVec(train))
+    model.transform(withVec(corpus))
+      .select(col("vec_id"), col("pred").cast("int").as("pred"),
+        round(array_max(vector_to_array(col("prob"))), 6).as("score"))
   }
 
   /** Identity classifier: multinomial logistic regression on the

@@ -96,6 +96,23 @@ object Similarity {
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos6"))
   }
 
+  /** knn_predict analogue (face_embeddings.py:128-131): score every
+    * corpus vector by the mean label of its k nearest TRAINING vectors
+    * under cosine — the kNN identity-propagation scorer. The (small)
+    * labeled training set broadcasts; the corpus scan stays
+    * distributed; ties break on train vec_id so output is
+    * deterministic. */
+  def knnPredict(corpus: DataFrame, train: DataFrame, k: Int): DataFrame = {
+    val t = broadcast(train.select(col("vec_id").as("t_id"),
+      col("embedding").as("t_emb"), col("label").as("t_label")))
+    val scored = corpus.join(t, col("vec_id") =!= col("t_id"))
+      .withColumn("cos", Fns.cosine(col("embedding"), col("t_emb")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("t_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("vec_id"))
+      .agg(avg(col("t_label").cast("double")).as("score"))
+  }
+
   /** Per-label centroids via posexplode + per-position mean. The
     * per-position sum is made order-deterministic by folding a
     * vec_id-sorted list, so repeated runs bit-match. */

@@ -58,6 +58,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall { case (_, l, p) => l == p })
   }
 
+  test("logregScoreAll scores every corpus vector with winning class + prob") {
+    val emb = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.fill(4)(0.01f * i)
+      base(c) = 5f
+      (i.toLong, base, c)
+    }.toDF("vec_id", "embedding", "label")
+    val scored = MlSimilarity.logregScoreAll(emb, emb)
+      .as[(Long, Int, Double)].collect()
+    assert(scored.length === 60)                 // every vector scored
+    assert(scored.forall { case (id, p, _) => p == (id % 3) })
+    assert(scored.forall { case (_, _, s) => s > 1.0 / 3 && s <= 1.0 })
+  }
+
+  test("knnPredict scores by mean neighbor label under cosine") {
+    val train = Seq(
+      (10L, Array(1f, 0f, 0f, 0f), 1), (11L, Array(0.9f, 0.1f, 0f, 0f), 1),
+      (12L, Array(0f, 1f, 0f, 0f), 0), (13L, Array(0.1f, 0.9f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (0L, Array(0.95f, 0.05f, 0f, 0f), -1),
+      (1L, Array(0.05f, 0.95f, 0f, 0f), -1)
+    ).toDF("vec_id", "embedding", "label")
+    val res = graft.similarity.Similarity.knnPredict(corpus, train, 2)
+      .as[(Long, Double)].collect().toMap
+    assert(res(0L) === 1.0)   // both nearest neighbors carry label 1
+    assert(res(1L) === 0.0)
+  }
+
   test("MLlib kmeans separates well-separated clusters") {
     val emb = (0 until 30).map { i =>
       val c = i % 3

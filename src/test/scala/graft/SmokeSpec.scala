@@ -14,14 +14,19 @@ class SmokeSpec extends SparkSpec {
     // keep the rows-only list explicit so additions are conscious choices
     assert(noOracle === Set("p11_random_sample", "r11_bounded_coalesce",
       "v01_cosine_topk", "v02_lsh_buckets", "v03_near_dup_cosine",
-      "v04_centroid_assign", "e02_commercials", "a14_bootstrap"))
+      "v04_centroid_assign", "v05_logreg_score", "v06_knn_predict",
+      "e02_commercials", "a14_bootstrap"))
   }
 
   test("all queries execute at sf0.001") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      try { fn(spark, sf).count(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
-    }
+    val failures =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try { fn(spark, sf).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+      }
+      // x05 turns auto-banding on for its own execution; don't leak it
+      // into later suites sharing the JVM-wide session
+      finally spark.conf.set("spark.graft.autoband.width", "0")
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
