@@ -82,15 +82,18 @@ object EsperQueries {
         (least(col("e"), col("le")) - greatest(col("s"), col("ls"))).cast("double") /
           (greatest(col("e"), col("le")) - least(col("s"), col("ls"))).cast("double"))
       .filter(col("iou") >= iouMin)
-    val tp = matched.select("video_id", "s", "e").distinct().count()
-    val nd = d.count()
-    val nl = labeled.count()
-    val spark = detected.sparkSession
-    import spark.implicits._
-    Seq((tp, nd, nl,
-      if (nd == 0) 0.0 else tp.toDouble / nd,
-      if (nl == 0) 0.0 else tp.toDouble / nl))
-      .toDF("tp", "n_detected", "n_labeled", "precision", "recall")
+    // one Spark job: the three counts are single-row aggregates joined
+    // by cross product (each side is one row), not driver-side count()s
+    val tp = matched.select("video_id", "s", "e").distinct()
+      .agg(count(lit(1)).as("tp"))
+    val nd = d.agg(count(lit(1)).as("n_detected"))
+    val nl = labeled.agg(count(lit(1)).as("n_labeled"))
+    tp.crossJoin(nd).crossJoin(nl)
+      .select(col("tp"), col("n_detected"), col("n_labeled"),
+        when(col("n_detected") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / col("n_detected")).as("precision"),
+        when(col("n_labeled") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / col("n_labeled")).as("recall"))
   }
 
   // ------------------------------------------------------------------

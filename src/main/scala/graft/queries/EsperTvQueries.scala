@@ -28,10 +28,13 @@ object EsperTvQueries {
     "e02_commercials" -> ((s, d) => {
       val black = evTyped(s, d, "purchase")
         .select(col("user_id").as("video_id"), col("s"), (col("s") + 2).as("e"))
-      val caps = Q.ev(s, d).filter(col("event_type") === "error")
-        .join(graft.sources.Tables.events(tune(s), d).select("event_id", "props"),
-          "event_id")
-        .select(col("user_id").as("video_id"), col("s"), col("e"),
+      // carry props straight off the scan instead of re-joining events
+      // to recover the column Q.ev drops (round-1 verdict cleanup)
+      val sec = expr("(ts div 1000000000) % 86400")
+      val caps = graft.sources.Tables.events(tune(s), d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id").as("video_id"), sec.as("s"),
+          (sec + floor(col("value")).cast("long") + 1).as("e"),
           col("props").as("text"))
       EsperQueries.commercials(black, caps, minLen = 5, maxCommercial = 600)
         .orderBy("video_id", "s", "e")

@@ -44,7 +44,32 @@ object SourceQueries {
     // token stream with positions for a slice of the corpus
     "s13_tokenize_ingest" -> ((s, d) =>
       toks(s, d).filter(col("doc_id") < 20)
-        .select("doc_id", "pos", "tok").orderBy("doc_id", "pos"))
+        .select("doc_id", "pos", "tok").orderBy("doc_id", "pos")),
+
+    // S14b: VTT caption export (captions.py:106-119 get_vtt) — cue
+    // formatting as a pure per-row expression; error-type events play
+    // the caption track with props as text
+    "s14_vtt_export" -> ((s, d) => {
+      val sec = expr("(ts div 1000000000) % 86400")
+      Tables.events(tune(s), d).filter(col("event_type") === "error")
+        .select(col("user_id").as("video_id"), sec.as("s"),
+          graft.result.CaptionExport.cue(sec,
+            sec + floor(col("value")).cast("long") + 1,
+            col("props")).as("cue"))
+        .orderBy("video_id", "s", "cue")
+    }),
+
+    // S16: supercut clip assembly (supercut.py): phrase-hit intervals
+    // padded by 2 s and merged per video
+    "s16_supercut" -> ((s, d) => {
+      val sec = expr("(ts div 1000000000) % 86400")
+      val hits = Tables.events(tune(s), d)
+        .filter(col("event_type") === "error" && col("props").contains("7"))
+        .select(col("user_id").as("video_id"), sec.as("s"),
+          (sec + floor(col("value")).cast("long") + 1).as("e"))
+      graft.result.CaptionExport.supercutClips(hits, 2)
+        .orderBy("video_id", "s", "e")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -64,6 +89,26 @@ object SourceQueries {
 
     "s13_tokenize_ingest" ->
       s"""SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM (${Q.toksSql}) t
-         |WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin
+         |WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin,
+
+    "s14_vtt_export" ->
+      """SELECT user_id AS video_id, s,
+        |  printf('%02d:%02d:%02d.000 --> %02d:%02d:%02d.000',
+        |    s//3600, (s%3600)//60, s%60, e//3600, (e%3600)//60, e%60)
+        |    || chr(10) || props AS cue
+        |FROM (SELECT user_id, props, (epoch_ns(ts)//1000000000) % 86400 AS s,
+        |        (epoch_ns(ts)//1000000000) % 86400 + CAST(floor(value) AS BIGINT) + 1 AS e
+        |      FROM events WHERE event_type = 'error') c
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "s16_supercut" -> {
+      val hitsSql =
+        """SELECT user_id, greatest(s - 2, 0) AS s, e + 2 AS e
+          |FROM (SELECT user_id, (epoch_ns(ts)//1000000000) % 86400 AS s,
+          |        (epoch_ns(ts)//1000000000) % 86400 + CAST(floor(value) AS BIGINT) + 1 AS e
+          |      FROM events WHERE event_type = 'error' AND props LIKE '%7%') h""".stripMargin
+      s"""SELECT user_id AS video_id, s, e FROM (${Q.coalesceSql(hitsSql)}) cc
+         |ORDER BY 1, 2, 3""".stripMargin
+    }
   )
 }

@@ -1,0 +1,58 @@
+package graft.result
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.IntervalOps
+import graft.operators.IntervalOps.Cols
+
+/** Caption export + supercut composition (SURVEY §3.3 presentation
+  * tail; reference app/esper/captions.py:106-119 get_vtt/get_json and
+  * app/esper/supercut.py clip assembly). Cue formatting is a pure
+  * expression (per-row, codegen'd, oracle-checkable); only the final
+  * document assembly collects a single string per call, like
+  * WidgetJson. */
+object CaptionExport {
+
+  private val C = Cols("video_id", "s", "e")
+
+  /** `hh:mm:ss.000` VTT timestamp from integer seconds (exact integer
+    * div/mod — no float time arithmetic). */
+  def vttTime(sec: Column): Column =
+    format_string("%02d:%02d:%02d.000",
+      call_function("div", sec, lit(3600L)),
+      call_function("div", pmod(sec, lit(3600L)), lit(60L)),
+      pmod(sec, lit(60L)))
+
+  /** One WEBVTT cue: `start --> end\ntext`. */
+  def cue(s: Column, e: Column, text: Column): Column =
+    concat(vttTime(s), lit(" --> "), vttTime(e), lit("\n"), text)
+
+  /** Full WEBVTT document over caption rows (video_id, s, e, text):
+    * cues sorted by (s, e), double-newline separated. */
+  def toVtt(captions: DataFrame): String = {
+    val body = captions
+      .select(struct(col("s"), col("e"),
+        cue(col("s"), col("e"), col("text")).as("c")).as("sc"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("sc"))), x => x.getField("c")),
+        "\n\n").as("body"))
+      .head().getAs[String]("body")
+    "WEBVTT\n\n" + body
+  }
+
+  /** JSON caption track: sorted `[{s, e, text}, ...]`
+    * (captions.py get_json). */
+  def toJsonTrack(captions: DataFrame): String =
+    captions
+      .select(struct(col("s"), col("e"), col("text")).as("sc"))
+      .agg(to_json(sort_array(collect_list(col("sc")))).as("j"))
+      .head().getAs[String]("j")
+
+  /** Supercut clip list (supercut.py): pad every phrase-hit interval by
+    * `pad` seconds (floored at 0) and merge overlapping clips per
+    * video. Input/output: (video_id, s, e). */
+  def supercutClips(hits: DataFrame, pad: Long): DataFrame =
+    IntervalOps.coalesce(
+      IntervalOps.dilate(hits.select("video_id", "s", "e"), pad, C,
+        clampAtZero = true), C)
+}

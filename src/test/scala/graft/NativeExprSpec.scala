@@ -90,6 +90,21 @@ class NativeExprSpec extends SparkSpec {
       """"count":3,"type":"Face"}""")
   }
 
+  test("caption export: VTT golden + supercut clip merging") {
+    val caps = Seq((1L, 5L, 65L, "hello"), (1L, 3700L, 3706L, "world"))
+      .toDF("video_id", "s", "e", "text")
+    val vtt = graft.result.CaptionExport.toVtt(caps)
+    assert(vtt === "WEBVTT\n\n00:00:05.000 --> 00:01:05.000\nhello" +
+      "\n\n01:01:40.000 --> 01:01:46.000\nworld")
+    assert(graft.result.CaptionExport.toJsonTrack(caps) ===
+      """[{"s":5,"e":65,"text":"hello"},{"s":3700,"e":3706,"text":"world"}]""")
+    val clips = graft.result.CaptionExport.supercutClips(
+      Seq((1L, 1L, 4L), (1L, 5L, 8L), (1L, 30L, 31L))
+        .toDF("video_id", "s", "e"), 2)
+      .as[(Long, Long, Long)].collect().sorted
+    assert(clips === Array((1L, 0L, 10L), (1L, 28L, 33L)))
+  }
+
   test("widget JSON video result golden (widget.py:276-284)") {
     val vids = Seq(3L, 1L, 3L).toDF("video_id")
     val json = WidgetJson.videoResult(vids, "Video")
