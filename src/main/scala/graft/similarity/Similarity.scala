@@ -21,10 +21,15 @@ object Similarity {
   /** Exact brute-force cosine top-k: broadcast the (small) query set
     * against the corpus, rank per query. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms are precomputed once per side: cosine() inline would
+    // re-reduce both vectors' norms for every (corpus, query) pair
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb")))
-    val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
-      .withColumn("cos", Fns.cosine(col("embedding"), col("q_emb")))
+      col("embedding").as("q_emb"),
+      Fns.l2norm(col("embedding")).as("q_norm")))
+    val scored = corpus.withColumn("__norm", Fns.l2norm(col("embedding")))
+      .join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Fns.dot(col("embedding"), col("q_emb")) /
+        (col("__norm") * col("q_norm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos6"))
@@ -104,9 +109,12 @@ object Similarity {
     * deterministic. */
   def knnPredict(corpus: DataFrame, train: DataFrame, k: Int): DataFrame = {
     val t = broadcast(train.select(col("vec_id").as("t_id"),
-      col("embedding").as("t_emb"), col("label").as("t_label")))
-    val scored = corpus.join(t, col("vec_id") =!= col("t_id"))
-      .withColumn("cos", Fns.cosine(col("embedding"), col("t_emb")))
+      col("embedding").as("t_emb"), col("label").as("t_label"),
+      Fns.l2norm(col("embedding")).as("t_norm")))
+    val scored = corpus.withColumn("__norm", Fns.l2norm(col("embedding")))
+      .join(t, col("vec_id") =!= col("t_id"))
+      .withColumn("cos", Fns.dot(col("embedding"), col("t_emb")) /
+        (col("__norm") * col("t_norm")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("t_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .groupBy(col("vec_id"))
@@ -132,9 +140,12 @@ object Similarity {
     * per-label assignment quality (n, n_correct). */
   def centroidAssign(corpus: DataFrame): DataFrame = {
     val c = broadcast(centroids(corpus)
-      .select(col("label").as("c_label"), col("centroid")))
-    val scored = corpus.crossJoin(c)
-      .withColumn("cos", Fns.cosine(col("embedding"), col("centroid")))
+      .select(col("label").as("c_label"), col("centroid"),
+        Fns.l2norm(col("centroid")).as("c_norm")))
+    val scored = corpus.withColumn("__norm", Fns.l2norm(col("embedding")))
+      .crossJoin(c)
+      .withColumn("cos", Fns.dot(col("embedding"), col("centroid")) /
+        (col("__norm") * col("c_norm")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_label"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy(col("label"))
