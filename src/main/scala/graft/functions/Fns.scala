@@ -97,15 +97,22 @@ object Fns {
       y(kps, LWrist) < y(kps, Nose) && y(kps, RWrist) < y(kps, Nose)
   }
 
-  // ---------------- vectors (array<float>) ----------------------------
-  /** Dot product via zip_with + aggregate — stays in codegen. */
+  // ---------------- vectors (array<float|double>) ---------------------
+  // Native codegen'd expressions (graft.plans.VecDot/VecNorm2/VecCosine):
+  // one primitive loop over ArrayData instead of an interpreted
+  // zip_with/aggregate lambda per element; identical left-fold IEEE
+  // results (NativeExprSpec bit-equality test).
+  private def bridge = org.apache.spark.sql.graftbridge.Bridge
+
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    bridge.column(graft.plans.VecDot(bridge.expression(a), bridge.expression(b)))
 
   def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    bridge.column(graft.plans.VecNorm2(bridge.expression(a)))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Single-pass cosine (dot and both norms in one traversal). */
+  def cosine(a: Column, b: Column): Column =
+    bridge.column(graft.plans.VecCosine(bridge.expression(a), bridge.expression(b)))
 
   def l2dist(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),

@@ -90,6 +90,38 @@ class NativeExprSpec extends SparkSpec {
       """"count":3,"type":"Face"}""")
   }
 
+  test("native vec_dot/vec_norm2/vec_cosine bit-match the HOF forms") {
+    import graft.functions.Fns
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(200)(
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1),
+        Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("a", "b")
+    // the native exprs widen each element to double BEFORE multiplying
+    // (the HOF form would round float*float products to float first) —
+    // mirror that here for the bit-equality check
+    val hofDot = aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val hofNorm = sqrt(aggregate(
+      transform($"a", x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x))
+    val rows = vecs.select(
+      Fns.dot($"a", $"b").as("d"), hofDot.as("hd"),
+      Fns.l2norm($"a").as("n"), hofNorm.as("hn"),
+      Fns.cosine($"a", $"b").as("c"))
+      .as[(Double, Double, Double, Double, Double)].collect()
+    rows.foreach { case (d, hd, n, hn, _) =>
+      assert(d === hd)             // exact: same left-fold order
+      assert(n === hn)
+    }
+    // cosine equals dot / (norm_a * norm_b) exactly
+    val cos = vecs.select(Fns.cosine($"a", $"b").as("c"),
+      (Fns.dot($"a", $"b") / (Fns.l2norm($"a") * Fns.l2norm($"b"))).as("e"))
+      .as[(Double, Double)].collect()
+    cos.foreach { case (c, e) => assert(c === e) }
+  }
+
   test("caption export: VTT golden + supercut clip merging") {
     val caps = Seq((1L, 5L, 65L, "hello"), (1L, 3700L, 3706L, "world"))
       .toDF("video_id", "s", "e", "text")
