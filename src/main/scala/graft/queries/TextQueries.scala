@@ -42,15 +42,19 @@ object TextQueries {
     // candidate pairs (quadratic hot-key blowup at corpus scale).
     "t03_shingle_jaccard" -> ((s, d) => {
       val tau = 50
-      val dfw = org.apache.spark.sql.expressions.Window.partitionBy(col("sid"))
       // reused by sizes and both join sides — cache to avoid recomputing
       // the shingle window lineage three times
-      val sh = TextOps.shingles(docs(s, d), 3)
+      val ids = TextOps.shingles(docs(s, d), 3)
         .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
         .distinct() // hash collisions within a doc collapse to one id
-        .withColumn("__df", count(lit(1)).over(dfw))
-        .filter(col("__df") <= tau).drop("__df")
         .cache()
+      // the over-frequent shingles are FEW by definition: a map-side
+      // partial count finds them and a broadcast anti-join drops them —
+      // no full sort of the posting table (a window over sid would
+      // shuffle every row)
+      val hot = broadcast(ids.groupBy(col("sid"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > tau).select("sid"))
+      val sh = ids.join(hot, Seq("sid"), "left_anti").cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       val a = sh.select(col("doc_id").as("d1"), col("sid"))
       val b = sh.select(col("doc_id").as("d2"), col("sid"))
