@@ -24,6 +24,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup (untimed): touch every table and run representative query
+    // shapes so the first timed query doesn't absorb parquet-footer
+    // reads + JIT (~3-4 s skew on whichever query happens to run first)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    Seq("j01_equi_join_agg", "t01_exact_dedup", "v01_cosine_topk", "r01_coalesce")
+      .foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).write.format("noop")
+          .mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
