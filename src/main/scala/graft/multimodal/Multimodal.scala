@@ -51,10 +51,17 @@ object Multimodal {
     }
   }
 
-  /** Frame-sample analogue: take every `stride`-th byte as a "frame"
-    * (the 1-frame-per-3s sampling, spark_util.py:402-405). */
-  def sampleBytes(media: DataFrame, stride: Int): DataFrame =
-    media.select(col("media_id"), col("kind"),
-      filter(transform(sequence(lit(0), octet_length(col("payload")) - 1),
-          i => i), i => i % stride === 0).as("sampled_offsets"))
+  /** Frame-sample analogue (the 1-frame-per-3s sampling,
+    * spark_util.py:402-405): one row per sampled frame offset plus a
+    * per-frame probe value — the partition-parallel explode a real
+    * decoder would consume, with the decode itself stubbed as a byte
+    * probe (honest stand-in, same as [[decodeFeatures]]). */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .select(col("media_id"), col("kind"), col("payload"),
+        explode(sequence(lit(0), octet_length(col("payload")) - 1,
+          lit(stride))).as("frame_off"))
+      .select(col("media_id"), col("kind"), col("frame_off"),
+        expr("ascii(substr(CAST(payload AS STRING), frame_off + 1, 1))")
+          .as("probe"))
 }

@@ -65,6 +65,15 @@ object SimilarityQueries {
       graft.similarity.MlSimilarity.logregScoreAll(e, e).orderBy("vec_id")
     }),
 
+    // V7: IVF approximate top-k — KMeans coarse quantizer, probe the 4
+    // nearest of 16 cells per query, exact-cosine rank inside them
+    "v07_ivf_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      graft.similarity.MlSimilarity
+        .ivfTopK(e, e.filter(col("vec_id") < 5), k = 10, nlist = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V6: knn_predict surface (face_embeddings.py:128-131): every 5th
     // vector is "labeled"; the rest are scored by the mean label of
     // their 5 nearest labeled neighbors under cosine

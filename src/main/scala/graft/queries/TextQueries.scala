@@ -179,6 +179,16 @@ object TextQueries {
         .select(col("media_id"), col("n_bytes"), col("checksum"))
         .orderBy("media_id")),
 
+    // M3 multimodal frame sampling: one row per stride-sampled frame
+    // offset with a stubbed per-frame probe (spark_util.py:402-405
+    // 1-frame-per-3s sampling; decode is honestly stubbed, the
+    // explode/partitioning plumbing is real)
+    "m03_frame_sample" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleFrames(
+          graft.multimodal.Multimodal.asMedia(docs(s, d), "doc_id", "text", "text"), 64)
+        .select(col("media_id"), col("frame_off"), col("probe"))
+        .orderBy("media_id", "frame_off")),
+
     // M1 multimodal/binary column metadata: byte length + positional
     // checksum of the opaque payload (decode itself is stubbed — see
     // graft.multimodal)
@@ -336,6 +346,14 @@ object TextQueries {
         |    list_transform(string_split(text,''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "m03_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(off AS INT) AS frame_off,
+        |  ascii(substr(text, CAST(off AS INT) + 1, 1)) AS probe
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, octet_length(CAST(text AS BLOB)) - 1, 64)) AS off
+        |      FROM documents) t
+        |ORDER BY 1, 2""".stripMargin,
 
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS nbytes,

@@ -5,7 +5,9 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Fns
 
 /** MLlib-backed similarity operators — the library path the reference
   * delegated to its Rust rs-embed store (app/esper/face_embeddings.py:
@@ -30,6 +32,41 @@ object MlSimilarity {
       .select(col("datasetA.vec_id").as("d1"), col("datasetB.vec_id").as("d2"),
         round(col("dist"), 6).as("dist6"))
       .filter(col("d1") < col("d2"))
+  }
+
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale
+    * path alongside LSH (SURVEY §7.5 "IVF or LSH-bucketed variant"):
+    * a KMeans coarse quantizer splits the corpus into `nlist` cells;
+    * each query ranks only the vectors in its `nprobe` nearest cells
+    * by exact cosine. Candidate work per query is ~nprobe/nlist of the
+    * corpus; cells are the equi-join key, queries/centers broadcast,
+    * the corpus scan stays distributed. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+              nprobe: Int, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = withVec(emb).cache()
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(v)
+    val assigned = km.transform(v)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val centers = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "c_emb")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("q_cos").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("q_cos", Fns.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Fns.cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("cos"), 6).as("cos6"))
   }
 
   /** KMeans clustering of the embedding space; returns (vec_id, label,

@@ -87,6 +87,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(res(1L) === 0.0)
   }
 
+  test("ivfTopK ranks cluster-mates first on separated clusters") {
+    val emb = (0 until 30).map { i =>
+      val c = i % 3
+      val base = Array.fill(4)(0f)
+      base(c) = 10f + (i / 3).toFloat * 0.01f
+      (i.toLong, base, c)
+    }.toDF("vec_id", "embedding", "label")
+    val top = MlSimilarity.ivfTopK(emb, emb.filter($"vec_id" === 0),
+        k = 5, nlist = 3, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.length === 5)
+    assert(top.forall(_ % 3 === 0))   // all from vector 0's cluster
+  }
+
   test("MLlib kmeans separates well-separated clusters") {
     val emb = (0 until 30).map { i =>
       val c = i % 3
