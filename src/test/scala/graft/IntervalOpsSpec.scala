@@ -126,6 +126,37 @@ class IntervalOpsSpec extends SparkSpec {
     assert(out === Set((1L, 5L, 10L), (1L, 0L, 2L)))
   }
 
+  test("overlaps3D requires overlap on all three dims and clips (property)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    def gen() = Seq.fill(120) {
+      val s = rnd.nextInt(50).toLong
+      val x1 = rnd.nextInt(80) / 100.0
+      val y1 = rnd.nextInt(80) / 100.0
+      (1L + rnd.nextInt(3), s, s + 1 + rnd.nextInt(20),
+        x1, x1 + 0.05 + rnd.nextInt(20) / 100.0,
+        y1, y1 + 0.05 + rnd.nextInt(20) / 100.0)
+    }.toDF("k", "s", "e", "x1", "x2", "y1", "y2")
+    val a = gen().cache(); val b = gen().cache()
+    val got = IntervalOps.overlaps3D(a, b, C)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    val av = a.as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    val bv = b.as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    // brute-force reference: clipped intersection of every 3-D-overlapping pair
+    val expect = (for {
+      (ak, as_, ae, ax1, ax2, ay1, ay2) <- av
+      (bk, bs, be, bx1, bx2, by1, by2) <- bv
+      if ak == bk && bs < ae && be > as_ &&
+        bx1 < ax2 && bx2 > ax1 && by1 < ay2 && by2 > ay1
+    } yield (ak, math.max(as_, bs), math.min(ae, be),
+      math.max(ax1, bx1), math.min(ax2, bx2),
+      math.max(ay1, by1), math.min(ay2, by2))).toList.sorted
+    assert(got.toList.sorted === expect)
+    // every emitted box is non-degenerate on all three dims
+    assert(got.forall { case (_, s, e, x1, x2, y1, y2) =>
+      s < e && x1 < x2 && y1 < y2 })
+  }
+
   test("containedIn keeps only enclosed intervals") {
     val out = IntervalOps.containedIn(df(Seq((1, 2, 4), (1, 2, 40))),
       df(Seq((1, 0, 10))), C)

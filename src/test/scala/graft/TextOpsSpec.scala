@@ -21,6 +21,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got.count(_._1 == 2L) === 2) // "z z z", "z z q"
   }
 
+  test("phraseHits position-join equals the lead-window reference (property)") {
+    import graft.text.PhraseSearch
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(3)
+    val vocab = Array("a", "b", "c", "d")
+    val randDocs = (0L until 40L).map(i =>
+      (i, Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = TextOps.tokens(randDocs)
+    Seq(Seq("a"), Seq("a", "b"), Seq("c", "a", "c")).foreach { phrase =>
+      // reference: the round-1 full-window n-gram form
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val gram = concat_ws(" ",
+        phrase.indices.map(i => lead($"tok", i).over(w)): _*)
+      val expect = toks.withColumn("g", gram)
+        .filter($"g" === phrase.mkString(" "))
+        .select("doc_id", "pos").as[(Long, Int)].collect().toSet
+      val got = PhraseSearch.phraseHits(toks, phrase)
+        .as[(Long, Int)].collect().toSet
+      assert(got === expect, s"phrase $phrase")
+    }
+  }
+
   test("minhash identical sets -> identical signatures; near sets agree mostly") {
     val sh = TextOps.shingles(docs, 3)
     val dict = TextOps.dict(sh, "sh", "sid")
