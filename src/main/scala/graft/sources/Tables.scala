@@ -34,4 +34,28 @@ object Tables {
     * same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // ------------------------------------------------------------------
+  // 100 TB storage layout (SURVEY §7.4): interval-heavy tables bucketed
+  // by their join key so per-key interval ops co-locate without an
+  // exchange, and fact tables hive-partitioned on coarse dims so
+  // partition pruning cuts the scan before any filter runs.
+  // StorageSpec proves both plan properties.
+  // ------------------------------------------------------------------
+
+  /** Write `df` bucketed + sorted by `key` as a catalog table: joins and
+    * aggregations on `key` between equally-bucketed tables skip the
+    * shuffle entirely (Spark reuses the on-disk hash layout). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, sortCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(table)
+
+  /** Write `df` hive-partitioned on `cols` (the channel/year/month
+    * layout at 100 TB): equality filters on `cols` become partition
+    * pruning — pruned directories are never listed, let alone read. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** 100 TB storage-layout proofs (SURVEY §7.4): bucketing removes the
+  * join shuffle; hive partitioning prunes the scan. These are plan
+  * assertions, not just result checks — the properties that matter at
+  * 1000 executors are visible in the physical plan at any scale. */
+class StorageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: ShuffleExchangeExec => s }.size
+  }
+
+  /** Run `body` with AQE off so exchanges appear as plain
+    * ShuffleExchangeExec nodes instead of query-stage wrappers. */
+  private def withoutAqe[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bucketed interval tables join and aggregate with zero shuffles") {
+    val rnd = new scala.util.Random(5)
+    def gen() = Seq.fill(500) {
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(20).toLong, s, s + 1 + rnd.nextInt(60))
+    }.toDF("k", "s", "e")
+    Tables.writeBucketed(gen(), "graft_bucket_a", "k", 4, Seq("k", "s"))
+    Tables.writeBucketed(gen(), "graft_bucket_b", "k", 4, Seq("k", "s"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withoutAqe {
+      val a = spark.table("graft_bucket_a")
+      val b = spark.table("graft_bucket_b")
+        .select($"k".as("k2"), $"s".as("bs"), $"e".as("be"))
+      val joined = a.join(b, $"k" === $"k2" && $"bs" < $"e" && $"be" > $"s")
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      assert(shuffles(joined) === 0, "bucketed join+agg must reuse the disk layout")
+      // same pipeline over unbucketed data shuffles (the assertion bites)
+      val pa = gen(); val pb = gen()
+        .select($"k".as("k2"), $"s".as("bs"), $"e".as("be"))
+      val plain = pa.join(pb, $"k" === $"k2" && $"bs" < $"e" && $"be" > $"s")
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      assert(shuffles(plain) > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
+  test("hive partitioning prunes the scan to the filtered partitions") {
+    val tmp = "/tmp/graft_part_events"
+    val df = (0 until 1000).map { i =>
+      (i.toLong, Seq("click", "view", "purchase")(i % 3), i % 12)
+    }.toDF("id", "event_type", "month")
+    Tables.writePartitioned(df, tmp, Seq("event_type", "month"))
+    val read = spark.read.parquet(tmp)
+      .filter($"event_type" === "click" && $"month" === 3)
+    assert(read.count() === (0 until 1000)
+      .count(i => i % 3 === 0 && i % 12 === 3))
+    val scan = read.queryExecution.executedPlan.toString()
+    // both equality predicates became partition filters (pruned before
+    // any file is read) and the scan reads only the one surviving column
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"))
+    assert(scan.contains("= click)") && scan.contains("= 3)"))
+    assert(scan.contains("ReadSchema: struct<id:bigint>"))
+  }
+}
