@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming ingest (SURVEY §2.9). The reference ingests in
@@ -44,6 +44,65 @@ object Ingest {
     events.withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Input row for [[streamingCoalesce]]: a keyed interval with the
+    * event-time column that drives the watermark. */
+  case class KeyedIv(user_id: Long, s: Long, e: Long, ts: java.sql.Timestamp)
+  /** A closed (fully merged) interval island. */
+  case class ClosedIv(user_id: Long, s: Long, e: Long)
+  /** Custom state: the currently-open island per key. */
+  case class OpenIsland(s: Long, e: Long)
+
+  /** Streaming interval coalesce — the custom-state form of
+    * IntervalOps.coalesce (R1) via `flatMapGroupsWithState`: per key,
+    * state holds the open island; an arriving interval either extends
+    * it (overlap/touch within `gap`) or closes it, emitting the
+    * finished island downstream. The event-time timeout flushes an
+    * idle island once the watermark passes it, so state is bounded.
+    * Within a micro-batch, each group's rows are sorted by (s, e);
+    * rows later than the watermark horizon follow the usual
+    * late-data contract. */
+  def streamingCoalesce(events: Dataset[KeyedIv], gap: Long,
+                        watermark: String = "2 hours",
+                        flushAfterMs: Long = 60 * 60 * 1000L): Dataset[ClosedIv] = {
+    import events.sparkSession.implicits._
+    def fn(key: Long, rows: Iterator[KeyedIv],
+           state: GroupState[OpenIsland]): Iterator[ClosedIv] =
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(o => ClosedIv(key, o.s, o.e)).iterator
+        state.remove()
+        out
+      } else {
+        val batch = rows.toSeq
+        val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedIv]
+        var cur = state.getOption
+        batch.sortBy(r => (r.s, r.e)).foreach { r =>
+          cur match {
+            case Some(o) if r.s <= o.e + gap =>
+              cur = Some(OpenIsland(o.s, math.max(o.e, r.e)))
+            case Some(o) =>
+              closed += ClosedIv(key, o.s, o.e)
+              cur = Some(OpenIsland(r.s, r.e))
+            case None =>
+              cur = Some(OpenIsland(r.s, r.e))
+          }
+        }
+        cur.foreach { o =>
+          state.update(o)
+          // anchor the flush to the island's own event time (the
+          // watermark is 0 before the first batch completes; a
+          // watermark-relative timeout would fire instantly)
+          val maxTs = batch.map(_.ts.getTime).max
+          state.setTimeoutTimestamp(
+            math.max(maxTs, state.getCurrentWatermarkMs()) + flushAfterMs)
+        }
+        closed.iterator
+      }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 
   /** End-to-end ingest job: file source -> ledger dedup -> parquet sink
     * with checkpointing (append-only label writes, S7/S8). */

@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.contains((2L, 1L)))
   }
 
+  test("streamingCoalesce merges islands across micro-batches with custom state") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Ingest.{ClosedIv, KeyedIv}
+    val in = MemoryStream[KeyedIv]
+    val q = Ingest.streamingCoalesce(in.toDS(), gap = 0)
+      .toDF().writeStream.format("memory")
+      .queryName("scoal_out").outputMode("append").start()
+    // batch 1: user 1 opens an island [0, 10)
+    in.addData(KeyedIv(1L, 0L, 10L, ts(0)))
+    q.processAllAvailable()
+    // batch 2: [5, 20) extends it across the batch boundary; the far
+    // interval [100, 110) closes [0, 20) and opens a new island
+    in.addData(KeyedIv(1L, 5L, 20L, ts(5)), KeyedIv(1L, 100L, 110L, ts(100)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("scoal_out")
+      .as[ClosedIv].collect().toSet
+    assert(got === Set(ClosedIv(1L, 0L, 20L)))   // [100,110) is still open
+  }
+
   test("tumbling window counts per hour and type") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Ev]
