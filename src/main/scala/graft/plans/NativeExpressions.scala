@@ -75,28 +75,51 @@ object GraftFunctions {
       Bridge.expression(aS), Bridge.expression(aE),
       Bridge.expression(bS), Bridge.expression(bE)))
 
-  /** Register as a SQL function (idempotent; per-session — skip when
+  /** Register the SQL functions (idempotent; per-session — skip when
     * already present to avoid a per-call replace warning). */
   def register(spark: SparkSession): Unit = {
-    val id = new org.apache.spark.sql.catalyst.FunctionIdentifier("overlap_seconds")
-    if (!spark.sessionState.functionRegistry.functionExists(id)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "overlap_seconds",
-        exprs => OverlapSeconds(exprs(0), exprs(1), exprs(2), exprs(3)),
-        "built-in")
+    def put(name: String, builder: Seq[Expression] => Expression): Unit = {
+      val id = new org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    put("overlap_seconds", es => OverlapSeconds(es(0), es(1), es(2), es(3)))
+    put("vec_dot", es => VecDot(es(0), es(1)))
+    put("vec_norm2", es => VecNorm2(es(0)))
+    put("vec_cosine", es => VecCosine(es(0), es(1)))
   }
 }
 
 /** SparkSessionExtensions entry point: build sessions with
   * `.withExtensions(new GraftExtensions)` (or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`) to get the
-  * native functions without per-session registration. */
+  * `spark.sql.extensions=graft.plans.GraftExtensions`) to get the whole
+  * library — native SQL functions, the auto-banding optimizer rule and
+  * the native-coalesce planner strategy — without per-session
+  * registration calls. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("overlap_seconds"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[OverlapSeconds].getName, "overlap_seconds"),
       (exprs: Seq[Expression]) => OverlapSeconds(exprs(0), exprs(1), exprs(2), exprs(3))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_norm2"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecNorm2].getName, "vec_norm2"),
+      (exprs: Seq[Expression]) => VecNorm2(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecCosine].getName, "vec_cosine"),
+      (exprs: Seq[Expression]) => VecCosine(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => AutoBandOverlapJoin)
+    e.injectPlannerStrategy(_ => CoalesceIntervalsStrategy)
+  }
 }

@@ -122,6 +122,17 @@ class NativeExprSpec extends SparkSpec {
     cos.foreach { case (c, e) => assert(c === e) }
   }
 
+  test("vec_* functions are callable from SQL text") {
+    GraftFunctions.register(spark)
+    Seq((Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+      .createOrReplaceTempView("vec_fixture")
+    val row = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_norm2(a) AS n,
+        |  vec_cosine(a, a) AS c FROM vec_fixture""".stripMargin)
+      .as[(Double, Double, Double)].head()
+    assert(row === ((0.0, 1.0, 1.0)))
+  }
+
   test("caption export: VTT golden + supercut clip merging") {
     val caps = Seq((1L, 5L, 65L, "hello"), (1L, 3700L, 3706L, "world"))
       .toDF("video_id", "s", "e", "text")
