@@ -59,6 +59,64 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("salted two-phase aggregation equals direct aggregation on a hot key") {
+    // the classic skew mitigation: pre-aggregate on (key, salt) so the
+    // hot key's rows spread over N reducers, then combine the partials
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(4000) {
+      val k = if (rnd.nextInt(10) < 8) 1L else 2L + rnd.nextInt(5) // 80% on key 1
+      (k, rnd.nextInt(100).toLong)
+    }.toDF("k", "v")
+    val direct = df.groupBy($"k")
+      .agg(sum($"v").as("total"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val salted = df
+      .withColumn("salt", pmod(xxhash64($"v", monotonically_increasing_id()), lit(16)))
+      .groupBy($"k", $"salt")
+      .agg(sum($"v").as("pt"), count(lit(1)).as("pn"))
+      .groupBy($"k")
+      .agg(sum($"pt").as("total"), sum($"pn").as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(salted === direct)
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    val prev = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k)).toMap
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    // the downstream groupBy re-shuffles anyway; without force, AQE
+    // vetoes the split because it would add an exchange
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rnd = new scala.util.Random(23)
+      // one pathological key holding ~95% of the left side; the random
+      // payload keeps the shuffle blocks from compressing away
+      val left = Seq.fill(30000) {
+        val k = if (rnd.nextInt(20) < 19) 1L else 2L + rnd.nextInt(8)
+        (k, rnd.nextInt(100000).toLong,
+          Seq.fill(8)(rnd.nextLong().toHexString).mkString("-"))
+      }.toDF("k", "v", "payload")
+      val right = (1L to 10L).map(k => (k, s"dim_$k")).toDF("k2", "name")
+      // the payload aggregate keeps the wide column alive through the
+      // join shuffle (column pruning would otherwise strip the left
+      // side to an 8-byte key that compresses below the skew threshold)
+      val joined = left.join(right, $"k" === $"k2")
+        .groupBy($"name")
+        .agg(count(lit(1)).as("n"), sum(length($"payload")).as("bytes"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join marker in plan:\n${plan.take(2000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("hive partitioning prunes the scan to the filtered partitions") {
     val tmp = "/tmp/graft_part_events"
     val df = (0 until 1000).map { i =>
