@@ -31,6 +31,21 @@ class CoalescePlanSpec extends SparkSpec {
     }
   }
 
+  test("null keys form their own group; null bounds are dropped") {
+    val df = Seq(
+      (Some(1L), Some(0L), Some(10L)),
+      (Some(1L), Some(5L), Some(20L)),
+      (None, Some(0L), Some(4L)),      // null-key island...
+      (None, Some(3L), Some(8L)),      // ...merges with the row above
+      (Some(2L), None, Some(9L)),      // null bound -> dropped
+      (Some(2L), Some(1L), None)       // null bound -> dropped
+    ).toDF("k", "s", "e")
+    val got = CoalescePlan.coalesceNative(df, "k", "s", "e")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 0L, 20L), (-1L, 0L, 8L)))
+  }
+
   test("plan contains the custom operator and only one exchange") {
     val df = randomDf(9, 50)
     val plan = CoalescePlan.coalesceNative(df, "k", "s", "e")
