@@ -94,11 +94,17 @@ object TextQueries {
     }),
 
     // T5 64-bit SimHash signatures over weighted token ids, emitted as
-    // four 16-bit limbs b0..b3 (sign-bit-safe in any engine)
+    // four 16-bit limbs b0..b3 (sign-bit-safe in any engine). Token ids
+    // are the cross-engine rolling hash of the token text — no
+    // dictionary build (the dense-id dictionary needs a global sort +
+    // zipWithIndex; hashing is embarrassingly parallel, same move t04
+    // made for shingles)
     "t05_simhash" -> ((s, d) => {
       val cnts = toks(s, d).groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
-      val withIds = cnts.join(tokDict(s, d), "tok").select("doc_id", "tid", "cnt")
+      val withIds = cnts
+        .withColumn("tid", TextOps.fingerprint(col("tok")))
+        .select("doc_id", "tid", "cnt")
       TextOps.simhashBands(withIds, 64, 16)
         .groupBy(col("doc_id"))
         .agg(sum(when(col("band") === 0, col("val")).otherwise(0L)).as("b0"),
@@ -117,7 +123,9 @@ object TextQueries {
     "t06_simhash_pairs" -> ((s, d) => {
       val cnts = toks(s, d).groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
-      val withIds = cnts.join(tokDict(s, d), "tok").select("doc_id", "tid", "cnt")
+      val withIds = cnts
+        .withColumn("tid", TextOps.fingerprint(col("tok")))
+        .select("doc_id", "tid", "cnt")
       val bands = TextOps.simhashBands(withIds, 64, 16).cache()
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.val") === col("y.val") &&
@@ -226,22 +234,25 @@ object TextQueries {
        |GROUP BY doc_id, i""".stripMargin
 
   /** 64-bit SimHash as 4x16-bit band limbs (doc_id, band, val) —
-    * mirrors TextOps.simhashBands. */
+    * mirrors TextOps.simhashBands with rolling-hash token ids. */
   private val simhashBandsSql =
     """SELECT doc_id, j // 16 AS band,
       |  CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << (j % 16)) ELSE 0 END) AS BIGINT) AS val
       |FROM (
       |  SELECT doc_id, j, sum(cnt * (((tid*(j*2+3) + j) % 97 % 2) * 2 - 1)) AS acc
       |  FROM (SELECT doc_id, tid, cnt, unnest(generate_series(0, 63)) AS j
-      |        FROM (SELECT c.doc_id, dd.tid, c.cnt
+      |        FROM (SELECT doc_id,
+      |                list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                  list_transform(string_split(tok,''), ch -> CAST(ascii(ch) AS BIGINT))),
+      |                  (a, x) -> (a * 31 + x) % 1000000007) AS tid,
+      |                cnt
       |              FROM (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
-      |                    FROM (%TOKS%) tk GROUP BY doc_id, tok) c
-      |              JOIN (%DICT%) dd ON c.tok = dd.tok) w) x
+      |                    FROM (%TOKS%) tk GROUP BY doc_id, tok) c) w) x
       |  GROUP BY doc_id, j) y
       |GROUP BY doc_id, band""".stripMargin
 
   private def simhashBandsFull = simhashBandsSql
-    .replace("%TOKS%", Q.toksSql).replace("%DICT%", Q.tokDictSql)
+    .replace("%TOKS%", Q.toksSql)
 
   val oracle: Map[String, String] = Map(
     "t01_exact_dedup" ->
