@@ -126,16 +126,27 @@ object TextQueries {
       val withIds = cnts
         .withColumn("tid", TextOps.fingerprint(col("tok")))
         .select("doc_id", "tid", "cnt")
-      val bands = TextOps.simhashBands(withIds, 64, 16).cache()
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.val") === col("y.val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-      val xb = bands.select(col("doc_id").as("d1"), col("band"), col("val").as("v1"))
-      val yb = bands.select(col("doc_id").as("d2"), col("band"), col("val").as("v2"))
-      cand.join(xb, Seq("d1")).join(yb, Seq("d2", "band"))
-        .groupBy(col("d1"), col("d2"))
-        .agg(sum(bit_count(col("v1").bitwiseXOR(col("v2")))).as("hamming"))
+      // wide signatures: the 4 limbs ride along through the band joins,
+      // so the exact Hamming verify is a projection on the join output —
+      // no re-join of the candidate pairs against the band table
+      val sig = TextOps.simhashBands(withIds, 64, 16)
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("band") === 0, col("val")).otherwise(0L)).as("b0"),
+          sum(when(col("band") === 1, col("val")).otherwise(0L)).as("b1"),
+          sum(when(col("band") === 2, col("val")).otherwise(0L)).as("b2"),
+          sum(when(col("band") === 3, col("val")).otherwise(0L)).as("b3"))
+        .cache()
+      val y = sig.select(col("doc_id").as("d2"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      val cand = (0 until 4).map { i =>
+          sig.join(y, col(s"b$i") === col(s"c$i") && col("doc_id") < col("d2"))
+        }.reduce(_ unionByName _)
+        .dropDuplicates("doc_id", "d2")
+      cand.select(col("doc_id").as("d1"), col("d2"),
+          (bit_count(col("b0").bitwiseXOR(col("c0"))) +
+            bit_count(col("b1").bitwiseXOR(col("c1"))) +
+            bit_count(col("b2").bitwiseXOR(col("c2"))) +
+            bit_count(col("b3").bitwiseXOR(col("c3")))).cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("d1", "d2")
     }),
@@ -306,14 +317,32 @@ object TextQueries {
 
     "t06_simhash_pairs" ->
       s"""WITH bands AS ($simhashBandsFull),
-         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.val = y.val AND x.doc_id < y.doc_id)
-         |SELECT d1, d2, CAST(sum(bit_count(xor(a.val, b.val))) AS BIGINT) AS hamming
-         |FROM cand JOIN bands a ON a.doc_id = cand.d1
-         |JOIN bands b ON b.doc_id = cand.d2 AND b.band = a.band
-         |GROUP BY 1, 2
-         |HAVING CAST(sum(bit_count(xor(a.val, b.val))) AS BIGINT) <= 3
+         |sig AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN band = 0 THEN val ELSE 0 END) AS BIGINT) AS b0,
+         |    CAST(sum(CASE WHEN band = 1 THEN val ELSE 0 END) AS BIGINT) AS b1,
+         |    CAST(sum(CASE WHEN band = 2 THEN val ELSE 0 END) AS BIGINT) AS b2,
+         |    CAST(sum(CASE WHEN band = 3 THEN val ELSE 0 END) AS BIGINT) AS b3
+         |  FROM bands GROUP BY doc_id),
+         |cand AS (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |    x.b0 AS a0, x.b1 AS a1, x.b2 AS a2, x.b3 AS a3,
+         |    y.b0 AS c0, y.b1 AS c1, y.b2 AS c2, y.b3 AS c3
+         |  FROM sig x JOIN sig y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
+         |  UNION
+         |  SELECT x.doc_id, y.doc_id, x.b0, x.b1, x.b2, x.b3, y.b0, y.b1, y.b2, y.b3
+         |  FROM sig x JOIN sig y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
+         |  UNION
+         |  SELECT x.doc_id, y.doc_id, x.b0, x.b1, x.b2, x.b3, y.b0, y.b1, y.b2, y.b3
+         |  FROM sig x JOIN sig y ON x.b2 = y.b2 AND x.doc_id < y.doc_id
+         |  UNION
+         |  SELECT x.doc_id, y.doc_id, x.b0, x.b1, x.b2, x.b3, y.b0, y.b1, y.b2, y.b3
+         |  FROM sig x JOIN sig y ON x.b3 = y.b3 AND x.doc_id < y.doc_id)
+         |SELECT d1, d2,
+         |  CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+         |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+         |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3
          |ORDER BY 1, 2""".stripMargin,
 
     "t07_quality" ->
