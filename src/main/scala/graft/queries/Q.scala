@@ -108,9 +108,10 @@ object Q {
       |FROM lineitem""".stripMargin
 
   // -------------------------------------------------------------------
-  // Token table + deterministic token dictionary over `documents`
-  // (caption/token surface; dictionary = dense_rank over sorted distinct
-  // tokens so minhash/simhash arithmetic is identical in both engines).
+  // Token table over `documents` (caption/token surface). Token and
+  // shingle ids in the dedup queries come from the cross-engine rolling
+  // hash (TextOps.fingerprint) — no dictionary build; the dense-id
+  // dictionary path lives in TextOps.dict for callers that need it.
   // -------------------------------------------------------------------
   def toks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(tune(s), dir)
@@ -121,10 +122,4 @@ object Q {
       |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
       |  unnest(list_zip(t.l, generate_series(0, len(t.l)-1))) AS u(z)""".stripMargin
 
-  def tokDict(s: SparkSession, dir: String): DataFrame =
-    graft.text.TextOps.dict(toks(s, dir), "tok", "tid")
-
-  val tokDictSql: String =
-    s"""SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid
-       |FROM (SELECT DISTINCT tok FROM ($toksSql) tk) d""".stripMargin
 }
