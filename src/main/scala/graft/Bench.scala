@@ -38,7 +38,15 @@ object Bench {
           .mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated name prefixes for targeted
+    // local iteration (e.g. "t03,t04,v05"); absent = the full corpus.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -51,6 +59,15 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
-    println(json)
+    // The stdout copy must survive a bounded log-tail capture (~2 KB):
+    // with 100+ queries the full-name map alone exceeds it and the line's
+    // head gets truncated mid-JSON. Every query name carries a unique
+    // group-prefix mnemonic (j01, t03, ...), so the stdout line keys on
+    // those — the full-name artifact is the file written above.
+    val shortQs = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
   }
 }

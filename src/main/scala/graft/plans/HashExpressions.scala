@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash of a string, `fold((acc, c) =>
+  * (acc * 31 + codepoint(c)) mod 1e9+7, 0)` over the characters — the
+  * content fingerprint behind shingle/token ids and document identity
+  * (reference analogue: content-hash dedup keys; SURVEY §7.5
+  * fingerprinting).
+  *
+  * This is the codegen'd form of the higher-order-function pipeline
+  * `aggregate(transform(split(text, ''), c -> ascii(c)), ...)`, which
+  * evaluates an interpreted lambda (plus a per-character array slot)
+  * for every character; the corpus pays that per *shingle* character in
+  * t03/t04, making it the dominant cost. Identical result by
+  * construction: Spark's `split(text, '')` yields one element per
+  * codepoint (regex boundaries never split surrogate pairs) and
+  * `ascii` returns the leading codepoint, so a straight codepoint loop
+  * reproduces the fold exactly (HashExprSpec proves equality against
+  * the HOF form; the DuckDB oracle computes the same fold via
+  * `list_reduce(string_split(text, ''), ...)`).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(a: Any): Any =
+    RollingHash.hash(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.RollingHash.hash($a)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+object RollingHash {
+  /** Static helper shared by interpreted eval and generated code (one
+    * monomorphic call site per row; the loop itself JITs tight). ASCII
+    * fast path reads the UTF-8 bytes directly — no String allocation. */
+  def hash(s: UTF8String): Long = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var acc = 0L
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b < 0) ascii = false
+      else { acc = (acc * 31 + b) % 1000000007L; i += 1 }
+    }
+    if (ascii) acc
+    else {
+      // multibyte tail: fall back to per-codepoint iteration
+      val str = s.toString
+      acc = 0L
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        acc = (acc * 31 + cp) % 1000000007L
+        j += Character.charCount(cp)
+      }
+      acc
+    }
+  }
+}

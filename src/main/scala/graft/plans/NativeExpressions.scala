@@ -88,6 +88,7 @@ object GraftFunctions {
     put("vec_dot", es => VecDot(es(0), es(1)))
     put("vec_norm2", es => VecNorm2(es(0)))
     put("vec_cosine", es => VecCosine(es(0), es(1)))
+    put("rolling_hash", es => RollingHash(es(0)))
   }
 }
 
@@ -119,6 +120,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecCosine].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => VecCosine(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs(0))))
     e.injectOptimizerRule(_ => AutoBandOverlapJoin)
     e.injectPlannerStrategy(_ => CoalesceIntervalsStrategy)
   }

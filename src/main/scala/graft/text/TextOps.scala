@@ -127,8 +127,17 @@ object TextOps {
   }
 
   /** Polynomial rolling hash of the full text, mod 1e9+7 — a stable
-    * document fingerprint (content-defined identity). */
-  def fingerprint(text: Column): Column =
+    * document fingerprint (content-defined identity). Codegen'd native
+    * expression ([[graft.plans.RollingHash]]); [[fingerprintHof]] is the
+    * built-in-functions form it replaced (bit-equal — HashExprSpec). */
+  def fingerprint(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.RollingHash(Bridge.expression(text)))
+  }
+
+  /** Reference form of [[fingerprint]]: interpreted lambda + one array
+    * slot per character — kept as the spec cross-check oracle. */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(0L),
