@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // intra-query caches (t03/t04/t06/LSH/...) are never reused across
+      // queries; dropping them keeps 100+ queries from accumulating
+      // cached blocks until the old gen fills and every later query
+      // pays GC + eviction
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -126,7 +126,7 @@ object TextQueries {
       val withIds = cnts
         .withColumn("tid", TextOps.fingerprint(col("tok")))
         .select("doc_id", "tid", "cnt")
-      // wide signatures: the 4 limbs ride along through the band joins,
+      // wide signatures: the 4 limbs ride along through the band join,
       // so the exact Hamming verify is a projection on the join output —
       // no re-join of the candidate pairs against the band table
       val sig = TextOps.simhashBands(withIds, 64, 16)
@@ -135,12 +135,36 @@ object TextQueries {
           sum(when(col("band") === 1, col("val")).otherwise(0L)).as("b1"),
           sum(when(col("band") === 2, col("val")).otherwise(0L)).as("b2"),
           sum(when(col("band") === 3, col("val")).otherwise(0L)).as("b3"))
-        .cache()
-      val y = sig.select(col("doc_id").as("d2"), col("b0").as("c0"),
-        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-      val cand = (0 until 4).map { i =>
-          sig.join(y, col(s"b$i") === col(s"c$i") && col("doc_id") < col("d2"))
-        }.reduce(_ unionByName _)
+        .cache() // both self-join sides re-derive from sig; one row/doc
+      // ONE self-join on the exploded (band-index, band-value) postings
+      // replaces four per-band joins + union: the equi key is
+      // (bi, bv), so "equal in ANY band" is the same candidate set, in
+      // a single exchange instead of four join stages
+      val posting = sig.select(col("doc_id"), col("b0"), col("b1"),
+        col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("bi", "bv")))
+      // band-bucket population cap (the t03 df-cap move, applied to
+      // simhash bands): a band value shared by f docs emits f^2/2
+      // candidate pairs, so one degenerate bucket goes quadratic at
+      // corpus scale. Buckets over the cap are dropped on BOTH engines
+      // (oracle mirrors the prune); bounded recall loss only for pairs
+      // whose every equal band is degenerate. tau is far above this
+      // corpus's max bucket (395 at sf0.1), so today's result set is
+      // exactly the uncapped one.
+      val bandCap = 1000
+      val hot = broadcast(posting.groupBy(col("bi"), col("bv"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") > bandCap)
+        .select("bi", "bv"))
+      val pruned = posting.join(hot, Seq("bi", "bv"), "left_anti")
+      val cand = pruned.as("x")
+        .join(pruned.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("d2"),
+          col("x.b0"), col("x.b1"), col("x.b2"), col("x.b3"),
+          col("y.b0").as("c0"), col("y.b1").as("c1"),
+          col("y.b2").as("c2"), col("y.b3").as("c3"))
         .dropDuplicates("doc_id", "d2")
       cand.select(col("doc_id").as("d1"), col("d2"),
           (bit_count(col("b0").bitwiseXOR(col("c0"))) +
@@ -323,26 +347,26 @@ object TextQueries {
          |    CAST(sum(CASE WHEN band = 2 THEN val ELSE 0 END) AS BIGINT) AS b2,
          |    CAST(sum(CASE WHEN band = 3 THEN val ELSE 0 END) AS BIGINT) AS b3
          |  FROM bands GROUP BY doc_id),
+         |posting AS (
+         |  SELECT doc_id, 0 AS bi, b0 AS bv FROM sig
+         |  UNION ALL SELECT doc_id, 1, b1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, b2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, b3 FROM sig),
+         |pruned AS (
+         |  SELECT doc_id, bi, bv FROM (
+         |    SELECT doc_id, bi, bv, count(*) OVER (PARTITION BY bi, bv) AS bn
+         |    FROM posting) p
+         |  WHERE bn <= 1000),
          |cand AS (
-         |  SELECT x.doc_id AS d1, y.doc_id AS d2,
-         |    x.b0 AS a0, x.b1 AS a1, x.b2 AS a2, x.b3 AS a3,
-         |    y.b0 AS c0, y.b1 AS c1, y.b2 AS c2, y.b3 AS c3
-         |  FROM sig x JOIN sig y ON x.b0 = y.b0 AND x.doc_id < y.doc_id
-         |  UNION
-         |  SELECT x.doc_id, y.doc_id, x.b0, x.b1, x.b2, x.b3, y.b0, y.b1, y.b2, y.b3
-         |  FROM sig x JOIN sig y ON x.b1 = y.b1 AND x.doc_id < y.doc_id
-         |  UNION
-         |  SELECT x.doc_id, y.doc_id, x.b0, x.b1, x.b2, x.b3, y.b0, y.b1, y.b2, y.b3
-         |  FROM sig x JOIN sig y ON x.b2 = y.b2 AND x.doc_id < y.doc_id
-         |  UNION
-         |  SELECT x.doc_id, y.doc_id, x.b0, x.b1, x.b2, x.b3, y.b0, y.b1, y.b2, y.b3
-         |  FROM sig x JOIN sig y ON x.b3 = y.b3 AND x.doc_id < y.doc_id)
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |  FROM pruned x JOIN pruned y
+         |    ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
          |SELECT d1, d2,
-         |  CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
-         |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
-         |    + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3
+         |  CAST(bit_count(xor(sx.b0, sy.b0)) + bit_count(xor(sx.b1, sy.b1))
+         |    + bit_count(xor(sx.b2, sy.b2)) + bit_count(xor(sx.b3, sy.b3)) AS BIGINT) AS hamming
+         |FROM cand JOIN sig sx ON sx.doc_id = d1 JOIN sig sy ON sy.doc_id = d2
+         |WHERE bit_count(xor(sx.b0, sy.b0)) + bit_count(xor(sx.b1, sy.b1))
+         |    + bit_count(xor(sx.b2, sy.b2)) + bit_count(xor(sx.b3, sy.b3)) <= 3
          |ORDER BY 1, 2""".stripMargin,
 
     "t07_quality" ->

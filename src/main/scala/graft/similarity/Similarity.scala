@@ -59,28 +59,36 @@ object Similarity {
                       nTables: Int, bitsPerTable: Int): DataFrame = {
     require(nTables >= 1 && bitsPerTable >= 1 && bitsPerTable < 63)
     val h = broadcast(hyperplanes.select(col("hid"), col("h_emb")))
+    // group key is (vec_id, tbl) only: the embedding payload must not
+    // ride through the aggregation/shuffle (at corpus scale that is the
+    // vector column duplicated nTables times across the exchange) —
+    // candidates that need the vector join it back by vec_id.
     corpus.crossJoin(h)
       .withColumn("tbl", expr(s"hid div $bitsPerTable"))
       .withColumn("bit", when(Fns.dot(col("embedding"), col("h_emb")) > 0,
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(hid % $bitsPerTable AS INT))"))
         .otherwise(0L))
-      .groupBy(col("vec_id"), col("embedding"), col("tbl"))
+      .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(col("bit")).as("bucket"))
   }
 
   /** Near-dup pairs over the multi-table buckets: candidates share a
     * bucket in ANY table (union via the (tbl, bucket) equi-join,
-    * deduped per pair), then the exact cosine filter at tau. */
+    * deduped per pair), then the exact cosine filter at tau — the
+    * vectors join onto the (few) surviving candidate pairs, not through
+    * the bucket self-join. */
   def nearDupPairsMulti(corpus: DataFrame, hyperplanes: DataFrame,
                         nTables: Int, bitsPerTable: Int, tau: Double): DataFrame = {
     val b = lshBucketsMulti(corpus, hyperplanes, nTables, bitsPerTable).cache()
-    val x = b.select(col("vec_id").as("d1"), col("embedding").as("e1"),
-      col("tbl"), col("bucket"))
-    val y = b.select(col("vec_id").as("d2"), col("embedding").as("e2"),
-      col("tbl").as("t2"), col("bucket").as("b2"))
-    x.join(y, col("tbl") === col("t2") && col("bucket") === col("b2") &&
+    val x = b.select(col("vec_id").as("d1"), col("tbl"), col("bucket"))
+    val y = b.select(col("vec_id").as("d2"), col("tbl").as("t2"),
+      col("bucket").as("b2"))
+    val cand = x.join(y, col("tbl") === col("t2") && col("bucket") === col("b2") &&
         col("d1") < col("d2"))
-      .dropDuplicates("d1", "d2")
+      .select("d1", "d2").dropDuplicates("d1", "d2")
+    val e1 = corpus.select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    val e2 = corpus.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+    cand.join(e1, "d1").join(e2, "d2")
       .withColumn("cos", Fns.cosine(col("e1"), col("e2")))
       .filter(col("cos") >= tau)
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos6"))
