@@ -24,16 +24,24 @@ import org.apache.spark.sql.types.LongType
   * Opt-in via `spark.graft.autoband.width` (band width, 0 = off;
   * reset to 0 by Q.tune so it is per-query scoped), with an optional
   * `spark.graft.autoband.minbytes` gate on both join children's
-  * estimated size. Assumes half-open valid intervals (e > s), like
-  * bandedOverlaps: rows with e <= s are dropped before banding.
+  * estimated size. `width=auto` derives the band width from CBO column
+  * statistics instead (round-2 roadmap): with
+  * `spark.sql.cbo.enabled=true` and ANALYZE'd bound columns, the
+  * timeline span max(end)-min(start) across both sides is divided into
+  * `spark.graft.autoband.targetbands` buckets (default 256 — a few
+  * bands per shuffle partition); when any bound lacks stats the join is
+  * left alone rather than banded blind. Assumes half-open valid
+  * intervals (e > s), like bandedOverlaps: rows with e <= s are
+  * dropped before banding.
   */
 object AutoBandOverlapJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val w = conf.getConfString("spark.graft.autoband.width", "0").toLong
-    if (w <= 0) plan
+    val ws = conf.getConfString("spark.graft.autoband.width", "0")
+    val on = ws == "auto" || scala.util.Try(ws.toLong).toOption.exists(_ > 0)
+    if (!on) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, w).getOrElse(j)
+      case j @ Join(_, _, Inner, Some(_), _) => rewrite(j, ws).getOrElse(j)
     }
   }
 
@@ -42,7 +50,14 @@ object AutoBandOverlapJoin extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  private def rewrite(j: Join, w: Long): Option[LogicalPlan] = {
+  /** (min, max) of a bound column from the side's CBO column stats. */
+  private def colMinMax(side: LogicalPlan, a: Attribute): Option[(Long, Long)] =
+    side.stats.attributeStats.get(a).flatMap { cs =>
+      for (mn <- cs.min; mx <- cs.max)
+        yield (mn.asInstanceOf[Number].longValue, mx.asInstanceOf[Number].longValue)
+    }
+
+  private def rewrite(j: Join, ws: String): Option[LogicalPlan] = {
     val minBytes = BigInt(conf.getConfString("spark.graft.autoband.minbytes", "0"))
     val cond = j.condition.get
     val conjuncts = splitConjunctivePredicates(cond)
@@ -71,6 +86,23 @@ object AutoBandOverlapJoin extends Rule[LogicalPlan] with PredicateHelper {
         if (minBytes > 0 &&
             (j.left.stats.sizeInBytes < minBytes ||
              j.right.stats.sizeInBytes < minBytes)) return None
+        val w: Long =
+          if (ws == "auto") {
+            val target = math.max(1L,
+              conf.getConfString("spark.graft.autoband.targetbands", "256").toLong)
+            (for {
+              (ls0, _) <- colMinMax(j.left, ls)
+              (_, le1) <- colMinMax(j.left, le)
+              (rs0, _) <- colMinMax(j.right, rs)
+              (_, re1) <- colMinMax(j.right, re)
+            } yield {
+              val span = math.max(le1, re1) - math.min(ls0, rs0)
+              math.max(1L, span / target)
+            }) match {
+              case Some(width) => width
+              case None => return None // no stats -> don't band blind
+            }
+          } else ws.toLong
 
         def floorDiv(x: Expression): Expression =
           IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))

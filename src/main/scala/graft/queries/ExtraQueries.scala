@@ -74,6 +74,30 @@ object ExtraQueries {
         .orderBy("user_id", "s", "e", "x1", "y1")
     }),
 
+    // X6: as-of join — every click attributed to the user's most recent
+    // purchase at or before it (point-in-time lookup). The operator is
+    // the merge form (union + one key-partitioned window; no per-key
+    // quadratic candidate set); DuckDB's native ASOF LEFT JOIN is the
+    // oracle. Purchases are deduped to one per (user, second) first —
+    // "latest of several at the same instant" is not well-defined.
+    "x06_asof_join" -> ((s, d) => {
+      val e = Tables.events(tune(s), d).select(col("event_id"),
+        col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("t"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "t")
+      val pw = Window.partitionBy(col("user_id"), col("t"))
+        .orderBy(col("p_event_id").desc)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("event_id").as("p_event_id"),
+          cents(col("value")).as("p_cents"))
+        .withColumn("rn", row_number().over(pw)).filter(col("rn") === 1)
+        .drop("rn")
+      graft.operators.AsofJoin
+        .asofJoin(clicks, purchases, "user_id", "t", Seq("p_event_id", "p_cents"))
+        .orderBy("event_id")
+    }),
+
     // A16: cube over (returnflag, linestatus) — subtotals + grand total
     "a16_cube" -> ((s, d) =>
       Tables.lineitem(tune(s), d)
@@ -133,6 +157,24 @@ object ExtraQueries {
          |  AND b.x1 < a.x2 AND b.x2 > a.x1
          |  AND b.y1 < a.y2 AND b.y2 > a.y1
          |ORDER BY 1, 2, 3, 4, 6""".stripMargin,
+
+    "x06_asof_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |    epoch_ns(ts)//1000000000 AS t, value FROM events),
+         |clicks AS (SELECT event_id, user_id, t FROM e
+         |           WHERE event_type = 'click'),
+         |purchases AS (
+         |  SELECT user_id, t, p_event_id, p_cents FROM (
+         |    SELECT user_id, t, event_id AS p_event_id,
+         |      ${centsSql("value")} AS p_cents,
+         |      row_number() OVER (PARTITION BY user_id, t
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM e WHERE event_type = 'purchase') p0
+         |  WHERE rn = 1)
+         |SELECT c.event_id, c.user_id, c.t, p.p_event_id, p.p_cents
+         |FROM clicks c ASOF LEFT JOIN purchases p
+         |  ON c.user_id = p.user_id AND c.t >= p.t
+         |ORDER BY c.event_id""".stripMargin,
 
     "a17_rollup" ->
       s"""SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,

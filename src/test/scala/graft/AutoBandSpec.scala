@@ -37,4 +37,45 @@ class AutoBandSpec extends SparkSpec {
       assert(banded === plain)
     } finally spark.conf.set("spark.graft.autoband.width", "0")
   }
+
+  test("width=auto derives the band width from ANALYZE'd column stats") {
+    graft.plans.AutoBand.install(spark)
+    val rnd = new scala.util.Random(11)
+    def gen() = Seq.fill(300) {
+      val k = if (rnd.nextInt(5) < 2) 1L else 2L + rnd.nextInt(3)
+      val s = rnd.nextInt(4000).toLong
+      (k, s, s + 1 + rnd.nextInt(150))
+    }.toDF("k", "s", "e")
+    gen().write.mode("overwrite").saveAsTable("autoband_a")
+    gen().write.mode("overwrite").saveAsTable("autoband_b")
+    spark.sql("ANALYZE TABLE autoband_a COMPUTE STATISTICS FOR COLUMNS k, s, e")
+    spark.sql("ANALYZE TABLE autoband_b COMPUTE STATISTICS FOR COLUMNS k, s, e")
+    val a = spark.table("autoband_a"); val b = spark.table("autoband_b")
+
+    spark.conf.set("spark.graft.autoband.width", "0")
+    val plain = IntervalOps.overlaps(a, b, C)
+      .as[(Long, Long, Long)].collect().sorted.toList
+    try {
+      // attributeStats only propagate under CBO
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.graft.autoband.width", "auto")
+      val df = IntervalOps.overlaps(a, b, C)
+      val banded = df.as[(Long, Long, Long)].collect().sorted.toList
+      assert(df.queryExecution.optimizedPlan
+        .collect { case g: Generate => g }.size === 2)
+      assert(banded === plain)
+
+      // without stats the rule must leave the join alone, not band blind
+      val aRaw = gen().cache(); val bRaw = gen().cache()
+      val rawDf = IntervalOps.overlaps(aRaw, bRaw, C)
+      rawDf.write.format("noop").mode("overwrite").save()
+      assert(rawDf.queryExecution.optimizedPlan
+        .collect { case g: Generate => g }.isEmpty)
+    } finally {
+      spark.conf.set("spark.graft.autoband.width", "0")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS autoband_a")
+      spark.sql("DROP TABLE IF EXISTS autoband_b")
+    }
+  }
 }
