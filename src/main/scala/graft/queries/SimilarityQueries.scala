@@ -74,6 +74,17 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
+    // path for a 100 TB embedding store. Quantized dot products are
+    // exact integers, so (unlike the float v-queries) this one IS
+    // DuckDB-oracle-checked: ranking by (qdot desc, vec_id) is
+    // cross-engine deterministic.
+    "v08_int8_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.int8TopK(e, e.filter(col("vec_id") < 5), 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // V6: knn_predict surface (face_embeddings.py:128-131): every 5th
     // vector is "labeled"; the rest are scored by the mean label of
     // their 5 nearest labeled neighbors under cosine
@@ -87,6 +98,30 @@ object SimilarityQueries {
     })
   )
 
-  /** Float pipelines: rows-only checks (see scaladoc). */
-  val oracle: Map[String, String] = Map.empty
+  /** Float pipelines are rows-only (see scaladoc) — except v08, whose
+    * quantized-integer scores are exact in both engines. The SQL
+    * mirrors the Spark ops in order: cast to double, * 127.0, / maxabs,
+    * round (ties away from zero in both engines), integer dot. */
+  val oracle: Map[String, String] = Map(
+    "v08_int8_ann" ->
+      """WITH m AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |      WHERE vec_id < 5),
+        |z AS (SELECT q.q_id, c.vec_id, unnest(list_zip(q.qe, c.embedding)) AS p
+        |      FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+        |d AS (SELECT q_id, vec_id,
+        |        CAST(sum(
+        |          CAST(round(CAST(p[1] AS DOUBLE) * 127.0 / (SELECT ma FROM m)) AS BIGINT)
+        |          * CAST(round(CAST(p[2] AS DOUBLE) * 127.0 / (SELECT ma FROM m)) AS BIGINT)
+        |        ) AS BIGINT) AS qdot
+        |      FROM z GROUP BY 1, 2),
+        |r AS (SELECT q_id, vec_id, qdot,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+        |      FROM d)
+        |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin
+  )
 }

@@ -129,6 +129,45 @@ object Similarity {
       .agg(avg(col("t_label").cast("double")).as("score"))
   }
 
+  /** Global-maxabs int8 scalar quantization: q_i = round(v_i * 127 /
+    * max|v|), the memory/bandwidth move for a 100 TB embedding store
+    * (4 bytes -> 1 per dimension; quantized scores are exact integers,
+    * so ranking is cross-engine deterministic — unlike float cosine,
+    * this ANN path is DuckDB-oracle-checkable). The scale factor rides
+    * along as a broadcast 1-row aggregate, not a driver-side collect.
+    * Quantized values are emitted as array<double> (integer-valued):
+    * dots of |q| <= 127 over dim <= 2^38 stay exact in a double
+    * accumulator, so [[Fns.dot]]'s codegen'd loop applies unchanged. */
+  def quantizeInt8(corpus: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val ma = corpus.agg(
+      max(array_max(transform(col(embCol), x => abs(x.cast("double"))))).as("__ma"))
+    corpus.crossJoin(broadcast(ma))
+      .withColumn("__q",
+        transform(col(embCol), x => round(x.cast("double") * 127.0d / col("__ma"))))
+      .drop("__ma")
+  }
+
+  /** Approximate top-k by exact-integer quantized dot product: both
+    * sides int8-quantized on the corpus scale, ranked per query by
+    * (quantized dot desc, vec_id). Queries broadcast; the corpus scan
+    * stays distributed. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qc = quantizeInt8(corpus)
+      .select(col("vec_id"), col("__q").as("qc"))
+    // queries are quantized on the CORPUS max-abs so both sides share
+    // one scale (queries here are corpus members; an external query set
+    // would pass through the same corpus-derived factor)
+    val qq = broadcast(quantizeInt8(corpus).join(
+        queries.select(col("vec_id").as("q_id")),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("__q").as("qq")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
+    qc.join(qq, col("vec_id") =!= col("q_id"))
+      .withColumn("qdot", Fns.dot(col("qc"), col("qq")).cast("long"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+  }
+
   /** Per-label centroids via posexplode + per-position mean. The
     * per-position sum is made order-deterministic by folding a
     * vec_id-sorted list, so repeated runs bit-match. */
