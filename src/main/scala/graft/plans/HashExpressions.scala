@@ -41,6 +41,57 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** k-token shingle array of a space-delimited string: one row-level
+  * call that splits once and assembles each window in a tight loop —
+  * the codegen'd replacement for both the window-function form (which
+  * shuffles and sorts every token in the corpus) and the
+  * transform/slice HOF form (an interpreted lambda per shingle).
+  * Token semantics identical to `split(text, ' ')` with Spark's
+  * default -1 limit (empty tokens from doubled spaces are kept).
+  */
+case class Shingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def prettyName: String = "shingles"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Shingles.shingle(a.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.Shingles.shingle($a, $k)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object Shingles {
+  def shingle(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object RollingHash {
   /** Static helper shared by interpreted eval and generated code (one
     * monomorphic call site per row; the loop itself JITs tight). ASCII

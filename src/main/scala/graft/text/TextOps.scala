@@ -21,16 +21,18 @@ object TextOps {
     docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
 
   /** Distinct k-token shingles per doc (k=3): the set representation
-    * used for near-dup detection. */
+    * used for near-dup detection. Built per row from the token array —
+    * NO window over the exploded token table (that form shuffles and
+    * sorts every token in the corpus just to see k-1 neighbors; this
+    * one sees them in the array for free, so shingling is map-side
+    * only and the sole exchange is the final distinct). Docs shorter
+    * than k tokens produce no shingles, as before. */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
-    // lead beyond the doc end yields null and concat_ws drops it, so
-    // short windows produce < k parts — filtered out below.
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tokens(docs)
-      .withColumn("sh", concat_ws(" ",
-        (0 until k).map(i => lead(col("tok"), i).over(w)): _*))
-      .filter(size(split(col("sh"), " ")) === k)
-      .select(col("doc_id"), col("sh")).distinct()
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.select(col("doc_id"),
+        explode(Bridge.column(
+          graft.plans.Shingles(Bridge.expression(col("text")), k))).as("sh"))
+      .distinct()
   }
 
   /** Deterministic dictionary: shingle/token -> dense 1-based id by

@@ -40,6 +40,30 @@ class HashExprSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("shingles equals the window-function form (incl. edge cases)") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (Seq(
+      (1L, "a b c d e"),
+      (2L, "a b"),            // shorter than k -> no shingles
+      (3L, ""),               // empty text
+      (4L, "x  y z w"),       // doubled space -> empty token kept
+      (5L, "a b c a b c a b c")) ++ // repeats collapse via distinct
+      (6L to 40L).map(i => (i, s"tok$i " * (i % 7).toInt + "tail end cap")))
+      .toDF("doc_id", "text")
+    val native = TextOps.shingles(docs, 3)
+      .as[(Long, String)].collect().sorted.toList
+    // reference: posexplode + lead window (the round-2 implementation)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val windowed = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .withColumn("sh", concat_ws(" ",
+        (0 until 3).map(i => lead($"tok", i).over(w)): _*))
+      .filter(size(split($"sh", " ")) === 3)
+      .select($"doc_id", $"sh").distinct()
+      .as[(Long, String)].collect().sorted.toList
+    assert(native === windowed)
+  }
+
   test("rolling_hash matches under codegen over a real column scan") {
     // wide enough that whole-stage codegen (not interpreted fallback)
     // is exercised; compare the two forms over distinct shingle-ish rows
