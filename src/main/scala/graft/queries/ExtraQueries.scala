@@ -98,6 +98,23 @@ object ExtraQueries {
         .orderBy("event_id")
     }),
 
+    // A18: sketch aggregates — the 100 TB substitute for exact
+    // distinct-count (a10/a04 shuffle every distinct value; HLL merges
+    // fixed-size registers) and exact percentile (a10 sorts the group;
+    // QuantileSummaries merges bounded summaries). Deterministic for a
+    // fixed partitioning but algorithm-specific, so rows-only (DuckDB's
+    // approx functions use different sketches). AnalyticsSpec bounds
+    // the error against the exact answers.
+    "a18_sketches" -> ((s, d) =>
+      Tables.lineitem(tune(s), d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_quantity, array(0.5, 0.95), 1000)").as("q"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("approx_orders"),
+          col("q").getItem(0).as("p50"), col("q").getItem(1).as("p95"), col("n"))
+        .orderBy("l_returnflag")),
+
     // A16: cube over (returnflag, linestatus) — subtotals + grand total
     "a16_cube" -> ((s, d) =>
       Tables.lineitem(tune(s), d)

@@ -115,4 +115,24 @@ class AnalyticsSpec extends SparkSpec {
     byLabel.foreach { case (_, cs) => assert(cs.size === 1) }
     assert(byLabel.values.flatten.toSet.size === 3)
   }
+
+  test("sketch aggregates stay within tolerance of the exact answers") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 20000)
+      .map(i => (i.toLong % 3000, (i % 100).toDouble, if (i % 2 == 0) "A" else "B"))
+      .toDF("k", "v", "g")
+    val sk = df.groupBy($"g")
+      .agg(approx_count_distinct($"k", rsd = 0.02).as("ad"),
+        expr("approx_percentile(v, 0.5, 1000)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = df.groupBy($"g")
+      .agg(countDistinct($"k").as("d"),
+        expr("percentile(v, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (g, (d, p)) =>
+      val (ad, ap) = sk(g)
+      assert(math.abs(ad - d).toDouble / d < 0.05, s"$g hll off: $ad vs $d")
+      assert(math.abs(ap - p) <= 2.0, s"$g p50 off: $ap vs $p")
+    }
+  }
 }

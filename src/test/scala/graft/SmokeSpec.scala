@@ -15,7 +15,7 @@ class SmokeSpec extends SparkSpec {
     assert(noOracle === Set("p11_random_sample", "r11_bounded_coalesce",
       "v01_cosine_topk", "v02_lsh_buckets", "v03_near_dup_cosine",
       "v04_centroid_assign", "v05_logreg_score", "v06_knn_predict",
-      "v07_ivf_topk", "e02_commercials", "a14_bootstrap"))
+      "v07_ivf_topk", "e02_commercials", "a14_bootstrap", "a18_sketches"))
   }
 
   test("all queries execute at sf0.001") {
