@@ -42,11 +42,21 @@ object AsofJoin {
     val lu = left.select(
       leftCols.map(col) :+ lit(1).as("__tag") :+
         lit(null).cast(payloadType).as("__r"): _*)
-    val ru = right.select(
-      leftCols.map { c =>
-        if (c == key || c == time) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)
-      } :+ lit(0).as("__tag") :+ payload.as("__r"): _*)
+    // join semantics for nulls: a right row with a null key or null
+    // time can never satisfy `r.key = l.key AND r.t <= l.t`, but the
+    // window form would happily group/order it (nulls-first) and leak
+    // its payload into every later left row — drop such rows up front.
+    // Null-key/time LEFT rows need no special case: their partition
+    // then holds no right rows (or, for null t ordered first, no
+    // preceding right rows), so they surface with a null payload —
+    // exactly the left-outer result.
+    val ru = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(
+        leftCols.map { c =>
+          if (c == key || c == time) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)
+        } :+ lit(0).as("__tag") :+ payload.as("__r"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -22,6 +22,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("d") === None)       // key has no right rows at all
   }
 
+  test("null right keys/times never match; null left keys get null payload") {
+    val left = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+      (Some(1L), None, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Some(1L), Some(5L), 50L), (None, Some(1L), 666L),
+      (Some(1L), None, 777L))
+      .toDF("k", "t", "rv")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", Seq("rv"))
+      .select("tag", "rv").as[(String, Option[Long])].collect().toMap
+    assert(out("a") === Some(50L)) // the one valid right row
+    assert(out("b") === None)      // null left key matches nothing
+    assert(out("c") === None)      // null left time precedes everything
+  }
+
   test("equals the naive argmax join on random data (incl. hot key)") {
     val rnd = new scala.util.Random(23)
     val left = Seq.fill(500) {
