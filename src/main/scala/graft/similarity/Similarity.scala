@@ -152,14 +152,24 @@ object Similarity {
     * (quantized dot desc, vec_id). Queries broadcast; the corpus scan
     * stays distributed. */
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val qc = quantizeInt8(corpus)
-      .select(col("vec_id"), col("__q").as("qc"))
+    // ONE corpus pass for the scale factor (1-row cache; recomputing it
+    // per quantize call would re-scan the corpus), one quantized corpus
+    // scan, and a broadcast-filtered pass for the query vectors — the
+    // query side's scan is pruned by the id join before quantizing.
+    val ma = corpus.agg(
+      max(array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))).as("__ma")).cache()
+    def quant(df: DataFrame): DataFrame = df.crossJoin(broadcast(ma))
+      .withColumn("__q",
+        transform(col("embedding"), x => round(x.cast("double") * 127.0d / col("__ma"))))
+      .drop("__ma")
+    val qc = quant(corpus).select(col("vec_id"), col("__q").as("qc"))
     // queries are quantized on the CORPUS max-abs so both sides share
     // one scale (queries here are corpus members; an external query set
     // would pass through the same corpus-derived factor)
-    val qq = broadcast(quantizeInt8(corpus).join(
-        queries.select(col("vec_id").as("q_id")),
-        col("vec_id") === col("q_id"))
+    val qq = broadcast(quant(corpus.join(
+        broadcast(queries.select(col("vec_id").as("q_id"))),
+        col("vec_id") === col("q_id")))
       .select(col("q_id"), col("__q").as("qq")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
     qc.join(qq, col("vec_id") =!= col("q_id"))
