@@ -104,6 +104,69 @@ object Ingest {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** One tagged input row for [[streamingAsof]]: both streams union'd,
+    * `is_left` marks the probe side; `id` identifies left rows, `rv` is
+    * the right payload. */
+  case class AsofEvent(user_id: Long, ts: java.sql.Timestamp,
+                       is_left: Boolean, id: Long, rv: Long)
+  /** One emitted left row with its as-of match (None = no right row at
+    * or before it). */
+  case class AsofOut(user_id: Long, id: Long, t_ms: Long,
+                     r_id: Option[Long], r_rv: Option[Long])
+  /** Buffered (t_ms, id) lefts awaiting the watermark + retained
+    * (t_ms, id, rv) rights. */
+  case class AsofBuf(lefts: Seq[(Long, Long)], rights: Seq[(Long, Long, Long)])
+
+  /** Streaming as-of join — the stream-stream form of
+    * [[graft.operators.AsofJoin]] via `flatMapGroupsWithState`: each
+    * left event is emitted with the latest right event at or before it,
+    * once the watermark guarantees no earlier right event can still
+    * arrive (a left at time t is held in state until watermark >= t).
+    * State is bounded: of the right events at or before the watermark
+    * only the latest survives (it dominates any future left, whose time
+    * must exceed the watermark); rights ahead of the watermark are
+    * bounded by the watermark delay. Late left rows (t already behind
+    * the watermark on arrival) are matched immediately against the
+    * retained rights — the standard late-data contract. Ties: a right
+    * at exactly t matches; equal right times break by max id. */
+  def streamingAsof(events: Dataset[AsofEvent],
+                    watermark: String = "2 hours"): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    def matchLeft(rights: Seq[(Long, Long, Long)], t: Long): Option[(Long, Long)] =
+      rights.filter(_._1 <= t).sortBy(r => (r._1, r._2)).lastOption
+        .map(r => (r._2, r._3))
+    def fn(key: Long, rows: Iterator[AsofEvent],
+           state: GroupState[AsofBuf]): Iterator[AsofOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      val buf = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+      val batch = rows.toSeq
+      val lefts = buf.lefts ++ batch.filter(_.is_left)
+        .map(e => (e.ts.getTime, e.id))
+      val rights = (buf.rights ++ batch.filter(!_.is_left)
+        .map(e => (e.ts.getTime, e.id, e.rv))).sorted
+      val (ready, pending) = lefts.partition(_._1 <= wm)
+      val out = ready.sorted.map { case (t, id) =>
+        val m = matchLeft(rights, t)
+        AsofOut(key, id, t, m.map(_._1), m.map(_._2))
+      }
+      // retain: the single dominating right at/behind the watermark +
+      // everything ahead of it
+      val keep = rights.filter(_._1 > wm) ++ rights.filter(_._1 <= wm).lastOption
+      if (pending.isEmpty && keep.isEmpty) state.remove()
+      else {
+        state.update(AsofBuf(pending, keep))
+        if (pending.nonEmpty)
+          // fires once the watermark passes the earliest held left
+          state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+      }
+      out.iterator
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** End-to-end ingest job: file source -> ledger dedup -> parquet sink
     * with checkpointing (append-only label writes, S7/S8). */
   def ingestJob(spark: SparkSession, inDir: String, outDir: String,

@@ -75,6 +75,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(ClosedIv(1L, 0L, 20L)))   // [100,110) is still open
   }
 
+  test("streamingAsof emits each left with its latest right once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Ingest.{AsofEvent, AsofOut}
+    val in = MemoryStream[AsofEvent]
+    val q = Ingest.streamingAsof(in.toDS(), watermark = "10 seconds")
+      .toDF().writeStream.format("memory")
+      .queryName("sasof_out").outputMode("append").start()
+    // rights at t=5 (id 50) and t=15 (id 51); lefts at t=10, t=20, and
+    // an unmatched key
+    in.addData(
+      AsofEvent(1L, ts(5), is_left = false, 50L, 500L),
+      AsofEvent(1L, ts(10), is_left = true, 100L, 0L),
+      AsofEvent(1L, ts(15), is_left = false, 51L, 510L),
+      AsofEvent(1L, ts(20), is_left = true, 101L, 0L),
+      AsofEvent(2L, ts(8), is_left = true, 200L, 0L))
+    q.processAllAvailable()
+    // push the watermark far past every held left
+    in.addData(AsofEvent(9L, ts(10000), is_left = false, 999L, 0L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sasof_out").as[AsofOut].collect()
+      .map(o => o.id -> (o.r_id, o.r_rv)).toMap
+    assert(got(100L) === (Some(50L), Some(500L)))  // latest right <= 10 is t=5
+    assert(got(101L) === (Some(51L), Some(510L)))  // latest right <= 20 is t=15
+    assert(got(200L) === (None, None))             // key 2 has no rights
+    assert(got.size === 3)
+  }
+
   test("tumbling window counts per hour and type") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Ev]
