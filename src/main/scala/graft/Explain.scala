@@ -10,7 +10,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("j01_equi_join_agg", "p04_filter_compare", "r01_coalesce",
-        "j08_overlap_clip_first", "a02_group_sum", "t04_minhash_lsh")
+        "j08_overlap_clip_first", "a02_group_sum", "t04_minhash_lsh",
+        "x06_asof_join", "v08_int8_ann", "t06_simhash_pairs")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
