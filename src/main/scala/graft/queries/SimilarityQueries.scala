@@ -85,6 +85,15 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V9: deterministic IVF — quantized-hyperplane cells (4 planes ->
+    // 16 cells), Hamming<=1 probe set, exact-integer int8 ranking.
+    // The oracle-checkable counterpart of the KMeans IVF in v07.
+    "v09_ivf_int8" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfInt8TopK(e, e.filter(col("vec_id") < 5), nPlanes = 4, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // V6: knn_predict surface (face_embeddings.py:128-131): every 5th
     // vector is "labeled"; the rest are scored by the mean label of
     // their 5 nearest labeled neighbors under cosine
@@ -117,6 +126,42 @@ object SimilarityQueries {
         |          * CAST(round(CAST(p[2] AS DOUBLE) * 127.0 / (SELECT ma FROM m)) AS BIGINT)
         |        ) AS BIGINT) AS qdot
         |      FROM z GROUP BY 1, 2),
+        |r AS (SELECT q_id, vec_id, qdot,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+        |      FROM d)
+        |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "v09_ivf_int8" ->
+      """WITH m AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |qv AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
+        |       FROM embeddings, m),
+        |planes AS (SELECT vec_id AS pid, q AS ph FROM qv WHERE vec_id < 4),
+        |cd AS (SELECT v.vec_id, p.pid, unnest(list_zip(v.q, p.ph)) AS z
+        |       FROM qv v CROSS JOIN planes p),
+        |cdot AS (SELECT vec_id, pid, CAST(sum(z[1] * z[2]) AS BIGINT) AS d
+        |         FROM cd GROUP BY 1, 2),
+        |cells AS (SELECT vec_id,
+        |            CAST(sum(CASE WHEN d > 0
+        |              THEN (CAST(1 AS BIGINT) << CAST(pid AS INT)) ELSE 0 END) AS BIGINT) AS cell
+        |          FROM cdot GROUP BY 1),
+        |probes AS (SELECT q_id, unnest([qcell, xor(qcell, CAST(1 AS BIGINT)),
+        |             xor(qcell, CAST(2 AS BIGINT)), xor(qcell, CAST(4 AS BIGINT)),
+        |             xor(qcell, CAST(8 AS BIGINT))]) AS pcell
+        |           FROM (SELECT vec_id AS q_id, cell AS qcell FROM cells
+        |                 WHERE vec_id < 5) qq),
+        |cand AS (SELECT p.q_id, c.vec_id FROM probes p
+        |         JOIN cells c ON c.cell = p.pcell AND c.vec_id <> p.q_id),
+        |zz AS (SELECT cd2.q_id, cd2.vec_id, unnest(list_zip(a.q, b.q)) AS z
+        |       FROM cand cd2 JOIN qv a ON a.vec_id = cd2.q_id
+        |       JOIN qv b ON b.vec_id = cd2.vec_id),
+        |d AS (SELECT q_id, vec_id, CAST(sum(z[1] * z[2]) AS BIGINT) AS qdot
+        |      FROM zz GROUP BY 1, 2),
         |r AS (SELECT q_id, vec_id, qdot,
         |        CAST(row_number() OVER (PARTITION BY q_id
         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank

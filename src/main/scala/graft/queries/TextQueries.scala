@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.text.TextOps
 import Q._
@@ -153,10 +154,14 @@ object TextQueries {
       // corpus's max bucket (395 at sf0.1), so today's result set is
       // exactly the uncapped one.
       val bandCap = 1000
-      val hot = broadcast(posting.groupBy(col("bi"), col("bv"))
-        .agg(count(lit(1)).as("bn")).filter(col("bn") > bandCap)
-        .select("bi", "bv"))
-      val pruned = posting.join(hot, Seq("bi", "bv"), "left_anti")
+      // window count, not a separate hot-list broadcast job: the
+      // posting table is 4 rows/doc, so one (bi, bv) exchange is
+      // cheaper than an extra aggregate job + broadcast anti-join
+      // (t03 keeps the broadcast form — ITS posting table is every
+      // shingle occurrence, far too big to window-sort casually)
+      val bw = Window.partitionBy(col("bi"), col("bv"))
+      val pruned = posting.withColumn("bn", count(lit(1)).over(bw))
+        .filter(col("bn") <= bandCap).drop("bn")
       val cand = pruned.as("x")
         .join(pruned.as("y"),
           col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&

@@ -178,6 +178,49 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
   }
 
+  /** Deterministic IVF over int8-quantized vectors: the coarse
+    * quantizer is nPlanes quantized hyperplanes (sign of the exact
+    * integer dot — not KMeans, whose float iterations are neither
+    * cross-engine nor portable), giving 2^nPlanes cells; each query
+    * probes its own cell plus every cell at Hamming distance 1 (the
+    * IVF nprobe move on a bit-cell layout), and candidates rank by the
+    * exact-integer quantized dot. Everything is integer arithmetic, so
+    * unlike the KMeans IVF (v07, rows-only) this pipeline is
+    * DuckDB-oracle-checkable end to end. Cell assignment shuffles only
+    * (vec_id, cell) — the vector payload joins back by id. */
+  def ivfInt8TopK(corpus: DataFrame, queries: DataFrame,
+                  nPlanes: Int, k: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes < 20)
+    val ma = corpus.agg(
+      max(array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))).as("__ma")).cache()
+    def quant(df: DataFrame): DataFrame = df.crossJoin(broadcast(ma))
+      .withColumn("__q",
+        transform(col("embedding"), x => round(x.cast("double") * 127.0d / col("__ma"))))
+      .drop("__ma")
+    val qv = quant(corpus).select(col("vec_id"), col("__q").as("qv"))
+    val planes = broadcast(quant(corpus.filter(col("vec_id") < nPlanes))
+      .select(col("vec_id").as("pid"), col("__q").as("ph")))
+    val cells = qv.crossJoin(planes)
+      .withColumn("bit", when(Fns.dot(col("qv"), col("ph")) > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))")).otherwise(0L))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("cell"))
+    val withCell = qv.join(cells, "vec_id")
+    val probes = broadcast(withCell.join(
+        broadcast(queries.select(col("vec_id").as("q_id"))),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("qv").as("qq"), col("cell").as("qcell"))
+      .withColumn("pcell", explode(array(col("qcell") +:
+        (0 until nPlanes).map(j => col("qcell").bitwiseXOR(lit(1L << j))): _*)))
+      .select("q_id", "qq", "pcell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
+    withCell.join(probes, col("cell") === col("pcell") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("qdot", Fns.dot(col("qv"), col("qq")).cast("long"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+  }
+
   /** Per-label centroids via posexplode + per-position mean. The
     * per-position sum is made order-deterministic by folding a
     * vec_id-sorted list, so repeated runs bit-match. */
