@@ -183,6 +183,16 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
+    // T12 token packing (concat-and-chunk): global running token
+    // offset per doc + the context-window chunks it lands in. The
+    // offset uses the scalable two-phase prefix sum (text.Packing) —
+    // NOT a global single-partition window — and still hash-matches
+    // the oracle's plain SQL cumsum.
+    "t12_token_pack" -> ((s, d) =>
+      graft.text.Packing.packChunks(docs(s, d), 256)
+        .select("doc_id", "ntok", "off", "chunk_first", "chunk_last")
+        .orderBy("doc_id")),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -376,6 +386,17 @@ object TextQueries {
          |WHERE bit_count(xor(sx.b0, sy.b0)) + bit_count(xor(sx.b1, sy.b1))
          |    + bit_count(xor(sx.b2, sy.b2)) + bit_count(xor(sx.b3, sy.b3)) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    "t12_token_pack" ->
+      """SELECT doc_id, ntok, off,
+        |  off // 256 AS chunk_first, (off + ntok - 1) // 256 AS chunk_last
+        |FROM (
+        |  SELECT doc_id, ntok,
+        |    CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |        FROM documents) t) z
+        |ORDER BY doc_id""".stripMargin,
 
     "t07_quality" ->
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS INT) AS n_tok,

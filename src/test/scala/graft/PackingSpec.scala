@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.Packing
+
+/** Scalable two-phase prefix sum vs the naive global window, and the
+  * chunk arithmetic of concat-and-chunk packing. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withRunningOffset equals the single-partition global window") {
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 5000).map(i => (i.toLong, 1L + rnd.nextInt(40)))
+      .toDF("id", "v").repartition(13) // scrambled input partitioning
+    val fast = Packing.withRunningOffset(df, "id", "v", "off")
+      .select("id", "off").as[(Long, Long)].collect().sorted.toList
+    val naive = df
+      .withColumn("off", coalesce(sum($"v").over(
+        Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("id", "off").as[(Long, Long)].collect().sorted.toList
+    assert(fast === naive)
+    // the fast plan must not contain a partition-less (global) sort
+    // window over the full input — its only global window is over the
+    // P-row partial table
+  }
+
+  test("packChunks: offsets are exclusive cumsums, chunks cover each doc") {
+    val docs = Seq(
+      (1L, "a b c"),          // ntok 3, off 0
+      (2L, "d e"),            // off 3
+      (3L, ("x " * 9).trim)   // ntok 9, off 5 -> spans chunk 0..1 with len 8
+    ).toDF("doc_id", "text")
+    val out = Packing.packChunks(docs, chunkLen = 8)
+      .select("doc_id", "ntok", "off", "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(out === List(
+      (1L, 3L, 0L, 0L, 0L),
+      (2L, 2L, 3L, 0L, 0L),
+      (3L, 9L, 5L, 0L, 1L)))
+  }
+}
