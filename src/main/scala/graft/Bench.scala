@@ -21,6 +21,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf: the default 100-entry compiled-class cache thrashes
+      // across a 110-query corpus (hundreds of generated classes), so
+      // queries late in the run re-pay janino compilation they already
+      // did — t05 measured 0.6 s standalone vs 2.2 s mid-run
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
