@@ -104,6 +104,11 @@ object TextQueries {
     // zipWithIndex; hashing is embarrassingly parallel, same move t04
     // made for shingles)
     "t05_simhash" -> ((s, d) => {
+      // NOTE (measured, round 3): pre-partitioning this pipeline by
+      // doc_id makes every downstream agg exchange-free, but it was
+      // not reliably faster locally and it shuffles RAW token rows
+      // where the partial/final splits ship combined partials — the
+      // wrong trade at corpus scale. Keep the planner's default.
       val cnts = toks(s, d).groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("cnt"))
       val withIds = cnts
