@@ -198,6 +198,21 @@ object TextQueries {
         .select("doc_id", "ntok", "off", "chunk_first", "chunk_last")
         .orderBy("doc_id")),
 
+    // T13 feature hashing (the hashing trick): tokens land in a fixed
+    // D=128-dim space via the rolling hash, with a +/-1 sign from the
+    // next hash bit so collisions cancel in expectation — the
+    // vocabulary-free featurizer for corpus-scale models (no
+    // dictionary build, embarrassingly parallel, integer-exact).
+    "t13_feature_hash" -> ((s, d) =>
+      toks(s, d)
+        .withColumn("tid", TextOps.fingerprint(col("tok")))
+        .withColumn("dim", expr("tid % 128"))
+        .withColumn("sgn", expr("((tid div 128) % 2) * 2 - 1"))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sgn")).as("fval"))
+        .filter(col("fval") =!= 0)
+        .orderBy("doc_id", "dim")),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -391,6 +406,18 @@ object TextQueries {
          |WHERE bit_count(xor(sx.b0, sy.b0)) + bit_count(xor(sx.b1, sy.b1))
          |    + bit_count(xor(sx.b2, sy.b2)) + bit_count(xor(sx.b3, sy.b3)) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    "t13_feature_hash" ->
+      s"""SELECT doc_id, tid % 128 AS dim,
+         |  CAST(sum(((tid // 128) % 2) * 2 - 1) AS BIGINT) AS fval
+         |FROM (SELECT doc_id,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+         |          (a, x) -> (a * 31 + x) % 1000000007) AS tid
+         |      FROM (${Q.toksSql}) tk) t
+         |GROUP BY doc_id, tid % 128
+         |HAVING CAST(sum(((tid // 128) % 2) * 2 - 1) AS BIGINT) <> 0
+         |ORDER BY doc_id, dim""".stripMargin,
 
     "t12_token_pack" ->
       """SELECT doc_id, ntok, off,
