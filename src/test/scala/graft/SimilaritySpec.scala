@@ -42,6 +42,21 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets.forall(b => b >= 0 && b < 4))
   }
 
+  test("int8TopK and ivfInt8TopK find a planted duplicate first") {
+    // vec 10 duplicates vec 0: identical quantization -> identical cell
+    // in every plane and the maximal integer dot, so both the flat and
+    // the IVF path must rank it 1 deterministically
+    val corpus = vecs.union(Seq((10L, Array(1f, 0.05f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label"))
+    val q = corpus.filter($"vec_id" === 10L)
+    val flat = Similarity.int8TopK(corpus, q, 1)
+      .select("vec_id").as[Long].head()
+    assert(flat === 0L)
+    val ivf = Similarity.ivfInt8TopK(corpus, q, nPlanes = 2, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(ivf === 0L)
+  }
+
   test("centroidAssign is perfect on separated clusters") {
     val sep = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
