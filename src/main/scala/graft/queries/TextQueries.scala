@@ -213,6 +213,48 @@ object TextQueries {
         .filter(col("fval") =!= 0)
         .orderBy("doc_id", "dim")),
 
+    // T14 the full training-data preprocessing pipeline as ONE query:
+    // quality filter -> exact dedup (first doc per text) -> greedy
+    // shingle-Jaccard near-dup removal (drop the later doc of each
+    // >= 0.5 pair; transitive clustering would need iteration) ->
+    // concat-and-chunk packing of the survivors. Every stage is the
+    // library operator the standalone queries check (t07/t01/t03/t12),
+    // composed end-to-end and still DuckDB-exact.
+    "t14_corpus_pipeline" -> ((s, d) => {
+      val arr = split(col("text"), " ")
+      val qual = docs(s, d)
+        .withColumn("ntok", size(arr).cast("long"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+        .filter(col("ntok") >= 5 && col("uniq_ratio") >= 0.3)
+        .select("doc_id", "text", "ntok")
+      val dw = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      val uniqDocs = qual.withColumn("rn", row_number().over(dw))
+        .filter(col("rn") === 1).drop("rn")
+      val ids = TextOps.shingles(uniqDocs, 3)
+        .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
+        .distinct().cache()
+      val hot = broadcast(ids.groupBy(col("sid"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > 50).select("sid"))
+      val sh = ids.join(hot, Seq("sid"), "left_anti")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val dropd = sh.select(col("doc_id").as("d1"), col("sid"))
+        .join(sh.select(col("doc_id").as("d2"), col("sid")), Seq("sid"))
+        .filter(col("d1") < col("d2"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+        .filter(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double") >= 0.5)
+        .select(col("d2").as("doc_id")).distinct()
+      val kept = uniqDocs.join(dropd, Seq("doc_id"), "left_anti")
+        .select("doc_id", "ntok")
+      graft.text.Packing.withRunningOffset(kept, "doc_id", "ntok", "off")
+        .withColumn("chunk_first", expr("off div 256"))
+        .select("doc_id", "ntok", "off", "chunk_first")
+        .orderBy("doc_id")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -406,6 +448,50 @@ object TextQueries {
          |WHERE bit_count(xor(sx.b0, sy.b0)) + bit_count(xor(sx.b1, sy.b1))
          |    + bit_count(xor(sx.b2, sy.b2)) + bit_count(xor(sx.b3, sy.b3)) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    "t14_corpus_pipeline" ->
+      """WITH qual AS (
+        |  SELECT doc_id, text, CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+        |  FROM documents
+        |  WHERE len(string_split(text,' ')) >= 5
+        |    AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.3),
+        |uniqd AS (
+        |  SELECT doc_id, text, ntok FROM (
+        |    SELECT doc_id, text, ntok,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM qual) q WHERE rn = 1),
+        |shing AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-2)) AS i
+        |        FROM (SELECT doc_id, string_split(text,' ') AS l FROM uniqd) t0) t1),
+        |ids0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |  FROM shing),
+        |sh2 AS (SELECT doc_id, sid
+        |        FROM (SELECT doc_id, sid, count(*) OVER (PARTITION BY sid) AS df
+        |              FROM ids0) z
+        |        WHERE df <= 50),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh2 GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+        |          FROM sh2 a JOIN sh2 b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |dropd AS (SELECT DISTINCT d2 AS doc_id
+        |          FROM pairs p JOIN sizes x ON p.d1 = x.doc_id
+        |          JOIN sizes y ON p.d2 = y.doc_id
+        |          WHERE CAST(inter AS DOUBLE)
+        |            / CAST(x.nsh + y.nsh - inter AS DOUBLE) >= 0.5),
+        |kept AS (SELECT u.doc_id, u.ntok FROM uniqd u
+        |         WHERE NOT EXISTS (SELECT 1 FROM dropd dd WHERE dd.doc_id = u.doc_id)),
+        |packed AS (SELECT doc_id, ntok,
+        |             CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |           FROM kept)
+        |SELECT doc_id, ntok, off, off // 256 AS chunk_first
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     "t13_feature_hash" ->
       s"""SELECT doc_id, tid % 128 AS dim,
