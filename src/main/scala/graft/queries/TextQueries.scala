@@ -41,34 +41,10 @@ object TextQueries {
     // document frequency > tau are dropped before the self-join — a
     // boilerplate shingle shared by f docs would otherwise emit f^2
     // candidate pairs (quadratic hot-key blowup at corpus scale).
-    "t03_shingle_jaccard" -> ((s, d) => {
-      val tau = 50
-      // reused by sizes and both join sides — cache to avoid recomputing
-      // the shingle window lineage three times
-      val ids = TextOps.shingles(docs(s, d), 3)
-        .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
-        .distinct() // hash collisions within a doc collapse to one id
-        .cache()
-      // the over-frequent shingles are FEW by definition: a map-side
-      // partial count finds them and a broadcast anti-join drops them —
-      // no full sort of the posting table (a window over sid would
-      // shuffle every row)
-      val hot = broadcast(ids.groupBy(col("sid"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > tau).select("sid"))
-      val sh = ids.join(hot, Seq("sid"), "left_anti").cache()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val a = sh.select(col("doc_id").as("d1"), col("sid"))
-      val b = sh.select(col("doc_id").as("d2"), col("sid"))
-      a.join(b, Seq("sid")).filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
-        .withColumn("jacc", col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double"))
-        .filter(col("jacc") >= 0.5)
+    "t03_shingle_jaccard" -> ((s, d) =>
+      TextOps.jaccardPairs(docs(s, d), k = 3, dfCap = 50, tauJacc = 0.5)
         .select("d1", "d2", "inter", "n1", "n2", "jacc")
-        .orderBy("d1", "d2")
-    }),
+        .orderBy("d1", "d2")),
 
     // T4 MinHash + LSH near-dup: shingle dict -> 8 minhashes -> 4 bands
     // of 2 -> band-collision candidates + estimated jaccard
@@ -254,6 +230,16 @@ object TextQueries {
         .select("doc_id", "ntok", "off", "chunk_first")
         .orderBy("doc_id")
     }),
+
+    // T15 dedup clustering: connected components over the >= 0.5
+    // shingle-Jaccard pair graph (min-label propagation; cluster = min
+    // doc_id of the component). The transitive closure the greedy t14
+    // rule approximates; the oracle computes the same closure with a
+    // recursive CTE.
+    "t15_dedup_components" -> ((s, d) =>
+      graft.text.Dedup.connectedComponents(
+          TextOps.jaccardPairs(docs(s, d), k = 3, dfCap = 50, tauJacc = 0.5))
+        .orderBy("doc_id")),
 
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
@@ -448,6 +434,31 @@ object TextQueries {
          |WHERE bit_count(xor(sx.b0, sy.b0)) + bit_count(xor(sx.b1, sy.b1))
          |    + bit_count(xor(sx.b2, sy.b2)) + bit_count(xor(sx.b3, sy.b3)) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    "t15_dedup_components" ->
+      s"""WITH RECURSIVE ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),
+         |sh AS (SELECT doc_id, sid
+         |       FROM (SELECT doc_id, sid, count(*) OVER (PARTITION BY sid) AS df FROM ids) z
+         |       WHERE df <= 50),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+         |          FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT d1, d2 FROM inter
+         |          JOIN sizes x ON inter.d1 = x.doc_id
+         |          JOIN sizes y ON inter.d2 = y.doc_id
+         |          WHERE CAST(i AS DOUBLE) / CAST(x.nsh + y.nsh - i AS DOUBLE) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |nodes AS (SELECT DISTINCT a AS doc_id FROM edges)
+         |SELECT n.doc_id,
+         |  CAST(least(n.doc_id, min(r.b)) AS BIGINT) AS cluster
+         |FROM nodes n JOIN reach r ON r.a = n.doc_id
+         |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
 
     "t14_corpus_pipeline" ->
       """WITH qual AS (

@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup clustering: connected components over a near-duplicate pair
+  * graph, so a chain a~b~c collapses to ONE cluster even when a and c
+  * are not directly similar (the transitive closure t14's greedy
+  * drop-the-later-doc rule approximates). Iterative min-label
+  * propagation — the standard Pregel-style loop (each node takes the
+  * min label among itself and its neighbors until fixpoint), which
+  * converges in O(component diameter) rounds; near-dup components are
+  * shallow in practice. Each round is one join + one aggregate, all
+  * hash-partitioned on the node id; the only driver-side work is the
+  * convergence count per round, as in any iterative MLlib algorithm.
+  */
+object Dedup {
+
+  /** @param pairs undirected edges (leftCol, rightCol)
+    * @return (doc_id, cluster) for every node that appears in an edge;
+    *   cluster = min doc_id of the component (deterministic). */
+  def connectedComponents(pairs: DataFrame, leftCol: String = "d1",
+                          rightCol: String = "d2",
+                          maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
+      .union(pairs.select(col(rightCol).as("a"), col(leftCol).as("b")))
+      .distinct().cache()
+    // each round MUST truncate lineage (eager localCheckpoint): the
+    // round-N plan otherwise nests the round-N-1 plan — caching
+    // shortcuts execution but not the logical plan, which grows
+    // exponentially and OOMs the planner after ~20 rounds
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("lab", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("lab").as("nlab")), "b")
+        .groupBy(col("a")).agg(min(col("nlab")).as("minNbr"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("doc_id"), col("minNbr")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lab"), coalesce(col("minNbr"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      changed = next.join(
+          labels.select(col("doc_id"), col("lab").as("old")), "doc_id")
+        .filter(col("lab") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("doc_id"), col("lab").as("cluster"))
+  }
+}

@@ -55,6 +55,33 @@ object TextOps {
     spark.createDataFrame(indexed).toDF(valueCol, idCol)
   }
 
+  /** Exact shingle-Jaccard near-dup pairs (d1 < d2, jacc >= tauJacc):
+    * hashed shingle ids, document-frequency cap before the
+    * inverted-index self-join (the round-1 scale guard — a boilerplate
+    * shingle shared by f docs otherwise emits f^2 candidate pairs),
+    * then the exact Jaccard filter. Columns: d1, d2, inter, n1, n2,
+    * jacc. The edge generator for dedup clustering. */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, dfCap: Int = 50,
+                   tauJacc: Double = 0.5): DataFrame = {
+    val ids = shingles(docs, k)
+      .select(col("doc_id"), fingerprint(col("sh")).as("sid"))
+      .distinct() // hash collisions within a doc collapse to one id
+      .cache()
+    val hot = broadcast(ids.groupBy(col("sid"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("sid"))
+    val sh = ids.join(hot, Seq("sid"), "left_anti").cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    sh.select(col("doc_id").as("d1"), col("sid"))
+      .join(sh.select(col("doc_id").as("d2"), col("sid")), Seq("sid"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+      .withColumn("jacc", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jacc") >= tauJacc)
+  }
+
   /** MinHash signatures: k universal-ish hashes
     * h_i(x) = (x * a_i + b_i) mod p with a_i = (2i+3)*524287 mod p,
     * b_i = (5i+7)*8191 — the multipliers must be large enough that the
