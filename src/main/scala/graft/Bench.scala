@@ -22,7 +22,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // static conf: the default 100-entry compiled-class cache thrashes
-      // across a 110-query corpus (hundreds of generated classes), so
+      // across a 100+-query corpus (hundreds of generated classes), so
       // queries late in the run re-pay janino compilation they already
       // did — t05 measured 0.6 s standalone vs 2.2 s mid-run
       .config("spark.sql.codegen.cache.maxEntries", "2000")
@@ -71,9 +71,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // a prefix-filtered run must not clobber the full-corpus gate
+    // artifact with a partial total: divert to a .partial file unless
+    // an output path was given explicitly, and mark the JSON
+    val partial = only.isDefined
+    val effOut =
+      if (partial && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
+        outPath + ".partial" else outPath
+    val partialField = if (partial) "\"partial\":true," else ""
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    Files.write(Paths.get(outPath), (json + "\n").getBytes(StandardCharsets.UTF_8))
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$partialField"queries":$qs,"sf":"$sfDir"}"""
+    Files.write(Paths.get(effOut), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     // The stdout copy must survive a bounded log-tail capture (~2 KB):
     // with 100+ queries the full-name map alone exceeds it and the line's

@@ -11,7 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // see Bench: avoid compiled-class cache thrash across 110 queries
+      // see Bench: avoid compiled-class cache thrash across 100+ queries
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -34,6 +34,9 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(!rightCols.exists(leftCols.contains),
       s"right payload ${rightCols.mkString(",")} clashes with left columns")
+    val reserved = Seq("__tag", "__r", "__m")
+    require(!(leftCols ++ rightCols).exists(reserved.contains),
+      s"columns ${reserved.mkString("/")} are reserved by asofJoin")
     val payload = struct(rightCols.map(col): _*)
     val payloadType = right.select(payload.as("__r")).schema.head.dataType
     // left rows carry a null payload slot; right rows carry null left

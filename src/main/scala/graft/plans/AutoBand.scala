@@ -89,7 +89,8 @@ object AutoBandOverlapJoin extends Rule[LogicalPlan] with PredicateHelper {
         val w: Long =
           if (ws == "auto") {
             val target = math.max(1L,
-              conf.getConfString("spark.graft.autoband.targetbands", "256").toLong)
+              scala.util.Try(conf.getConfString(
+                "spark.graft.autoband.targetbands", "256").toLong).getOrElse(256L))
             (for {
               (ls0, _) <- colMinMax(j.left, ls)
               (_, le1) <- colMinMax(j.left, le)

@@ -138,14 +138,26 @@ object Similarity {
     * Quantized values are emitted as array<double> (integer-valued):
     * dots of |q| <= 127 over dim <= 2^38 stay exact in a double
     * accumulator, so [[Fns.dot]]'s codegen'd loop applies unchanged. */
-  def quantizeInt8(corpus: DataFrame, embCol: String = "embedding"): DataFrame = {
-    val ma = corpus.agg(
+  def quantizeInt8(corpus: DataFrame, embCol: String = "embedding"): DataFrame =
+    quantWith(maxAbs(corpus, embCol), embCol)(corpus)
+
+  /** 1-row corpus max-abs aggregate — the shared quantization scale.
+    * Cache it: every quantized frame derived from it would otherwise
+    * re-scan the corpus to recompute the scalar. */
+  private def maxAbs(corpus: DataFrame, embCol: String = "embedding"): DataFrame =
+    corpus.agg(
       max(array_max(transform(col(embCol), x => abs(x.cast("double"))))).as("__ma"))
-    corpus.crossJoin(broadcast(ma))
+      .cache()
+
+  /** Quantize `df`'s embeddings on a previously computed scale (the
+    * ONE implementation of q_i = round(v_i * 127 / max|v|) — the
+    * oracle SQL mirrors this op order exactly). */
+  private def quantWith(ma: DataFrame, embCol: String = "embedding")(
+      df: DataFrame): DataFrame =
+    df.crossJoin(broadcast(ma))
       .withColumn("__q",
         transform(col(embCol), x => round(x.cast("double") * 127.0d / col("__ma"))))
       .drop("__ma")
-  }
 
   /** Approximate top-k by exact-integer quantized dot product: both
     * sides int8-quantized on the corpus scale, ranked per query by
@@ -156,13 +168,7 @@ object Similarity {
     // per quantize call would re-scan the corpus), one quantized corpus
     // scan, and a broadcast-filtered pass for the query vectors — the
     // query side's scan is pruned by the id join before quantizing.
-    val ma = corpus.agg(
-      max(array_max(transform(col("embedding"),
-        x => abs(x.cast("double"))))).as("__ma")).cache()
-    def quant(df: DataFrame): DataFrame = df.crossJoin(broadcast(ma))
-      .withColumn("__q",
-        transform(col("embedding"), x => round(x.cast("double") * 127.0d / col("__ma"))))
-      .drop("__ma")
+    val quant = quantWith(maxAbs(corpus)) _
     val qc = quant(corpus).select(col("vec_id"), col("__q").as("qc"))
     // queries are quantized on the CORPUS max-abs so both sides share
     // one scale (queries here are corpus members; an external query set
@@ -191,13 +197,7 @@ object Similarity {
   def ivfInt8TopK(corpus: DataFrame, queries: DataFrame,
                   nPlanes: Int, k: Int): DataFrame = {
     require(nPlanes >= 1 && nPlanes < 20)
-    val ma = corpus.agg(
-      max(array_max(transform(col("embedding"),
-        x => abs(x.cast("double"))))).as("__ma")).cache()
-    def quant(df: DataFrame): DataFrame = df.crossJoin(broadcast(ma))
-      .withColumn("__q",
-        transform(col("embedding"), x => round(x.cast("double") * 127.0d / col("__ma"))))
-      .drop("__ma")
+    val quant = quantWith(maxAbs(corpus)) _
     val qv = quant(corpus).select(col("vec_id"), col("__q").as("qv"))
     val planes = broadcast(quant(corpus.filter(col("vec_id") < nPlanes))
       .select(col("vec_id").as("pid"), col("__q").as("ph")))

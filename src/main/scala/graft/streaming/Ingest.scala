@@ -123,14 +123,20 @@ object Ingest {
     * once the watermark guarantees no earlier right event can still
     * arrive (a left at time t is held in state until watermark >= t).
     * State is bounded: of the right events at or before the watermark
-    * only the latest survives (it dominates any future left, whose time
-    * must exceed the watermark); rights ahead of the watermark are
-    * bounded by the watermark delay. Late left rows (t already behind
-    * the watermark on arrival) are matched immediately against the
-    * retained rights — the standard late-data contract. Ties: a right
-    * at exactly t matches; equal right times break by max id. */
+    * only the latest survives (it dominates any future on-time left,
+    * whose time must exceed the watermark); rights ahead of the
+    * watermark are bounded by the watermark delay; and a quiet key's
+    * retained right is evicted once the watermark is `rightTtl` past
+    * its event time (a timeout always stays armed, so state for dead
+    * keys is eventually removed — the bounded-staleness trade: a left
+    * arriving more than the TTL after the key's last right activity
+    * loses matches older than the TTL). Rows behind the watermark on
+    * arrival are dropped by the framework before reaching the state
+    * function — the standard streaming late-data contract. Ties: a
+    * right at exactly t matches; equal right times break by max id. */
   def streamingAsof(events: Dataset[AsofEvent],
-                    watermark: String = "2 hours"): Dataset[AsofOut] = {
+                    watermark: String = "2 hours",
+                    rightTtlMs: Long = 24L * 3600 * 1000): Dataset[AsofOut] = {
     import events.sparkSession.implicits._
     def matchLeft(rights: Seq[(Long, Long, Long)], t: Long): Option[(Long, Long)] =
       rights.filter(_._1 <= t).sortBy(r => (r._1, r._2)).lastOption
@@ -150,14 +156,20 @@ object Ingest {
         AsofOut(key, id, t, m.map(_._1), m.map(_._2))
       }
       // retain: the single dominating right at/behind the watermark +
-      // everything ahead of it
-      val keep = rights.filter(_._1 > wm) ++ rights.filter(_._1 <= wm).lastOption
+      // everything ahead of it — minus anything TTL-expired
+      val keep = (rights.filter(_._1 > wm) ++ rights.filter(_._1 <= wm).lastOption)
+        .filter(_._1 > wm - rightTtlMs)
       if (pending.isEmpty && keep.isEmpty) state.remove()
       else {
         state.update(AsofBuf(pending, keep))
         if (pending.nonEmpty)
           // fires once the watermark passes the earliest held left
           state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+        else
+          // rights only: re-arm so the retained right is eventually
+          // expired and the key's state removed even if it goes quiet
+          state.setTimeoutTimestamp(
+            math.max(keep.map(_._1).max + rightTtlMs, wm + 1))
       }
       out.iterator
     }

@@ -22,7 +22,6 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, leftCol: String = "d1",
                           rightCol: String = "d2",
                           maxIters: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
     val edges = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
       .union(pairs.select(col(rightCol).as("a"), col(leftCol).as("b")))
       .distinct().cache()
@@ -50,6 +49,7 @@ object Dedup {
       labels = next
       iter += 1
     }
+    edges.unpersist()
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
     labels.select(col("doc_id"), col("lab").as("cluster"))
   }

@@ -23,8 +23,15 @@ object Packing {
     * ties would make "the previous rows" ill-defined. */
   def withRunningOffset(df: DataFrame, ordCol: String, valCol: String,
                         outCol: String): DataFrame = {
+    // cache the pid-stamped rows: the partial-sum branch and the main
+    // branch below must observe the SAME partition assignment, and
+    // without a shared materialization each branch re-executes the
+    // range exchange, whose sampled boundaries are not guaranteed to
+    // repeat (exchange reuse usually saves this, but correctness must
+    // not depend on spark.sql.exchange.reuse)
     val withPid = df.repartitionByRange(col(ordCol))
       .withColumn("__pid", spark_partition_id())
+      .cache()
     // P rows — one per partition; the global cumsum over THEM is the
     // one tiny single-partition window (P ~ shuffle partitions)
     val offW = Window.orderBy(col("__pid"))

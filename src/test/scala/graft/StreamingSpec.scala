@@ -102,6 +102,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("streamingAsof expires a quiet key's retained right after the TTL") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Ingest.{AsofEvent, AsofOut}
+    val in = MemoryStream[AsofEvent]
+    // TTL 60s: the right at t=5 must be gone once the watermark is far
+    // past t=5+60s, so the late left at t=20 finds nothing
+    val q = Ingest.streamingAsof(in.toDS(), watermark = "10 seconds",
+        rightTtlMs = 60 * 1000L)
+      .toDF().writeStream.format("memory")
+      .queryName("sasof_ttl").outputMode("append").start()
+    in.addData(AsofEvent(1L, ts(5), is_left = false, 50L, 500L))
+    q.processAllAvailable()
+    // advance the watermark hours past the TTL (and let the timeout fire)
+    in.addData(AsofEvent(9L, ts(40000), is_left = false, 999L, 0L))
+    q.processAllAvailable()
+    in.addData(AsofEvent(9L, ts(50000), is_left = false, 998L, 0L))
+    q.processAllAvailable()
+    // on-time left on key 1, far after the right's TTL: the as-of right
+    // t=5 existed but has been evicted, so the match must be empty
+    in.addData(AsofEvent(1L, ts(50050), is_left = true, 100L, 0L))
+    q.processAllAvailable()
+    in.addData(AsofEvent(9L, ts(90000), is_left = false, 997L, 0L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sasof_ttl").as[AsofOut].collect()
+      .map(o => o.id -> (o.r_id, o.r_rv)).toMap
+    assert(got(100L) === (None, None))
+  }
+
   test("tumbling window counts per hour and type") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Ev]
