@@ -123,6 +123,17 @@ object ExtraQueries {
           count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // A19: GROUPING SETS — the general form cube/rollup specialize
+    // (Spark 4's Dataset.groupingSets API; completes the §2.5 GAP line)
+    "a19_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(tune(s), d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // A17: rollup over (priority, status)
     "a17_rollup" -> ((s, d) =>
       Tables.orders(tune(s), d)
@@ -192,6 +203,14 @@ object ExtraQueries {
          |FROM clicks c ASOF LEFT JOIN purchases p
          |  ON c.user_id = p.user_id AND c.t >= p.t
          |ORDER BY c.event_id""".stripMargin,
+
+    "a19_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "a17_rollup" ->
       s"""SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
