@@ -64,4 +64,24 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("frame_off"),
         expr("ascii(substr(CAST(payload AS STRING), frame_off + 1, 1))")
           .as("probe"))
+
+  /** Overlapping-window sampling (the audio-chunking shape: ASR/feature
+    * pipelines consume fixed-length windows advanced by a hop smaller
+    * than the window). One row per window with its clipped byte bounds
+    * and a stubbed probe (first byte of the window — same honest codec
+    * stand-in as [[sampleFrames]]). Windows start at every multiple of
+    * `hop` before the payload end; `win >= hop` gives the standard
+    * overlapped tiling. */
+  def sampleWindows(media: DataFrame, win: Int, hop: Int): DataFrame = {
+    require(win >= 1 && hop >= 1)
+    media
+      .select(col("media_id"), col("kind"), col("payload"),
+        explode(sequence(lit(0), octet_length(col("payload")) - 1,
+          lit(hop))).as("w_start"))
+      .select(col("media_id"), col("kind"), col("w_start"),
+        least(col("w_start") + win,
+          octet_length(col("payload")).cast("long")).as("w_end"),
+        expr("ascii(substr(CAST(payload AS STRING), w_start + 1, 1))")
+          .as("probe"))
+  }
 }

@@ -298,6 +298,16 @@ object TextQueries {
         .select(col("media_id"), col("frame_off"), col("probe"))
         .orderBy("media_id", "frame_off")),
 
+    // M4 overlapping-window sampling (audio-chunking plumbing): 64-byte
+    // windows advanced by a 48-byte hop, clipped at the payload end,
+    // with the stubbed per-window probe
+    "m04_audio_windows" -> ((s, d) =>
+      graft.multimodal.Multimodal.sampleWindows(
+          graft.multimodal.Multimodal.asMedia(docs(s, d), "doc_id", "text", "audio"),
+          win = 64, hop = 48)
+        .select(col("media_id"), col("w_start"), col("w_end"), col("probe"))
+        .orderBy("media_id", "w_start")),
+
     // M1 multimodal/binary column metadata: byte length + positional
     // checksum of the opaque payload (decode itself is stubbed — see
     // graft.multimodal)
@@ -574,6 +584,15 @@ object TextQueries {
         |  ascii(substr(text, CAST(off AS INT) + 1, 1)) AS probe
         |FROM (SELECT doc_id, text,
         |        unnest(generate_series(0, octet_length(CAST(text AS BLOB)) - 1, 64)) AS off
+        |      FROM documents) t
+        |ORDER BY 1, 2""".stripMargin,
+
+    "m04_audio_windows" ->
+      """SELECT doc_id AS media_id, CAST(off AS INT) AS w_start,
+        |  CAST(least(off + 64, octet_length(CAST(text AS BLOB))) AS BIGINT) AS w_end,
+        |  ascii(substr(text, CAST(off AS INT) + 1, 1)) AS probe
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, octet_length(CAST(text AS BLOB)) - 1, 48)) AS off
         |      FROM documents) t
         |ORDER BY 1, 2""".stripMargin,
 
