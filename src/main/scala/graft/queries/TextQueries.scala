@@ -241,6 +241,24 @@ object TextQueries {
           TextOps.jaccardPairs(docs(s, d), k = 3, dfCap = 50, tauJacc = 0.5))
         .orderBy("doc_id")),
 
+    // T16 source-mix sampling: per-language acceptance quotas applied
+    // via the deterministic rolling hash of the doc id — the data-mixing
+    // step of a training corpus (upweight en to 80%, others to 25%),
+    // reproducible across engines and runs unlike RNG sampling, and
+    // embarrassingly parallel (pure per-row predicate, no shuffle
+    // before the audit aggregation).
+    "t16_source_mix" -> ((s, d) => {
+      val h = TextOps.fingerprint(col("doc_id").cast("string")) % 100
+      docs(s, d)
+        .withColumn("hb", h)
+        .filter(when(col("lang") === "en", col("hb") < 80)
+          .otherwise(col("hb") < 25))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("chars_sampled"))
+        .orderBy("lang")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -444,6 +462,18 @@ object TextQueries {
          |WHERE bit_count(xor(sx.b0, sy.b0)) + bit_count(xor(sx.b1, sy.b1))
          |    + bit_count(xor(sx.b2, sy.b2)) + bit_count(xor(sx.b3, sy.b3)) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    "t16_source_mix" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+        |FROM (SELECT lang, n_chars,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(CAST(doc_id AS VARCHAR),''),
+        |            c -> CAST(ascii(c) AS BIGINT))),
+        |          (a, x) -> (a * 31 + x) % 1000000007) % 100 AS hb
+        |      FROM documents) t
+        |WHERE (lang = 'en' AND hb < 80) OR (lang <> 'en' AND hb < 25)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t15_dedup_components" ->
       s"""WITH RECURSIVE ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),
