@@ -56,14 +56,25 @@ object Multimodal {
     * per-frame probe value — the partition-parallel explode a real
     * decoder would consume, with the decode itself stubbed as a byte
     * probe (honest stand-in, same as [[decodeFeatures]]). */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+  /** Shared offset tiling: one row per offset in [0, len) stepped by
+    * `step`, with the stubbed byte probe at the offset. The empty-
+    * payload guard matters: sequence(0, -1) throws in Spark where the
+    * oracle's generate_series yields the empty set — the `when` makes
+    * explode drop the row instead. */
+  private def tile(media: DataFrame, step: Int, offName: String): DataFrame = {
+    require(step >= 1)
+    val len = octet_length(col("payload"))
     media
       .select(col("media_id"), col("kind"), col("payload"),
-        explode(sequence(lit(0), octet_length(col("payload")) - 1,
-          lit(stride))).as("frame_off"))
-      .select(col("media_id"), col("kind"), col("frame_off"),
-        expr("ascii(substr(CAST(payload AS STRING), frame_off + 1, 1))")
-          .as("probe"))
+        explode(when(len > 0, sequence(lit(0), len - 1, lit(step)))
+          .otherwise(array())).as(offName))
+      .withColumn("probe",
+        expr(s"ascii(substr(CAST(payload AS STRING), $offName + 1, 1))"))
+  }
+
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    tile(media, stride, "frame_off")
+      .select(col("media_id"), col("kind"), col("frame_off"), col("probe"))
 
   /** Overlapping-window sampling (the audio-chunking shape: ASR/feature
     * pipelines consume fixed-length windows advanced by a hop smaller
@@ -73,15 +84,11 @@ object Multimodal {
     * `hop` before the payload end; `win >= hop` gives the standard
     * overlapped tiling. */
   def sampleWindows(media: DataFrame, win: Int, hop: Int): DataFrame = {
-    require(win >= 1 && hop >= 1)
-    media
-      .select(col("media_id"), col("kind"), col("payload"),
-        explode(sequence(lit(0), octet_length(col("payload")) - 1,
-          lit(hop))).as("w_start"))
+    require(win >= 1)
+    tile(media, hop, "w_start")
       .select(col("media_id"), col("kind"), col("w_start"),
         least(col("w_start") + win,
           octet_length(col("payload")).cast("long")).as("w_end"),
-        expr("ascii(substr(CAST(payload AS STRING), w_start + 1, 1))")
-          .as("probe"))
+        col("probe"))
   }
 }

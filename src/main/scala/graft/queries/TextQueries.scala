@@ -251,8 +251,11 @@ object TextQueries {
       val h = TextOps.fingerprint(col("doc_id").cast("string")) % 100
       docs(s, d)
         .withColumn("hb", h)
-        .filter(when(col("lang") === "en", col("hb") < 80)
-          .otherwise(col("hb") < 25))
+        // the same disjunction the oracle SQL uses, so a NULL lang is
+        // excluded on BOTH engines (when/otherwise would route NULLs
+        // into the 25% branch and silently diverge)
+        .filter((col("lang") === "en" && col("hb") < 80) ||
+          (col("lang") =!= "en" && col("hb") < 25))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"),
           sum(col("n_chars")).as("chars_sampled"))
