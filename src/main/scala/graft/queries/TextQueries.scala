@@ -262,6 +262,24 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // T17 adaptive quality cutoff: keep docs inside the [p10, p90]
+    // token-length band — quantile-based filtering (the perplexity-
+    // band move) where the threshold comes from the corpus itself.
+    // The two cutoffs are a broadcast 1-row aggregate over the same
+    // scan, not driver-side constants.
+    "t17_quality_band" -> ((s, d) => {
+      val q = docs(s, d)
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      val cuts = q.agg(expr("percentile(ntok, 0.10)").as("p10"),
+        expr("percentile(ntok, 0.90)").as("p90"))
+      q.crossJoin(broadcast(cuts))
+        .filter(col("ntok") >= col("p10") && col("ntok") <= col("p90"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("ntok")).as("toks_kept"))
+        .orderBy("lang")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -465,6 +483,16 @@ object TextQueries {
          |WHERE bit_count(xor(sx.b0, sy.b0)) + bit_count(xor(sx.b1, sy.b1))
          |    + bit_count(xor(sx.b2, sy.b2)) + bit_count(xor(sx.b3, sy.b3)) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    "t17_quality_band" ->
+      """WITH q AS (SELECT lang, CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+        |           FROM documents),
+        |cuts AS (SELECT quantile_cont(ntok, 0.10) AS p10,
+        |                quantile_cont(ntok, 0.90) AS p90 FROM q)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(ntok) AS BIGINT) AS toks_kept
+        |FROM q, cuts WHERE ntok >= p10 AND ntok <= p90
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t16_source_mix" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
