@@ -280,6 +280,29 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // T18 intra-document repetition filter: repetition ratio = 1 -
+    // distinct 3-grams / total 3-grams; docs above the threshold are
+    // dropped (the within-doc repetition quality rule — templated or
+    // looping text repeats its own n-grams). Per-row shingle totals
+    // are pure arithmetic; only the distinct count aggregates.
+    "t18_repetition_filter" -> ((s, d) => {
+      val base = docs(s, d)
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("total_sh", greatest(col("ntok") - 2, lit(0L)))
+      val distinctSh = TextOps.shingles(base, 3)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("distinct_sh"))
+      base.join(distinctSh, Seq("doc_id"), "left")
+        .withColumn("distinct_sh", coalesce(col("distinct_sh"), lit(0L)))
+        .withColumn("rep_ratio",
+          when(col("total_sh") > 0,
+            lit(1.0d) - col("distinct_sh").cast("double") /
+              col("total_sh").cast("double")).otherwise(lit(0.0d)))
+        .filter(col("rep_ratio") <= 0.2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("toks_kept"))
+        .orderBy("lang")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -483,6 +506,26 @@ object TextQueries {
          |WHERE bit_count(xor(sx.b0, sy.b0)) + bit_count(xor(sx.b1, sy.b1))
          |    + bit_count(xor(sx.b2, sy.b2)) + bit_count(xor(sx.b3, sy.b3)) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    "t18_repetition_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+         |    greatest(CAST(len(string_split(text,' ')) AS BIGINT) - 2, 0) AS total_sh
+         |  FROM documents),
+         |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_sh
+         |       FROM ($shinglesSql) s GROUP BY doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(ntok) AS BIGINT) AS toks_kept
+         |FROM (
+         |  SELECT b.lang, b.ntok,
+         |    CASE WHEN b.total_sh > 0
+         |      THEN 1.0 - CAST(coalesce(ds.distinct_sh, 0) AS DOUBLE)
+         |             / CAST(b.total_sh AS DOUBLE)
+         |      ELSE 0.0 END AS rep_ratio
+         |  FROM base b LEFT JOIN ds ON ds.doc_id = b.doc_id) t
+         |WHERE rep_ratio <= 0.2
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t17_quality_band" ->
       """WITH q AS (SELECT lang, CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
