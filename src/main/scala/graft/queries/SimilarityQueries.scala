@@ -94,6 +94,18 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V10: SemDeDup — semantic dedup clusters over the embedding
+    // corpus: int8-quantized within-cell cosine pairs at tau = 2/5
+    // (the corpus's planted similar pairs sit at quantized cos
+    // ~0.40-0.47; real near-dup corpora would run 0.9+ — the
+    // threshold is a ratio parameter, the plan is identical), then
+    // connected components; keep = the retained representative.
+    // Integer scoring end to end, so unlike v03 this dedup path is
+    // DuckDB-oracle-exact including the transitive clustering.
+    "v10_semdedup" -> ((s, d) =>
+      Similarity.semDedupClusters(emb(s, d), nPlanes = 4, tauNum = 2, tauDen = 5)
+        .orderBy("vec_id")),
+
     // V6: knn_predict surface (face_embeddings.py:128-131): every 5th
     // vector is "labeled"; the rest are scored by the mean label of
     // their 5 nearest labeled neighbors under cosine
@@ -167,6 +179,51 @@ object SimilarityQueries {
         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
         |      FROM d)
         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // Mirrors semDedupPairs/semDedupClusters op-for-op: v09's
+    // quantize+cells prefix, integer threshold qdot^2*5^2 >= 2^2*n1*n2
+    // (tau = 2/5), then the t15-style recursive transitive closure.
+    "v10_semdedup" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |qv AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
+        |       FROM embeddings, m),
+        |planes AS (SELECT vec_id AS pid, q AS ph FROM qv WHERE vec_id < 4),
+        |cd AS (SELECT v.vec_id, p.pid, unnest(list_zip(v.q, p.ph)) AS z
+        |       FROM qv v CROSS JOIN planes p),
+        |cdot AS (SELECT vec_id, pid, CAST(sum(z[1] * z[2]) AS BIGINT) AS d
+        |         FROM cd GROUP BY 1, 2),
+        |cells AS (SELECT vec_id,
+        |            CAST(sum(CASE WHEN d > 0
+        |              THEN (CAST(1 AS BIGINT) << CAST(pid AS INT)) ELSE 0 END) AS BIGINT) AS cell
+        |          FROM cdot GROUP BY 1),
+        |nsq AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2
+        |        FROM (SELECT vec_id, unnest(q) AS x FROM qv) u GROUP BY 1),
+        |pz AS (SELECT a.vec_id AS d1, b.vec_id AS d2, unnest(list_zip(qa.q, qb.q)) AS z
+        |       FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |       JOIN qv qa ON qa.vec_id = a.vec_id
+        |       JOIN qv qb ON qb.vec_id = b.vec_id),
+        |pd AS (SELECT d1, d2, CAST(sum(z[1] * z[2]) AS BIGINT) AS qdot
+        |       FROM pz GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM pd
+        |          JOIN nsq x ON x.vec_id = pd.d1
+        |          JOIN nsq y ON y.vec_id = pd.d2
+        |          WHERE qdot > 0 AND qdot * qdot * 25 >= 4 * x.n2 * y.n2),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS vec_id FROM edges)
+        |SELECT n.vec_id,
+        |  CAST(least(n.vec_id, min(r.b)) AS BIGINT) AS cluster,
+        |  (n.vec_id = least(n.vec_id, min(r.b))) AS keep
+        |FROM nodes n JOIN reach r ON r.a = n.vec_id
+        |GROUP BY n.vec_id ORDER BY n.vec_id""".stripMargin
   )
 }

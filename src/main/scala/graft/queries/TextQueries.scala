@@ -303,6 +303,53 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // T19 PII scrubbing: redact emails/phones/IPs and audit what was
+    // removed per language. The synthetic corpus has no digits at all,
+    // so PII-shaped tokens are first INJECTED deterministically (hash-
+    // bucketed on doc_id, mirrored in the oracle) — the regex scrub,
+    // match counting, and char-delta audit run for real on both
+    // engines; on a real corpus the injection stage simply disappears.
+    "t19_pii_scrub" -> ((s, d) => {
+      val hb = TextOps.fingerprint(col("doc_id").cast("string")) % 100
+      val injected = docs(s, d).withColumn("hb", hb)
+        .withColumn("ptext",
+          when(col("hb") < 20, concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com")))
+          .when(col("hb") < 35, concat(col("text"), lit(" call 555-123-4567 ext "),
+            col("doc_id").cast("string")))
+          .when(col("hb") < 45, concat(col("text"), lit(" from host 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".17")))
+          .otherwise(col("text")))
+        .withColumn("stext", TextOps.scrubPii(col("ptext")))
+      injected.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("stext") =!= col("ptext"), 1L).otherwise(0L)).as("n_pii_docs"),
+          sum(regexp_count(col("ptext"), lit(TextOps.piiPatterns.head._2)))
+            .cast("long").as("n_emails"),
+          sum((length(col("ptext")) - length(col("stext"))).cast("long"))
+            .as("chars_delta"))
+        .orderBy("lang")
+    }),
+
+    // T20 deterministic train/val/test split: assignment is a pure
+    // function of the doc id's rolling hash (98/1/1), so the split is
+    // reproducible across engines, runs, and cluster sizes, and a doc
+    // can never migrate between splits when the corpus grows — the
+    // leakage-safety property RNG splits don't have. Shuffle-free
+    // until the audit aggregation.
+    "t20_split_assign" -> ((s, d) => {
+      val hb = TextOps.fingerprint(col("doc_id").cast("string")) % 1000
+      docs(s, d).withColumn("hb", hb)
+        .withColumn("part",
+          when(col("hb") < 980, "train").when(col("hb") < 990, "val")
+            .otherwise("test"))
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_toks"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("part")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -548,6 +595,50 @@ object TextQueries {
         |      FROM documents) t
         |WHERE (lang = 'en' AND hb < 80) OR (lang <> 'en' AND hb < 25)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same injection CASE, scrub chain, and count patterns as the
+    // Spark side, op for op ('g' = replace all, Spark's default)
+    "t19_pii_scrub" ->
+      """WITH base AS (
+        |  SELECT lang, doc_id, text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(CAST(doc_id AS VARCHAR),''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 100 AS hb
+        |  FROM documents),
+        |inj AS (SELECT lang,
+        |    CASE WHEN hb < 20 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         WHEN hb < 35 THEN text || ' call 555-123-4567 ext ' || CAST(doc_id AS VARCHAR)
+        |         WHEN hb < 45 THEN text || ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+        |         ELSE text END AS ptext
+        |  FROM base),
+        |scr AS (SELECT lang, ptext,
+        |    regexp_replace(regexp_replace(regexp_replace(ptext,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS stext
+        |  FROM inj)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN stext <> ptext THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+        |  CAST(sum(len(regexp_extract_all(ptext,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(ptext) - len(stext)) AS BIGINT) AS chars_delta
+        |FROM scr GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t20_split_assign" ->
+      """SELECT part, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_toks,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT text, n_chars,
+        |        CASE WHEN hb < 980 THEN 'train'
+        |             WHEN hb < 990 THEN 'val' ELSE 'test' END AS part
+        |      FROM (SELECT text, n_chars,
+        |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(string_split(CAST(doc_id AS VARCHAR),''),
+        |                  c -> CAST(ascii(c) AS BIGINT))),
+        |                (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS hb
+        |            FROM documents) h) t
+        |GROUP BY part ORDER BY part""".stripMargin,
 
     "t15_dedup_components" ->
       s"""WITH RECURSIVE ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),

@@ -201,11 +201,7 @@ object Similarity {
     val qv = quant(corpus).select(col("vec_id"), col("__q").as("qv"))
     val planes = broadcast(quant(corpus.filter(col("vec_id") < nPlanes))
       .select(col("vec_id").as("pid"), col("__q").as("ph")))
-    val cells = qv.crossJoin(planes)
-      .withColumn("bit", when(Fns.dot(col("qv"), col("ph")) > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))")).otherwise(0L))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("cell"))
-    val withCell = qv.join(cells, "vec_id")
+    val withCell = qv.join(cellsOf(qv, planes), "vec_id")
     val probes = broadcast(withCell.join(
         broadcast(queries.select(col("vec_id").as("q_id"))),
         col("vec_id") === col("q_id"))
@@ -220,6 +216,69 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
   }
+
+  /** Quantized-hyperplane cell id: bit pid = sign(exact integer dot of
+    * the quantized vector with quantized plane pid). Shared by the
+    * deterministic IVF (v09) and SemDeDup (v10) coarse quantizers —
+    * only (vec_id, cell) crosses the aggregation exchange. */
+  private def cellsOf(qv: DataFrame, planes: DataFrame): DataFrame =
+    qv.crossJoin(planes)
+      .withColumn("bit", when(Fns.dot(col("qv"), col("ph")) > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))")).otherwise(0L))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("cell"))
+
+  /** SemDeDup (semantic dedup over embeddings, Abbas et al. 2023,
+    * re-expressed deterministically): int8-quantize on the corpus
+    * scale, coarse-cluster into quantized-hyperplane cells (the cells
+    * play the role of SemDeDup's k-means clusters), emit within-cell
+    * pairs whose quantized cosine clears tau = tauNum/tauDen. The
+    * threshold test is pure integer arithmetic — qdot > 0 and
+    * qdot^2 * tauDen^2 >= tauNum^2 * |q1|^2 * |q2|^2 — so, unlike
+    * float-cosine near-dup (v03), the pair graph is cross-engine
+    * exact and DuckDB-oracle-checkable. Overflow headroom: int8 dots
+    * are <= 127^2*dim, so both comparison sides stay < 2^63 for
+    * dim * tauDen <= ~4.6e6.
+    *
+    * Scale: the cell equi-join bounds the candidate space the same way
+    * v09's IVF probe does. The vector payload rides the cell shuffle
+    * ONCE per row (~N vector copies); joining vectors onto the emitted
+    * pairs instead would copy 2 vectors per PAIR — the wrong side of
+    * the inequality whenever pairs >> N, which is exactly the near-dup
+    * regime. */
+  def semDedupPairs(corpus: DataFrame, nPlanes: Int,
+                    tauNum: Long, tauDen: Long): DataFrame = {
+    require(nPlanes >= 1 && nPlanes < 20)
+    require(tauNum >= 0 && tauDen > 0)
+    val quant = quantWith(maxAbs(corpus)) _
+    val qv = quant(corpus).select(col("vec_id"), col("__q").as("qv"))
+    val planes = broadcast(quant(corpus.filter(col("vec_id") < nPlanes))
+      .select(col("vec_id").as("pid"), col("__q").as("ph")))
+    val withCell = qv.join(cellsOf(qv, planes), "vec_id")
+      .withColumn("nsq", Fns.dot(col("qv"), col("qv")).cast("long"))
+    val a = withCell.select(col("cell"), col("vec_id").as("d1"),
+      col("qv").as("q1"), col("nsq").as("n1"))
+    val b = withCell.select(col("cell").as("c2"), col("vec_id").as("d2"),
+      col("qv").as("q2"), col("nsq").as("n2"))
+    a.join(b, col("cell") === col("c2") && col("d1") < col("d2"))
+      .withColumn("qdot", Fns.dot(col("q1"), col("q2")).cast("long"))
+      .filter(col("qdot") > 0 &&
+        col("qdot") * col("qdot") * lit(tauDen * tauDen) >=
+          lit(tauNum * tauNum) * col("n1") * col("n2"))
+      .select(col("d1"), col("d2"), col("qdot"))
+  }
+
+  /** SemDeDup clusters: connected components over the semantic pair
+    * graph, so chains of pairwise-similar vectors collapse to one
+    * cluster. Returns (vec_id, cluster, keep) for every vector in a
+    * pair; cluster = min vec_id of the component, keep marks the
+    * retained representative (the dedup drop rule: keep one per
+    * semantic cluster). */
+  def semDedupClusters(corpus: DataFrame, nPlanes: Int,
+                       tauNum: Long, tauDen: Long): DataFrame =
+    graft.text.Dedup.connectedComponents(
+        semDedupPairs(corpus, nPlanes, tauNum, tauDen))
+      .select(col("doc_id").as("vec_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("keep"))
 
   /** Per-label centroids via posexplode + per-position mean. The
     * per-position sum is made order-deterministic by folding a

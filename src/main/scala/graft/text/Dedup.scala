@@ -37,16 +37,19 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"), col("lab").as("nlab")), "b")
         .groupBy(col("a")).agg(min(col("nlab")).as("minNbr"))
+      // the did-it-shrink flag rides the checkpointed frame, so the
+      // convergence count is a scan of the materialized partitions —
+      // not (as in earlier rounds) an extra shuffle join of next
+      // against the previous labels every iteration
       val next = labels
         .join(nbrMin.select(col("a").as("doc_id"), col("minNbr")),
           Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lab"), coalesce(col("minNbr"), col("lab"))).as("lab"))
+          least(col("lab"), coalesce(col("minNbr"), col("lab"))).as("lab"),
+          coalesce(col("minNbr") < col("lab"), lit(false)).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(
-          labels.select(col("doc_id"), col("lab").as("old")), "doc_id")
-        .filter(col("lab") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select("doc_id", "lab")
       iter += 1
     }
     edges.unpersist()

@@ -184,6 +184,25 @@ object TextOps {
       "uniq_ratio" -> (size(array_distinct(toks)).cast("double") / ntok.cast("double")))
   }
 
+  /** PII patterns shared by the scrubber and its match counters. Every
+    * regex here is valid — with identical match semantics — in BOTH
+    * Java regex (Spark codegen'd regexp_replace/regexp_count) and RE2
+    * (the DuckDB oracle): greedy quantifiers and character classes
+    * only, no lookaround, no backrefs, no word boundaries. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "PHONE" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "IP" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+
+  /** Redact every PII match with a <TYPE> token. Emails are scrubbed
+    * first so an address's host part is gone before the IP rule runs;
+    * phone (dashed) and IP (dotted) can't overlap each other. Pure
+    * per-row expression chain — embarrassingly parallel, no shuffle. */
+  def scrubPii(textCol: Column): Column =
+    piiPatterns.foldLeft(textCol) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"<$name>")
+    }
+
   /** Stopword-profile language scorer: fraction of tokens found in a
     * per-language stopword list (n-gram-free heuristic langid). */
   def stopwordRatio(textCol: Column, stopwords: Seq[String]): Column = {

@@ -8,6 +8,8 @@ import graft.streaming.Ingest
 /** Top-level so Spark's encoder can instantiate it on executors. */
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
               event_type: String, value: Double, props: String)
+case class Cap(video_id: Long, s: Long, e: Long, text: String)
+case class Trk(video_id: Long, min_frame: Long, max_frame: Long, label: String)
 
 /** Structured Streaming ingest: ledger dedup, session windows, tumbling
   * windows, and the file-source -> parquet job (SURVEY §2.9). */
@@ -143,6 +145,38 @@ class StreamingSpec extends SparkSpec {
       .select($"event_type", $"n").as[(String, Long)].collect().toSet
     assert(rows.contains(("click", 2L)))
     assert(rows.contains(("view", 1L)))
+  }
+
+  test("streaming VTT export writes cue files") {
+    implicit val sql = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_vtt").toString
+    val in = MemoryStream[Cap]
+    in.addData(Cap(1, 1, 5, "hello there"), Cap(1, 65, 70, "second cue"))
+    val q = graft.streaming.ExportSink.startVttSink(
+      in.toDF(), s"$tmp/out", s"$tmp/ck")
+    q.processAllAvailable(); q.stop()
+    val body = spark.read.textFile(s"$tmp/out").collect().mkString("\n")
+    assert(body.contains("00:00:01.000 --> 00:00:05.000"))
+    assert(body.contains("00:01:05.000 --> 00:01:10.000"))
+    assert(body.contains("hello there") && body.contains("second cue"))
+  }
+
+  test("streaming widget-JSON sink writes one document per batch") {
+    implicit val sql = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_widget").toString
+    val in = MemoryStream[Trk]
+    val q = graft.streaming.ExportSink.startWidgetSink(
+      in.toDF(), s"$tmp/out", s"$tmp/ck", "tracks")
+    in.addData(Trk(1, 0, 100, "personA"), Trk(1, 200, 300, "personA"))
+    q.processAllAvailable()
+    in.addData(Trk(2, 10, 20, "personB"))
+    q.processAllAvailable(); q.stop()
+    val docs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      .map(f => Files.readString(f.toPath))
+    assert(docs.length === 2)
+    assert(docs(0).contains("\"count\":2") && docs(0).contains("personA"))
+    assert(docs(1).contains("\"count\":1") && docs(1).contains("personB"))
   }
 
   test("ingestJob end-to-end: files -> dedup -> parquet") {

@@ -74,6 +74,23 @@ class TextOpsSpec extends SparkSpec {
     assert(sh.values.forall(v => v >= 0 && v < (1 << 16)))
   }
 
+  test("scrubPii redacts emails, phones, and IPs") {
+    val rows = Seq(
+      (1L, "mail jane.doe+x@sub.example.co.uk please"),
+      (2L, "call 555-123-4567 or 555-000-1111 now"),
+      (3L, "host 192.168.0.1 responded"),
+      (4L, "nothing sensitive here"),
+      (5L, "mixed bob@x.io at 10.0.0.2 dial 111-222-3333"))
+      .toDF("id", "t")
+    val out = rows.select($"id", TextOps.scrubPii($"t").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "mail <EMAIL> please")
+    assert(out(2L) === "call <PHONE> or <PHONE> now")
+    assert(out(3L) === "host <IP> responded")
+    assert(out(4L) === "nothing sensitive here")
+    assert(out(5L) === "mixed <EMAIL> at <IP> dial <PHONE>")
+  }
+
   test("quality columns and stopword ratio") {
     val q = docs.select($"doc_id" +:
       TextOps.qualityColumns($"text").map { case (n, c) => c.as(n) }: _*)
