@@ -338,7 +338,13 @@ object TextQueries {
     // leakage-safety property RNG splits don't have. Shuffle-free
     // until the audit aggregation.
     "t20_split_assign" -> ((s, d) => {
-      val hb = TextOps.fingerprint(col("doc_id").cast("string")) % 1000
+      // salted key: the rolling hash of a bare 1-3 digit id only
+      // reaches ~56k distinct values and misses whole residue ranges
+      // mod 1000 (measured: no doc hit bucket >= 980 on the small SFs);
+      // the salt makes the string long enough to mix through the
+      // modulus on every SF
+      val hb = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":split"))) % 1000
       docs(s, d).withColumn("hb", hb)
         .withColumn("part",
           when(col("hb") < 980, "train").when(col("hb") < 990, "val")
@@ -348,6 +354,54 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_toks"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("part")
+    }),
+
+    // T21 decontamination: flag test-split documents sharing any
+    // 5-gram with the train split — the benchmark-contamination check
+    // every training corpus needs (the n-gram-overlap rule of
+    // GPT-3/Pile-style decontamination). Train shingles are distinct
+    // hashed ids, so the overlap join is an equi-join on a bounded
+    // integer key — never a cross product — and at 100 TB it
+    // hash-partitions on sid like any fact-fact join. On this corpus
+    // it catches exactly the planted near-duplicate that straddles
+    // the split.
+    "t21_decontaminate" -> ((s, d) => {
+      val hb = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":split"))) % 1000
+      val base = docs(s, d).withColumn("hb", hb)
+      val trainSh = TextOps.shingles(base.filter(col("hb") < 980), 5)
+        .select(TextOps.fingerprint(col("sh")).as("sid")).distinct()
+      val test = base.filter(col("hb") >= 980)
+      val testSh = TextOps.shingles(test, 5)
+        .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
+      val hits = testSh.join(trainSh, "sid")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      test.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // T22 temperature-based mixture sampling (the UniMax /
+    // alpha-sampling data-mixing move): per-language acceptance rate
+    // (n_min/n_l)^0.5, so the largest languages are downsampled toward
+    // a flatter mixture while the smallest keeps everything — the rate
+    // comes from the corpus's own counts (a broadcast 5-row aggregate),
+    // not driver-side constants, and acceptance is the deterministic
+    // doc-id hash, reproducible across engines and runs.
+    "t22_temperature_mix" -> ((s, d) => {
+      val hb = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":mix"))) % 10000
+      val base = docs(s, d).withColumn("hb", hb)
+      val stats = base.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val nmin = stats.agg(min(col("n_l")).as("n_min"))
+      base.join(broadcast(stats), "lang").crossJoin(broadcast(nmin))
+        .filter(col("hb").cast("double") <
+          sqrt(col("n_min").cast("double") / col("n_l").cast("double")) * 10000d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .orderBy("lang")
     }),
 
     // T7 quality scoring (length/uniqueness/token stats)
@@ -634,11 +688,54 @@ object TextQueries {
         |             WHEN hb < 990 THEN 'val' ELSE 'test' END AS part
         |      FROM (SELECT text, n_chars,
         |              list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |                list_transform(string_split(CAST(doc_id AS VARCHAR),''),
+        |                list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':split',''),
         |                  c -> CAST(ascii(c) AS BIGINT))),
         |                (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS hb
         |            FROM documents) h) t
         |GROUP BY part ORDER BY part""".stripMargin,
+
+    "t21_decontaminate" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':split',''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS hb
+        |  FROM documents),
+        |g5 AS (SELECT DISTINCT doc_id, hb,
+        |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+        |       FROM (SELECT doc_id, hb, l, unnest(generate_series(1, len(l)-4)) AS i
+        |             FROM (SELECT doc_id, hb, string_split(text,' ') AS l FROM h) t0) t1),
+        |ids AS (SELECT doc_id, hb,
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |        FROM g5),
+        |tr AS (SELECT DISTINCT sid FROM ids WHERE hb < 980),
+        |te AS (SELECT doc_id, sid FROM ids WHERE hb >= 980),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM te JOIN tr USING (sid) GROUP BY doc_id)
+        |SELECT t.doc_id, t.lang,
+        |  COALESCE(hits.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+        |  COALESCE(hits.n_hits, CAST(0 AS BIGINT)) > 0 AS contaminated
+        |FROM (SELECT doc_id, lang FROM h WHERE hb >= 980) t
+        |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t22_temperature_mix" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':mix',''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 10000 AS hb
+        |  FROM documents),
+        |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM h GROUP BY lang),
+        |mn AS (SELECT min(n_l) AS n_min FROM st)
+        |SELECT h.lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM h JOIN st ON h.lang = st.lang CROSS JOIN mn
+        |WHERE CAST(hb AS DOUBLE) < sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE)) * 10000
+        |GROUP BY h.lang ORDER BY h.lang""".stripMargin,
 
     "t15_dedup_components" ->
       s"""WITH RECURSIVE ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),
