@@ -30,6 +30,26 @@ object Ingest {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-duplicate dedup: drop any document whose MinHash
+    * band signature was already seen within the watermark horizon —
+    * the streaming counterpart of the batch LSH dedup (t04). One band
+    * of two minhashes: a pair at Jaccard J collides with probability
+    * ~J^2, so the single-pass form trades recall for bounded state
+    * (OR-construction recall = union several passes with independent
+    * band families). Exact duplicates always collide (same shingle
+    * set -> same minhashes); docs too short to shingle fall back to
+    * the full-text hash (kept unless byte-identical). State is
+    * bounded exactly like the exact-once ledger: the builtin
+    * dropDuplicatesWithinWatermark keyed on the signature. */
+  def nearDedupStream(docs: DataFrame, k: Int = 3,
+                      watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__sig",
+        coalesce(graft.text.TextOps.minhashBandSig(col("text"), k),
+          xxhash64(col("text"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** Tumbling event-time aggregation (counts + value sum per window and
     * type). */
   def tumblingCounts(events: DataFrame, every: String = "1 hour"): DataFrame =

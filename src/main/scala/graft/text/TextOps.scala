@@ -184,6 +184,29 @@ object TextOps {
       "uniq_ratio" -> (size(array_distinct(toks)).cast("double") / ntok.cast("double")))
   }
 
+  /** Per-row MinHash band signature — the streaming form of
+    * [[minhash]]+[[lshBands]]: shingle set, hash family, and a 2-row
+    * band folded into ONE pure expression tree (no explode, no
+    * aggregation), so it runs on a streaming DataFrame in append mode.
+    * Shingle ids are xxhash64 (codegen'd builtin — the streaming path
+    * has no DuckDB oracle, so cross-engine portability doesn't bind
+    * here); the two minhashes use wrapping multipliers like
+    * [[minhash]]'s family. Docs too short to shingle yield NULL —
+    * callers pick the fallback. */
+  def minhashBandSig(textCol: Column, k: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val P = 1000000007L
+    // reduce the 64-bit shingle id into [0, P) BEFORE the hash-family
+    // multiply: sid < P keeps sid * a < 2^63 (ANSI mode makes a silent
+    // wrap an ARITHMETIC_OVERFLOW error instead)
+    val sids = transform(
+      Bridge.column(graft.plans.Shingles(Bridge.expression(textCol), k)),
+      sh => pmod(xxhash64(sh), lit(P)))
+    val h1 = array_min(transform(sids, s => pmod(s * lit(2654435761L) + lit(1L), lit(P))))
+    val h2 = array_min(transform(sids, s => pmod(s * lit(2246822519L) + lit(7L), lit(P))))
+    h1 * lit(P) + h2
+  }
+
   /** PII patterns shared by the scrubber and its match counters. Every
     * regex here is valid — with identical match semantics — in BOTH
     * Java regex (Spark codegen'd regexp_replace/regexp_count) and RE2

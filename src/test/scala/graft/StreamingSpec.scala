@@ -10,6 +10,7 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
               event_type: String, value: Double, props: String)
 case class Cap(video_id: Long, s: Long, e: Long, text: String)
 case class Trk(video_id: Long, min_frame: Long, max_frame: Long, label: String)
+case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
 /** Structured Streaming ingest: ledger dedup, session windows, tumbling
   * windows, and the file-source -> parquet job (SURVEY §2.9). */
@@ -145,6 +146,39 @@ class StreamingSpec extends SparkSpec {
       .select($"event_type", $"n").as[(String, Long)].collect().toSet
     assert(rows.contains(("click", 2L)))
     assert(rows.contains(("view", 1L)))
+  }
+
+  test("streaming near-dup dedup keeps first doc per band signature") {
+    implicit val sql = spark.sqlContext
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta theta", // exact dup
+      "one two three four five six seven eight nine",
+      "alpha beta gamma delta epsilon zeta eta theta extra tail here",
+      "completely different words in this document right here",
+      "xy") // too short to shingle -> full-text hash fallback
+    val docsB = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, ts(i * 10), t) }
+      .toDF("doc_id", "ts", "text")
+    // ground truth from the SAME expression in batch: signature groups
+    // (whether the near-dup at index 3 collides with index 0 is a
+    // property of the band family, not of the streaming plumbing under
+    // test); which MEMBER of a group survives inside one micro-batch
+    // is not contractual, so assert exactly-one-per-group.
+    val sig = coalesce(graft.text.TextOps.minhashBandSig($"text"), xxhash64($"text"))
+    val groups = docsB.withColumn("sig", sig)
+      .select($"sig", $"doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    assert(groups.exists(g => g.contains(0L) && g.contains(1L))) // exact dups collide
+    assert(groups.exists(g => g === Set(5L))) // short doc has its own group
+
+    val in = MemoryStream[Doc]
+    in.addData(texts.zipWithIndex.map { case (t, i) => Doc(i.toLong, ts(i * 10), t) }: _*)
+    runToMemory(graft.streaming.Ingest.nearDedupStream(
+      in.toDF().select($"doc_id", $"ts", $"text")), "neardedup_out", "append")
+    val kept = spark.table("neardedup_out").select("doc_id").as[Long].collect().toSet
+    assert(kept.size === groups.size)
+    groups.foreach(g => assert(g.count(kept) === 1))
   }
 
   test("streaming VTT export writes cue files") {
