@@ -28,9 +28,13 @@ object Dedup {
     // each round MUST truncate lineage (eager localCheckpoint): the
     // round-N plan otherwise nests the round-N-1 plan — caching
     // shortcuts execution but not the logical plan, which grows
-    // exponentially and OOMs the planner after ~20 rounds
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("lab", col("doc_id")).localCheckpoint(true)
+    // exponentially and OOMs the planner after ~20 rounds.
+    // labels start at round 1's output — min(self, neighbors) straight
+    // off the symmetrized edges (every node appears as `a`) — which
+    // saves one full join+aggregate+count round vs identity labels
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("lab"))
+      .select(col("a").as("doc_id"), col("lab")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
