@@ -404,6 +404,29 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // T23 contamination REMOVAL (the production direction of t21):
+    // drop from the TRAIN split every doc sharing a 5-gram with the
+    // held-out split, then audit what survives per language — eval
+    // overlap is scrubbed from training data, not the other way
+    // around. The guilty-doc set is a distinct semi-join on hashed
+    // shingle ids (bounded key; anti-join back on doc_id).
+    "t23_decontam_removal" -> ((s, d) => {
+      val hb = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":split"))) % 1000
+      val base = docs(s, d).withColumn("hb", hb)
+      val train = base.filter(col("hb") < 980)
+      val heldSh = TextOps.shingles(base.filter(col("hb") >= 980), 5)
+        .select(TextOps.fingerprint(col("sh")).as("sid")).distinct()
+      val trainSh = TextOps.shingles(train, 5)
+        .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
+      val guilty = trainSh.join(heldSh, "sid").select("doc_id").distinct()
+      train.join(guilty, Seq("doc_id"), "left_anti")
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("toks_kept"))
+        .orderBy("lang")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -720,6 +743,32 @@ object TextQueries {
         |  COALESCE(hits.n_hits, CAST(0 AS BIGINT)) > 0 AS contaminated
         |FROM (SELECT doc_id, lang FROM h WHERE hb >= 980) t
         |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t23_decontam_removal" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':split',''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS hb
+        |  FROM documents),
+        |g5 AS (SELECT DISTINCT doc_id, hb,
+        |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+        |       FROM (SELECT doc_id, hb, l, unnest(generate_series(1, len(l)-4)) AS i
+        |             FROM (SELECT doc_id, hb, string_split(text,' ') AS l FROM h) t0) t1),
+        |ids AS (SELECT doc_id, hb,
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |        FROM g5),
+        |held AS (SELECT DISTINCT sid FROM ids WHERE hb >= 980),
+        |guilty AS (SELECT DISTINCT i.doc_id FROM ids i JOIN held USING (sid)
+        |           WHERE i.hb < 980)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks_kept
+        |FROM h
+        |WHERE hb < 980 AND doc_id NOT IN (SELECT doc_id FROM guilty)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t22_temperature_mix" ->
       """WITH h AS (

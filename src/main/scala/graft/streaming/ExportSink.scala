@@ -38,12 +38,22 @@ object ExportSink {
     * [[WidgetJson.trackResult]]; only the finished document string
     * touches the driver, exactly as in the batch path. */
   def startWidgetSink(tracks: DataFrame, outDir: String, checkpoint: String,
-                      resultType: String = "tracks"): StreamingQuery = {
+                      resultType: String = "tracks"): StreamingQuery =
+    startWidgetSinkAs(tracks, outDir, checkpoint, resultType,
+      WidgetJson.trackResult)
+
+  /** [[startWidgetSink]] for any of the four reference result kinds —
+    * pass the matching formatter ([[WidgetJson.trackResult]] /
+    * frameResult / bboxResult / videoResult); the input columns must
+    * be that kind's contract. */
+  def startWidgetSinkAs(rows: DataFrame, outDir: String, checkpoint: String,
+                        resultType: String,
+                        format: (DataFrame, String) => String): StreamingQuery = {
     Files.createDirectories(Paths.get(outDir))
-    tracks.writeStream
+    rows.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val doc = WidgetJson.trackResult(batch, resultType)
+          val doc = format(batch, resultType)
           Files.writeString(Paths.get(outDir, f"widget-$batchId%05d.json"), doc)
           ()
         }

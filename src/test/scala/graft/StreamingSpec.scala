@@ -11,6 +11,8 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class Cap(video_id: Long, s: Long, e: Long, text: String)
 case class Trk(video_id: Long, min_frame: Long, max_frame: Long, label: String)
 case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+case class Bx(video_id: Long, frame_number: Long, obj_id: Long,
+              bbox_x1: Double, bbox_x2: Double, bbox_y1: Double, bbox_y2: Double)
 
 /** Structured Streaming ingest: ledger dedup, session windows, tumbling
   * windows, and the file-source -> parquet job (SURVEY §2.9). */
@@ -211,6 +213,22 @@ class StreamingSpec extends SparkSpec {
     assert(docs.length === 2)
     assert(docs(0).contains("\"count\":2") && docs(0).contains("personA"))
     assert(docs(1).contains("\"count\":1") && docs(1).contains("personB"))
+  }
+
+  test("streaming widget sink handles the bbox kind via the formatter hook") {
+    implicit val sql = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_widget_bbox").toString
+    val in = MemoryStream[Bx]
+    val q = graft.streaming.ExportSink.startWidgetSinkAs(
+      in.toDF(), s"$tmp/out", s"$tmp/ck", "bboxes",
+      graft.result.WidgetJson.bboxResult)
+    in.addData(Bx(7, 3, 1, 0.1, 0.4, 0.2, 0.6), Bx(7, 3, 2, 0.5, 0.9, 0.1, 0.3))
+    q.processAllAvailable(); q.stop()
+    val doc = Files.readString(new java.io.File(s"$tmp/out")
+      .listFiles().filter(_.getName.endsWith(".json")).head.toPath)
+    assert(doc.contains("\"count\":2")) // count = number of boxes
+    assert(doc.contains("\"bbox_x1\":0.1") && doc.contains("\"bbox_x1\":0.5"))
+    assert(doc.contains("\"type\":\"bboxes\""))
   }
 
   test("ingestJob end-to-end: files -> dedup -> parquet") {
