@@ -50,6 +50,27 @@ object Ingest {
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
+  /** OR-construction streaming near-dedup: one watermarked dedup per
+    * band family, cascaded — a doc is dropped if ANY band signature
+    * was already seen, recovering the recall a single band loses
+    * (collision prob per band ~J^2; miss prob across B independent
+    * bands (1-J^2)^B). Each stage holds its own bounded state;
+    * chained stateful operators are supported in append mode. Recall
+    * caveat: stage b only sees earlier stages' survivors, so a
+    * signature dropped upstream never enters stage b's state — the
+    * standard cascade approximation. */
+  def nearDedupStreamOr(docs: DataFrame, k: Int = 3, bands: Int = 2,
+                        watermark: String = "1 hour"): DataFrame = {
+    require(bands >= 1)
+    (0 until bands).foldLeft(docs.withWatermark("ts", watermark)) { (df, b) =>
+      df.withColumn(s"__sig$b",
+          coalesce(graft.text.TextOps.minhashBandSig(col("text"), k, b),
+            xxhash64(col("text"))))
+        .dropDuplicatesWithinWatermark(s"__sig$b")
+        .drop(s"__sig$b")
+    }
+  }
+
   /** Tumbling event-time aggregation (counts + value sum per window and
     * type). */
   def tumblingCounts(events: DataFrame, every: String = "1 hour"): DataFrame =

@@ -193,8 +193,9 @@ object TextOps {
     * here); the two minhashes use wrapping multipliers like
     * [[minhash]]'s family. Docs too short to shingle yield NULL —
     * callers pick the fallback. */
-  def minhashBandSig(textCol: Column, k: Int = 3): Column = {
+  def minhashBandSig(textCol: Column, k: Int = 3, band: Int = 0): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
+    require(band >= 0 && band < 1000, "band multiplier must stay < 2^63 / P")
     val P = 1000000007L
     // reduce the 64-bit shingle id into [0, P) BEFORE the hash-family
     // multiply: sid < P keeps sid * a < 2^63 (ANSI mode makes a silent
@@ -202,8 +203,11 @@ object TextOps {
     val sids = transform(
       Bridge.column(graft.plans.Shingles(Bridge.expression(textCol), k)),
       sh => pmod(xxhash64(sh), lit(P)))
-    val h1 = array_min(transform(sids, s => pmod(s * lit(2654435761L) + lit(1L), lit(P))))
-    val h2 = array_min(transform(sids, s => pmod(s * lit(2246822519L) + lit(7L), lit(P))))
+    // independent hash pair per band (OR-construction families)
+    val (a1, b1) = (2654435761L + 1000003L * band, 1L + 7L * band)
+    val (a2, b2) = (2246822519L + 999983L * band, 7L + 11L * band)
+    val h1 = array_min(transform(sids, s => pmod(s * lit(a1) + lit(b1), lit(P))))
+    val h2 = array_min(transform(sids, s => pmod(s * lit(a2) + lit(b2), lit(P))))
     h1 * lit(P) + h2
   }
 

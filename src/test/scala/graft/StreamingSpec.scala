@@ -183,6 +183,46 @@ class StreamingSpec extends SparkSpec {
     groups.foreach(g => assert(g.count(kept) === 1))
   }
 
+  test("OR-construction streaming near-dedup matches the sequential cascade simulation") {
+    implicit val sql = spark.sqlContext
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta theta", // exact dup: all bands collide
+      "one two three four five six seven eight nine",
+      "alpha beta gamma delta epsilon zeta eta theta extra tail",
+      "one two three four five six seven eight nine ten eleven",
+      "unrelated fresh content with none of the other words")
+    // ground truth: simulate the 2-stage cascade with batch-computed
+    // band signatures (stage 1 only sees stage 0's survivors)
+    val sigs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        coalesce(graft.text.TextOps.minhashBandSig($"text", 3, 0), xxhash64($"text")).as("s0"),
+        coalesce(graft.text.TextOps.minhashBandSig($"text", 3, 1), xxhash64($"text")).as("s1"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val seen0 = scala.collection.mutable.Set.empty[Long]
+    val seen1 = scala.collection.mutable.Set.empty[Long]
+    val expected = sigs.collect {
+      case (id, s0, s1) if seen0.add(s0) && seen1.add(s1) => id
+    }.toSet
+    assert(!expected.contains(1L)) // exact dup dropped
+    assert(expected.contains(2L) && expected.contains(5L))
+
+    val in = MemoryStream[Doc]
+    val q = graft.streaming.Ingest.nearDedupStreamOr(
+        in.toDF().select($"doc_id", $"ts", $"text"), bands = 2)
+      .writeStream.format("memory").queryName("neardedup_or")
+      .outputMode("append").start()
+    // one doc per micro-batch: deterministic arrival order for the
+    // cascade's state
+    texts.zipWithIndex.foreach { case (t, i) =>
+      in.addData(Doc(i.toLong, ts(i * 10), t)); q.processAllAvailable()
+    }
+    q.stop()
+    val kept = spark.table("neardedup_or").select("doc_id").as[Long].collect().toSet
+    assert(kept === expected)
+  }
+
   test("streaming VTT export writes cue files") {
     implicit val sql = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_vtt").toString
