@@ -427,6 +427,40 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // T24 the GOVERNED corpus pipeline as one query: split assignment
+    // -> quality filter -> exact dedup -> decontamination against the
+    // held-out split -> concat-and-chunk packing. The governance tail
+    // (t20/t23) composed with the preprocessing stages the standalone
+    // queries check (t07/t01/t12), end to end and still DuckDB-exact.
+    // (t14 is the near-dup variant of this composition; this one
+    // exercises split+decontamination instead.)
+    "t24_governed_pipeline" -> ((s, d) => {
+      val hb = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":split"))) % 1000
+      val base = docs(s, d).withColumn("hb", hb)
+      val arr = split(col("text"), " ")
+      val qual = base.filter(col("hb") < 980)
+        .withColumn("ntok", size(arr).cast("long"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+        .filter(col("ntok") >= 5 && col("uniq_ratio") >= 0.3)
+        .select("doc_id", "text", "ntok")
+      val dw = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      val uniqDocs = qual.withColumn("rn", row_number().over(dw))
+        .filter(col("rn") === 1).drop("rn")
+      val heldSh = TextOps.shingles(base.filter(col("hb") >= 980), 5)
+        .select(TextOps.fingerprint(col("sh")).as("sid")).distinct()
+      val trainSh = TextOps.shingles(uniqDocs, 5)
+        .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
+      val guilty = trainSh.join(heldSh, "sid").select("doc_id").distinct()
+      val kept = uniqDocs.join(guilty, Seq("doc_id"), "left_anti")
+        .select("doc_id", "ntok")
+      graft.text.Packing.withRunningOffset(kept, "doc_id", "ntok", "off")
+        .withColumn("chunk_first", expr("off div 256"))
+        .select("doc_id", "ntok", "off", "chunk_first")
+        .orderBy("doc_id")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -743,6 +777,53 @@ object TextQueries {
         |  COALESCE(hits.n_hits, CAST(0 AS BIGINT)) > 0 AS contaminated
         |FROM (SELECT doc_id, lang FROM h WHERE hb >= 980) t
         |LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t24_governed_pipeline" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':split',''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS hb
+        |  FROM documents),
+        |qual AS (
+        |  SELECT doc_id, text, CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+        |  FROM h
+        |  WHERE hb < 980 AND len(string_split(text,' ')) >= 5
+        |    AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.3),
+        |uniqd AS (
+        |  SELECT doc_id, text, ntok FROM (
+        |    SELECT doc_id, text, ntok,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM qual) q WHERE rn = 1),
+        |heldg AS (
+        |  SELECT DISTINCT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4],''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |  FROM (SELECT l, unnest(generate_series(1, len(l)-4)) AS i
+        |        FROM (SELECT string_split(text,' ') AS l FROM h WHERE hb >= 980) t0) t1),
+        |traing AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4],''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-4)) AS i
+        |        FROM (SELECT doc_id, string_split(text,' ') AS l FROM uniqd) t0) t1),
+        |guilty AS (SELECT DISTINCT t.doc_id FROM traing t JOIN heldg USING (sid)),
+        |kept AS (SELECT u.doc_id, u.ntok FROM uniqd u
+        |         WHERE NOT EXISTS (SELECT 1 FROM guilty g WHERE g.doc_id = u.doc_id)),
+        |packed AS (SELECT doc_id, ntok,
+        |             CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |           FROM kept)
+        |SELECT doc_id, ntok, off, off // 256 AS chunk_first
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     "t23_decontam_removal" ->
       """WITH h AS (
