@@ -461,6 +461,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T25 exact duplicated-SPAN removal (Lee et al. 2022 substring
+    // dedup): 8-token windows whose rolling-hash id repeats anywhere
+    // in the corpus are duplicated spans; per doc they coalesce into
+    // islands (the interval algebra doing text dedup) and island
+    // length subtracted from ntok is the kept text. Doc-level dedup
+    // (t01/t14) misses a copied paragraph inside an otherwise-unique
+    // doc; this is the operator that catches it.
+    "t25_span_dedup" -> ((s, d) => {
+      val base = docs(s, d)
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      base.join(graft.text.Dedup.dupSpanStats(base, 8), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ntok"),
+          coalesce(col("dup_toks"), lit(0L)).as("dup_toks"),
+          coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+          (col("ntok") - coalesce(col("dup_toks"), lit(0L))).as("toks_kept"))
+        .orderBy("doc_id")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -824,6 +842,42 @@ object TextQueries {
         |           FROM kept)
         |SELECT doc_id, ntok, off, off // 256 AS chunk_first
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "t25_span_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text,' ') AS l,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(array_to_string(l[i:i+7], ' '),''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-7)) AS i
+        |        FROM b WHERE ntok >= 8) t0),
+        |dup AS (SELECT sid FROM g GROUP BY sid HAVING count(*) > 1),
+        |sp AS (SELECT doc_id, s, s + 8 AS e FROM g JOIN dup USING (sid)),
+        |mrk AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM sp),
+        |grp AS (
+        |  SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM mrk),
+        |isl AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+        |per AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_toks,
+        |          CAST(count(*) AS BIGINT) AS n_islands
+        |        FROM isl GROUP BY doc_id)
+        |SELECT b.doc_id, b.ntok,
+        |  coalesce(p.dup_toks, 0) AS dup_toks,
+        |  coalesce(p.n_islands, 0) AS n_islands,
+        |  b.ntok - coalesce(p.dup_toks, 0) AS toks_kept
+        |FROM b LEFT JOIN per p USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "t23_decontam_removal" ->
       """WITH h AS (

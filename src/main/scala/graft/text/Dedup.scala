@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.IntervalOps
 
 /** Dedup clustering: connected components over a near-duplicate pair
   * graph, so a chain a~b~c collapses to ONE cluster even when a and c
@@ -59,5 +60,41 @@ object Dedup {
     edges.unpersist()
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
     labels.select(col("doc_id"), col("lab").as("cluster"))
+  }
+
+  /** Exact duplicated-SPAN detection — the substring-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022), re-expressed relationally: every k-token
+    * window whose rolling-hash id occurs more than once in the corpus
+    * (cross-doc or within-doc) marks the span [pos, pos+k) as
+    * duplicated; per doc the overlapping spans merge into islands via
+    * the interval algebra ([[IntervalOps.coalesce]] — text dedup and
+    * video-interval coalescing are the same operator), and subtracting
+    * island length from the token count is the kept text.
+    *
+    * Returns (doc_id, dup_toks, n_islands) for docs with >= 1
+    * duplicated span. Scale shape: shingling is map-side (native
+    * array expression, no token-table window); the duplicate-id set
+    * is one hash aggregation on a bounded-width long key; the join
+    * back is sid-hash-partitioned, and the duplicated subset — tiny
+    * relative to the corpus — is all that reaches the coalesce
+    * window. A df-cap on pathological hot n-grams (boilerplate) is
+    * unnecessary here because count>1 spans are *meant* to include
+    * them; the group-by bounds the blowup at one row per occurrence,
+    * never occurrence-squared. */
+  def dupSpanStats(docs: DataFrame, k: Int): DataFrame = {
+    val grams = TextOps.positionedShingles(docs, k)
+      .select(col("doc_id"), col("s"),
+        TextOps.fingerprint(col("sh")).as("sid"))
+    val dup = grams.groupBy(col("sid"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).select("sid")
+    val spans = grams.join(dup, "sid")
+      .select(col("doc_id").as("k"), col("s").cast("long").as("s"),
+        (col("s") + k).cast("long").as("e"))
+    IntervalOps.coalesce(spans)
+      .groupBy(col("k"))
+      .agg(sum(col("e") - col("s")).as("dup_toks"),
+        count(lit(1)).as("n_islands"))
+      .select(col("k").as("doc_id"), col("dup_toks"), col("n_islands"))
   }
 }

@@ -35,6 +35,19 @@ object TextOps {
       .distinct()
   }
 
+  /** Positioned k-token shingles: one row per (doc_id, s, sh) where
+    * `s` is the 0-based start token index of the window — the span
+    * form [[graft.text.Dedup.dupSpanStats]] needs. Same map-side-only
+    * construction as [[shingles]] (the native [[graft.plans.Shingles]]
+    * array is in document order, so `posexplode` yields the start
+    * index for free); no distinct — every occurrence is a span. */
+  def positionedShingles(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.select(col("doc_id"),
+      posexplode(Bridge.column(
+        graft.plans.Shingles(Bridge.expression(col("text")), k))).as(Seq("s", "sh")))
+  }
+
   /** Deterministic dictionary: shingle/token -> dense 1-based id by
     * sort order — identical ids to `dense_rank() over (order by v)` but
     * without the single-partition window: distinct -> range-partitioned

@@ -21,6 +21,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got.count(_._1 == 2L) === 2) // "z z z", "z z q"
   }
 
+  test("dupSpanStats finds planted duplicated spans, coalesced into islands") {
+    // docs 10/11 share tokens 2..11 (a 10-token run -> three overlapping
+    // dup 8-grams each, coalescing to ONE island of length 10); doc 12
+    // is unique throughout; doc 13 repeats an 8-gram WITHIN itself.
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (10L, s"x0 x1 $shared x2 x3"),
+      (11L, s"y0 y1 $shared y2 y3"),
+      (12L, (0 until 14).map(i => s"u$i").mkString(" ")),
+      (13L, {
+        val g = (0 until 8).map(i => s"w$i").mkString(" ")
+        s"$g q1 q2 $g"
+      })
+    ).toDF("doc_id", "text")
+    val got = graft.text.Dedup.dupSpanStats(d, 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toList
+    // shared run at positions 2..12 (10 tokens): dup 8-grams start at
+    // 2,3,4 -> island [2,12) = 10 toks. doc 13: grams at 0 and 10 ->
+    // two islands of 8 toks each (positions [0,8) and [10,18)).
+    assert(got === List((10L, 10L, 1L), (11L, 10L, 1L), (13L, 16L, 2L)))
+  }
+
   test("phraseHits position-join equals the lead-window reference (property)") {
     import graft.text.PhraseSearch
     import org.apache.spark.sql.expressions.Window
