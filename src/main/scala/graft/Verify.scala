@@ -17,7 +17,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): run only
+    // queries matching the comma-separated name prefixes; unset = all.
+    val only = sys.env.getOrElse("SPARK_GRAFT_VERIFY_ONLY", "").trim
+    val prefixes = only.split(",").map(_.trim).filter(_.nonEmpty)
+    val selected =
+      if (prefixes.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

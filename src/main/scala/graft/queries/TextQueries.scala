@@ -427,6 +427,34 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // T26 bloom-pruned decontamination — SAME semantics (and oracle)
+    // as t23, different plan: the held-out shingle-id set becomes a
+    // broadcast Bloom filter (Spark's own runtime-filter machinery,
+    // BloomFilterAggregate + might_contain) that prunes the train
+    // shingle table map-side BEFORE the shuffle join; the exact join
+    // then removes the filter's false positives. At 100 TB the train
+    // side is ~1000x the held-out side — this turns its all-to-all
+    // shuffle into a shuffle of only might-match rows. Answers are
+    // bit-identical to t23 by construction.
+    "t26_bloom_decontam" -> ((s, d) => {
+      val hb = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":split"))) % 1000
+      val base = docs(s, d).withColumn("hb", hb)
+      val train = base.filter(col("hb") < 980)
+      val heldSh = TextOps.shingles(base.filter(col("hb") >= 980), 5)
+        .select(TextOps.fingerprint(col("sh")).as("sid")).distinct()
+      val trainSh = TextOps.shingles(train, 5)
+        .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
+      val candidates = graft.plans.BloomFns.bloomPrune(
+        trainSh, heldSh, "sid", expectedItems = 200000L, numBits = 1600000L)
+      val guilty = candidates.join(heldSh, "sid").select("doc_id").distinct()
+      train.join(guilty, Seq("doc_id"), "left_anti")
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("toks_kept"))
+        .orderBy("lang")
+    }),
+
     // T24 the GOVERNED corpus pipeline as one query: split assignment
     // -> quality filter -> exact dedup -> decontamination against the
     // held-out split -> concat-and-chunk packing. The governance tail
@@ -584,6 +612,32 @@ object TextQueries {
 
   /** 64-bit SimHash as 4x16-bit band limbs (doc_id, band, val) —
     * mirrors TextOps.simhashBands with rolling-hash token ids. */
+  private val decontamRemovalSql =
+    """WITH h AS (
+      |  SELECT doc_id, lang, text,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':split',''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS hb
+      |  FROM documents),
+      |g5 AS (SELECT DISTINCT doc_id, hb,
+      |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
+      |       FROM (SELECT doc_id, hb, l, unnest(generate_series(1, len(l)-4)) AS i
+      |             FROM (SELECT doc_id, hb, string_split(text,' ') AS l FROM h) t0) t1),
+      |ids AS (SELECT doc_id, hb,
+      |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |            list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+      |            (a, x) -> (a * 31 + x) % 1000000007) AS sid
+      |        FROM g5),
+      |held AS (SELECT DISTINCT sid FROM ids WHERE hb >= 980),
+      |guilty AS (SELECT DISTINCT i.doc_id FROM ids i JOIN held USING (sid)
+      |           WHERE i.hb < 980)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks_kept
+      |FROM h
+      |WHERE hb < 980 AND doc_id NOT IN (SELECT doc_id FROM guilty)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private val simhashBandsSql =
     """SELECT doc_id, j // 16 AS band,
       |  CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << (j % 16)) ELSE 0 END) AS BIGINT) AS val
@@ -879,31 +933,10 @@ object TextQueries {
         |  b.ntok - coalesce(p.dup_toks, 0) AS toks_kept
         |FROM b LEFT JOIN per p USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "t23_decontam_removal" ->
-      """WITH h AS (
-        |  SELECT doc_id, lang, text,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':split',''),
-        |        c -> CAST(ascii(c) AS BIGINT))),
-        |      (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS hb
-        |  FROM documents),
-        |g5 AS (SELECT DISTINCT doc_id, hb,
-        |         l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4] AS sh
-        |       FROM (SELECT doc_id, hb, l, unnest(generate_series(1, len(l)-4)) AS i
-        |             FROM (SELECT doc_id, hb, string_split(text,' ') AS l FROM h) t0) t1),
-        |ids AS (SELECT doc_id, hb,
-        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |            list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
-        |            (a, x) -> (a * 31 + x) % 1000000007) AS sid
-        |        FROM g5),
-        |held AS (SELECT DISTINCT sid FROM ids WHERE hb >= 980),
-        |guilty AS (SELECT DISTINCT i.doc_id FROM ids i JOIN held USING (sid)
-        |           WHERE i.hb < 980)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks_kept
-        |FROM h
-        |WHERE hb < 980 AND doc_id NOT IN (SELECT doc_id FROM guilty)
-        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // t26 is plan-level only (bloom pre-filter + exact confirm join) —
+    // the answer is defined to be t23's, so they share one oracle.
+    "t23_decontam_removal" -> decontamRemovalSql,
+    "t26_bloom_decontam" -> decontamRemovalSql,
 
     "t22_temperature_mix" ->
       """WITH h AS (
