@@ -271,6 +271,35 @@ class StreamingSpec extends SparkSpec {
     assert(doc.contains("\"type\":\"bboxes\""))
   }
 
+  test("streaming widget sink handles the frame and video kinds") {
+    implicit val sql = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_widget_fv").toString
+    // frame kind: (video_id, frame_number) rows
+    val fin = MemoryStream[(Long, Long)]
+    val fq = graft.streaming.ExportSink.startWidgetSinkAs(
+      fin.toDF().toDF("video_id", "frame_number"),
+      s"$tmp/fout", s"$tmp/fck", "frames",
+      graft.result.WidgetJson.frameResult)
+    fin.addData((4L, 120L), (4L, 240L))
+    fq.processAllAvailable(); fq.stop()
+    val fdoc = Files.readString(new java.io.File(s"$tmp/fout")
+      .listFiles().filter(_.getName.endsWith(".json")).head.toPath)
+    assert(fdoc.contains("\"count\":2") && fdoc.contains("\"min_frame\":120"))
+    assert(fdoc.contains("\"type\":\"frames\""))
+    // video kind: duplicate video ids collapse to one element
+    val vin = MemoryStream[Long]
+    val vq = graft.streaming.ExportSink.startWidgetSinkAs(
+      vin.toDF().toDF("video_id"),
+      s"$tmp/vout", s"$tmp/vck", "videos",
+      graft.result.WidgetJson.videoResult)
+    vin.addData(9L, 9L, 11L)
+    vq.processAllAvailable(); vq.stop()
+    val vdoc = Files.readString(new java.io.File(s"$tmp/vout")
+      .listFiles().filter(_.getName.endsWith(".json")).head.toPath)
+    assert(vdoc.contains("\"count\":2")) // 9 deduped, 11
+    assert(vdoc.contains("\"video\":9") && vdoc.contains("\"video\":11"))
+  }
+
   test("ingestJob end-to-end: files -> dedup -> parquet") {
     val tmp = Files.createTempDirectory("graft_ingest").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
