@@ -206,11 +206,13 @@ object IntervalQueries {
     }),
 
     // R11 bounded fold (commercial_detection_rekall.py:168-187): merge
-    // overlapping clicks but cap merged span at 300 s. Inherently
-    // sequential per key -> typed flatMapGroups; rows-only oracle (the
-    // stack fold is not expressible in one SQL pass).
+    // overlapping clicks but cap the merged span at 60 s (tight enough
+    // that the cap actually splits islands r01 would merge — at 300 the
+    // fixture never hits it and the oracle can't tell cap from no-cap).
+    // Inherently sequential per key -> typed flatMapGroups; the oracle
+    // replays the same fold as a recursive CTE.
     "r11_bounded_coalesce" -> ((s, d) =>
-      IntervalOps.boundedCoalesce(bare(clicks(s, d)), 300, C)
+      IntervalOps.boundedCoalesce(bare(clicks(s, d)), 60, C)
         .orderBy("user_id", "s", "e")),
 
     // ST1 sessionization — the reference's coalesce sweep as session
@@ -306,6 +308,33 @@ object IntervalQueries {
          |    (b.s - a.e BETWEEN 0 AND 60) OR (a.s - b.e BETWEEN 0 AND 60)
          |    OR (b.s < a.e AND b.e > a.s)))
          |ORDER BY user_id, event_id""".stripMargin,
+
+    // R11: the sequential fold as a recursive CTE — state (cs, ce)
+    // advances one interval per iteration per key; `m` records whether
+    // row rn merged into the running island, so island-final rows are
+    // those whose successor did NOT merge. Iteration count = max
+    // intervals per key (small), not corpus size.
+    "r11_bounded_coalesce" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT user_id, s, e,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY s, e) AS rn
+         |  FROM (${evSql("click")}) src),
+         |r AS (
+         |  SELECT user_id, rn, s AS cs, e AS ce, TRUE AS m FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.user_id, t.rn,
+         |    CASE WHEN t.s <= r.ce AND greatest(t.e, r.ce) - r.cs <= 60
+         |      THEN r.cs ELSE t.s END,
+         |    CASE WHEN t.s <= r.ce AND greatest(t.e, r.ce) - r.cs <= 60
+         |      THEN greatest(t.e, r.ce) ELSE t.e END,
+         |    (t.s <= r.ce AND greatest(t.e, r.ce) - r.cs <= 60)
+         |  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+         |SELECT user_id, cs AS s, ce AS e FROM (
+         |  SELECT user_id, cs, ce,
+         |    lead(m) OVER (PARTITION BY user_id ORDER BY rn) AS nm
+         |  FROM r) z
+         |WHERE nm IS NULL OR NOT nm
+         |ORDER BY user_id, s, e""".stripMargin,
 
     "r12_rescale" ->
       s"""SELECT user_id, event_id, s // 60 AS s_min, (e + 59) // 60 AS e_min
