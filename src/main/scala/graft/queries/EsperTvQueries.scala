@@ -82,8 +82,78 @@ object EsperTvQueries {
        |WHERE e - s >= 45 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // e02 oracle: the commercial-detection chain in SQL — black-frame
+  // islands, lowercase-caption runs (ratio > 0.5 as the exact integer
+  // cross-multiply 2*lower > letters), smooth, the stack-fold bounded
+  // coalesce replayed as a recursive CTE (one interval per iteration
+  // per key, as in r11's oracle), live-marker subtraction (r06's
+  // gap-emission form), length filter.
+  // ------------------------------------------------------------------
+  private val e02Sql: String = {
+    val black0 = s"SELECT user_id, s, s + 2 AS e FROM (${evSql("purchase")}) b0"
+    val blackC = coalesceSql(
+      s"SELECT user_id, greatest(s - 2, 0) AS s, e + 2 AS e FROM ($black0) b1")
+    val caps =
+      """SELECT user_id, (epoch_ns(ts)//1000000000) % 86400 AS s,
+        |  (epoch_ns(ts)//1000000000) % 86400 + CAST(floor(value) AS BIGINT) + 1 AS e,
+        |  props AS text
+        |FROM events WHERE event_type = 'error'""".stripMargin
+    val lc =
+      s"""SELECT user_id, s, e FROM ($caps) c
+         |WHERE 2 * len(regexp_replace(text, '[^a-z]', '', 'g'))
+         |    > len(regexp_replace(text, '[^A-Za-z]', '', 'g'))""".stripMargin
+    val lcC = coalesceSql(lc, gap = 5)
+    val lcRuns =
+      s"SELECT user_id, s + 2 AS s, e - 2 AS e FROM (${coalesceSql(
+        s"SELECT user_id, s - 2 AS s, e + 2 AS e FROM ($lcC) l0")}) l1"
+    val liveRuns = coalesceSql(
+      s"SELECT user_id, s, e FROM ($caps) c WHERE text LIKE '%>>%'", gap = 5)
+    s"""WITH RECURSIVE t AS (
+       |  SELECT user_id, s, e,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY s, e) AS rn
+       |  FROM (($blackC) UNION ALL ($lcRuns)) u),
+       |r AS (
+       |  SELECT user_id, rn, s AS cs, e AS ce, TRUE AS m FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.user_id, t.rn,
+       |    CASE WHEN t.s <= r.ce AND greatest(t.e, r.ce) - r.cs <= 600
+       |      THEN r.cs ELSE t.s END,
+       |    CASE WHEN t.s <= r.ce AND greatest(t.e, r.ce) - r.cs <= 600
+       |      THEN greatest(t.e, r.ce) ELSE t.e END,
+       |    (t.s <= r.ce AND greatest(t.e, r.ce) - r.cs <= 600)
+       |  FROM r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1),
+       |cand AS (
+       |  SELECT user_id, cs AS s, ce AS e FROM (
+       |    SELECT user_id, cs, ce,
+       |      lead(m) OVER (PARTITION BY user_id ORDER BY rn) AS nm
+       |    FROM r) z WHERE nm IS NULL OR NOT nm),
+       |a AS (SELECT user_id, s, e,
+       |        row_number() OVER (ORDER BY user_id, s, e) AS aid FROM cand),
+       |lv AS ($liveRuns),
+       |j AS (SELECT a.user_id, a.aid, a.s, a.e, lv.s AS bs, lv.e AS be
+       |      FROM a LEFT JOIN lv ON lv.user_id = a.user_id
+       |        AND lv.s < a.e AND lv.e > a.s),
+       |x AS (SELECT *,
+       |        greatest(s, coalesce(lag(be) OVER (PARTITION BY aid ORDER BY bs), s)) AS segs,
+       |        max(be) OVER (PARTITION BY aid) AS maxbe,
+       |        row_number() OVER (PARTITION BY aid ORDER BY bs DESC NULLS LAST) AS rn_last
+       |      FROM j),
+       |mres AS (
+       |  SELECT user_id, segs AS s, bs AS e FROM x WHERE bs IS NOT NULL AND segs < bs
+       |  UNION ALL
+       |  SELECT user_id,
+       |    CASE WHEN maxbe IS NULL THEN s ELSE greatest(s, maxbe) END AS s, e
+       |  FROM x WHERE rn_last = 1
+       |    AND (CASE WHEN maxbe IS NULL THEN s ELSE greatest(s, maxbe) END) < e)
+       |SELECT user_id AS video_id, s, e FROM mres
+       |WHERE e - s BETWEEN 5 AND 600
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "e01_interviews" -> e01Sql,
+    "e02_commercials" -> e02Sql,
 
     "e03_screen_time" ->
       s"""SELECT event_type AS identity,
