@@ -8,30 +8,53 @@ import org.apache.spark.sql.functions._
   * times). The Spark-native form is the Poisson bootstrap: each
   * (row, trial) draws a Poisson(1) replication weight from a seeded
   * hash, so every trial is a with-replacement resample computed in one
-  * pass with no driver-side loop and no collect. */
+  * pass with no driver-side loop and no collect.
+  *
+  * Cross-engine determinism (round 5, was rows-only before): the
+  * uniform draw is a quadratic hash mod 1e9+7 over (id, trial, seed) —
+  * pure +*% arithmetic with every product < 2^63, so it computes
+  * bit-identically in any engine (xxhash64, used before, exists only
+  * in Spark). Trial means are exact scaled integers (value-cents *
+  * 1e4 = value * 1e6, integer-divided by the weight sum), and the
+  * final mean/std mirror a fixed double expression tree, so the whole
+  * statistic is DuckDB-oracle-checkable.
+  */
 object Bootstrap {
 
-  /** Poisson(1) inverse-CDF from a uniform draw, truncated at 5
-    * (P(k>5) ~ 6e-4 — negligible for interval estimates). */
-  private def poissonWeight(u: org.apache.spark.sql.Column) =
-    when(u < 0.36788, 0).when(u < 0.73576, 1).when(u < 0.91970, 2)
-      .when(u < 0.98101, 3).when(u < 0.99634, 4).otherwise(5)
+  private val P = 1000000007L
 
-  /** Bootstrap distribution of the mean of `valueCol`:
-    * returns (est_mean = mean of trial means, est_std = std across
-    * trials, n_trials). `idCol` must identify rows (drives the
-    * deterministic per-(row, trial) draw). */
+  /** Poisson(1) inverse-CDF from an integer draw u in [0, 1e6),
+    * truncated at 5 (P(k>5) ~ 6e-4 — negligible for interval
+    * estimates). Thresholds are floor(1e6 * CDF). */
+  private def poissonWeight(u: org.apache.spark.sql.Column) =
+    when(u < 367880L, 0L).when(u < 735760L, 1L).when(u < 919700L, 2L)
+      .when(u < 981010L, 3L).when(u < 996340L, 4L).otherwise(5L)
+
+  /** Bootstrap distribution of the mean of `valueCol` (a 2-decimal
+    * numeric; values are scaled to cents internally): returns
+    * (est_mean = mean of trial means, est_std = std across trials,
+    * n_trials). `idCol` must identify rows (drives the deterministic
+    * per-(row, trial) draw). A trial whose weights all draw 0 would
+    * divide by zero, but P = e^-N is zero for any real N. */
   def bootstrapMean(df: DataFrame, idCol: String, valueCol: String,
                     trials: Int = 200, seed: Long = 42L): DataFrame = {
-    val u = (pmod(xxhash64(col(idCol), col("trial"), lit(seed)), lit(1000000L))
-      .cast("double") / 1000000.0)
-    df.select(col(idCol), col(valueCol))
+    // p1 affine in (id, trial); squaring breaks the affinity so draws
+    // across trials of one row decorrelate. id*1000003 and p1*p1 both
+    // stay far below 2^63 (id < ~9e12, p1 < 1e9+7).
+    val p1 = pmod(col(idCol) * 1000003L + col("trial") * 7919L + lit(seed), lit(P))
+    val u = pmod(p1 * p1 + p1, lit(P)) % 1000000L
+    val nD = lit(trials.toDouble)
+    df.select(col(idCol), round(col(valueCol) * 100).cast("long").as("__vc"))
       .withColumn("trial", explode(sequence(lit(1), lit(trials))))
       .withColumn("w", poissonWeight(u))
       .groupBy(col("trial"))
-      .agg((sum(col("w") * col(valueCol)) / sum(col("w"))).as("trial_mean"))
-      .agg(avg(col("trial_mean")).as("est_mean"),
-        stddev_samp(col("trial_mean")).as("est_std"),
+      // m = trial mean in value*1e6 units, exact integer
+      .agg(expr("(sum(w * __vc) * 10000) div sum(w)").as("m"))
+      .agg(
+        (sum(col("m")).cast("double") / nD / 1000000.0).as("est_mean"),
+        (sqrt((sum(col("m") * col("m")).cast("double") -
+          sum(col("m")).cast("double") * sum(col("m")).cast("double") / nD)
+          / lit((trials - 1).toDouble)) / 1000000.0).as("est_std"),
         count(lit(1)).as("n_trials"))
   }
 }

@@ -634,6 +634,30 @@ object RelationalQueries {
         |JOIN totals y ON pairs.tb = y.event_type
         |ORDER BY ta, tb""".stripMargin,
 
+    // a14: the Poisson bootstrap replayed exactly — quadratic hash mod
+    // 1e9+7 for the uniform draw, integer trial means in value*1e6
+    // units, and the identical double expression tree for mean/std
+    // (see analytics.Bootstrap).
+    "a14_bootstrap" ->
+      """WITH li AS (SELECT l_orderkey*10 + l_linenumber AS rid,
+        |              CAST(round(l_quantity*100, 0) AS BIGINT) AS vc
+        |            FROM lineitem),
+        |x AS (SELECT rid, vc, unnest(generate_series(1, 200)) AS trial FROM li),
+        |h AS (SELECT vc, trial,
+        |        (rid*1000003 + trial*7919 + 42) % 1000000007 AS p1 FROM x),
+        |u AS (SELECT vc, trial, ((p1*p1 + p1) % 1000000007) % 1000000 AS uu FROM h),
+        |w AS (SELECT vc, trial,
+        |        CASE WHEN uu < 367880 THEN 0 WHEN uu < 735760 THEN 1
+        |             WHEN uu < 919700 THEN 2 WHEN uu < 981010 THEN 3
+        |             WHEN uu < 996340 THEN 4 ELSE 5 END AS w FROM u),
+        |t AS (SELECT trial, (sum(w*vc) * 10000) // sum(w) AS m FROM w GROUP BY trial)
+        |SELECT CAST(sum(m) AS DOUBLE)/200.0/1000000.0 AS est_mean,
+        |  sqrt((CAST(sum(m*m) AS DOUBLE)
+        |      - CAST(sum(m) AS DOUBLE)*CAST(sum(m) AS DOUBLE)/200.0)/199.0)
+        |    /1000000.0 AS est_std,
+        |  CAST(count(*) AS BIGINT) AS n_trials
+        |FROM t""".stripMargin,
+
     "a15_confusion_matrix" ->
       """SELECT CASE WHEN l_quantity > 25 THEN 'R' ELSE 'A' END AS pred,
         |  l_returnflag AS actual, CAST(count(*) AS BIGINT) AS n
