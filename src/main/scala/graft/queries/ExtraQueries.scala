@@ -140,7 +140,37 @@ object ExtraQueries {
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(cents(col("o_totalprice"))).as("total_cents"))
-        .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus")))
+        .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))),
+
+    // A20: KMV (k-minimum-values) distinct-count sketch — the
+    // engine-independent counterpart of a18's HLL. Rolling-hash each
+    // order key into [0, 1e9+7); the custom bottom-k aggregate
+    // (plans.BottomKAgg, a TypedImperativeAggregate whose partial
+    // buffers cap at k=64 longs) keeps the k smallest DISTINCT hashes
+    // per group; estimate = (k-1)*P/h_k, or the exact size when the
+    // group has fewer than k. Unlike HLL registers the sketch is just
+    // sorted hashes, so DuckDB replays it and the estimate is
+    // value-exact across engines.
+    "a20_kmv_sketch" -> ((s, d) => {
+      val k = 64
+      // quadratic mixing on top of the rolling hash: polynomial hashes
+      // of short sequential strings are affine in the digits and
+      // under-fill the low range, which skews the k-th-minimum 3-4x
+      // (measured); squaring mod P scatters them (the a14/t20 lesson)
+      val h0 = graft.text.TextOps.fingerprint(
+        concat(lit("kmv:"), col("l_orderkey").cast("string")))
+      val h = pmod(h0 * h0 + h0, lit(1000000007L))
+      Tables.lineitem(tune(s), d)
+        .select(col("l_returnflag"), h.as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(graft.plans.BottomKAgg.bottomK(col("h"), k).as("bk"))
+        .select(col("l_returnflag"),
+          when(size(col("bk")) < k, size(col("bk")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * 1000000007.0 /
+              element_at(col("bk"), k).cast("double")).as("est_distinct"),
+          size(col("bk")).cast("long").as("k_used"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,6 +253,26 @@ object ExtraQueries {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "a20_kmv_sketch" ->
+      """WITH h0 AS (
+        |  SELECT l_returnflag,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('kmv:' || CAST(l_orderkey AS VARCHAR),''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS h0
+        |  FROM lineitem),
+        |h AS (SELECT DISTINCT l_returnflag, (h0*h0 + h0) % 1000000007 AS h FROM h0),
+        |r AS (SELECT l_returnflag, h,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |      FROM h),
+        |k AS (SELECT l_returnflag, max(h) AS hk, CAST(count(*) AS BIGINT) AS k_used
+        |      FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+        |       ELSE 63.0 * 1000000007.0 / CAST(hk AS DOUBLE) END AS est_distinct,
+        |  k_used
+        |FROM k ORDER BY l_returnflag""".stripMargin
   )
 }

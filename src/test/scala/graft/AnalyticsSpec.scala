@@ -24,6 +24,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(res2.getAs[Double]("est_mean") === est)
   }
 
+  test("bottom_k keeps the k smallest distinct values through merges") {
+    import graft.plans.BottomKAgg
+    // values with duplicates, spread over partitions so partial
+    // buffers must merge; expect the 5 smallest distinct
+    val df = spark.range(0, 1000).toDF("i").repartition(7)
+      .selectExpr("CAST(i % 100 AS BIGINT) AS v") // each value 10x
+    val got = df.agg(BottomKAgg.bottomK(col("v"), 5).as("bk"))
+      .selectExpr("bk").as[Seq[Long]].head()
+    assert(got === Seq(0L, 1L, 2L, 3L, 4L))
+    // grouped: per parity, 5 smallest distinct of that parity
+    val g = df.groupBy(expr("v % 2").as("p"))
+      .agg(BottomKAgg.bottomK(col("v"), 5).as("bk"))
+      .orderBy("p").as[(Long, Seq[Long])].collect().toList
+    assert(g === List((0L, Seq(0L, 2L, 4L, 6L, 8L)),
+      (1L, Seq(1L, 3L, 5L, 7L, 9L))))
+    // fewer than k distinct -> the whole sorted set
+    val small = Seq(9L, 9L, 3L).toDF("v")
+      .agg(BottomKAgg.bottomK(col("v"), 5)).as[Seq[Long]].head()
+    assert(small === Seq(3L, 9L))
+  }
+
   test("dict ids equal dense_rank over sorted distinct values") {
     val vals = Seq("pear", "apple", "apple", "fig", "banana").toDF("w")
     val got = TextOps.dict(vals, "w", "wid").as[(String, Long)].collect().toMap

@@ -11,11 +11,12 @@ class SmokeSpec extends SparkSpec {
 
   test("every query key has an oracle or is deliberately rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep the rows-only list explicit so additions are conscious choices
-    assert(noOracle === Set("p11_random_sample", "r11_bounded_coalesce",
+    // keep the rows-only list explicit so additions are conscious
+    // choices (r11/e02/a14 graduated to oracle-exact in round 5)
+    assert(noOracle === Set("p11_random_sample",
       "v01_cosine_topk", "v02_lsh_buckets", "v03_near_dup_cosine",
       "v04_centroid_assign", "v05_logreg_score", "v06_knn_predict",
-      "v07_ivf_topk", "e02_commercials", "a14_bootstrap", "a18_sketches"))
+      "v07_ivf_topk", "a18_sketches"))
   }
 
   test("all queries execute at sf0.001") {
