@@ -98,6 +98,29 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_sampled"),
           (count(lit(1)) > 0).as("nonempty"))),
 
+    // P13 deterministic hash sampling: k docs per group = the k
+    // smallest (mixed-hash, doc_id) pairs, packed into one long and
+    // kept by the bottom-k aggregate — the reproducible, oracle-exact
+    // replacement for RNG sampling (p11) that also avoids p10-style
+    // stride bias AND the per-group window sort a row_number() form
+    // would pay: partial aggregates ship <= k longs per partition.
+    "p13_hash_sample" -> ((s, d) => {
+      val k = 10
+      val P = 1000000007L
+      val h0 = graft.text.TextOps.fingerprint(
+        concat(lit("smp:"), col("doc_id").cast("string")))
+      val h = pmod(h0 * h0 + h0, lit(P))
+      // pack (h, doc_id) so bottom-k order = (h, doc_id); doc_id < 2^32
+      val packed = h * 4294967296L + col("doc_id")
+      Tables.documents(tune(s), d)
+        .select(col("lang"), packed.as("pk"))
+        .groupBy(col("lang"))
+        .agg(graft.plans.BottomKAgg.bottomK(col("pk"), k).as("bk"))
+        .select(col("lang"), explode(col("bk")).as("pk"))
+        .select(col("lang"), pmod(col("pk"), lit(4294967296L)).as("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // P12 conditional expression (gender-prob flip UDF -> when/otherwise,
     // spark_util.py:480-491)
     "p12_conditional" -> ((s, d) =>
@@ -499,6 +522,21 @@ object RelationalQueries {
       s"""SELECT l_orderkey, l_linenumber,
          |  ${centsSql("CASE WHEN l_returnflag = 'R' THEN l_discount ELSE 1.0 - l_discount END")} AS flip_cents
          |FROM lineitem ORDER BY l_orderkey, l_linenumber, flip_cents""".stripMargin,
+
+    "p13_hash_sample" ->
+      """WITH h0 AS (
+        |  SELECT lang, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('smp:' || CAST(doc_id AS VARCHAR),''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS h0
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY (h0*h0 + h0) % 1000000007, doc_id) AS rn
+        |      FROM h0)
+        |SELECT lang, doc_id FROM r WHERE rn <= 10
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "j01_equi_join_agg" ->
       s"""SELECT n_name,
