@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Plan-shape regression guards: the properties that matter at 1000
+  * executors are visible in the physical plan at any SF, so assert
+  * them on sf0.001. A change that silently turns a broadcast join
+  * into a sort-merge join, or moves the bloom prune above the
+  * shuffle, fails here rather than in a 100 TB bill. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final physical plan with AQE off, so every operator is a plain
+    * node (query-stage wrappers hide subtrees from collect). AQE must
+    * be disabled AFTER the query builder runs — Q.tune re-enables it —
+    * and planning is lazy, so the toggle still lands before collect. */
+  private def executed(mk: => DataFrame): SparkPlan = {
+    val df = mk
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("j01 keeps its three broadcast dimension joins (no sort-merge)") {
+    val plan = executed(SparkEntry.queries("j01_equi_join_agg")(spark, sf))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(bhj.size === 3, s"expected 3 broadcast joins, got ${bhj.size}")
+    assert(smj.isEmpty, "dimension join degraded to sort-merge")
+  }
+
+  test("j01 scan is pruned to the columns the query touches") {
+    val plan = executed(SparkEntry.queries("j01_equi_join_agg")(spark, sf))
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // lineitem is 16 columns wide; the query needs a handful
+    val widest = scans.map(_.schema.size).max
+    assert(widest <= 6, s"scan reads $widest columns - pruning regressed")
+  }
+
+  test("t26 bloom prune filters the probe side BELOW the first exchange") {
+    val plan = executed(SparkEntry.queries("t26_bloom_decontam")(spark, sf))
+    val bloomFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "might_contain filter missing from plan")
+    // at least one bloom filter sits directly over the scan with no
+    // shuffle beneath it: the prune is map-side
+    val mapSide = bloomFilters.exists { f =>
+      f.collect { case e: ShuffleExchangeLike => e }.isEmpty
+    }
+    assert(mapSide, "bloom prune runs after a shuffle - the point was map-side")
+  }
+
+  test("p13 bottom-k aggregates partially before the exchange") {
+    val plan = executed(SparkEntry.queries("p13_hash_sample")(spark, sf))
+    val objAggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    // partial + final pair for the TypedImperativeAggregate
+    assert(objAggs.size >= 2, s"expected partial+final bottom_k, got ${objAggs.size}")
+    val partialBelowShuffle = objAggs.exists { a =>
+      a.aggregateExpressions.exists(_.mode ==
+        org.apache.spark.sql.catalyst.expressions.aggregate.Partial) &&
+        a.collect { case e: ShuffleExchangeLike => e }.isEmpty
+    }
+    assert(partialBelowShuffle, "no map-side partial bottom_k before the shuffle")
+  }
+}
