@@ -519,6 +519,32 @@ object TextQueries {
       toks(s, d).groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(20)),
 
+    // T27 bigram collocation mining: lift = N * c_xy / (c_x * c_y)
+    // (monotone in PMI, no transcendental log — one mirrored double
+    // division keeps the ranking value-exact across engines). Bigrams
+    // come map-side from the positioned-shingle array (k=2, never
+    // crossing doc boundaries); integer counts throughout. At 100 TB
+    // the unigram side is df-capped vocabulary — bounded join keys.
+    "t27_bigram_lift" -> ((s, d) => {
+      val docsDf = docs(s, d)
+      val bi = TextOps.positionedShingles(docsDf, 2)
+        .select(split(col("sh"), " ").getItem(0).as("w1"),
+          split(col("sh"), " ").getItem(1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+      val uni = TextOps.tokens(docsDf)
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val n = TextOps.tokens(docsDf).agg(count(lit(1)).as("n_tok"))
+      bi.join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c1"), col("c2"),
+          (col("c_xy").cast("double") * col("n_tok").cast("double") /
+            (col("c1") * col("c2")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // T9 rolling-hash document fingerprint
     "t09_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
@@ -1058,6 +1084,20 @@ object TextQueries {
     "t08_token_topk" ->
       s"""SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (${Q.toksSql}) t
          |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+
+    "t27_bigram_lift" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tk),
+         |bi AS (SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS c_xy
+         |       FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
+         |             FROM (SELECT string_split(text,' ') AS l FROM documents) t0) t1
+         |       GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT w1, w2, c_xy, u1.c AS c1, u2.c AS c2,
+         |  CAST(c_xy AS DOUBLE) * CAST(n_tok AS DOUBLE)
+         |    / CAST(u1.c * u2.c AS DOUBLE) AS lift
+         |FROM bi JOIN uni u1 ON u1.tok = w1 JOIN uni u2 ON u2.tok = w2, n
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "t09_fingerprint" ->
       """SELECT doc_id,
