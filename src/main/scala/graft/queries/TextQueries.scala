@@ -519,6 +519,18 @@ object TextQueries {
       toks(s, d).groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(20)),
 
+    // T28 BPE-ish regex pre-tokenization (the GPT-2 pre-tokenizer
+    // shape: contraction suffixes, letter runs, digit runs, punct
+    // runs, each with an optional leading space) vs whitespace
+    // tokens — the token-count operator an LLM data pipeline budgets
+    // with. Pattern sticks to the regex subset Java and RE2 share
+    // (no lookaround), so both engines count identically.
+    "t28_regex_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(TextOps.bpeTokens(col("text"))).cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
+
     // T27 bigram collocation mining: lift = N * c_xy / (c_x * c_y)
     // (monotone in PMI, no transcendental log — one mirrored double
     // division keeps the ranking value-exact across engines). Bigrams
@@ -1098,6 +1110,13 @@ object TextQueries {
          |    / CAST(u1.c * u2.c AS DOUBLE) AS lift
          |FROM bi JOIN uni u1 ON u1.tok = w1 JOIN uni u2 ON u2.tok = w2, n
          |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    "t28_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t09_fingerprint" ->
       """SELECT doc_id,

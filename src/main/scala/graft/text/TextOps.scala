@@ -48,6 +48,15 @@ object TextOps {
         graft.plans.Shingles(Bridge.expression(col("text")), k))).as(Seq("s", "sh")))
   }
 
+  /** BPE-ish regex pre-tokens (the GPT-2 pre-tokenizer shape:
+    * contraction suffix, letter run, digit run, punctuation run, each
+    * with an optional leading space). Stays inside the regex subset
+    * Java and RE2 share (no lookaround), so DuckDB counts
+    * identically. */
+  def bpeTokens(textCol: Column): Column =
+    regexp_extract_all(textCol,
+      lit("""'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"""), lit(0))
+
   /** Deterministic dictionary: shingle/token -> dense 1-based id by
     * sort order — identical ids to `dense_rank() over (order by v)` but
     * without the single-partition window: distinct -> range-partitioned

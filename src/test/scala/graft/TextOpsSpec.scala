@@ -114,6 +114,16 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) === "mixed <EMAIL> at <IP> dial <PHONE>")
   }
 
+  test("bpeTokens splits contractions, digits, and punctuation runs") {
+    val got = Seq("I can't wait... it's 2026, really!?")
+      .toDF("text").select(TextOps.bpeTokens(col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(got === Seq("I", " can", "'t", " wait", "...", " it", "'s",
+      " 2026", ",", " really", "!?"))
+    // whitespace tokenization sees 6 "words"; the pre-tokenizer 11
+    assert(got.size === 11)
+  }
+
   test("quality columns and stopword ratio") {
     val q = docs.select($"doc_id" +:
       TextOps.qualityColumns($"text").map { case (n, c) => c.as(n) }: _*)
