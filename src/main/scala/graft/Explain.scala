@@ -11,7 +11,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("j01_equi_join_agg", "p04_filter_compare", "r01_coalesce",
         "j08_overlap_clip_first", "a02_group_sum", "t04_minhash_lsh",
-        "x06_asof_join", "v08_int8_ann", "t06_simhash_pairs")
+        "x06_asof_join", "v08_int8_ann", "t06_simhash_pairs",
+        "t25_span_dedup", "t26_bloom_decontam", "a20_kmv_sketch",
+        "p13_hash_sample")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",

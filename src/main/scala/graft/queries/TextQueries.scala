@@ -507,6 +507,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T29 the production output of t25: duplicated spans REMOVED —
+    // tokens anti-range-joined against the coalesced dup islands,
+    // survivors re-joined in position order. Docs fully consumed by
+    // duplicated text disappear.
+    "t29_span_removal" -> ((s, d) =>
+      graft.text.Dedup.removeDupSpans(docs(s, d), 8)
+        .orderBy("doc_id")),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -934,6 +942,41 @@ object TextQueries {
         |           FROM kept)
         |SELECT doc_id, ntok, off, off // 256 AS chunk_first
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "t29_span_removal" ->
+      s"""WITH b AS (
+        |  SELECT doc_id, string_split(text,' ') AS l,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(array_to_string(l[i:i+7], ' '),''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-7)) AS i
+        |        FROM b WHERE ntok >= 8) t0),
+        |dup AS (SELECT sid FROM g GROUP BY sid HAVING count(*) > 1),
+        |sp AS (SELECT doc_id, s, s + 8 AS e FROM g JOIN dup USING (sid)),
+        |mrk AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM sp),
+        |grp AS (
+        |  SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM mrk),
+        |isl AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+        |tok AS (${Q.toksSql}),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM isl i
+        |           WHERE i.doc_id = t.doc_id AND t.pos >= i.s AND t.pos < i.e))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY pos) AS text_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t25_span_dedup" ->
       """WITH b AS (

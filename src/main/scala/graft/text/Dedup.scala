@@ -82,7 +82,9 @@ object Dedup {
     * unnecessary here because count>1 spans are *meant* to include
     * them; the group-by bounds the blowup at one row per occurrence,
     * never occurrence-squared. */
-  def dupSpanStats(docs: DataFrame, k: Int): DataFrame = {
+  /** The coalesced duplicated-span islands themselves:
+    * (doc_id, s, e) in token positions, per doc, disjoint. */
+  def dupSpanIslands(docs: DataFrame, k: Int): DataFrame = {
     val grams = TextOps.positionedShingles(docs, k)
       .select(col("doc_id"), col("s"),
         TextOps.fingerprint(col("sh")).as("sid"))
@@ -92,9 +94,31 @@ object Dedup {
       .select(col("doc_id").as("k"), col("s").cast("long").as("s"),
         (col("s") + k).cast("long").as("e"))
     IntervalOps.coalesce(spans)
-      .groupBy(col("k"))
+      .select(col("k").as("doc_id"), col("s"), col("e"))
+  }
+
+  def dupSpanStats(docs: DataFrame, k: Int): DataFrame =
+    dupSpanIslands(docs, k)
+      .groupBy(col("doc_id"))
       .agg(sum(col("e") - col("s")).as("dup_toks"),
         count(lit(1)).as("n_islands"))
-      .select(col("k").as("doc_id"), col("dup_toks"), col("n_islands"))
+
+  /** The production output of span dedup: every token covered by a
+    * duplicated island is dropped and the survivors re-join in
+    * position order. Docs reduced to nothing disappear (no empty-text
+    * rows). The anti join is equi on doc_id with the range predicate
+    * on top — per-doc island counts are small, so the extra predicate
+    * is cheap inside the per-key group. */
+  def removeDupSpans(docs: DataFrame, k: Int): DataFrame = {
+    val isl = dupSpanIslands(docs, k)
+      .select(col("doc_id").as("__d"), col("s").as("__s"), col("e").as("__e"))
+    TextOps.tokens(docs)
+      .join(isl, col("doc_id") === col("__d") &&
+        col("pos") >= col("__s") && col("pos") < col("__e"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("text_kept"))
   }
 }

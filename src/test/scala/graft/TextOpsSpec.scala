@@ -42,6 +42,15 @@ class TextOpsSpec extends SparkSpec {
     // 2,3,4 -> island [2,12) = 10 toks. doc 13: grams at 0 and 10 ->
     // two islands of 8 toks each (positions [0,8) and [10,18)).
     assert(got === List((10L, 10L, 1L), (11L, 10L, 1L), (13L, 16L, 2L)))
+    // and the removal output reconstructs the surviving text in order
+    val kept = graft.text.Dedup.removeDupSpans(d, 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toList
+    assert(kept === List(
+      (10L, 4L, "x0 x1 x2 x3"),
+      (11L, 4L, "y0 y1 y2 y3"),
+      (12L, 14L, (0 until 14).map(i => s"u$i").mkString(" ")),
+      (13L, 2L, "q1 q2")))
   }
 
   test("phraseHits position-join equals the lead-window reference (property)") {
