@@ -6,10 +6,13 @@ import graft.similarity.Similarity
 import Q._
 
 /** Similarity-search coverage over `embeddings` (J15 + the ANN addenda
-  * in SURVEY §7.5). No DuckDB oracle — float reductions are not
-  * bit-portable across engines — so these get the driver's rows-only
-  * check; outputs are still run-to-run deterministic (sorted folds,
-  * explicit tie-breaks). */
+  * in SURVEY §7.5). The float-cosine queries (v01-v04, v06) ARE
+  * DuckDB-oracle-exact since round 5: the native vector expressions
+  * are defined left folds over doubles, and DuckDB's ordered
+  * list_reduce replays them bit-identically — so signs, rankings with
+  * vec_id tie-breaks, and rounded scores all match. Only the
+  * genuinely engine-specific pipelines (MLlib LBFGS v05, KMeans v07)
+  * stay rows-only, run-to-run deterministic. */
 object SimilarityQueries {
 
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -123,7 +126,146 @@ object SimilarityQueries {
     * quantized-integer scores are exact in both engines. The SQL
     * mirrors the Spark ops in order: cast to double, * 127.0, / maxabs,
     * round (ties away from zero in both engines), integer dot. */
+  private val sq =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |  list_transform(EMB, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |  (a, x) -> a + x)""".stripMargin
+
+  private def sumsq(emb: String) = sq.replace("EMB", emb)
+
+  private def dotOf(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |  (a, x) -> a + x)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // v01: brute-force cosine ranking — every double (dot, the two
+    // sqrt'd norms, the divide) mirrors the native expressions' left
+    // folds bit-exactly, and ties break on vec_id, so the rank column
+    // is engine-independent.
+    "v01_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |             sqrt(${sumsq("embedding")}) AS q_norm
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding,
+         |        sqrt(${sumsq("embedding")}) AS nrm FROM embeddings),
+         |s AS (SELECT q.q_id, c.vec_id,
+         |        ${dotOf("c.embedding", "q.q_emb")} / (c.nrm * q.q_norm) AS cos
+         |      FROM c, q WHERE c.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, vec_id, rank, round(cos, 6) AS cos6
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // v03: LSH candidates (same buckets as v02) + exact cosine at
+    // tau — the pair set and cos6 values are bit-identical because
+    // every double op mirrors the native single-pass cosine.
+    "v03_near_dup_cosine" ->
+      s"""WITH h AS (SELECT vec_id AS hid, embedding AS h_emb
+         |           FROM embeddings WHERE vec_id < 96),
+         |d AS (SELECT e.vec_id, h.hid,
+         |        ${dotOf("e.embedding", "h.h_emb")} AS dot
+         |      FROM embeddings e, h),
+         |b AS (SELECT vec_id, hid // 12 AS tbl,
+         |        CASE WHEN dot > 0
+         |          THEN (CAST(1 AS BIGINT) << CAST(hid % 12 AS INT))
+         |          ELSE CAST(0 AS BIGINT) END AS bit
+         |      FROM d),
+         |bk AS (SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+         |       FROM b GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+         |         FROM bk x JOIN bk y ON x.tbl = y.tbl
+         |           AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |p AS (SELECT d1, d2,
+         |        ${dotOf("e1.embedding", "e2.embedding")} /
+         |          (sqrt(${sumsq("e1.embedding")}) * sqrt(${sumsq("e2.embedding")})) AS cos
+         |      FROM cand JOIN embeddings e1 ON e1.vec_id = d1
+         |        JOIN embeddings e2 ON e2.vec_id = d2)
+         |SELECT d1, d2, round(cos, 6) AS cos6 FROM p
+         |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
+
+    // v06: kNN label propagation — cosine ranking as in v01; the mean
+    // of <= 5 small-integer labels is an exact double, so avg is
+    // order-free and engine-exact.
+    "v06_knn_predict" ->
+      s"""WITH t AS (SELECT vec_id AS t_id, embedding AS t_emb, label AS t_label,
+         |             sqrt(${sumsq("embedding")}) AS t_norm
+         |           FROM embeddings WHERE vec_id % 5 = 0),
+         |c AS (SELECT vec_id, embedding,
+         |        sqrt(${sumsq("embedding")}) AS nrm
+         |      FROM embeddings WHERE vec_id % 5 <> 0),
+         |s AS (SELECT c.vec_id, t.t_id, t.t_label,
+         |        ${dotOf("c.embedding", "t.t_emb")} / (c.nrm * t.t_norm) AS cos
+         |      FROM c, t WHERE c.vec_id <> t.t_id),
+         |r AS (SELECT vec_id, t_label,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, t_id) AS rn
+         |      FROM s)
+         |SELECT vec_id, round(avg(CAST(t_label AS DOUBLE)), 6) AS score
+         |FROM r WHERE rn <= 5 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // v04: centroid assignment — per-(label,pos) centroid means fold a
+    // vec_id-ordered list exactly as the Spark HOF does; cosine and
+    // the argmax tie-break mirror v01.
+    "v04_centroid_assign" ->
+      s"""WITH x AS (SELECT label, vec_id, u.z[2] AS pos,
+         |             CAST(u.z[1] AS DOUBLE) AS v
+         |           FROM embeddings e,
+         |             unnest(list_zip(e.embedding,
+         |               generate_series(0, len(e.embedding)-1))) AS u(z)),
+         |cp AS (SELECT label, pos,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list(v ORDER BY vec_id)), (a, y) -> a + y)
+         |           / count(*) AS c
+         |       FROM x GROUP BY label, pos),
+         |ctr AS (SELECT label AS c_label,
+         |          list(c ORDER BY pos) AS centroid
+         |        FROM cp GROUP BY label),
+         |cn AS (SELECT c_label, centroid,
+         |         sqrt(${sumsq("centroid")}) AS c_norm FROM ctr),
+         |s AS (SELECT e.vec_id, e.label, cn.c_label,
+         |        ${dotOf("e.embedding", "cn.centroid")} /
+         |          (sqrt(${sumsq("e.embedding")}) * cn.c_norm) AS cos
+         |      FROM embeddings e, cn),
+         |w AS (SELECT vec_id, label, c_label,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, c_label) AS rn
+         |      FROM s)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN label = c_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct
+         |FROM w WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin,
+
+    // v02: bucket bits are SIGNS of double dot products; the fold is
+    // the same left fold (init 0.0, list order) as the native dot
+    // expression, so the doubles — and hence the signs and bucket
+    // histograms — are bit-identical across engines.
+    "v02_lsh_buckets" ->
+      """WITH h AS (SELECT vec_id AS hid, embedding AS h_emb
+        |           FROM embeddings WHERE vec_id < 96),
+        |d AS (SELECT e.vec_id, h.hid,
+        |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(list_zip(e.embedding, h.h_emb),
+        |            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+        |          (a, x) -> a + x) AS dot
+        |      FROM embeddings e, h),
+        |b AS (SELECT vec_id, hid // 12 AS tbl,
+        |        CASE WHEN dot > 0
+        |          THEN (CAST(1 AS BIGINT) << CAST(hid % 12 AS INT))
+        |          ELSE CAST(0 AS BIGINT) END AS bit
+        |      FROM d),
+        |bk AS (SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+        |       FROM b GROUP BY 1, 2),
+        |c AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n
+        |      FROM bk GROUP BY 1, 2)
+        |SELECT tbl, CAST(sum(n) AS BIGINT) AS n_vecs,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(max(n) AS BIGINT) AS max_bucket
+        |FROM c GROUP BY tbl ORDER BY tbl""".stripMargin,
+
     "v08_int8_ann" ->
       """WITH m AS (
         |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma

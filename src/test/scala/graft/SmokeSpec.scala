@@ -12,11 +12,13 @@ class SmokeSpec extends SparkSpec {
   test("every query key has an oracle or is deliberately rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the rows-only list explicit so additions are conscious
-    // choices (r11/e02/a14 graduated to oracle-exact in round 5)
-    assert(noOracle === Set("p11_random_sample",
-      "v01_cosine_topk", "v02_lsh_buckets", "v03_near_dup_cosine",
-      "v04_centroid_assign", "v05_logreg_score", "v06_knn_predict",
-      "v07_ivf_topk", "a18_sketches"))
+    // choices. After round 5 only the genuinely engine-specific
+    // pipelines remain: Spark's RNG (p11), HLL/quantile sketch
+    // internals (a18), MLlib LBFGS (v05) and KMeans (v07). Every
+    // float-cosine query mirrors the native double folds bit-exactly
+    // and is oracle-checked.
+    assert(noOracle === Set("p11_random_sample", "a18_sketches",
+      "v05_logreg_score", "v07_ivf_topk"))
   }
 
   test("all queries execute at sf0.001") {
