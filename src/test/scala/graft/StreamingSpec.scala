@@ -300,6 +300,24 @@ class StreamingSpec extends SparkSpec {
     assert(vdoc.contains("\"video\":9") && vdoc.contains("\"video\":11"))
   }
 
+  test("bottom_k aggregates across micro-batches (state-store path)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("v")
+      .agg(graft.plans.BottomKAgg.bottomK(col("v"), 3).as("bk"))
+      .writeStream.format("memory").queryName("bk_stream")
+      .outputMode("complete").start()
+    in.addData(50L, 10L, 50L)
+    q.processAllAvailable()
+    in.addData(5L, 40L, 10L)
+    q.processAllAvailable()
+    val got = spark.table("bk_stream").select("bk").as[Seq[Long]].head()
+    q.stop()
+    // k smallest DISTINCT across both batches: buffer serialized into
+    // the state store between triggers, dedup preserved
+    assert(got === Seq(5L, 10L, 40L))
+  }
+
   test("ingestJob end-to-end: files -> dedup -> parquet") {
     val tmp = Files.createTempDirectory("graft_ingest").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
