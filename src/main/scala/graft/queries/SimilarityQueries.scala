@@ -109,6 +109,17 @@ object SimilarityQueries {
       Similarity.semDedupClusters(emb(s, d), nPlanes = 4, tauNum = 2, tauDen = 5)
         .orderBy("vec_id")),
 
+    // V11: product-quantization ANN — 8 subspaces x 16 codes over the
+    // int8 grid, ADC ranking; the 8-bytes-per-vector memory path for
+    // a 100 TB embedding store. Exact integer arithmetic end to end,
+    // so (unlike classic float PQ) DuckDB replays it value-exactly.
+    "v11_pq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+          m = 8, subDim = 8, codes = 16, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // V6: knn_predict surface (face_embeddings.py:128-131): every 5th
     // vector is "labeled"; the rest are scored by the mean label of
     // their 5 nearest labeled neighbors under cosine
@@ -186,6 +197,44 @@ object SimilarityQueries {
          |        JOIN embeddings e2 ON e2.vec_id = d2)
          |SELECT d1, d2, round(cos, 6) AS cos6 FROM p
          |WHERE cos >= 0.4 ORDER BY d1, d2""".stripMargin,
+
+    // v11: PQ — integer sub-vector quantization, nearest-code
+    // encoding with (d2, code) tie-break, ADC sums; all BIGINT.
+    "v11_pq_topk" ->
+      """WITH mm AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |q8 AS (SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CAST(round(CAST(x AS DOUBLE) * 127.0 / mm.ma) AS BIGINT)) AS q
+        |       FROM embeddings, mm),
+        |sub AS (SELECT vec_id, ms, q[ms*8+1 : ms*8+8] AS sv
+        |        FROM q8, unnest(generate_series(0, 7)) AS g(ms)),
+        |cent AS (SELECT ms AS c_ms, vec_id AS code, sv AS cv
+        |         FROM sub WHERE vec_id < 16),
+        |enc0 AS (SELECT s.vec_id, s.ms, c.code,
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(list_zip(s.sv, c.cv),
+        |               p -> (p[1] - p[2]) * (p[1] - p[2]))),
+        |             (a, x) -> a + x) AS d2
+        |         FROM sub s JOIN cent c ON c.c_ms = s.ms),
+        |enc AS (SELECT vec_id, ms, code FROM (
+        |          SELECT vec_id, ms, code,
+        |            row_number() OVER (PARTITION BY vec_id, ms
+        |              ORDER BY d2, code) AS rn
+        |          FROM enc0) z WHERE rn = 1),
+        |dtab AS (SELECT vec_id AS q_id, ms AS d_ms, code AS d_code, d2 AS qd2
+        |         FROM enc0 WHERE vec_id < 5),
+        |sc AS (SELECT d.q_id, e.vec_id, CAST(sum(d.qd2) AS BIGINT) AS adist
+        |       FROM enc e JOIN dtab d
+        |         ON d.d_ms = e.ms AND d.d_code = e.code AND e.vec_id <> d.q_id
+        |       GROUP BY 1, 2),
+        |r AS (SELECT q_id, vec_id, adist,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY adist, vec_id) AS INT) AS rank
+        |      FROM sc)
+        |SELECT q_id, vec_id, rank, adist FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // v06: kNN label propagation — cosine ranking as in v01; the mean
     // of <= 5 small-integer labels is an exact double, so avg is

@@ -55,6 +55,12 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.ivfInt8TopK(corpus, q, nPlanes = 2, k = 1)
       .select("vec_id").as[Long].head()
     assert(ivf === 0L)
+    // PQ: the duplicate encodes to the identical code word per
+    // subspace, so its ADC distance is the query's own self-distance
+    // (the minimum) and it must rank 1
+    val pq = Similarity.pqTopK(corpus, q, m = 2, subDim = 2, codes = 4, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(pq === 0L)
   }
 
   test("centroidAssign is perfect on separated clusters") {
