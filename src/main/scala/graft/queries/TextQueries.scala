@@ -515,6 +515,33 @@ object TextQueries {
       graft.text.Dedup.removeDupSpans(docs(s, d), 8)
         .orderBy("doc_id")),
 
+    // T30 the CLEAN pipeline capstone (round-5 roadmap): split
+    // assignment -> substring-level dedup on the train split (t29's
+    // span removal - the strongest dedup in the suite) -> 5-gram
+    // decontamination of the CLEANED text against the held-out split
+    // -> concat-and-chunk packing. Every stage is an already-proven
+    // oracle-green operator; this composes them end to end.
+    "t30_clean_pipeline" -> ((s, d) => {
+      val hb = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":split"))) % 1000
+      val base = docs(s, d).withColumn("hb", hb)
+      val train = base.filter(col("hb") < 980).select("doc_id", "text")
+      val cleaned = graft.text.Dedup.removeDupSpans(train, 8)
+        .select(col("doc_id"), col("n_kept").as("ntok"),
+          col("text_kept").as("text"))
+      val heldSh = TextOps.shingles(base.filter(col("hb") >= 980), 5)
+        .select(TextOps.fingerprint(col("sh")).as("sid")).distinct()
+      val cleanSh = TextOps.shingles(cleaned, 5)
+        .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
+      val guilty = cleanSh.join(heldSh, "sid").select("doc_id").distinct()
+      val kept = cleaned.join(guilty, Seq("doc_id"), "left_anti")
+        .select("doc_id", "ntok")
+      graft.text.Packing.withRunningOffset(kept, "doc_id", "ntok", "off")
+        .withColumn("chunk_first", expr("off div 256"))
+        .select("doc_id", "ntok", "off", "chunk_first")
+        .orderBy("doc_id")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -936,6 +963,76 @@ object TextQueries {
         |guilty AS (SELECT DISTINCT t.doc_id FROM traing t JOIN heldg USING (sid)),
         |kept AS (SELECT u.doc_id, u.ntok FROM uniqd u
         |         WHERE NOT EXISTS (SELECT 1 FROM guilty g WHERE g.doc_id = u.doc_id)),
+        |packed AS (SELECT doc_id, ntok,
+        |             CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |           FROM kept)
+        |SELECT doc_id, ntok, off, off // 256 AS chunk_first
+        |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "t30_clean_pipeline" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':split',''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS hb
+        |  FROM documents),
+        |tr AS (SELECT doc_id, text FROM h WHERE hb < 980),
+        |b AS (SELECT doc_id, string_split(text,' ') AS l,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS ntok FROM tr),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(array_to_string(l[i:i+7], ' '),''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-7)) AS i
+        |        FROM b WHERE ntok >= 8) t0),
+        |dup AS (SELECT sid FROM g GROUP BY sid HAVING count(*) > 1),
+        |sp AS (SELECT doc_id, s, s + 8 AS e FROM g JOIN dup USING (sid)),
+        |mrk AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM sp),
+        |grp AS (
+        |  SELECT doc_id, s, e,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM mrk),
+        |isl AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, gid),
+        |tok AS (SELECT t.doc_id, u.z[2] AS pos, u.z[1] AS tok
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM tr) t,
+        |          unnest(list_zip(t.l, generate_series(0, len(t.l)-1))) AS u(z)),
+        |keptt AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |          WHERE NOT EXISTS (SELECT 1 FROM isl i
+        |            WHERE i.doc_id = t.doc_id AND t.pos >= i.s AND t.pos < i.e)),
+        |cleaned AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+        |              string_agg(tok, ' ' ORDER BY pos) AS ctext
+        |            FROM keptt GROUP BY doc_id),
+        |heldg AS (
+        |  SELECT DISTINCT
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4],''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |  FROM (SELECT l, unnest(generate_series(1, len(l)-4)) AS i
+        |        FROM (SELECT string_split(text,' ') AS l FROM h WHERE hb >= 980) t0) t1),
+        |cleang AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(
+        |        l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4],''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-4)) AS i
+        |        FROM (SELECT doc_id, string_split(ctext,' ') AS l FROM cleaned) t0) t1),
+        |guilty AS (SELECT DISTINCT c.doc_id FROM cleang c JOIN heldg USING (sid)),
+        |kept AS (SELECT cl.doc_id, cl.ntok FROM cleaned cl
+        |         WHERE NOT EXISTS (SELECT 1 FROM guilty gy WHERE gy.doc_id = cl.doc_id)),
         |packed AS (SELECT doc_id, ntok,
         |             CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
