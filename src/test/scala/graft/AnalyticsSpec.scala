@@ -43,6 +43,10 @@ class AnalyticsSpec extends SparkSpec {
     val small = Seq(9L, 9L, 3L).toDF("v")
       .agg(BottomKAgg.bottomK(col("v"), 5)).as[Seq[Long]].head()
     assert(small === Seq(3L, 9L))
+    // nulls are skipped, not treated as zero
+    val withNulls = Seq(Some(7L), None, Some(2L), None)
+      .toDF("v").agg(BottomKAgg.bottomK(col("v"), 5)).as[Seq[Long]].head()
+    assert(withNulls === Seq(2L, 7L))
   }
 
   test("dict ids equal dense_rank over sorted distinct values") {

@@ -20,4 +20,14 @@ class BloomFnsSpec extends SparkSpec {
     val confirmed = pruned.join(build, "k").select("k").as[Long].collect().toSet
     assert(confirmed === (0L until 10000L by 100L).toSet)
   }
+
+  test("bloomPrune with an empty build side keeps the semi-join exact (empty)") {
+    val probe = (0L until 100L).toDF("k")
+    val build = probe.filter(col("k") < 0) // empty
+    val pruned = BloomFns.bloomPrune(probe, build, "k",
+      expectedItems = 10L, numBits = 64L)
+    // an empty filter may pass rows (implementation detail) but the
+    // exact confirm join MUST still produce the empty semi-join
+    assert(pruned.join(build, "k").count() === 0L)
+  }
 }
