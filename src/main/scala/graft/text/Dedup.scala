@@ -23,9 +23,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, leftCol: String = "d1",
                           rightCol: String = "d2",
                           maxIters: Int = 50): DataFrame = {
+    // edges are cached pre-partitioned on the join key `b`: every
+    // round joins labels (re-shuffled anyway — they change) against
+    // the SAME static edge table, so hash-partitioning it once lets
+    // Catalyst reuse the cached partitioning and drop the edges-side
+    // exchange from every round's plan
     val edges = pairs.select(col(leftCol).as("a"), col(rightCol).as("b"))
       .union(pairs.select(col(rightCol).as("a"), col(leftCol).as("b")))
-      .distinct().cache()
+      .distinct().repartition(col("b")).cache()
     // each round MUST truncate lineage (eager localCheckpoint): the
     // round-N plan otherwise nests the round-N-1 plan — caching
     // shortcuts execution but not the logical plan, which grows
