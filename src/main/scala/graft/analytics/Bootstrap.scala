@@ -35,13 +35,23 @@ object Bootstrap {
     * (est_mean = mean of trial means, est_std = std across trials,
     * n_trials). `idCol` must identify rows (drives the deterministic
     * per-(row, trial) draw). A trial whose weights all draw 0 would
-    * divide by zero, but P = e^-N is zero for any real N. */
+    * divide by zero, but P = e^-N is zero for any real N.
+    *
+    * PRECONDITION: |id| < 2^63 / 1000003 ≈ 9.2e12 for every id. The
+    * draw multiplies id by 1000003 BEFORE the mod, and the two engines
+    * disagree on overflow (Spark's non-ANSI long wraps silently,
+    * DuckDB raises) — so a violation would break the cross-engine
+    * contract without a clear Spark-side failure. Enforced below with
+    * a cheap per-row guard that fails loudly in BOTH engines. */
   def bootstrapMean(df: DataFrame, idCol: String, valueCol: String,
                     trials: Int = 200, seed: Long = 42L): DataFrame = {
     // p1 affine in (id, trial); squaring breaks the affinity so draws
-    // across trials of one row decorrelate. id*1000003 and p1*p1 both
-    // stay far below 2^63 (id < ~9e12, p1 < 1e9+7).
-    val p1 = pmod(col(idCol) * 1000003L + col("trial") * 7919L + lit(seed), lit(P))
+    // across trials of one row decorrelate. p1*p1 stays far below 2^63
+    // (p1 < 1e9+7); id*1000003 does too, by the guarded precondition.
+    val guardedId = when(abs(col(idCol)) < lit(Long.MaxValue / 1000003L),
+      col(idCol)).otherwise(raise_error(lit(
+      s"bootstrapMean: |$idCol| must be < 2^63/1000003 (the draw would overflow)")))
+    val p1 = pmod(guardedId * 1000003L + col("trial") * 7919L + lit(seed), lit(P))
     val u = pmod(p1 * p1 + p1, lit(P)) % 1000000L
     val nD = lit(trials.toDouble)
     df.select(col(idCol), round(col(valueCol) * 100).cast("long").as("__vc"))

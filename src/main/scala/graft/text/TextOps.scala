@@ -51,11 +51,13 @@ object TextOps {
   /** BPE-ish regex pre-tokens (the GPT-2 pre-tokenizer shape:
     * contraction suffix, letter run, digit run, punctuation run, each
     * with an optional leading space). Stays inside the regex subset
-    * Java and RE2 share (no lookaround), so DuckDB counts
-    * identically. */
+    * Java and RE2 share with IDENTICAL semantics (no lookaround, and
+    * the whitespace class is spelled out explicitly — Java's \s
+    * includes vertical tab \x0B, RE2's does not, so \s itself is NOT
+    * in the shared subset), so DuckDB counts identically. */
   def bpeTokens(textCol: Column): Column =
     regexp_extract_all(textCol,
-      lit("""'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"""), lit(0))
+      lit("""'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f']+"""), lit(0))
 
   /** Deterministic dictionary: shingle/token -> dense 1-based id by
     * sort order — identical ids to `dense_rank() over (order by v)` but

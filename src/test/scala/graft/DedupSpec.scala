@@ -27,4 +27,31 @@ class DedupSpec extends SparkSpec {
     assert(out.length === n)
     assert(out.forall(_._2 === 1L))
   }
+
+  test("pointer doubling bounds rounds at O(log diameter) on a deep chain") {
+    // a 64-node path is the worst case for plain min-label propagation
+    // (63 rounds — one hop per round); with the lab := lab(lab) chase
+    // the carried distance roughly doubles per round, so the fixpoint
+    // (plus its one confirming no-change round) lands within 8 rounds
+    val n = 64
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("d1", "d2")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length === n)
+    assert(out.forall(_._2 === 1L))
+    assert(rounds <= 8, s"expected O(log n) rounds, took $rounds")
+  }
+
+  test("doubling preserves exactness on a dense-plus-bridge graph") {
+    // two cliques bridged by one edge: labels must flow across the
+    // bridge both ways regardless of which side holds the global min
+    val cliqueA = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val cliqueB = for (i <- 20L to 24L; j <- (i + 1) to 24L) yield (i, j)
+    val pairs = (cliqueA ++ cliqueB ++ Seq((5L, 20L))).toDF("d1", "d2")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect()
+    assert(out.length === 10)
+    assert(out.forall(_._2 === 1L))
+  }
 }
