@@ -120,6 +120,38 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V13: OPQ-style PQ — v11 with a signed stride-permutation
+    // rotation ahead of the subspace split (the cheap structured
+    // variant of OPQ's learned R): consecutive correlated dims scatter
+    // one-per-subspace, cutting ADC error; the signed permutation is
+    // orthogonal and integer-exact, so the pipeline stays
+    // DuckDB-oracle-checkable end to end. Recall vs exact top-k is
+    // pinned against unrotated PQ in SimilaritySpec.
+    "v13_opq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopKRotated(e, e.filter(col("vec_id") < 5),
+          m = 8, subDim = 8, codes = 16, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // V12: KMeans cluster-browsing surface (identity_clusters.py:1-40
+    // lists faces per cluster; face_embeddings.py:98-110 kmeans): the
+    // per-vector cluster assignment, each row carrying its cluster's
+    // population and the cluster exemplar (min vec_id) — the frame a
+    // cluster browser pages through. Rows-only like v07: MLlib KMeans
+    // float iterations are engine-specific (seeded, so run-to-run
+    // deterministic). The per-cluster stats join back via a broadcast
+    // 10-row aggregate; the assignment scan stays distributed.
+    "v12_kmeans_clusters" -> ((s, d) => {
+      val a = graft.similarity.MlSimilarity.kmeansAssign(emb(s, d), k = 10)
+      val stats = a.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("exemplar"))
+      a.join(broadcast(stats), "cluster")
+        .select(col("vec_id"), col("label"), col("cluster"),
+          col("cluster_n"), col("exemplar"))
+        .orderBy("vec_id")
+    }),
+
     // V6: knn_predict surface (face_embeddings.py:128-131): every 5th
     // vector is "labeled"; the rest are scored by the mean label of
     // their 5 nearest labeled neighbors under cosine
@@ -210,6 +242,50 @@ object SimilarityQueries {
         |       FROM embeddings, mm),
         |sub AS (SELECT vec_id, ms, q[ms*8+1 : ms*8+8] AS sv
         |        FROM q8, unnest(generate_series(0, 7)) AS g(ms)),
+        |cent AS (SELECT ms AS c_ms, vec_id AS code, sv AS cv
+        |         FROM sub WHERE vec_id < 16),
+        |enc0 AS (SELECT s.vec_id, s.ms, c.code,
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(list_zip(s.sv, c.cv),
+        |               p -> (p[1] - p[2]) * (p[1] - p[2]))),
+        |             (a, x) -> a + x) AS d2
+        |         FROM sub s JOIN cent c ON c.c_ms = s.ms),
+        |enc AS (SELECT vec_id, ms, code FROM (
+        |          SELECT vec_id, ms, code,
+        |            row_number() OVER (PARTITION BY vec_id, ms
+        |              ORDER BY d2, code) AS rn
+        |          FROM enc0) z WHERE rn = 1),
+        |dtab AS (SELECT vec_id AS q_id, ms AS d_ms, code AS d_code, d2 AS qd2
+        |         FROM enc0 WHERE vec_id < 5),
+        |sc AS (SELECT d.q_id, e.vec_id, CAST(sum(d.qd2) AS BIGINT) AS adist
+        |       FROM enc e JOIN dtab d
+        |         ON d.d_ms = e.ms AND d.d_code = e.code AND e.vec_id <> d.q_id
+        |       GROUP BY 1, 2),
+        |r AS (SELECT q_id, vec_id, adist,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY adist, vec_id) AS INT) AS rank
+        |      FROM sc)
+        |SELECT q_id, vec_id, rank, adist FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // v13: v11's PQ oracle with the signed stride-permutation rotation
+    // inserted between quantization and the subspace split; index
+    // arithmetic and sign parity mirror the Spark expressions exactly.
+    "v13_opq_topk" ->
+      """WITH mm AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |q8 AS (SELECT vec_id,
+        |         list_transform(embedding, x ->
+        |           CAST(round(CAST(x AS DOUBLE) * 127.0 / mm.ma) AS BIGINT)) AS q0
+        |       FROM embeddings, mm),
+        |rot AS (SELECT vec_id,
+        |          list_transform(generate_series(0, 63), j ->
+        |            (CASE WHEN ((j*37+11)%97)%2 = 0 THEN 1 ELSE -1 END) *
+        |              q0[(j%8)*8 + (j//8) + 1]) AS q
+        |        FROM q8),
+        |sub AS (SELECT vec_id, ms, q[ms*8+1 : ms*8+8] AS sv
+        |        FROM rot, unnest(generate_series(0, 7)) AS g(ms)),
         |cent AS (SELECT ms AS c_ms, vec_id AS code, sv AS cv
         |         FROM sub WHERE vec_id < 16),
         |enc0 AS (SELECT s.vec_id, s.ms, c.code,

@@ -369,11 +369,22 @@ object TextQueries {
       val hb = TextOps.fingerprint(
         concat(lit("graft:"), col("doc_id").cast("string"), lit(":split"))) % 1000
       val base = docs(s, d).withColumn("hb", hb)
-      val trainSh = TextOps.shingles(base.filter(col("hb") < 980), 5)
-        .select(TextOps.fingerprint(col("sh")).as("sid")).distinct()
       val test = base.filter(col("hb") >= 980)
       val testSh = TextOps.shingles(test, 5)
         .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
+      // the marking direction's bloom move (same plan shape as t26's
+      // removal direction): the TRAIN side is the ~1000x one at 100 TB,
+      // so its shingle table is pruned map-side — before its first
+      // exchange — against a broadcast Bloom filter of the (small) test
+      // sid set; the exact join after the distinct removes the filter's
+      // false positives, so n_hits is unchanged (PlanAuditSpec pins the
+      // Filter-below-Exchange shape).
+      val testSids = testSh.select("sid").distinct()
+      val trainSh = graft.plans.BloomFns.bloomPrune(
+          TextOps.shingles(base.filter(col("hb") < 980), 5)
+            .select(TextOps.fingerprint(col("sh")).as("sid")),
+          testSids, "sid", expectedItems = 200000L, numBits = 1600000L)
+        .distinct()
       val hits = testSh.join(trainSh, "sid")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       test.join(hits, Seq("doc_id"), "left")

@@ -280,15 +280,57 @@ object Similarity {
     * DuckDB-oracle-checkable. The codebook and per-query distance
     * tables broadcast; the corpus scan stays distributed. */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
-             m: Int, subDim: Int, codes: Int, k: Int): DataFrame = {
+             m: Int, subDim: Int, codes: Int, k: Int): DataFrame =
+    pqImpl(corpus, queries, m, subDim, codes, k, rotated = false)
+
+  /** [[pqTopK]] with an OPQ-style rotation ahead of the subspace
+    * split. OPQ (Ge et al. 2013) learns an orthogonal matrix that
+    * redistributes correlated dimensions across the m subquantizers so
+    * each code explains more variance; here the rotation is a FIXED
+    * signed stride permutation — new position j takes old position
+    * (j%m)*subDim + j/m (the transpose of the m x subDim index grid),
+    * with a deterministic per-position sign flip. A signed permutation
+    * matrix is exactly orthogonal, so quantized dots/L2 distances are
+    * preserved bit-for-bit while consecutive (typically correlated)
+    * input dims scatter one-per-subspace — the structured-rotation
+    * cheap variant of OPQ's trained R, integer-exact on the int8 grid
+    * and therefore still DuckDB-oracle-checkable (v13).
+    *
+    * Honest measurement on the synthetic corpus: per-dim signal there
+    * is uncorrelated, so the rotation is quantization-error-neutral
+    * (isometry confirmed exactly: rotated and unrotated total ADC
+    * error match to the integer when codebooks rotate along) and
+    * recall-neutral-to-noise; its value shows on real learned
+    * embeddings, whose adjacent dims correlate strongly. SimilaritySpec
+    * pins the exact-isometry invariant and a recall floor vs v01. */
+  def pqTopKRotated(corpus: DataFrame, queries: DataFrame,
+                    m: Int, subDim: Int, codes: Int, k: Int): DataFrame =
+    pqImpl(corpus, queries, m, subDim, codes, k, rotated = true)
+
+  /** Signed stride-permutation rotation on an integer vector column
+    * (public so the isometry contract is directly spec-testable). */
+  def opqRotate(q: Column, m: Int, subDim: Int): Column =
+    transform(sequence(lit(0), lit(m * subDim - 1)), j =>
+      when(((j * 37 + 11) % 97) % 2 === 0, lit(1L)).otherwise(lit(-1L)) *
+        element_at(q,
+          ((j % m) * subDim + floor(j.cast("double") / m).cast("int") + 1)
+            .cast("int")))
+
+  private def pqImpl(corpus: DataFrame, queries: DataFrame,
+             m: Int, subDim: Int, codes: Int, k: Int,
+             rotated: Boolean): DataFrame = {
     val ma = maxAbs(corpus).cache()
     val d2 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, x) => acc + x).cast("long")
-    def subspaces(df: DataFrame) = quantWith(ma)(df)
-      .withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
-      .select(col("vec_id"), col("ms"),
-        expr(s"slice(__q, ms * $subDim + 1, $subDim)").as("sv"))
+    def subspaces(df: DataFrame) = {
+      val base = quantWith(ma)(df)
+      val rq = if (rotated) base.withColumn("__q",
+        opqRotate(col("__q"), m, subDim)) else base
+      rq.withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
+        .select(col("vec_id"), col("ms"),
+          expr(s"slice(__q, ms * $subDim + 1, $subDim)").as("sv"))
+    }
     val sub = subspaces(corpus)
     val cent = broadcast(sub.filter(col("vec_id") < codes)
       .select(col("ms").as("c_ms"), col("vec_id").as("code"), col("sv").as("cv")))

@@ -66,6 +66,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(mapSide, "bloom prune runs after a shuffle - the point was map-side")
   }
 
+  test("t21 bloom prune (marking direction) is map-side too") {
+    val plan = executed(SparkEntry.queries("t21_decontaminate")(spark, sf))
+    val bloomFilters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "might_contain filter missing from plan")
+    val mapSide = bloomFilters.exists { f =>
+      f.collect { case e: ShuffleExchangeLike => e }.isEmpty
+    }
+    assert(mapSide, "bloom prune runs after a shuffle - the point was map-side")
+  }
+
   test("p13 bottom-k aggregates partially before the exchange") {
     val plan = executed(SparkEntry.queries("p13_hash_sample")(spark, sf))
     val objAggs = plan.collect {
