@@ -75,6 +75,10 @@ object GraftFunctions {
       Bridge.expression(aS), Bridge.expression(aE),
       Bridge.expression(bS), Bridge.expression(bE)))
 
+  /** Word-level Levenshtein distance between two token arrays. */
+  def tokenEditDistance(a: Column, b: Column): Column =
+    Bridge.column(TokenEditDistance(Bridge.expression(a), Bridge.expression(b)))
+
   /** Register the SQL functions (idempotent; per-session — skip when
     * already present to avoid a per-call replace warning). */
   def register(spark: SparkSession): Unit = {
@@ -89,6 +93,7 @@ object GraftFunctions {
     put("vec_norm2", es => VecNorm2(es(0)))
     put("vec_cosine", es => VecCosine(es(0), es(1)))
     put("rolling_hash", es => RollingHash(es(0)))
+    put("token_edit_distance", es => TokenEditDistance(es(0), es(1)))
   }
 }
 
@@ -125,6 +130,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("token_edit_distance"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TokenEditDistance].getName, "token_edit_distance"),
+      (exprs: Seq[Expression]) => TokenEditDistance(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => AutoBandOverlapJoin)
     e.injectPlannerStrategy(_ => CoalesceIntervalsStrategy)
   }

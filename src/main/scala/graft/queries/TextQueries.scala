@@ -555,6 +555,37 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T31 caption–transcript word alignment (the reference's
+    // transcript_alignment.py -> scannertools TranscriptAligner, which
+    // aligns caption words against ASR words per 60 s segment):
+    // word-level Levenshtein between each near-dup pair's token
+    // sequences via the native TokenEditDistance expression (a two-row
+    // DP in one codegen'd loop — the HOF form would be O(n^2 m)
+    // interpreted), plus char-level levenshtein and the normalized
+    // word-error ratio. The near-dup pair graph (t03's generator)
+    // bounds the candidates, so the per-pair O(n*m) DP never goes
+    // corpus-quadratic — the same cost bound the reference gets from
+    // per-segment alignment. chr_dist is cross-engine because the
+    // corpus is ASCII (Spark's levenshtein counts codepoints, DuckDB's
+    // counts bytes; they agree on ASCII).
+    "t31_align_pairs" -> ((s, d) => {
+      val base = docs(s, d)
+      val pairs = TextOps.jaccardPairs(base, k = 3, dfCap = 50, tauJacc = 0.5)
+        .select("d1", "d2")
+      val t1 = base.select(col("doc_id").as("d1"), col("text").as("x1"))
+      val t2 = base.select(col("doc_id").as("d2"), col("text").as("x2"))
+      pairs.join(t1, "d1").join(t2, "d2")
+        .select(col("d1"), col("d2"),
+          size(split(col("x1"), " ")).cast("long").as("n1"),
+          size(split(col("x2"), " ")).cast("long").as("n2"),
+          graft.plans.GraftFunctions.tokenEditDistance(
+            split(col("x1"), " "), split(col("x2"), " ")).as("tok_dist"),
+          levenshtein(col("x1"), col("x2")).cast("long").as("chr_dist"))
+        .withColumn("wer", col("tok_dist").cast("double") /
+          greatest(col("n1"), col("n2")).cast("double"))
+        .orderBy("d1", "d2")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -770,6 +801,47 @@ object TextQueries {
          |JOIN sizes y ON pairs.d2 = y.doc_id
          |WHERE CAST(inter AS DOUBLE) / CAST(x.nsh + y.nsh - inter AS DOUBLE) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    // t31: the word-level DP replayed in SQL — the outer list_reduce
+    // walks b's per-token cost vectors (precomputed so accumulator and
+    // element are both BIGINT[], which DuckDB's list_reduce requires),
+    // the inner one builds each DP row left-to-right over
+    // single-element index lists; [n+1] is the classic bottom-right
+    // cell. chr_dist: DuckDB levenshtein is byte-level, Spark's is
+    // codepoint-level — equal on this ASCII corpus.
+    "t31_align_pairs" ->
+      s"""WITH ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),
+         |sh AS (SELECT doc_id, sid
+         |       FROM (SELECT doc_id, sid, count(*) OVER (PARTITION BY sid) AS df FROM ids) z
+         |       WHERE df <= 50),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+         |        FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |pp AS (SELECT d1, d2 FROM prs JOIN sizes x ON prs.d1 = x.doc_id
+         |       JOIN sizes y ON prs.d2 = y.doc_id
+         |       WHERE CAST(inter AS DOUBLE) / CAST(x.nsh + y.nsh - inter AS DOUBLE) >= 0.5),
+         |tk AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+         |al AS (SELECT pp.d1, pp.d2, a.text AS x1, b.text AS x2,
+         |         a.l AS l1, b.l AS l2, len(a.l) AS n
+         |       FROM pp JOIN tk a ON a.doc_id = pp.d1 JOIN tk b ON b.doc_id = pp.d2),
+         |dp AS (SELECT d1, d2, x1, x2, n, len(l2) AS m,
+         |  list_reduce(
+         |    list_prepend(list_transform(generate_series(0, n), i -> CAST(i AS BIGINT)),
+         |      list_transform(l2, tb -> list_transform(l1,
+         |        ta -> CAST(CASE WHEN ta = tb THEN 0 ELSE 1 END AS BIGINT)))),
+         |    (row, c) -> list_reduce(
+         |      list_prepend([row[1] + 1],
+         |        list_transform(generate_series(1, n), i -> [CAST(i AS BIGINT)])),
+         |      (acc, x) -> list_append(acc,
+         |        least(row[x[1] + 1] + 1, acc[len(acc)] + 1, row[x[1]] + c[x[1]]))))[n + 1]
+         |    AS tok_dist
+         |  FROM al)
+         |SELECT d1, d2, CAST(n AS BIGINT) AS n1, CAST(m AS BIGINT) AS n2,
+         |  CAST(tok_dist AS BIGINT) AS tok_dist,
+         |  CAST(levenshtein(x1, x2) AS BIGINT) AS chr_dist,
+         |  CAST(tok_dist AS DOUBLE) / CAST(greatest(n, m) AS DOUBLE) AS wer
+         |FROM dp ORDER BY d1, d2""".stripMargin,
 
     "t04_minhash_lsh" ->
       s"""WITH mh AS ($minhashSql),

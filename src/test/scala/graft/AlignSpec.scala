@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.GraftFunctions
+
+/** TokenEditDistance: the word-level alignment kernel behind t31
+  * (reference transcript_alignment.py / TranscriptAligner). Checked
+  * against hand-computed distances, an independent property (for
+  * single-char tokens, word-level distance equals Spark's built-in
+  * char-level levenshtein), and the metric axioms. */
+class AlignSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(a: Seq[String], b: Seq[String]): Long =
+    Seq((a, b)).toDF("a", "b")
+      .select(GraftFunctions.tokenEditDistance(col("a"), col("b")).as("d"))
+      .head.getLong(0)
+
+  test("known distances") {
+    assert(d(Seq("a", "b", "c"), Seq("a", "x", "c", "d")) === 2)
+    assert(d(Seq("k"), Seq("k")) === 0)
+    assert(d(Seq("x", "y"), Seq("y", "x")) === 2) // no transposition op
+    assert(d(Seq.empty, Seq("k", "l")) === 2)
+    assert(d(Seq("k", "l"), Seq.empty) === 2)
+    assert(d(Seq.empty, Seq.empty) === 0)
+    assert(d(Seq("the", "cat", "sat"), Seq("the", "dog", "sat")) === 1)
+    // whole-token substitution costs 1 regardless of token length
+    assert(d(Seq("internationalization"), Seq("i18n")) === 1)
+  }
+
+  test("single-char tokens reduce to char-level levenshtein") {
+    val cases = Seq(("kitten", "sitting"), ("flaw", "lawn"),
+      ("abcdefg", "bcdefgh"), ("aaaa", "abab"), ("", "abc"))
+    val df = cases.toDF("s1", "s2")
+      .select(
+        GraftFunctions.tokenEditDistance(
+          split(col("s1"), ""), split(col("s2"), "")).as("tok"),
+        levenshtein(col("s1"), col("s2")).cast("long").as("chr"))
+    assert(df.filter(col("tok") =!= col("chr")).count() === 0)
+  }
+
+  test("metric axioms on fixture texts") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(8).select(split(col("text"), " ").as("t"))
+      .collect().map(_.getSeq[String](0))
+    for (a <- docs; b <- docs) {
+      val ab = d(a, b)
+      assert(ab === d(b, a)) // symmetry
+      assert((ab == 0) === (a == b)) // identity
+      assert(ab <= math.max(a.length, b.length)) // upper bound
+      assert(ab >= math.abs(a.length - b.length)) // length lower bound
+    }
+  }
+
+  test("registered as SQL function token_edit_distance") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT token_edit_distance(array('a','b'), array('a','c')) AS d")
+      .head.getLong(0)
+    assert(r === 1)
+  }
+}
