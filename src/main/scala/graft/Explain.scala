@@ -13,7 +13,8 @@ object Explain {
         "j08_overlap_clip_first", "a02_group_sum", "t04_minhash_lsh",
         "x06_asof_join", "v08_int8_ann", "t06_simhash_pairs",
         "t25_span_dedup", "t26_bloom_decontam", "a20_kmv_sketch",
-        "p13_hash_sample")
+        "p13_hash_sample", "t29_span_removal", "t21_decontaminate",
+        "t31_align_pairs", "v13_opq_topk")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",

@@ -586,6 +586,41 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
+    // T32 n-gram LM quality scoring — the CCNet/Gopher perplexity-
+    // filtering move, integerized: the reference model is the train
+    // split's bigram table thresholded at count >= 2 (singletons are
+    // noise, the cutoff plays the role of LM smoothing), and each doc
+    // scores as its out-of-model bigram-occurrence rate — a
+    // deterministic perplexity proxy with no float log-probs, so the
+    // whole signal is cross-engine exact where real KenLM scores
+    // could never be. Per-lang rollup keeps the output compact. Scale:
+    // bigram occurrences are map-side (native Shingles array); the
+    // model is one hash aggregation on a bounded integer key; the
+    // scoring join is sid-equi — the decontam shape, bloom-prunable
+    // the same way t21/t26 are.
+    "t32_lm_quality" -> ((s, d) => {
+      val hb = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":split"))) % 1000
+      val base = docs(s, d).withColumn("hb", hb)
+      val bg = TextOps.positionedShingles(base, 2)
+        .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
+      val model = bg.join(base.filter(col("hb") < 980).select("doc_id"), "doc_id")
+        .groupBy(col("sid")).agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+        .select("sid").withColumn("__in", lit(1))
+      val scored = bg.join(model, Seq("sid"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      base.join(scored, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_bg"), lit(0L))).as("bg_total"),
+          sum(coalesce(col("n_oov"), lit(0L))).as("oov_total"))
+        .withColumn("oov_rate",
+          col("oov_total").cast("double") / col("bg_total").cast("double"))
+        .orderBy("lang")
+    }),
+
     // T7 quality scoring (length/uniqueness/token stats)
     "t07_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text"))
@@ -842,6 +877,35 @@ object TextQueries {
          |  CAST(levenshtein(x1, x2) AS BIGINT) AS chr_dist,
          |  CAST(tok_dist AS DOUBLE) / CAST(greatest(n, m) AS DOUBLE) AS wer
          |FROM dp ORDER BY d1, d2""".stripMargin,
+
+    "t32_lm_quality" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':split',''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 1000 AS hb
+        |  FROM documents),
+        |bgr AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(l[i] || ' ' || l[i+1],''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+        |        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents) t0) t1),
+        |model AS (SELECT sid FROM bgr JOIN h USING (doc_id)
+        |          WHERE h.hb < 980 GROUP BY sid HAVING count(*) >= 2),
+        |sc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+        |         CAST(sum(CASE WHEN m.sid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |       FROM bgr b LEFT JOIN model m ON m.sid = b.sid GROUP BY 1)
+        |SELECT h.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(sc.n_bg, 0)) AS BIGINT) AS bg_total,
+        |  CAST(sum(coalesce(sc.n_oov, 0)) AS BIGINT) AS oov_total,
+        |  CAST(sum(coalesce(sc.n_oov, 0)) AS DOUBLE) /
+        |    CAST(sum(coalesce(sc.n_bg, 0)) AS DOUBLE) AS oov_rate
+        |FROM h LEFT JOIN sc ON sc.doc_id = h.doc_id
+        |GROUP BY h.lang ORDER BY h.lang""".stripMargin,
 
     "t04_minhash_lsh" ->
       s"""WITH mh AS ($minhashSql),

@@ -323,11 +323,26 @@ object Similarity {
     val d2 = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0d), (acc, x) => acc + x).cast("long")
+    // The rotated path FUSES sign * permutation * quantize into one
+    // transform over the raw embedding attribute. Composing
+    // opqRotate(quantWith(...)) instead looks identical but is O(d^2)
+    // per row: Project collapse inlines the quantize transform into
+    // every element_at of the rotation, re-evaluating all d elements
+    // per output element (measured 3x on v13). The fusion is exact —
+    // round() ties away from zero in Spark, so sign*round(x) ==
+    // round(sign*x) and the permutation commutes elementwise; v13's
+    // oracle (which rotates AFTER quantizing) stays hash-green.
+    def rotQuant(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(ma))
+        .withColumn("__q", transform(sequence(lit(0), lit(m * subDim - 1)), j =>
+          when(((j * 37 + 11) % 97) % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d)) *
+            round(element_at(col("embedding"),
+              ((j % m) * subDim + floor(j.cast("double") / m).cast("int") + 1)
+                .cast("int")).cast("double") * 127.0d / col("__ma"))))
+        .drop("__ma")
     def subspaces(df: DataFrame) = {
-      val base = quantWith(ma)(df)
-      val rq = if (rotated) base.withColumn("__q",
-        opqRotate(col("__q"), m, subDim)) else base
-      rq.withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
+      val base = if (rotated) rotQuant(df) else quantWith(ma)(df)
+      base.withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
         .select(col("vec_id"), col("ms"),
           expr(s"slice(__q, ms * $subDim + 1, $subDim)").as("sv"))
     }

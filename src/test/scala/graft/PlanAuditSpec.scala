@@ -79,6 +79,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(mapSide, "bloom prune runs after a shuffle - the point was map-side")
   }
 
+  test("t29 span removal stays columnar (no per-token explode)") {
+    // the round-6 rewrite: the only Generates in the plan are the
+    // shingle posexplodes inside island detection (output s/sh; the
+    // un-cached dup-sid self-join evaluates it on both sides). A
+    // Generate emitting `tok` means someone re-introduced the
+    // full-corpus token explode whose collect_list rebuild was 33.5 s
+    // and O(doc length) per aggregation buffer (COVERAGE.md round 6).
+    val plan = executed(SparkEntry.queries("t29_span_removal")(spark, sf))
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.nonEmpty, "shingle explode missing - plan changed shape")
+    val tokenExplodes = generates.filter(
+      _.generatorOutput.exists(_.name == "tok"))
+    assert(tokenExplodes.isEmpty,
+      "a per-token explode is back in the span-removal plan")
+  }
+
   test("p13 bottom-k aggregates partially before the exchange") {
     val plan = executed(SparkEntry.queries("p13_hash_sample")(spark, sf))
     val objAggs = plan.collect {
