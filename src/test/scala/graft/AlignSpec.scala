@@ -53,6 +53,32 @@ class AlignSpec extends SparkSpec {
     }
   }
 
+  test("matches a brute-force recursive reference on random sequences") {
+    // independent implementation: plain memoized recursion over the
+    // textbook recurrence — if both agree across random inputs, a DP
+    // indexing bug (the classic off-by-one in the row swap) can't hide
+    def ref(a: Seq[String], b: Seq[String]): Int = {
+      val memo = collection.mutable.Map.empty[(Int, Int), Int]
+      def go(i: Int, j: Int): Int = memo.getOrElseUpdate((i, j),
+        if (i == 0) j else if (j == 0) i
+        else math.min(math.min(go(i - 1, j) + 1, go(i, j - 1) + 1),
+          go(i - 1, j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)))
+      go(a.length, b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "cc", "d", "ee")
+    val cases = Seq.fill(60) {
+      val n = rnd.nextInt(9); val m = rnd.nextInt(9)
+      (Seq.fill(n)(vocab(rnd.nextInt(vocab.size))),
+        Seq.fill(m)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val got = cases.toDF("a", "b")
+      .select(GraftFunctions.tokenEditDistance(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0))
+    val want = cases.map { case (a, b) => ref(a, b).toLong }
+    assert(got.toSeq === want)
+  }
+
   test("registered as SQL function token_edit_distance") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -43,6 +43,31 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 8, s"expected O(log n) rounds, took $rounds")
   }
 
+  test("span stats and span removal agree (t25/t29 consistency law)") {
+    // the detection query (dupSpanStats) and the production removal
+    // (removeDupSpans) must tell the same story: per doc,
+    // n_kept == ntok - dup_toks, and a doc is absent from the removal
+    // output exactly when duplicated islands consumed all its tokens
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ntok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val stats = Dedup.dupSpanStats(docs, 8)
+      .select(col("doc_id"), col("dup_toks"))
+    val expected = ntok.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("ntok") - coalesce(col("dup_toks"), lit(0L))).as("want_kept"))
+    val removed = Dedup.removeDupSpans(docs, 8)
+      .select(col("doc_id"), col("n_kept"))
+    val joined = expected.join(removed, Seq("doc_id"), "left")
+    assert(joined.filter(col("want_kept") > 0 &&
+      (col("n_kept").isNull || col("n_kept") =!= col("want_kept"))).count() === 0)
+    assert(joined.filter(col("want_kept") === 0 && col("n_kept").isNotNull)
+      .count() === 0)
+  }
+
   test("doubling preserves exactness on a dense-plus-bridge graph") {
     // two cliques bridged by one edge: labels must flow across the
     // bridge both ways regardless of which side holds the global min
