@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 executor threads in THIS one JVM on a 128 GiB
+  // box: at 8g the 140-query gate run spent its tail in old-gen GC
+  // (t15 measured 2.4x its standalone cost late in the run; the same
+  // query was clean in a 33-query run). 32g keeps execution+storage
+  // memory ahead of 32 concurrent task buffers.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

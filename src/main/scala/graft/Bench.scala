@@ -25,10 +25,18 @@ object Bench {
       // across a 100+-query corpus (hundreds of generated classes), so
       // queries late in the run re-pay janino compilation they already
       // did — t05 measured 0.6 s standalone vs 2.2 s mid-run
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // freeing a superseded CC round's localCheckpoint emits a WARN
+    // ("lineage has been truncated and cannot be recomputed") per
+    // unpersist by design — that RDD is never referenced again. Scope
+    // that one logger to ERROR so hundreds of expected lines don't
+    // drown the log tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // warmup (untimed): touch every table and run representative query
     // shapes so the first timed query doesn't absorb parquet-footer
     // reads + JIT (~3-4 s skew on whichever query happens to run first)
@@ -63,28 +71,49 @@ object Bench {
     // contiguous slow windows while the same HEAD measured clean
     // locally. The min is the right estimator for "what this plan
     // costs": noise is strictly additive.
-    val results = selected.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // intra-query caches are never shared across queries; without
-        // this a 100+-query run accumulates cached blocks + broadcasts
-        // until the old gen fills and late queries pay GC/eviction
-        // (measured: the same query 2-4x slower late in a full run)
-        spark.catalog.clearCache()
-        dt
-      }
-      var best = math.min(once(), once())
-      if (best > 1.0) best = math.min(best, once())
-      // bill this query's garbage to this query, not the next one
+    //
+    // Samples are INTERLEAVED (full passes over the corpus, min taken
+    // per query across passes) rather than back-to-back: a co-tenant
+    // slow window lasting a couple of minutes swallows ALL consecutive
+    // samples of one query (r7 measured t15 at 13.3 s min-of-3
+    // back-to-back vs 3.2 s standalone on identical code), but with
+    // pass interleaving the same query's samples land many minutes
+    // apart, so the min sees at least one clean window. Total timed
+    // work is unchanged — the samples are just reordered.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // intra-query caches are never shared across queries; without
+      // this a 100+-query run accumulates cached blocks + broadcasts
+      // until the old gen fills and late queries pay GC/eviction
+      // (measured: the same query 2-4x slower late in a full run)
+      spark.catalog.clearCache()
+      // checkpoint blocks (the CC rounds' labels, most visibly) are
+      // NOT catalog entries — clearCache never touches them. Sweep
+      // persistent RDDs so no query's pinned state bills the next:
+      // the r6 gate leaked localCheckpoints until t15/t14/v10 ran
+      // 3-5x their standalone cost late in the run.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      // bill this sample's garbage to this sample, not the next one
       System.gc()
-      name -> best
+      dt
+    }
+    val ordered = selected.toSeq
+    val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
+    val pass2 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
+    val best2 = ordered.map { case (n, _) => n -> math.min(pass1(n), pass2(n)) }
+    // third pass only over queries whose best is still >1 s
+    val pass3 = ordered.filter { case (n, _) => best2.toMap.apply(n) > 1.0 }
+      .map { case (n, f) => n -> once(n, f) }.toMap
+    val results = best2.map { case (n, b) =>
+      n -> math.min(b, pass3.getOrElse(n, Double.MaxValue))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a prefix-filtered run must not clobber the full-corpus gate
     // artifact with a partial total: divert to a .partial file unless
     // an output path was given explicitly, and mark the JSON

@@ -12,10 +12,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // see Bench: avoid compiled-class cache thrash across 100+ queries
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // see Bench: deliberate unpersist of superseded CC checkpoints
+    // WARNs per round — expected, scope the logger to ERROR
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // iteration aid (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): run only
     // queries matching the comma-separated name prefixes; unset = all.
@@ -35,6 +40,10 @@ object Verify {
       // cached blocks until the old gen fills and every later query
       // pays GC + eviction
       spark.catalog.clearCache()
+      // checkpoint blocks (CC rounds) are not catalog entries — sweep
+      // them too (see Bench for the measured r6 leak)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -45,12 +45,23 @@ object Bootstrap {
     * a cheap per-row guard that fails loudly in BOTH engines. */
   def bootstrapMean(df: DataFrame, idCol: String, valueCol: String,
                     trials: Int = 200, seed: Long = 42L): DataFrame = {
-    // p1 affine in (id, trial); squaring breaks the affinity so draws
-    // across trials of one row decorrelate. p1*p1 stays far below 2^63
-    // (p1 < 1e9+7); id*1000003 does too, by the guarded precondition.
-    val guardedId = when(abs(col(idCol)) < lit(Long.MaxValue / 1000003L),
+    // Driver-side bounds so the per-row guard below is airtight: the
+    // full draw argument is id*1000003 + trial*7919 + seed, so the id
+    // threshold must leave headroom for the worst-case trial and seed
+    // terms (at the old bare 2^63/1000003 cutoff, trials > ~212 or a
+    // large seed could still wrap for ids just under the line).
+    require(trials >= 1 && trials <= 100000,
+      s"bootstrapMean: trials=$trials out of range")
+    require(seed > Long.MinValue / 2 && seed < Long.MaxValue / 2,
+      s"bootstrapMean: seed=$seed out of range")
+    val headroom = trials.toLong * 7919L + math.abs(seed)
+    val maxId = (Long.MaxValue / 2 - headroom) / 1000003L
+    // two-sided comparison, NOT abs(): in non-ANSI Spark
+    // abs(Long.MinValue) wraps negative and would slip past the guard
+    // into exactly the silent overflow it exists to prevent.
+    val guardedId = when(col(idCol) > lit(-maxId) && col(idCol) < lit(maxId),
       col(idCol)).otherwise(raise_error(lit(
-      s"bootstrapMean: |$idCol| must be < 2^63/1000003 (the draw would overflow)")))
+      s"bootstrapMean: |$idCol| must be < ~2^62/1000003 (the draw would overflow)")))
     val p1 = pmod(guardedId * 1000003L + col("trial") * 7919L + lit(seed), lit(P))
     val u = pmod(p1 * p1 + p1, lit(P)) % 1000000L
     val nD = lit(trials.toDouble)

@@ -570,20 +570,26 @@ object TextQueries {
     // counts bytes; they agree on ASCII).
     "t31_align_pairs" -> ((s, d) => {
       val base = docs(s, d)
-      val pairs = TextOps.jaccardPairs(base, k = 3, dfCap = 50, tauJacc = 0.5)
-        .select("d1", "d2")
-      val t1 = base.select(col("doc_id").as("d1"), col("text").as("x1"))
-      val t2 = base.select(col("doc_id").as("d2"), col("text").as("x2"))
-      pairs.join(t1, "d1").join(t2, "d2")
-        .select(col("d1"), col("d2"),
-          size(split(col("x1"), " ")).cast("long").as("n1"),
-          size(split(col("x2"), " ")).cast("long").as("n2"),
-          graft.plans.GraftFunctions.tokenEditDistance(
-            split(col("x1"), " "), split(col("x2"), " ")).as("tok_dist"),
-          levenshtein(col("x1"), col("x2")).cast("long").as("chr_dist"))
-        .withColumn("wer", col("tok_dist").cast("double") /
-          greatest(col("n1"), col("n2")).cast("double"))
+      TextOps.alignPairs(
+        TextOps.jaccardPairs(base, k = 3, dfCap = 50, tauJacc = 0.5), base)
         .orderBy("d1", "d2")
+    }),
+
+    // T33 per-word transcript re-timing (the aligner's second output:
+    // load_aligned_transcript.py dump_aligned_transcript_byword writes
+    // a word-level SRT with interpolated per-word times). For every
+    // aligned pair, d1's words are linearly interpolated across d1's
+    // 60 s segment (SEG_LENGTH) in integer milliseconds — the R12
+    // rescale from token-index space onto the timeline — and each word
+    // becomes a VTT cue through the s14 export path. Alignment is a
+    // SECOND stage over the shared candidate generator: a pipeline
+    // computes jaccardPairs once and feeds t31's distances and t33's
+    // re-timing from the same pair scan.
+    "t33_word_retime" -> ((s, d) => {
+      val base = docs(s, d)
+      TextOps.retimeWords(
+        TextOps.jaccardPairs(base, k = 3, dfCap = 50, tauJacc = 0.5), base)
+        .orderBy("d1", "d2", "w")
     }),
 
     // T32 n-gram LM quality scoring — the CCNet/Gopher perplexity-
@@ -877,6 +883,39 @@ object TextQueries {
          |  CAST(levenshtein(x1, x2) AS BIGINT) AS chr_dist,
          |  CAST(tok_dist AS DOUBLE) / CAST(greatest(n, m) AS DOUBLE) AS wer
          |FROM dp ORDER BY d1, d2""".stripMargin,
+
+    // t33: same pair CTEs as t31; per-word re-timing is pure integer
+    // arithmetic (w*60000//n) so the interpolated millisecond endpoints
+    // hash identically across engines; the cue replays Spark's
+    // format_string as printf (both %02d/%03d on BIGINT).
+    "t33_word_retime" ->
+      s"""WITH ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),
+         |sh AS (SELECT doc_id, sid
+         |       FROM (SELECT doc_id, sid, count(*) OVER (PARTITION BY sid) AS df FROM ids) z
+         |       WHERE df <= 50),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+         |        FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |pp AS (SELECT d1, d2 FROM prs JOIN sizes x ON prs.d1 = x.doc_id
+         |       JOIN sizes y ON prs.d2 = y.doc_id
+         |       WHERE CAST(inter AS DOUBLE) / CAST(x.nsh + y.nsh - inter AS DOUBLE) >= 0.5),
+         |wd AS (SELECT doc_id, u.z[1] AS word, CAST(u.z[2] AS BIGINT) AS w,
+         |         CAST(len(t.l) AS BIGINT) AS n
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
+         |         unnest(list_zip(t.l, generate_series(0, len(t.l)-1))) AS u(z)),
+         |rt AS (SELECT pp.d1, pp.d2, wd.w, wd.word,
+         |         pp.d1 * 60000 + (wd.w * 60000) // wd.n AS ws_ms,
+         |         pp.d1 * 60000 + ((wd.w + 1) * 60000) // wd.n AS we_ms
+         |       FROM pp JOIN wd ON wd.doc_id = pp.d1)
+         |SELECT d1, d2, w, word, ws_ms, we_ms,
+         |  printf('%02d:%02d:%02d.%03d --> %02d:%02d:%02d.%03d',
+         |    ws_ms // 3600000, (ws_ms % 3600000) // 60000,
+         |    (ws_ms % 60000) // 1000, ws_ms % 1000,
+         |    we_ms // 3600000, (we_ms % 3600000) // 60000,
+         |    (we_ms % 60000) // 1000, we_ms % 1000)
+         |  || chr(10) || word AS cue
+         |FROM rt ORDER BY d1, d2, w""".stripMargin,
 
     "t32_lm_quality" ->
       """WITH h AS (

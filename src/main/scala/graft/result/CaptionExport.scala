@@ -27,6 +27,21 @@ object CaptionExport {
   def cue(s: Column, e: Column, text: Column): Column =
     concat(vttTime(s), lit(" --> "), vttTime(e), lit("\n"), text)
 
+  /** `hh:mm:ss.mmm` VTT timestamp from integer MILLISECONDS — the
+    * resolution the per-word aligned-transcript export needs
+    * (word-level SRT dumps of transcript_alignment.py carry sub-second
+    * times; integer div/mod keeps it cross-engine exact). */
+  def vttTimeMs(ms: Column): Column =
+    format_string("%02d:%02d:%02d.%03d",
+      call_function("div", ms, lit(3600000L)),
+      call_function("div", pmod(ms, lit(3600000L)), lit(60000L)),
+      call_function("div", pmod(ms, lit(60000L)), lit(1000L)),
+      pmod(ms, lit(1000L)))
+
+  /** One WEBVTT cue with millisecond-resolution endpoints. */
+  def cueMs(s: Column, e: Column, text: Column): Column =
+    concat(vttTimeMs(s), lit(" --> "), vttTimeMs(e), lit("\n"), text)
+
   /** Full WEBVTT document over caption rows (video_id, s, e, text):
     * cues sorted by (s, e), double-newline separated. */
   def toVtt(captions: DataFrame): String = {

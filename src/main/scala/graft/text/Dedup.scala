@@ -1,6 +1,8 @@
 package graft.text
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import graft.operators.IntervalOps
 
@@ -28,10 +30,29 @@ object Dedup {
                           maxIters: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, leftCol, rightCol, maxIters)._1
 
+  /** The block-manager RDD pinned by an eager `localCheckpoint`: the
+    * checkpointed frame's analyzed plan is a single [[LogicalRDD]] leaf
+    * wrapping the materialized RDD. Holding this handle lets the CC
+    * loop free each superseded round deterministically —
+    * `spark.catalog.clearCache()` only drops catalog-cached relations,
+    * never checkpoint blocks, so without explicit unpersist every
+    * round of every CC call stays pinned for the life of the session
+    * (the round-6 gate measured t15 at 16.5 s in-run vs 3.3 s
+    * standalone from exactly this accumulation). */
+  private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collectFirst { case lr: LogicalRDD => lr.rdd }
+
   /** [[connectedComponents]] plus the number of label-propagation
     * rounds executed — the doubling's O(log diameter) bound is a spec
     * contract (DedupSpec: a 64-node chain converges in <= 8 rounds,
-    * not 63), so the round count is observable. */
+    * not 63), so the round count is observable.
+    *
+    * Session-lifetime invariant: at most ONE superseded frame is ever
+    * pinned alongside the live one mid-round, and on return only the
+    * final round's labels remain (the returned frame is backed by that
+    * checkpoint, so it cannot be freed here — a harness that runs many
+    * queries sweeps `sc.getPersistentRDDs` between them). */
   def connectedComponentsWithRounds(pairs: DataFrame, leftCol: String = "d1",
                           rightCol: String = "d2",
                           maxIters: Int = 50): (DataFrame, Int) = {
@@ -53,17 +74,32 @@ object Dedup {
     var labels = edges.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("lab"))
       .select(col("a").as("doc_id"), col("lab")).localCheckpoint(true)
+    // handles to the checkpoint(s) backing the live `labels`; each
+    // superseded round is unpersisted the moment its successor is
+    // materialized, so pinned state stays O(1) frames per CC call
+    // instead of O(rounds) for the life of the session
+    var pinned: Seq[RDD[_]] = checkpointRdd(labels).toSeq
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("b"), col("lab").as("nlab")), "b")
         .groupBy(col("a")).agg(min(col("nlab")).as("minNbr"))
+      // materialize the expensive subtree (edges ⨝ labels + aggregate
+      // + left join) exactly ONCE per round: both the pointer chase and
+      // the round's output derive from this checkpointed frame. Before
+      // round 7 the chase self-joined an UNmaterialized `stepped`, so
+      // Catalyst executed that whole subtree twice per round —
+      // doubling round cost and eating the pointer-doubling win.
       val stepped = labels
         .join(nbrMin.select(col("a").as("doc_id"), col("minNbr")),
           Seq("doc_id"), "left")
         .select(col("doc_id"), col("lab").as("prev"),
           least(col("lab"), coalesce(col("minNbr"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      // stepped no longer references the previous labels — free them
+      pinned.foreach(_.unpersist(false))
+      val steppedRdd = checkpointRdd(stepped).toSeq
       // pointer doubling: lab := lab(lab). Every label value IS a node
       // id of the symmetrized edge set (labels only ever take node ids
       // as values), so the chase is a self-join of the stepped labels
@@ -74,14 +110,21 @@ object Dedup {
       // convergence count is a scan of the materialized partitions —
       // not (as in earlier rounds) an extra shuffle join of next
       // against the previous labels every iteration
+      // LAZY checkpoint: the convergence count right below is the job
+      // that materializes (and thereby persists) next — one job for
+      // chase+count instead of an eager-checkpoint job plus a count job
       val next = stepped
         .join(ptr, Seq("lab"), "left")
         .select(col("doc_id"),
           least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"),
           (least(col("lab"), coalesce(col("lab2"), col("lab"))) <
             col("prev")).as("chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
+      // next is materialized and lineage-free: this round's stepped is
+      // now superseded too
+      steppedRdd.foreach(_.unpersist(false))
+      pinned = checkpointRdd(next).toSeq
       labels = next.select("doc_id", "lab")
       iter += 1
     }

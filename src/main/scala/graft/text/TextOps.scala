@@ -106,6 +106,57 @@ object TextOps {
       .filter(col("jacc") >= tauJacc)
   }
 
+  /** Word-level alignment over an arbitrary candidate pair set — the
+    * second stage of the transcript-alignment pipeline (reference
+    * app/esper/transcript_alignment.py: per-segment word alignment of
+    * caption vs ASR words), decoupled from the candidate GENERATOR so a
+    * pipeline computes pairs once and feeds every alignment consumer
+    * (t31 distances, t33 re-timing) without re-paying the candidate
+    * self-join. Per pair: codegen'd token-Levenshtein DP (two-row,
+    * O(n*m) inside one whole-stage loop), char Levenshtein, and the
+    * normalized word-error ratio. Scale: per-pair cost is bounded by
+    * whatever generator produced `pairs` — never corpus-quadratic.
+    * Input: pairs (d1, d2); docs (doc_id, text). */
+  def alignPairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val t1 = docs.select(col("doc_id").as("d1"), col("text").as("x1"))
+    val t2 = docs.select(col("doc_id").as("d2"), col("text").as("x2"))
+    pairs.select("d1", "d2").join(t1, "d1").join(t2, "d2")
+      .select(col("d1"), col("d2"),
+        size(split(col("x1"), " ")).cast("long").as("n1"),
+        size(split(col("x2"), " ")).cast("long").as("n2"),
+        graft.plans.GraftFunctions.tokenEditDistance(
+          split(col("x1"), " "), split(col("x2"), " ")).as("tok_dist"),
+        levenshtein(col("x1"), col("x2")).cast("long").as("chr_dist"))
+      .withColumn("wer", col("tok_dist").cast("double") /
+        greatest(col("n1"), col("n2")).cast("double"))
+  }
+
+  /** Per-word transcript re-timing — the aligner's OTHER output
+    * (reference app/esper/load_aligned_transcript.py:14-24
+    * dump_aligned_transcript_byword: a word-level SRT where each word
+    * gets a timestamp interpolated within its aligned segment;
+    * transcript_alignment.py:15 SEG_LENGTH = 60 s). Each aligned pair's
+    * reference doc d1 owns a 60 s segment window [d1*segMs,
+    * (d1+1)*segMs) and word w of n is linearly interpolated into it —
+    * the R12 rescale move, token-index space onto the millisecond
+    * timeline, in exact integer division so the row set is
+    * cross-engine-hashable. Emits one VTT cue per word via the s14
+    * caption-export path. Input: pairs (d1, d2); docs (doc_id, text). */
+  def retimeWords(pairs: DataFrame, docs: DataFrame,
+                  segMs: Long = 60000L): DataFrame = {
+    val words = docs.select(col("doc_id").as("d1"),
+      size(split(col("text"), " ")).cast("long").as("n"),
+      posexplode(split(col("text"), " ")).as(Seq("w", "word")))
+    pairs.select("d1", "d2").join(words, "d1")
+      .select(col("d1"), col("d2"), col("w").cast("long").as("w"), col("word"),
+        (col("d1") * segMs + call_function("div",
+          col("w").cast("long") * segMs, col("n"))).as("ws_ms"),
+        (col("d1") * segMs + call_function("div",
+          (col("w").cast("long") + 1) * segMs, col("n"))).as("we_ms"))
+      .withColumn("cue", graft.result.CaptionExport.cueMs(
+        col("ws_ms"), col("we_ms"), col("word")))
+  }
+
   /** MinHash signatures: k universal-ish hashes
     * h_i(x) = (x * a_i + b_i) mod p with a_i = (2i+3)*524287 mod p,
     * b_i = (5i+7)*8191 — the multipliers must be large enough that the

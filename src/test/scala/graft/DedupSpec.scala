@@ -43,6 +43,27 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 8, s"expected O(log n) rounds, took $rounds")
   }
 
+  test("CC pins at most the final round's labels (checkpoint-leak guard)") {
+    // Session-lifetime invariant (round-7 fix): every superseded
+    // round's localCheckpoint is unpersisted inside the loop, the
+    // edges cache is dropped on exit, and only the returned labels'
+    // backing checkpoint may remain — a long-lived session running CC
+    // repeatedly must not accumulate pinned blocks (the r6 gate run
+    // leaked one checkpoint per round per call until iterative queries
+    // ran 3-5x their standalone cost).
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val n = 64
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("d1", "d2")
+    val (labels, _) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(labels.count() === n.toLong)
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 1,
+      s"CC left ${leaked.size} persistent RDDs pinned (expected <= 1: " +
+        "the final labels checkpoint only)")
+  }
+
   test("span stats and span removal agree (t25/t29 consistency law)") {
     // the detection query (dupSpanStats) and the production removal
     // (removeDupSpans) must tell the same story: per doc,
