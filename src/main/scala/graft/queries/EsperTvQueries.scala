@@ -40,6 +40,83 @@ object EsperTvQueries {
         .orderBy("video_id", "s", "e")
     }),
 
+    // E4: timeline-plot data layer (plot_timeline.py:20-76 VideoRow /
+    // VideoSegment): per-video segment rows ready for the renderer —
+    // shot intervals (coalesced caption events), position normalized
+    // by video length (max event end per video), display_value =
+    // min(1, len/1000) (the reference's default shot_value_fn,
+    // :47-48), display_label = commercial/non-commercial by overlap
+    // against the black-frame islands (:49-50 shot_label_fn). The
+    // label is an exists-overlap per video key (equi-key first, so
+    // the non-equi residual never goes cross-video); the plotting
+    // itself is out of engine scope — this IS its input frame.
+    "e04_timeline_rows" -> ((s, d) => {
+      import graft.operators.IntervalOps
+      val C = IntervalOps.Cols("video_id", "s", "e")
+      val shots = IntervalOps.coalesce(evTyped(s, d, "error")
+        .select(col("user_id").as("video_id"), col("s"), col("e")), C)
+      val black = IntervalOps.coalesce(evTyped(s, d, "purchase")
+        .select(col("user_id").as("video_id"), col("s"),
+          (col("s") + 2).as("e")), C)
+        .select(col("video_id").as("bv"), col("s").as("bs"), col("e").as("be"))
+      val len = Q.ev(s, d).groupBy(col("user_id").as("video_id"))
+        .agg(max(col("e")).as("len"))
+      // exists-overlap as ONE pass: left join (a shot meets at most a
+      // few islands; the fan-out is bounded by the coalesce) then a
+      // group-flag — a semi+anti union would compute the shots and
+      // black coalesces twice each, two corpus scans at 100 TB
+      val overlap = shots("video_id") === black("bv") &&
+        col("bs") < shots("e") && col("be") > shots("s")
+      shots.join(black, overlap, "left")
+        .groupBy(shots("video_id"), col("s"), col("e"))
+        .agg(max(when(col("bv").isNotNull, 1).otherwise(0)).as("__c"))
+        .withColumn("display_label",
+          when(col("__c") === 1, "commercial").otherwise("non-commercial"))
+        .drop("__c")
+        .join(len, "video_id")
+        .select(col("video_id"), col("s"), col("e"),
+          (col("s").cast("double") / col("len").cast("double")).as("s_frac"),
+          (col("e").cast("double") / col("len").cast("double")).as("e_frac"),
+          least(lit(1.0), (col("e") - col("s")).cast("double") / 1000.0)
+            .as("display_value"),
+          col("display_label"))
+        .orderBy("video_id", "s", "e")
+    }),
+
+    // E5: report data layer (report.py:25-76 screen_speak_scatter —
+    // its input frames are per-show M%/F% screen-time share tables,
+    // sorted by M%): expected screen seconds by identity per show,
+    // as shares of the show's two-identity total. Identities map to
+    // the click/view tracks (as in e01), show to a user bucket, and
+    // the probabilistic weighting is e03's integer cents form — sums
+    // stay exact integers and only the final shares divide, so the
+    // whole report frame is oracle-exact. The plot itself is out of
+    // engine scope; this IS the frame it renders.
+    "e05_screen_share" -> ((s, d) => {
+      val k = pmod(round(col("value") * 100).cast("long"), lit(100L))
+      val w = Q.ev(s, d)
+        .join(graft.sources.Tables.events(tune(s), d)
+          .select("event_id", "value"), "event_id")
+        .filter(col("event_type").isin("click", "view"))
+        .select((col("user_id") % 20).as("show_key"), col("event_type"),
+          ((col("e") - col("s")) * k).as("wdur"))
+      w.groupBy(col("show_key"))
+        .agg(
+          sum(when(col("event_type") === "click", col("wdur"))
+            .otherwise(0L)).as("m_raw"),
+          sum(when(col("event_type") === "view", col("wdur"))
+            .otherwise(0L)).as("f_raw"))
+        .filter(col("m_raw") + col("f_raw") > 0)
+        .select(col("show_key"),
+          (col("m_raw").cast("double") * 100.0 /
+            (col("m_raw") + col("f_raw")).cast("double")).as("m_pct"),
+          (col("f_raw").cast("double") * 100.0 /
+            (col("m_raw") + col("f_raw")).cast("double")).as("f_pct"),
+          ((col("m_raw") + col("f_raw")).cast("double") / 100.0)
+            .as("total_expected_sec"))
+        .orderBy("m_pct", "show_key")
+    }),
+
     // E3: probabilistic screen time over interval spans, integer-exact
     // (identity := event_type, p := fractional cents of value)
     "e03_screen_time" -> ((s, d) => {
@@ -154,6 +231,43 @@ object EsperTvQueries {
   val oracle: Map[String, String] = Map(
     "e01_interviews" -> e01Sql,
     "e02_commercials" -> e02Sql,
+
+    // e04: shots/black replay the island coalesce; the label is a
+    // correlated EXISTS; the three doubles mirror Spark's expression
+    // trees op-for-op (per-row IEEE division is cross-engine exact)
+    "e04_timeline_rows" -> {
+      val shots = coalesceSql(evSql("error"))
+      val black = coalesceSql(
+        s"SELECT user_id, s, s + 2 AS e FROM (${evSql("purchase")}) b0")
+      s"""WITH sh AS ($shots), bl AS ($black),
+         |ln AS (SELECT user_id, max(e) AS len FROM (${evSql()}) v GROUP BY 1)
+         |SELECT sh.user_id AS video_id, sh.s, sh.e,
+         |  CAST(sh.s AS DOUBLE) / CAST(ln.len AS DOUBLE) AS s_frac,
+         |  CAST(sh.e AS DOUBLE) / CAST(ln.len AS DOUBLE) AS e_frac,
+         |  least(1.0, CAST(sh.e - sh.s AS DOUBLE) / 1000.0) AS display_value,
+         |  CASE WHEN EXISTS (SELECT 1 FROM bl WHERE bl.user_id = sh.user_id
+         |                    AND bl.s < sh.e AND bl.e > sh.s)
+         |    THEN 'commercial' ELSE 'non-commercial' END AS display_label
+         |FROM sh JOIN ln ON ln.user_id = sh.user_id
+         |ORDER BY 1, 2, 3""".stripMargin
+    },
+
+    "e05_screen_share" ->
+      s"""WITH w AS (
+         |  SELECT ev.user_id % 20 AS show_key, ev.event_type,
+         |    (ev.e - ev.s) * (CAST(round(x.value*100,0) AS BIGINT) % 100) AS wdur
+         |  FROM (${evSql()}) ev JOIN events x ON x.event_id = ev.event_id
+         |  WHERE ev.event_type IN ('click', 'view')),
+         |g AS (SELECT show_key,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN wdur ELSE 0 END) AS BIGINT) AS m_raw,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN wdur ELSE 0 END) AS BIGINT) AS f_raw
+         |  FROM w GROUP BY 1)
+         |SELECT show_key,
+         |  CAST(m_raw AS DOUBLE) * 100.0 / CAST(m_raw + f_raw AS DOUBLE) AS m_pct,
+         |  CAST(f_raw AS DOUBLE) * 100.0 / CAST(m_raw + f_raw AS DOUBLE) AS f_pct,
+         |  CAST(m_raw + f_raw AS DOUBLE) / 100.0 AS total_expected_sec
+         |FROM g WHERE m_raw + f_raw > 0
+         |ORDER BY m_pct, show_key""".stripMargin,
 
     "e03_screen_time" ->
       s"""SELECT event_type AS identity,

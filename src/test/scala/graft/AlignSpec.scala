@@ -79,6 +79,29 @@ class AlignSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("retimeWords partitions each segment exactly (t33 law)") {
+    // For every (pair, doc): word cues are contiguous (ws of word j+1
+    // equals we of word j), the first starts at the segment start, the
+    // last ends at the segment end — integer interpolation drops no
+    // millisecond and double-books none.
+    val docs = Seq(
+      (3L, "the quick brown fox jumps"),
+      (7L, "one two three"),
+      (9L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((3L, 7L), (7L, 9L), (9L, 3L)).toDF("d1", "d2")
+    val rt = graft.text.TextOps.retimeWords(pairs, docs, segMs = 60000L)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("d1", "d2").orderBy("w")
+    val gaps = rt.withColumn("nxt", lead(col("ws_ms"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("we_ms"))
+    assert(gaps.count() === 0)
+    val bounds = rt.groupBy("d1", "d2")
+      .agg(min(col("ws_ms")).as("lo"), max(col("we_ms")).as("hi"))
+      .filter(col("lo") =!= col("d1") * 60000L ||
+        col("hi") =!= (col("d1") + 1) * 60000L)
+    assert(bounds.count() === 0)
+  }
+
   test("registered as SQL function token_edit_distance") {
     GraftFunctions.register(spark)
     val r = spark.sql(
