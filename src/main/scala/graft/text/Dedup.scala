@@ -90,43 +90,47 @@ object Dedup {
       // the round's output derive from this checkpointed frame. Before
       // round 7 the chase self-joined an UNmaterialized `stepped`, so
       // Catalyst executed that whole subtree twice per round —
-      // doubling round cost and eating the pointer-doubling win.
+      // doubling round cost and eating the pointer-doubling win. The
+      // checkpoint is LAZY: the convergence count right below is the
+      // job that materializes (and thereby persists) it.
       val stepped = labels
         .join(nbrMin.select(col("a").as("doc_id"), col("minNbr")),
           Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lab").as("prev"),
-          least(col("lab"), coalesce(col("minNbr"), col("lab"))).as("lab"))
-        .localCheckpoint(true)
-      // stepped no longer references the previous labels — free them
-      pinned.foreach(_.unpersist(false))
-      val steppedRdd = checkpointRdd(stepped).toSeq
-      // pointer doubling: lab := lab(lab). Every label value IS a node
-      // id of the symmetrized edge set (labels only ever take node ids
-      // as values), so the chase is a self-join of the stepped labels
-      // on lab = doc_id; lab(lab) <= lab by monotonicity, and the hop
-      // distance a label has traveled doubles each round.
-      val ptr = stepped.select(col("doc_id").as("lab"), col("lab").as("lab2"))
-      // the did-it-shrink flag rides the checkpointed frame, so the
-      // convergence count is a scan of the materialized partitions —
-      // not (as in earlier rounds) an extra shuffle join of next
-      // against the previous labels every iteration
-      // LAZY checkpoint: the convergence count right below is the job
-      // that materializes (and thereby persists) next — one job for
-      // chase+count instead of an eager-checkpoint job plus a count job
-      val next = stepped
-        .join(ptr, Seq("lab"), "left")
         .select(col("doc_id"),
-          least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"),
-          (least(col("lab"), coalesce(col("lab2"), col("lab"))) <
-            col("prev")).as("chg"))
+          least(col("lab"), coalesce(col("minNbr"), col("lab"))).as("lab"),
+          (coalesce(col("minNbr"), col("lab")) < col("lab")).as("chg"))
         .localCheckpoint(false)
-      changed = next.filter(col("chg")).count()
-      // next is materialized and lineage-free: this round's stepped is
-      // now superseded too
-      steppedRdd.foreach(_.unpersist(false))
-      pinned = checkpointRdd(next).toSeq
-      labels = next.select("doc_id", "lab")
+      // convergence rides the ONE-HOP step, not the chase: if
+      // min(self, neighbors) changes no label, then across every edge
+      // (u,v) lab(u) <= lab(v) and lab(v) <= lab(u) — labels are
+      // constant per component, i.e. the global fixpoint. So a
+      // no-change round exits after this single job and never pays its
+      // pointer chase (the chase is an accelerator, it cannot create
+      // changes a later step wouldn't make).
+      changed = stepped.filter(col("chg")).count()
       iter += 1
+      val steppedRdd = checkpointRdd(stepped).toSeq
+      if (changed == 0) {
+        steppedRdd.foreach(_.unpersist(false))
+      } else {
+        // pointer doubling: lab := lab(lab). Every label value IS a
+        // node id of the symmetrized edge set (labels only ever take
+        // node ids as values), so the chase is a self-join of the
+        // stepped labels on lab = doc_id; lab(lab) <= lab by
+        // monotonicity, and the hop distance a label has traveled
+        // doubles each round.
+        val ptr = stepped.select(col("doc_id").as("lab"), col("lab").as("lab2"))
+        val next = stepped
+          .join(ptr, Seq("lab"), "left")
+          .select(col("doc_id"),
+            least(col("lab"), coalesce(col("lab2"), col("lab"))).as("lab"))
+          .localCheckpoint(true)
+        // next is materialized and lineage-free: the previous labels
+        // and this round's stepped are both superseded — free them
+        (pinned ++ steppedRdd).foreach(_.unpersist(false))
+        pinned = checkpointRdd(next).toSeq
+        labels = next
+      }
     }
     edges.unpersist()
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
