@@ -144,10 +144,15 @@ object TextOps {
     * caption-export path. Input: pairs (d1, d2); docs (doc_id, text). */
   def retimeWords(pairs: DataFrame, docs: DataFrame,
                   segMs: Long = 60000L): DataFrame = {
-    val words = docs.select(col("doc_id").as("d1"),
-      size(split(col("text"), " ")).cast("long").as("n"),
-      posexplode(split(col("text"), " ")).as(Seq("w", "word")))
-    pairs.select("d1", "d2").join(words, "d1")
+    // join FIRST, explode AFTER: only the pair set's reference docs
+    // (bounded by the candidate generator) ever explode into words —
+    // exploding the whole corpus and then joining would shuffle every
+    // token of every document to retime a handful of pairs
+    val refDocs = pairs.select("d1", "d2")
+      .join(docs.select(col("doc_id").as("d1"), col("text")), "d1")
+    refDocs.select(col("d1"), col("d2"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        posexplode(split(col("text"), " ")).as(Seq("w", "word")))
       .select(col("d1"), col("d2"), col("w").cast("long").as("w"), col("word"),
         (col("d1") * segMs + call_function("div",
           col("w").cast("long") * segMs, col("n"))).as("ws_ms"),
