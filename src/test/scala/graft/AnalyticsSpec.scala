@@ -24,6 +24,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(res2.getAs[Double]("est_mean") === est)
   }
 
+  test("bootstrap_trials agg equals the explode-by-trial formulation") {
+    // The r7 folded aggregate must reproduce the exploded plan's
+    // integer sums exactly (order-free addition) — replay the explode
+    // form inline and compare per-trial (sum w, sum w*vc) vectors.
+    import graft.plans.BootstrapTrialsAgg
+    val trials = 37
+    val seed = 42L
+    val df = (1 to 500).map(i => (i.toLong, (i % 83).toLong))
+      .toDF("id", "vc").repartition(7)
+    val folded = df
+      .agg(BootstrapTrialsAgg.bootstrapTrials(col("id"), col("vc"),
+        trials, seed).as("tw"))
+      .selectExpr("tw.ws AS ws", "tw.wvs AS wvs")
+      .as[(Seq[Long], Seq[Long])].head()
+    val p = 1000000007L
+    val exploded = df
+      .withColumn("trial", explode(sequence(lit(1), lit(trials))))
+      .withColumn("p1", pmod(col("id") * 1000003L + col("trial") * 7919L
+        + lit(seed), lit(p)))
+      .withColumn("u", pmod(col("p1") * col("p1") + col("p1"), lit(p)) % 1000000L)
+      .withColumn("w", when(col("u") < 367880L, 0L).when(col("u") < 735760L, 1L)
+        .when(col("u") < 919700L, 2L).when(col("u") < 981010L, 3L)
+        .when(col("u") < 996340L, 4L).otherwise(5L))
+      .groupBy("trial")
+      .agg(sum(col("w")).as("ws"), sum(col("w") * col("vc")).as("wvs"))
+      .orderBy("trial").as[(Int, Long, Long)].collect()
+    assert(folded._1 === exploded.map(_._2).toSeq)
+    assert(folded._2 === exploded.map(_._3).toSeq)
+    // empty relation -> NULL (mirrors zero groups in the exploded form)
+    val empty = df.filter(col("id") < 0)
+      .agg(BootstrapTrialsAgg.bootstrapTrials(col("id"), col("vc"),
+        trials, seed).as("tw"))
+    assert(empty.filter(col("tw").isNull).count() === 1)
+    // out-of-range id fails loudly instead of wrapping silently
+    val bad = Seq((Long.MinValue, 1L)).toDF("id", "vc")
+    val ex = intercept[Exception] {
+      bad.agg(BootstrapTrialsAgg.bootstrapTrials(col("id"), col("vc"),
+        trials, seed)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("bottom_k keeps the k smallest distinct values through merges") {
     import graft.plans.BottomKAgg
     // values with duplicates, spread over partitions so partial
