@@ -37,6 +37,12 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD",
       org.apache.logging.log4j.Level.ERROR)
+    // the per-pass cache rebuild after clearCache re-registers the same
+    // query-internal cached frames — CacheManager's "already cached"
+    // WARN per pass is expected; keep the tail readable
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
     // warmup (untimed): touch every table and run representative query
     // shapes so the first timed query doesn't absorb parquet-footer
     // reads + JIT (~3-4 s skew on whichever query happens to run first)

@@ -97,6 +97,50 @@ class PlanAuditSpec extends SparkSpec {
       "a per-token explode is back in the span-removal plan")
   }
 
+  test("t33 explodes words only above the pair join") {
+    // retimeWords joins the (tiny) candidate pair set onto docs FIRST
+    // and explodes after: the Generate emitting `word` must have the
+    // join beneath it. A Generate with no join below means the corpus
+    // words explode before pairing — shuffling every token of every
+    // document to retime a handful of pairs.
+    val plan = executed(SparkEntry.queries("t33_word_retime")(spark, sf))
+    val wordGens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec
+        if g.generatorOutput.exists(_.name == "word") => g
+    }
+    assert(wordGens.nonEmpty, "word explode missing - plan changed shape")
+    val joinBelow = wordGens.forall { g =>
+      g.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: SortMergeJoinExec => j
+      }.nonEmpty
+    }
+    assert(joinBelow,
+      "word explode runs below the pair join - full-corpus token explode is back")
+  }
+
+  test("a14 folds trials inside the aggregate, not via explode") {
+    // BootstrapTrialsAgg: the partial ObjectHashAggregate must sit on
+    // the raw rows (no Generate beneath it) — a Generate below the
+    // fold means the rows x trials explode returned, and the partial
+    // must run map-side (no shuffle beneath), so the exchange ships
+    // one trial vector per partition instead of 120M records.
+    val plan = executed(SparkEntry.queries("a14_bootstrap")(spark, sf))
+    val partials = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    assert(partials.nonEmpty, "partial bootstrap_trials aggregate missing")
+    partials.foreach { a =>
+      assert(a.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty, "an explode crept below the bootstrap fold")
+      assert(a.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "partial bootstrap fold runs after a shuffle - should be map-side")
+    }
+  }
+
   test("p13 bottom-k aggregates partially before the exchange") {
     val plan = executed(SparkEntry.queries("p13_hash_sample")(spark, sf))
     val objAggs = plan.collect {
