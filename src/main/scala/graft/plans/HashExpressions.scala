@@ -123,3 +123,55 @@ object RollingHash {
     }
   }
 }
+
+/** Unicode NFC normalization — the canonical-composition pass every
+  * corpus pipeline runs before hashing/dedup (decomposed "e +
+  * COMBINING ACUTE" and composed "é" must fingerprint identically, or
+  * near-dup and decontamination joins silently miss). Codegen'd
+  * UnaryExpression over java.text.Normalizer with an
+  * already-normalized fast path (ASCII input returns the input
+  * UTF8String untouched — no String round-trip). DuckDB's
+  * `nfc_normalize` implements the same UAX #15 form, so the operator
+  * is oracle-checkable. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NfcNormalize.nfc(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.NfcNormalize.nfc($a)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+object NfcNormalize {
+  /** Static helper shared by interpreted eval and generated code.
+    * Pure-ASCII bytes are NFC by definition — return the input object
+    * without allocating; otherwise normalize through String (the
+    * non-ASCII tail of a real corpus is small). */
+  def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) < 0)
+        ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else {
+      val str = s.toString
+      if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    }
+  }
+}

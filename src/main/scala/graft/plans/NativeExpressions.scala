@@ -79,6 +79,10 @@ object GraftFunctions {
   def tokenEditDistance(a: Column, b: Column): Column =
     Bridge.column(TokenEditDistance(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Unicode NFC normalization (UAX #15 canonical composition). */
+  def nfcNormalize(s: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(s)))
+
   /** Register the SQL functions (idempotent; per-session — skip when
     * already present to avoid a per-call replace warning). */
   def register(spark: SparkSession): Unit = {
@@ -94,6 +98,7 @@ object GraftFunctions {
     put("vec_cosine", es => VecCosine(es(0), es(1)))
     put("rolling_hash", es => RollingHash(es(0)))
     put("token_edit_distance", es => TokenEditDistance(es(0), es(1)))
+    put("nfc_normalize", es => NfcNormalize(es(0)))
   }
 }
 
@@ -135,6 +140,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenEditDistance].getName, "token_edit_distance"),
       (exprs: Seq[Expression]) => TokenEditDistance(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
     e.injectOptimizerRule(_ => AutoBandOverlapJoin)
     e.injectPlannerStrategy(_ => CoalesceIntervalsStrategy)
   }

@@ -592,6 +592,24 @@ object TextQueries {
         .orderBy("d1", "d2", "w")
     }),
 
+    // T34 unicode NFC gate — the canonical-composition pass a corpus
+    // runs before any hashing/dedup (decomposed "e + COMBINING ACUTE"
+    // vs composed "é" must fingerprint identically or near-dup joins
+    // silently miss; native codegen'd NfcNormalize, ASCII fast path).
+    // Per lang: docs, docs changed by NFC, and the rolling-hash
+    // checksum of the NORMALIZED text — the checksum proves the
+    // normalize ran through the hash identically in both engines
+    // (DuckDB nfc_normalize implements the same UAX #15 form; the
+    // non-ASCII behavior itself is pinned in HashExprSpec fixtures).
+    "t34_nfc_gate" -> ((s, d) => {
+      val nfc = graft.plans.GraftFunctions.nfcNormalize(col("text"))
+      docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(nfc === col("text"), 0L).otherwise(1L)).as("n_changed"),
+          sum(TextOps.fingerprint(nfc)).as("nfc_checksum"))
+        .orderBy("lang")
+    }),
+
     // T32 n-gram LM quality scoring — the CCNet/Gopher perplexity-
     // filtering move, integerized: the reference model is the train
     // split's bigram table thresholded at count >= 2 (singletons are
@@ -916,6 +934,15 @@ object TextQueries {
          |    (we_ms % 60000) // 1000, we_ms % 1000)
          |  || chr(10) || word AS cue
          |FROM rt ORDER BY d1, d2, w""".stripMargin,
+
+    "t34_nfc_gate" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN nfc_normalize(text) = text THEN 0 ELSE 1 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(nfc_normalize(text), ''),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007)) AS BIGINT) AS nfc_checksum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t32_lm_quality" ->
       """WITH h AS (

@@ -74,4 +74,38 @@ class HashExprSpec extends SparkSpec {
       .filter($"a" =!= $"b").count()
     assert(mismatches === 0L)
   }
+
+  test("nfc_normalize composes decomposed sequences; ASCII passes through") {
+    GraftFunctions.register(spark)
+    // the corpus is ASCII so t34's oracle can't exercise the non-ASCII
+    // behavior — pin it here: decomposed e + U+0301 composes to é,
+    // already-composed and pure-ASCII inputs are returned unchanged,
+    // the op is idempotent, and both forms fingerprint identically
+    // after normalization (the whole point of the gate)
+    val decomposed = "cafe\u0301" // e + U+0301 COMBINING ACUTE ACCENT
+    val composed = "caf\u00e9"     // precomposed U+00E9
+    val rows = Seq(
+      ("d", decomposed), ("c", composed), ("a", "plain ascii")
+    ).toDF("k", "s")
+      .select($"k", $"s", GraftFunctions.nfcNormalize($"s").as("n"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("d")._2 === composed)
+    assert(rows("c")._2 === composed)
+    assert(rows("a")._2 === "plain ascii")
+    // idempotence + fingerprint equality across input forms
+    val fp = Seq((decomposed, composed)).toDF("a", "b")
+      .select(
+        TextOps.fingerprint(GraftFunctions.nfcNormalize($"a")).as("fa"),
+        TextOps.fingerprint(GraftFunctions.nfcNormalize($"b")).as("fb"),
+        GraftFunctions.nfcNormalize(GraftFunctions.nfcNormalize($"a")).as("nn"))
+      .head()
+    assert(fp.getLong(0) === fp.getLong(1))
+    assert(fp.getString(2) === composed)
+    // SQL registration + null propagation
+    val viaSql = Seq(Tuple1(decomposed)).toDF("s")
+      .selectExpr("nfc_normalize(s) AS n", "nfc_normalize(CAST(NULL AS STRING)) AS z")
+      .head()
+    assert(viaSql.getString(0) === composed)
+    assert(viaSql.isNullAt(1))
+  }
 }
