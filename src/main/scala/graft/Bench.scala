@@ -111,8 +111,9 @@ object Bench {
     val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     val pass2 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     val best2 = ordered.map { case (n, _) => n -> math.min(pass1(n), pass2(n)) }
+    val best2Map = best2.toMap
     // third pass only over queries whose best is still >1 s
-    val pass3 = ordered.filter { case (n, _) => best2.toMap.apply(n) > 1.0 }
+    val pass3 = ordered.filter { case (n, _) => best2Map(n) > 1.0 }
       .map { case (n, f) => n -> once(n, f) }.toMap
     val results = best2.map { case (n, b) =>
       n -> math.min(b, pass3.getOrElse(n, Double.MaxValue))

@@ -132,7 +132,14 @@ case class BootstrapTrialsAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  require(trials >= 1, "trials must be positive")
+  // the bounds live HERE, not only in Bootstrap.bootstrapMean: this
+  // aggregate is a public API, and an extreme seed would overflow the
+  // maxId computation below and silently disable the very guard it
+  // feeds (trials*7919 + |seed| wrapping negative makes maxId huge)
+  require(trials >= 1 && trials <= 100000,
+    s"bootstrap_trials: trials=$trials out of range")
+  require(seed > Long.MinValue / 2 && seed < Long.MaxValue / 2,
+    s"bootstrap_trials: seed=$seed out of range")
 
   private val P = 1000000007L
   // two-sided id bound with headroom for the worst-case trial/seed
@@ -162,21 +169,30 @@ case class BootstrapTrialsAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val idV = id.eval(input)
     val vcV = vc.eval(input)
-    if (idV != null && vcV != null) {
+    // NULL parity with the exploded formulation (and the DuckDB
+    // oracle): a NULL id makes the draw u NULL, and CASE WHEN treats
+    // NULL conditions as false, so the weight falls through to the
+    // ELSE branch — w = 5 for every trial. A NULL value contributes w
+    // to sum(w) but its w*vc product drops out of sum(w*vc) (SQL sum
+    // skips NULL terms). Rows are never skipped wholesale.
+    if (idV != null) {
       val i = idV.asInstanceOf[Long]
-      val v = vcV.asInstanceOf[Long]
       if (i <= -maxId || i >= maxId) throw new IllegalArgumentException(
         s"bootstrap_trials: |id| must be < ~2^62/1000003 (the draw would overflow)")
-      var t = 1
-      while (t <= trials) {
-        val p1 = pmod(i * 1000003L + t * 7919L + seed, P)
-        val w = weight(pmod(p1 * p1 + p1, P) % 1000000L)
-        buf(t - 1) += w
-        buf(trials + t - 1) += w * v
-        t += 1
-      }
-      buf(2 * trials) += 1
     }
+    var t = 1
+    while (t <= trials) {
+      val w =
+        if (idV == null) 5L
+        else {
+          val p1 = pmod(idV.asInstanceOf[Long] * 1000003L + t * 7919L + seed, P)
+          weight(pmod(p1 * p1 + p1, P) % 1000000L)
+        }
+      buf(t - 1) += w
+      if (vcV != null) buf(trials + t - 1) += w * vcV.asInstanceOf[Long]
+      t += 1
+    }
+    buf(2 * trials) += 1
     buf
   }
 

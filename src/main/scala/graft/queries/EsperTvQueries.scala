@@ -93,7 +93,11 @@ object EsperTvQueries {
     // whole report frame is oracle-exact. The plot itself is out of
     // engine scope; this IS the frame it renders.
     "e05_screen_share" -> ((s, d) => {
-      val k = pmod(round(col("value") * 100).cast("long"), lit(100L))
+      // plain % (sign of the dividend), matching DuckDB's % exactly
+      // for ALL inputs — pmod would diverge from the oracle on
+      // negative values (e03's pmod precedent is safe only because
+      // the corpus values are non-negative)
+      val k = round(col("value") * 100).cast("long") % 100L
       val w = Q.ev(s, d)
         .join(graft.sources.Tables.events(tune(s), d)
           .select("event_id", "value"), "event_id")

@@ -31,7 +31,12 @@ class AnalyticsSpec extends SparkSpec {
     import graft.plans.BootstrapTrialsAgg
     val trials = 37
     val seed = 42L
-    val df = (1 to 500).map(i => (i.toLong, (i % 83).toLong))
+    // include NULL ids and NULL values: a NULL id must fall through the
+    // CASE WHEN to w = 5 (NULL conditions are false), a NULL value must
+    // contribute w to sum(w) while its product drops out of sum(w*vc) —
+    // rows are never skipped wholesale (r7 review finding, fixed)
+    val df = ((1 to 500).map(i => (Option(i.toLong), Option((i % 83).toLong)))
+      ++ Seq((None, Option(7L)), (Option(901L), None), (None, None)))
       .toDF("id", "vc").repartition(7)
     val folded = df
       .agg(BootstrapTrialsAgg.bootstrapTrials(col("id"), col("vc"),

@@ -113,6 +113,7 @@ class PlanAuditSpec extends SparkSpec {
       g.collect {
         case j: BroadcastHashJoinExec => j
         case j: SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
       }.nonEmpty
     }
     assert(joinBelow,
