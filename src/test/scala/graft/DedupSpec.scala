@@ -43,6 +43,33 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 8, s"expected O(log n) rounds, took $rounds")
   }
 
+  test("CC equals brute-force union-find on seeded random graphs") {
+    // exactness property across topologies the fixtures don't reach
+    // (cycles, multi-bridge merges, self-loops, duplicate edges):
+    // min-label + pointer doubling must produce exactly the
+    // component-min labeling a sequential union-find computes
+    val rnd = new scala.util.Random(421)
+    for (_ <- 1 to 6) {
+      val nNodes = 2 + rnd.nextInt(30)
+      val edges = List.fill(1 + rnd.nextInt(40))(
+        (1L + rnd.nextInt(nNodes), 1L + rnd.nextInt(nNodes)))
+      // driver-side union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"edges=$edges")
+    }
+  }
+
   test("CC pins at most the final round's labels (checkpoint-leak guard)") {
     // Session-lifetime invariant (round-7 fix): every superseded
     // round's localCheckpoint is unpersisted inside the loop, the
