@@ -29,10 +29,27 @@ object TextOps {
     * than k tokens produce no shingles, as before. */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
+    // per-doc array_distinct BEFORE the explode: each doc is one input
+    // row, so within-doc dedup IS global dedup of (doc_id, sh) — the
+    // same row set the former global .distinct() produced, without
+    // shuffling every shingle string in the corpus to get it
     docs.select(col("doc_id"),
-        explode(Bridge.column(
-          graft.plans.Shingles(Bridge.expression(col("text")), k))).as("sh"))
-      .distinct()
+      explode(array_distinct(Bridge.column(
+        graft.plans.Shingles(Bridge.expression(col("text")), k)))).as("sh"))
+  }
+
+  /** Hashed-shingle ids, fully map-side: fingerprint each k-shingle
+    * inside the per-doc array and dedup (string dups AND hash
+    * collisions within a doc collapse together) before exploding —
+    * the (doc_id, sid) set is globally distinct by construction, so
+    * the inverted-index builders pay ZERO shuffles before their first
+    * aggregation. */
+  def shingleIds(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val arr = Bridge.column(
+      graft.plans.Shingles(Bridge.expression(col("text")), k))
+    docs.select(col("doc_id"),
+      explode(array_distinct(transform(arr, sh => fingerprint(sh)))).as("sid"))
   }
 
   /** Positioned k-token shingles: one row per (doc_id, s, sh) where
@@ -87,10 +104,10 @@ object TextOps {
     * jacc. The edge generator for dedup clustering. */
   def jaccardPairs(docs: DataFrame, k: Int = 3, dfCap: Int = 50,
                    tauJacc: Double = 0.5): DataFrame = {
-    val ids = shingles(docs, k)
-      .select(col("doc_id"), fingerprint(col("sh")).as("sid"))
-      .distinct() // hash collisions within a doc collapse to one id
-      .cache()
+    // map-side distinct ids (see shingleIds): the former
+    // shingles().distinct() + fingerprint + .distinct() chain paid TWO
+    // corpus-wide shuffles before the inverted index even started
+    val ids = shingleIds(docs, k).cache()
     val hot = broadcast(ids.groupBy(col("sid"))
       .agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("sid"))
     val sh = ids.join(hot, Seq("sid"), "left_anti").cache()
