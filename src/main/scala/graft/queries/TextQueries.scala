@@ -49,11 +49,12 @@ object TextQueries {
     // T4 MinHash + LSH near-dup: shingle dict -> 8 minhashes -> 4 bands
     // of 2 -> band-collision candidates + estimated jaccard
     "t04_minhash_lsh" -> ((s, d) => {
-      val sh = TextOps.shingles(docs(s, d), 3)
       // shingle id = cross-engine rolling hash of the shingle text: no
       // dictionary build at all (fully distributed; collisions are just
-      // part of the hash family)
-      val ids = sh.select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
+      // part of the hash family). Map-side hashed+deduped ids — the
+      // explode ships longs, not shingle strings, and min() is
+      // dup-insensitive so the per-doc dedup cannot change a minhash
+      val ids = TextOps.shingleIds(docs(s, d), 3)
       // mh feeds banding AND the est_jacc double-join — cache it.
       // 16 hashes / 8 bands of 2 (round-1 verdict called 8/4 toy-sized;
       // the same banded plan just carries a wider signature — collision
