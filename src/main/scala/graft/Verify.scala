@@ -16,11 +16,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // see Bench: deliberate unpersist of superseded CC checkpoints
-    // WARNs per round — expected, scope the logger to ERROR
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
+    // deliberate unpersist of superseded CC checkpoints WARNs per
+    // round — expected; drop only that message (regex filter), not the
+    // whole logger (ADVICE r7)
+    graft.util.LogFilters.suppressExpectedCheckpointTruncationWarns()
     new java.io.File(outDir).mkdirs()
     // iteration aid (mirrors Bench's SPARK_GRAFT_BENCH_ONLY): run only
     // queries matching the comma-separated name prefixes; unset = all.

@@ -208,21 +208,11 @@ object TextQueries {
       val dw = Window.partitionBy(col("text")).orderBy(col("doc_id"))
       val uniqDocs = qual.withColumn("rn", row_number().over(dw))
         .filter(col("rn") === 1).drop("rn")
-      val ids = TextOps.shingles(uniqDocs, 3)
-        .select(col("doc_id"), TextOps.fingerprint(col("sh")).as("sid"))
-        .distinct().cache()
-      val hot = broadcast(ids.groupBy(col("sid"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > 50).select("sid"))
-      val sh = ids.join(hot, Seq("sid"), "left_anti")
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val dropd = sh.select(col("doc_id").as("d1"), col("sid"))
-        .join(sh.select(col("doc_id").as("d2"), col("sid")), Seq("sid"))
-        .filter(col("d1") < col("d2"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
-        .filter(col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double") >= 0.5)
+      // the SAME pair generator t03/t15/t31/t33 use — map-side distinct
+      // shingle ids, broadcast df-cap, inverted-index self-join (the r7
+      // inline copy of this block paid a redundant corpus-wide
+      // .distinct() the map-side rewrite had eliminated everywhere else)
+      val dropd = TextOps.jaccardPairs(uniqDocs, k = 3, dfCap = 50, tauJacc = 0.5)
         .select(col("d2").as("doc_id")).distinct()
       val kept = uniqDocs.join(dropd, Seq("doc_id"), "left_anti")
         .select("doc_id", "ntok")
@@ -287,13 +277,14 @@ object TextQueries {
     // looping text repeats its own n-grams). Per-row shingle totals
     // are pure arithmetic; only the distinct count aggregates.
     "t18_repetition_filter" -> ((s, d) => {
-      val base = docs(s, d)
+      // distinct-3-gram count is a PER-ROW quantity: computed inside
+      // the row's own shingle array (zero shuffles before the final
+      // lang rollup — the explode+groupBy form paid a corpus-sized
+      // exchange for it; ADVICE r7)
+      docs(s, d)
         .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
         .withColumn("total_sh", greatest(col("ntok") - 2, lit(0L)))
-      val distinctSh = TextOps.shingles(base, 3)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("distinct_sh"))
-      base.join(distinctSh, Seq("doc_id"), "left")
-        .withColumn("distinct_sh", coalesce(col("distinct_sh"), lit(0L)))
+        .withColumn("distinct_sh", TextOps.distinctShingleCount(col("text"), 3))
         .withColumn("rep_ratio",
           when(col("total_sh") > 0,
             lit(1.0d) - col("distinct_sh").cast("double") /

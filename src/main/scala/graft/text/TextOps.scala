@@ -52,6 +52,17 @@ object TextOps {
       explode(array_distinct(transform(arr, sh => fingerprint(sh)))).as("sid"))
   }
 
+  /** Per-row distinct k-shingle count — the map-side form of
+    * `shingles(df,k).groupBy(doc_id).count()`: a quantity every row can
+    * compute about itself must never cost a corpus-sized
+    * explode+shuffle (ADVICE r7: t18 paid exactly that). Docs shorter
+    * than k tokens count 0 (empty shingle array). */
+  def distinctShingleCount(textCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    size(array_distinct(Bridge.column(
+      graft.plans.Shingles(Bridge.expression(textCol), k)))).cast("long")
+  }
+
   /** Positioned k-token shingles: one row per (doc_id, s, sh) where
     * `s` is the 0-based start token index of the window — the span
     * form [[graft.text.Dedup.dupSpanStats]] needs. Same map-side-only
