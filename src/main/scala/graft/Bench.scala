@@ -126,10 +126,14 @@ object Bench {
     shuffledPass(3).filter { case (n, _) => samples(n).min > 1.0 }
       .foreach { case (n, f) => samples(n) :+= once(n, f) }
     val results = ordered.map { case (n, _) => n -> samples(n).min }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // explicit Locale.ROOT: the f"" interpolator is default-locale
+    // sensitive, and a comma-decimal locale would emit invalid JSON
+    def num3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def num2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val sampleJson = samples.map { case (k, vs) =>
-      s"\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      s"\"" + k + "\":" + vs.map(num3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a prefix-filtered run must not clobber the full-corpus gate
@@ -141,7 +145,7 @@ object Bench {
         outPath + ".partial" else outPath
     val partialField = if (partial) "\"partial\":true," else ""
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",$partialField"queries":$qs,"samples":$sampleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec",$partialField"queries":$qs,"samples":$sampleJson,"sf":"$sfDir"}"""
     Files.write(Paths.get(effOut), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     // The stdout copy must survive a bounded log-tail capture (~2 KB):
@@ -150,9 +154,9 @@ object Bench {
     // group-prefix mnemonic (j01, t03, ...), so the stdout line keys on
     // those — the full-name artifact is the file written above.
     val shortQs = results.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.2f"
+      s"\"" + k.takeWhile(_ != '_') + "\":" + num2(v)
     }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
   }
 }

@@ -44,6 +44,11 @@ object Bootstrap {
       s"bootstrapMean: trials=$trials out of range")
     require(seed > Long.MinValue / 2 && seed < Long.MaxValue / 2,
       s"bootstrapMean: seed=$seed out of range")
+    // mirror of BootstrapTrialsAgg's plan-time headroom guard: a seed
+    // inside the range above can still leave maxId <= 0, which would
+    // reject every id with a message blaming the id (ADVICE r8)
+    require((Long.MaxValue / 2 - (trials.toLong * 7919L + math.abs(seed))) / 1000003L > 0,
+      s"bootstrapMean: |seed|=$seed leaves no id headroom; use a smaller |seed|")
     val nD = lit(trials.toDouble)
     // The trial fold is ONE typed aggregate (plans.BootstrapTrialsAgg):
     // every row plays its `trials` seeded draws in a JIT'd long loop

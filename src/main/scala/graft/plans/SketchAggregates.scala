@@ -147,6 +147,13 @@ case class BootstrapTrialsAgg(
   // violation fails loudly instead of wrapping silently
   private val maxId =
     (Long.MaxValue / 2 - (trials.toLong * 7919L + math.abs(seed))) / 1000003L
+  // the seed range check above still admits |seed| large enough that
+  // maxId collapses to <= 0, after which EVERY id fails the per-row
+  // guard with a message blaming the id — fail at plan time with the
+  // real cause instead (ADVICE r8)
+  require(maxId > 0,
+    s"bootstrap_trials: |seed|=$seed leaves no id headroom " +
+      s"(maxId=$maxId <= 0); use a smaller |seed|")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (id.dataType == LongType && vc.dataType == LongType)

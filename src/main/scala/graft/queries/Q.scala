@@ -73,16 +73,19 @@ object Q {
 
   /** DuckDB island-pattern coalesce of [[evSql]] intervals (mirror of
     * IntervalOps.coalesce): merge overlapping-or-touching, close gaps
-    * <= gap. Emits a CTE body selecting (user_id, s, e). */
-  def coalesceSql(src: String, gap: Long = 0): String =
-    s"""SELECT user_id, min(s) AS s, max(e) AS e FROM (
-       |  SELECT user_id, s, e, CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY s, e
+    * <= gap. Emits a CTE body selecting (key, s, e[, extraAggs]) —
+    * `extraAggs` mirrors coalesce's payloadAggs (e.g.
+    * ", count(*) AS n_hits"). */
+  def coalesceSql(src: String, gap: Long = 0, key: String = "user_id",
+                  extraAggs: String = ""): String =
+    s"""SELECT $key, min(s) AS s, max(e) AS e$extraAggs FROM (
+       |  SELECT $key, s, e, CAST(sum(isnew) OVER (PARTITION BY $key ORDER BY s, e
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp FROM (
-       |    SELECT user_id, s, e, CASE WHEN runmax IS NULL OR s > runmax + $gap THEN 1 ELSE 0 END AS isnew FROM (
-       |      SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+       |    SELECT $key, s, e, CASE WHEN runmax IS NULL OR s > runmax + $gap THEN 1 ELSE 0 END AS isnew FROM (
+       |      SELECT $key, s, e, max(e) OVER (PARTITION BY $key ORDER BY s, e
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
        |      FROM ($src) iv) m) g) gg
-       |GROUP BY user_id, grp""".stripMargin
+       |GROUP BY $key, grp""".stripMargin
 
   // -------------------------------------------------------------------
   // Derived bounding boxes from lineitem (deterministic, both engines):

@@ -227,6 +227,11 @@ object TextQueries {
     // doc_id of the component). The transitive closure the greedy t14
     // rule approximates; the oracle computes the same closure with a
     // recursive CTE.
+    // HAZARD: the returned frame is backed by a lineage-truncated
+    // localCheckpoint. Consume it (one action) BEFORE any
+    // sc.getPersistentRDDs sweep — sweeping first frees blocks the
+    // frame cannot recompute, and the next action throws. The harness
+    // mains are safe (they sweep only after the query's write).
     "t15_dedup_components" -> ((s, d) =>
       graft.text.Dedup.connectedComponents(
           TextOps.jaccardPairs(docs(s, d), k = 3, dfCap = 50, tauJacc = 0.5))

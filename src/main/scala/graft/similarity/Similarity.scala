@@ -375,7 +375,12 @@ object Similarity {
     * cluster. Returns (vec_id, cluster, keep) for every vector in a
     * pair; cluster = min vec_id of the component, keep marks the
     * retained representative (the dedup drop rule: keep one per
-    * semantic cluster). */
+    * semantic cluster).
+    *
+    * HAZARD: the result is backed by a lineage-truncated
+    * localCheckpoint (see [[graft.text.Dedup.connectedComponentsWithRounds]]).
+    * Consume it before any `sc.getPersistentRDDs` sweep: the sweep
+    * frees blocks this frame cannot recompute. */
   def semDedupClusters(corpus: DataFrame, nPlanes: Int,
                        tauNum: Long, tauDen: Long): DataFrame =
     graft.text.Dedup.connectedComponents(

@@ -112,18 +112,45 @@ object TextOps {
     * inverted-index self-join (the round-1 scale guard — a boilerplate
     * shingle shared by f docs otherwise emits f^2 candidate pairs),
     * then the exact Jaccard filter. Columns: d1, d2, inter, n1, n2,
-    * jacc. The edge generator for dedup clustering. */
+    * jacc. The edge generator for dedup clustering.
+    *
+    * EAGER: the pair set (small — candidate-bounded) is materialized
+    * here via `localCheckpoint` so both corpus-sized cached
+    * intermediates can be unpersisted BEFORE returning — a lazily
+    * returned plan would pin them for however long the caller waits to
+    * run its action (the r8 gate measured t14 ~1.8x slower under
+    * full-corpus cache churn from exactly these blocks). HAZARD: as
+    * with [[graft.text.Dedup.connectedComponentsWithRounds]], the
+    * returned frame is lineage-truncated — consume it before any
+    * `sc.getPersistentRDDs` sweep (the harness mains sweep only after
+    * each query's write, which is safe). */
   def jaccardPairs(docs: DataFrame, k: Int = 3, dfCap: Int = 50,
                    tauJacc: Double = 0.5): DataFrame = {
+    val (plan, cached) = jaccardPairsImpl(docs, k, dfCap, tauJacc, persist = true)
+    val pairs = plan.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    pairs
+  }
+
+  /** The lazy pair plan [[jaccardPairs]] materializes; `persist` caches
+    * the two reused intermediates (ids is read by the df-cap count and
+    * the index build; sh by the sizes agg and both self-join sides).
+    * Package-private so PlanAuditSpec can audit the physical plan the
+    * checkpoint job executes — the public API's result is an opaque
+    * LogicalRDD leaf. Returns (plan, cached intermediates to free). */
+  private[graft] def jaccardPairsImpl(docs: DataFrame, k: Int, dfCap: Int,
+      tauJacc: Double, persist: Boolean): (DataFrame, Seq[DataFrame]) = {
     // map-side distinct ids (see shingleIds): the former
     // shingles().distinct() + fingerprint + .distinct() chain paid TWO
     // corpus-wide shuffles before the inverted index even started
-    val ids = shingleIds(docs, k).cache()
+    val ids0 = shingleIds(docs, k)
+    val ids = if (persist) ids0.cache() else ids0
     val hot = broadcast(ids.groupBy(col("sid"))
       .agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("sid"))
-    val sh = ids.join(hot, Seq("sid"), "left_anti").cache()
+    val sh0 = ids.join(hot, Seq("sid"), "left_anti")
+    val sh = if (persist) sh0.cache() else sh0
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    sh.select(col("doc_id").as("d1"), col("sid"))
+    val plan = sh.select(col("doc_id").as("d1"), col("sid"))
       .join(sh.select(col("doc_id").as("d2"), col("sid")), Seq("sid"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
@@ -132,6 +159,7 @@ object TextOps {
       .withColumn("jacc", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")).cast("double"))
       .filter(col("jacc") >= tauJacc)
+    (plan, if (persist) Seq(ids, sh) else Nil)
   }
 
   /** Word-level alignment over an arbitrary candidate pair set — the

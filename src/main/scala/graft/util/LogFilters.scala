@@ -28,7 +28,17 @@ object LogFilters {
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val conf = ctx.getConfiguration
     // the WARN is logged by the concrete RDD subclass's logger
-    val loggerName = "org.apache.spark.rdd.MapPartitionsRDD"
+    // (MapPartitionsRDD today) — attach at the PACKAGE ancestor
+    // instead: every o.a.s.rdd.* subclass logger resolves here, so the
+    // filter keeps working if a plan change materializes the
+    // checkpoint as a different RDD class (CoalescedRDD, ShuffledRDD,
+    // ...), and the regex still confines suppression to the one
+    // expected message (non-matching WARNs pass as NEUTRAL). ADVICE r8.
+    val loggerName = "org.apache.spark.rdd"
+    // DEPENDENCY PIN: this createFilter(String, String[], Boolean,
+    // Result, Result) factory is deprecated log4j-core API — present in
+    // Spark 4.1.2's bundled log4j 2.24.x, removed/reworked in 2.25+.
+    // On a Spark/log4j bump, rebuild via RegexFilter.newBuilder().
     val filter = RegexFilter.createFilter(
       TruncationRegex, null, java.lang.Boolean.FALSE,
       Filter.Result.DENY, Filter.Result.NEUTRAL)

@@ -142,6 +142,73 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  // the r7/r8 pair-generator defect signature: a corpus-wide distinct
+  // of the (doc_id, shingle) set — grouping on {doc_id, sid} or
+  // {doc_id, sh} — re-paying an exchange the map-side array_distinct
+  // construction already made redundant (TextOps.shingleIds). Guarded
+  // on BOTH the library query (t03) and the composed pipeline (t14):
+  // round 8's fix removed exactly such a distinct from an inline copy
+  // in t14.
+  private def assertMapSidePairGen(plan: SparkPlan): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    def names(a: HashAggregateExec): Set[String] =
+      a.groupingExpressions.flatMap(_.collect {
+        case r: AttributeReference => r.name
+      }).toSet
+    val aggs = plan.collect { case a: HashAggregateExec => a }
+    val distincts = aggs.filter { a =>
+      val n = names(a)
+      n == Set("doc_id", "sid") || n == Set("doc_id", "sh")
+    }
+    assert(distincts.isEmpty,
+      "a corpus-wide (doc_id, shingle) distinct is back in the pair pipeline")
+    // and the FIRST sid aggregation (the df-cap hot-set count) is fed
+    // directly by the map-side explode: partial agg on {sid} with no
+    // exchange beneath it
+    val sidPartials = aggs.filter { a =>
+      names(a) == Set("sid") && a.aggregateExpressions.exists(_.mode ==
+        org.apache.spark.sql.catalyst.expressions.aggregate.Partial)
+    }
+    assert(sidPartials.nonEmpty, "df-cap partial aggregate on sid missing")
+    sidPartials.foreach { a =>
+      assert(a.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "an exchange crept below the first sid aggregation")
+    }
+  }
+
+  test("jaccardPairs (the t03/t14/t15/t31/t33 pair stage) is map-side to the first sid agg") {
+    // the public jaccardPairs materializes eagerly (localCheckpoint →
+    // opaque LogicalRDD leaf), so audit the internal lazy plan the
+    // checkpoint job executes
+    val (mk, _) = graft.text.TextOps.jaccardPairsImpl(
+      graft.sources.Tables.documents(spark, sf), 3, 50, 0.5, persist = false)
+    assertMapSidePairGen(executed(mk))
+  }
+
+  test("t18 computes repetition per-row: zero exchanges before the lang rollup") {
+    val plan = executed(SparkEntry.queries("t18_repetition_filter")(spark, sf))
+    // the pre-r8 form exploded shingles corpus-wide to count per-doc
+    // distincts; the per-row native expression has no Generate at all
+    assert(plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, "a shingle explode is back in t18 - distinct count must stay per-row")
+    // one hash exchange for the lang rollup + one range exchange for
+    // the final orderBy; anything more is a pre-rollup shuffle
+    val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size <= 2, s"t18 has ${exchanges.size} exchanges, expected <= 2")
+    val partials = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    assert(partials.nonEmpty, "partial lang-rollup aggregate missing")
+    partials.foreach { a =>
+      assert(a.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "the lang rollup's partial aggregate runs after a shuffle")
+    }
+  }
+
   test("p13 bottom-k aggregates partially before the exchange") {
     val plan = executed(SparkEntry.queries("p13_hash_sample")(spark, sf))
     val objAggs = plan.collect {
