@@ -150,6 +150,97 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** Content-defined chunking (the LBFS/FastCDC family, pure form): cut
+  * the text wherever the polynomial rolling hash of the trailing `w`
+  * codepoints is ≡ 0 mod `divisor` (expected chunk length ≈ divisor).
+  * Boundaries depend ONLY on the local window — no state carries
+  * across cuts — so an insertion or deletion reshapes O(1) chunks and
+  * identical runs shared across documents chunk identically at ANY
+  * offset, which is exactly what fixed-size chunking lacks and why
+  * storage/dedup systems cut this way. Emits the chunk array
+  * (concatenation reconstructs the input; texts of ≤ w codepoints are
+  * one chunk). Same 31/1e9+7 hash family as [[RollingHash]], so the
+  * DuckDB oracle replays boundaries exactly via per-position
+  * `list_reduce` folds (HashExprSpec pins the window identity
+  * H(p) = fold(chars[p-w, p))). One O(n) codegen'd loop per row —
+  * embarrassingly parallel, no shuffle. */
+case class CdcChunks(child: Expression, w: Int, divisor: Long)
+    extends UnaryExpression {
+  require(w >= 1 && divisor >= 1, s"cdc_chunks: w=$w divisor=$divisor")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(a: Any): Any =
+    CdcChunks.chunks(a.asInstanceOf[UTF8String], w, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.CdcChunks.chunks($a, $w, ${divisor}L)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object CdcChunks {
+  private val M = 1000000007L
+
+  /** Static helper shared by interpreted eval and generated code.
+    * Codepoint-indexed (like [[RollingHash]]'s fold), so boundaries
+    * match the oracle's `string_split(text,'')` positions on any
+    * input; the chunk substrings are cut on codepoint boundaries. */
+  def chunks(s: UTF8String, w: Int, divisor: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val nChars = str.length
+    // codepoint array + the char offset where each codepoint starts
+    // (charIdx(i) = char index of codepoint i; charIdx(n) = nChars)
+    var n = 0
+    var ci = 0
+    while (ci < nChars) { n += 1; ci += Character.charCount(str.codePointAt(ci)) }
+    if (n <= w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](s))
+    val cps = new Array[Int](n)
+    val charIdx = new Array[Int](n + 1)
+    var i = 0
+    ci = 0
+    while (ci < nChars) {
+      val cp = str.codePointAt(ci)
+      cps(i) = cp; charIdx(i) = ci
+      i += 1; ci += Character.charCount(cp)
+    }
+    charIdx(n) = nChars
+    // 31^(w-1) mod M for the sliding subtraction
+    var pow = 1L
+    var j = 0
+    while (j < w - 1) { pow = pow * 31 % M; j += 1 }
+    // hash of the first window [0, w)
+    var h = 0L
+    j = 0
+    while (j < w) { h = (h * 31 + cps(j)) % M; j += 1 }
+    // cut positions p in [w, n): window = codepoints [p-w, p)
+    val cuts = new java.util.ArrayList[Integer]
+    var p = w
+    while (p < n) {
+      if (h % divisor == 0) cuts.add(p)
+      h = ((h - cps(p - w) * pow % M + M) * 31 + cps(p)) % M
+      p += 1
+    }
+    val nc = cuts.size + 1
+    val out = new Array[Any](nc)
+    var prev = 0
+    var k = 0
+    while (k < nc) {
+      val end = if (k < cuts.size) cuts.get(k).intValue else n
+      out(k) = UTF8String.fromString(str.substring(charIdx(prev), charIdx(end)))
+      prev = end
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object NfcNormalize {
   /** Static helper shared by interpreted eval and generated code.
     * Pure-ASCII bytes are NFC by definition — return the input object

@@ -607,6 +607,30 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // T35 content-defined chunking dedup (the LBFS/FastCDC storage-
+    // style dedup plane, completing the dedup family: exact t01, span
+    // t25, shingle-Jaccard t03, MinHash t04, SimHash t05, semantic
+    // v10): cut where the rolling hash of the trailing 8 chars ≡ 0
+    // mod 64 (expected ~64-char chunks). Boundaries depend only on
+    // LOCAL content, so identical runs shared across docs chunk
+    // identically at ANY offset — chunk-hash groupBy finds cross-doc
+    // duplicated content with no alignment step (what fixed-size
+    // chunking can't do; CdcSpec pins the shift-resistance law).
+    // Per-lang chunk-dedup audit; one O(len) codegen'd loop per row,
+    // zero shuffles before the rollup.
+    "t35_cdc_dedup" -> ((s, d) =>
+      docs(s, d).select(col("lang"),
+          explode(TextOps.cdcChunks(col("text"), 8, 64L)).as("chunk"))
+        .select(col("lang"), TextOps.fingerprint(col("chunk")).as("fp"),
+          length(col("chunk")).cast("long").as("clen"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("fp")).as("n_distinct"),
+          sum(col("clen")).as("total_chars"),
+          (lit(1.0d) - countDistinct(col("fp")).cast("double") /
+            count(lit(1)).cast("double")).as("dup_ratio"))
+        .orderBy("lang")),
+
     // T32 n-gram LM quality scoring — the CCNet/Gopher perplexity-
     // filtering move, integerized: the reference model is the train
     // split's bigram table thresholded at count >= 2 (singletons are
@@ -940,6 +964,41 @@ object TextQueries {
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007)) AS BIGINT) AS nfc_checksum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replays the chunker: per cut position p (codepoints consumed,
+    // p in [w, n)), the window hash is the fold over chars [p-w, p) —
+    // 1-based slice [p-7, p] for w=8 — and a cut fires on ≡ 0 mod 64;
+    // chunks are the substrings between consecutive boundaries
+    "t35_cdc_dedup" ->
+      """WITH chars AS (
+        |  SELECT doc_id, lang, text, string_split(text,'') AS c,
+        |    len(string_split(text,'')) AS n
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT doc_id, lang, text, n,
+        |    list_filter(generate_series(8, n-1), p ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(c[p-7:p], ch -> CAST(ascii(ch) AS BIGINT))),
+        |        (a,x) -> (a*31+x) % 1000000007) % 64 = 0) AS bs
+        |  FROM chars),
+        |bounds AS (
+        |  SELECT doc_id, lang, text,
+        |    list_prepend(CAST(0 AS BIGINT), list_append(bs, CAST(n AS BIGINT))) AS b
+        |  FROM cuts),
+        |chunks AS (
+        |  SELECT lang, unnest(list_transform(generate_series(1, len(b)-1),
+        |    i -> substring(text, CAST(b[i]+1 AS INT), CAST(b[i+1]-b[i] AS INT)))) AS chunk
+        |  FROM bounds),
+        |fc AS (
+        |  SELECT lang, chunk, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(chunk,''), ch -> CAST(ascii(ch) AS BIGINT))),
+        |      (a,x) -> (a*31+x) % 1000000007) AS fp
+        |  FROM chunks)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+        |  CAST(sum(len(chunk)) AS BIGINT) AS total_chars,
+        |  1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio
+        |FROM fc GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t32_lm_quality" ->
       """WITH h AS (

@@ -291,6 +291,17 @@ object TextOps {
         .otherwise(0L)).as("val"))
   }
 
+  /** Content-defined chunk array (LBFS/FastCDC family, pure local
+    * rule): cut where the rolling hash of the trailing `w` codepoints
+    * is ≡ 0 mod `divisor` — see [[graft.plans.CdcChunks]]. The
+    * storage-style dedup plane: identical runs shared across docs
+    * chunk identically at any offset, so chunk-hash groupBy dedup
+    * finds them without alignment. */
+  def cdcChunks(textCol: Column, w: Int = 8, divisor: Long = 64L): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.CdcChunks(Bridge.expression(textCol), w, divisor))
+  }
+
   /** Polynomial rolling hash of the full text, mod 1e9+7 — a stable
     * document fingerprint (content-defined identity). Codegen'd native
     * expression ([[graft.plans.RollingHash]]); [[fingerprintHof]] is the
