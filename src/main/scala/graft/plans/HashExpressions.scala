@@ -241,6 +241,58 @@ object CdcChunks {
   }
 }
 
+/** Highest multiplicity of any element in a string array — the
+  * per-row form of "count of the most repeated n-gram" behind the
+  * Gopher-style repetition filters (top-2-gram / top-3-gram fraction,
+  * Rae et al. 2021 Table A1): fed with the raw [[Shingles]] window
+  * array (duplicates included) it yields the top n-gram's occurrence
+  * count in one O(n) hash loop, so the whole repetition signal is
+  * map-side — no explode, no per-doc aggregation, no shuffle (the
+  * same scale argument as [[graft.text.TextOps.distinctShingleCount]]).
+  * DuckDB replays it as
+  * `list_max(map_values(list_aggregate(l, 'histogram')))`. */
+case class MaxMultiplicity(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.simpleString}")
+  }
+  override def prettyName: String = "max_multiplicity"
+
+  override protected def nullSafeEval(a: Any): Any =
+    MaxMultiplicity.maxMult(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.MaxMultiplicity.maxMult($a)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+object MaxMultiplicity {
+  /** Static helper shared by interpreted eval and generated code.
+    * Null elements count as a value of their own (the Shingles feed
+    * never produces them; containsNull = false). Empty array -> 0. */
+  def maxMult(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      val prev = counts.get(k)
+      val c = if (prev == null) 1 else prev.intValue + 1
+      counts.put(k, c)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+}
+
 object NfcNormalize {
   /** Static helper shared by interpreted eval and generated code.
     * Pure-ASCII bytes are NFC by definition — return the input object

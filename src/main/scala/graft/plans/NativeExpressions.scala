@@ -83,6 +83,11 @@ object GraftFunctions {
   def nfcNormalize(s: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(s)))
 
+  /** Highest multiplicity of any element of a string array (the
+    * top-n-gram count behind Gopher-style repetition filters). */
+  def maxMultiplicity(arr: Column): Column =
+    Bridge.column(MaxMultiplicity(Bridge.expression(arr)))
+
   /** Register the SQL functions (idempotent; per-session — skip when
     * already present to avoid a per-call replace warning). */
   def register(spark: SparkSession): Unit = {
@@ -99,6 +104,7 @@ object GraftFunctions {
     put("rolling_hash", es => RollingHash(es(0)))
     put("token_edit_distance", es => TokenEditDistance(es(0), es(1)))
     put("nfc_normalize", es => NfcNormalize(es(0)))
+    put("max_multiplicity", es => MaxMultiplicity(es(0)))
   }
 }
 
@@ -145,6 +151,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("max_multiplicity"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MaxMultiplicity].getName, "max_multiplicity"),
+      (exprs: Seq[Expression]) => MaxMultiplicity(exprs(0))))
     e.injectOptimizerRule(_ => AutoBandOverlapJoin)
     e.injectPlannerStrategy(_ => CoalesceIntervalsStrategy)
   }

@@ -618,6 +618,35 @@ object TextQueries {
     // chunking can't do; CdcSpec pins the shift-resistance law).
     // Per-lang chunk-dedup audit; one O(len) codegen'd loop per row,
     // zero shuffles before the rollup.
+    // T36 Gopher-style top-n-gram repetition filter (Rae et al. 2021
+    // Table A1 — the rule family t18's distinct-ratio signal doesn't
+    // cover: a doc can have high distinct 3-grams overall while ONE
+    // n-gram still dominates). The most-repeated 2-gram / 3-gram
+    // occurrence counts are PER-ROW quantities over the raw shingle
+    // window arrays (native max_multiplicity — one O(n) hash loop,
+    // duplicates included, no explode, zero shuffles before the lang
+    // rollup), and the drop rules compare in exact integer arithmetic
+    // (tc*100 > thr*n) so both engines agree on every boundary doc.
+    "t36_topgram_filter" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      def wins(k: Int) = Bridge.column(
+        graft.plans.Shingles(Bridge.expression(col("text")), k))
+      docs(s, d)
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n2", greatest(col("ntok") - 1, lit(0L)))
+        .withColumn("n3", greatest(col("ntok") - 2, lit(0L)))
+        .withColumn("tc2", graft.plans.GraftFunctions.maxMultiplicity(wins(2)))
+        .withColumn("tc3", graft.plans.GraftFunctions.maxMultiplicity(wins(3)))
+        .withColumn("viol2", col("tc2") * 100 > col("n2") * 5)
+        .withColumn("viol3", col("tc3") * 100 > col("n3") * 4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("viol2"), 1L).otherwise(0L)).as("n_viol_top2"),
+          sum(when(col("viol3"), 1L).otherwise(0L)).as("n_viol_top3"),
+          sum(when(!col("viol2") && !col("viol3"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     "t35_cdc_dedup" -> ((s, d) =>
       docs(s, d).select(col("lang"),
           explode(TextOps.cdcChunks(col("text"), 8, 64L)).as("chunk"))
@@ -964,6 +993,26 @@ object TextQueries {
         |      c -> CAST(ascii(c) AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007)) AS BIGINT) AS nfc_checksum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the per-row top-n-gram counts replay as list histograms; the
+    // drop rules are the same exact integer comparisons
+    "t36_topgram_filter" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS l FROM documents),
+        |s AS (SELECT doc_id, lang, len(l) AS ntok,
+        |  list_transform(generate_series(1, greatest(len(l)-1,0)), i -> l[i]||' '||l[i+1]) AS s2,
+        |  list_transform(generate_series(1, greatest(len(l)-2,0)), i -> l[i]||' '||l[i+1]||' '||l[i+2]) AS s3
+        |  FROM t),
+        |f AS (SELECT lang,
+        |  CAST(greatest(ntok-1,0) AS BIGINT) AS n2,
+        |  CAST(greatest(ntok-2,0) AS BIGINT) AS n3,
+        |  CAST(CASE WHEN len(s2)>0 THEN list_max(map_values(list_aggregate(s2,'histogram'))) ELSE 0 END AS BIGINT) AS tc2,
+        |  CAST(CASE WHEN len(s3)>0 THEN list_max(map_values(list_aggregate(s3,'histogram'))) ELSE 0 END AS BIGINT) AS tc3
+        |  FROM s)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN tc2*100 > 5*n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_top2,
+        |  CAST(sum(CASE WHEN tc3*100 > 4*n3 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_top3,
+        |  CAST(sum(CASE WHEN tc2*100 <= 5*n2 AND tc3*100 <= 4*n3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     // replays the chunker: per cut position p (codepoints consumed,
     // p in [w, n)), the window hash is the fold over chars [p-w, p) —

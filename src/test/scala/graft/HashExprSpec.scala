@@ -108,4 +108,32 @@ class HashExprSpec extends SparkSpec {
     assert(viaSql.getString(0) === composed)
     assert(viaSql.isNullAt(1))
   }
+
+  test("max_multiplicity equals a groupBy-count reference (incl. edges)") {
+    val rnd = new scala.util.Random(877)
+    val cases: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq(""), Seq("a"), Seq("a", "a", "a"),
+        Seq("a", "b", "a", "b", "a")) ++
+        Seq.fill(30)(Seq.fill(rnd.nextInt(50))(s"w${rnd.nextInt(8)}"))
+    val got = cases.toDF("arr")
+      .select(GraftFunctions.maxMultiplicity($"arr").as("m"))
+      .as[Long].collect().toSeq
+    val want = cases.map(c =>
+      if (c.isEmpty) 0L else c.groupBy(identity).values.map(_.size).max.toLong)
+    assert(got === want)
+    // over the Shingles feed: the top-2-gram of a doc that repeats one
+    val top2 = Seq(Tuple1("x y z x y w x y")).toDF("text")
+      .select(GraftFunctions.maxMultiplicity(
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.plans.Shingles(
+            org.apache.spark.sql.graftbridge.Bridge.expression($"text"), 2))).as("m"))
+      .as[Long].head()
+    assert(top2 === 3L) // "x y" occurs 3 times
+    // SQL registration + null propagation
+    val viaSql2 = spark.sql(
+      "SELECT max_multiplicity(array('a','b','a')) AS m, " +
+        "max_multiplicity(CAST(NULL AS ARRAY<STRING>)) AS z").head()
+    assert(viaSql2.getLong(0) === 2L)
+    assert(viaSql2.isNullAt(1))
+  }
 }
