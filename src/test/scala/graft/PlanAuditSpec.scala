@@ -209,6 +209,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t35/t36 per-row text signals shuffle only at the lang rollup") {
+    // CDC chunking explodes per-row chunk arrays and the top-n-gram
+    // counts are scalar — in both plans every Generate/projection must
+    // sit directly on the scan, with exactly the rollup exchange (+
+    // the final sort's range exchange) above
+    for (q <- Seq("t35_cdc_dedup", "t36_topgram_filter")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+      // t35's countDistinct adds one more agg exchange (lang, fp)
+      assert(exchanges.size <= 3, s"$q has ${exchanges.size} exchanges")
+      plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.foreach { g =>
+        assert(g.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+          s"$q explodes after a shuffle - the per-row stage must be map-side")
+      }
+    }
+  }
+
+  test("ph03 keeps the posting joins broadcast at dimension scale") {
+    // the phrase pipeline's semi/anti joins (boolean doc set, hit
+    // filter) must execute as broadcast joins on this corpus — a
+    // sort-merge posting join means the doc-set side stopped being
+    // treated as a dimension
+    val plan = executed(SparkEntry.queries("ph03_phrase_segments")(spark, sf))
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"ph03 degraded ${smj.size} posting joins to sort-merge")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "ph03 lost its broadcast posting joins")
+  }
+
   test("p13 bottom-k aggregates partially before the exchange") {
     val plan = executed(SparkEntry.queries("p13_hash_sample")(spark, sf))
     val objAggs = plan.collect {
