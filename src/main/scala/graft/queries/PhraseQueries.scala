@@ -50,7 +50,15 @@ object PhraseQueries {
         payloadAggs = Seq(count(lit(1)).as("n_hits")))
       IntervalOps.filterLength(segs, 12, c = c)
         .orderBy("doc_id", "s")
-    })
+    }),
+
+    // PH4: BM25 ranked retrieval — the relevance-ranked upgrade of the
+    // reference's count-ordered caption search (captions.py:126-140).
+    // Log-free rational idf + micro-integer per-term scores keep the
+    // ranking oracle-exact (see PhraseSearch.bm25TopK's scaladoc).
+    "ph04_bm25_topk" -> ((s, d) =>
+      PhraseSearch.bm25TopK(toks(s, d),
+        Seq("customer", "spark", "vector"), k = 10))
   )
 
   val oracle: Map[String, String] = Map(
@@ -82,6 +90,28 @@ object PhraseQueries {
                                 extraAggs = ", CAST(count(*) AS BIGINT) AS n_hits")}) seg
          |WHERE e - s >= 12
          |ORDER BY doc_id, s""".stripMargin
-    }
+    },
+
+    // ph04: every arithmetic step mirrors the Spark expression tree
+    // op-for-op (integer idf terms cast to DOUBLE, left-associated
+    // products/sums, round-then-cast before the per-doc sum) so the
+    // doubles are bit-identical and the BIGINT sum is order-free.
+    "ph04_bm25_topk" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |       WHERE tok IN ('customer', 'spark', 'vector') GROUP BY 1, 2),
+         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
+         |sc AS (SELECT tf.doc_id,
+         |    CAST(round(
+         |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+         |      * ((88.0 * tf * l) / (40.0 * tf * l + 12.0 * l + 36.0 * dl.dl * n))
+         |      * 1000000, 0) AS BIGINT) AS sc
+         |  FROM tf JOIN dfs ON dfs.tok = tf.tok
+         |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
+         |FROM sc GROUP BY 1
+         |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
   )
 }

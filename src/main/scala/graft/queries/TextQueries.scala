@@ -647,6 +647,39 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // T37 containment near-dup pairs: the ASYMMETRIC inclusion metric
+    // over the same df-capped inverted-index candidates as t03 —
+    // max(inter/n1, inter/n2) >= 0.8 catches a short doc embedded in a
+    // long one (containment ≈ 1, Jaccard only ≈ n_short/n_long), the
+    // quote/boilerplate-embedding duplication the symmetric t03 filter
+    // misses. Same pigeonhole df-cap bound: candidate count is
+    // metric-independent, so the 100 TB shape is identical to t03.
+    "t37_containment_pairs" -> ((s, d) =>
+      TextOps.containmentPairs(docs(s, d), k = 3, dfCap = 50, tauC = 0.8)
+        .select("d1", "d2", "inter", "n1", "n2", "jacc", "cmax")
+        .orderBy("d1", "d2")),
+
+    // T38 near-dup cluster retention: the keep-one-per-cluster policy
+    // (SlimPajama/RefinedWeb dedup step) — CC cluster ids over t15's
+    // edge set; the retained representative is the LONGEST member
+    // (ties: smallest doc_id) via a per-cluster window argmax. The
+    // audit emits every clustered doc with its keep verdict, so the
+    // retention decision itself — not just the clustering — is
+    // oracle-exact. Scale: window partitions are near-dup clusters
+    // (bounded by the df-cap candidate generator), never the corpus.
+    "t38_cluster_keep" -> ((s, d) => {
+      val comps = graft.text.Dedup.connectedComponents(
+        TextOps.jaccardPairs(docs(s, d), k = 3, dfCap = 50, tauJacc = 0.5))
+      val ntok = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("ntok").desc, col("doc_id"))
+      comps.join(ntok, "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "cluster", "ntok", "keep")
+        .orderBy("doc_id")
+    }),
+
     "t35_cdc_dedup" -> ((s, d) =>
       docs(s, d).select(col("lang"),
           explode(TextOps.cdcChunks(col("text"), 8, 64L)).as("chunk"))
@@ -1048,6 +1081,62 @@ object TextQueries {
         |  CAST(sum(len(chunk)) AS BIGINT) AS total_chars,
         |  1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio
         |FROM fc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t37: t03's candidate CTEs re-filtered by the asymmetric inclusion
+    // metric — same expression tree (one div per side + greatest) as
+    // the Spark plan, so the doubles are bit-identical.
+    "t37_containment_pairs" ->
+      s"""WITH ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),
+         |sh AS (SELECT doc_id, sid
+         |       FROM (SELECT doc_id, sid, count(*) OVER (PARTITION BY sid) AS df FROM ids) z
+         |       WHERE df <= 50),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+         |          FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, inter, n1, n2, jacc, cmax FROM (
+         |  SELECT d1, d2, inter, x.nsh AS n1, y.nsh AS n2,
+         |    CAST(inter AS DOUBLE) / CAST(x.nsh + y.nsh - inter AS DOUBLE) AS jacc,
+         |    greatest(CAST(inter AS DOUBLE) / CAST(x.nsh AS DOUBLE),
+         |             CAST(inter AS DOUBLE) / CAST(y.nsh AS DOUBLE)) AS cmax
+         |  FROM pairs JOIN sizes x ON pairs.d1 = x.doc_id
+         |  JOIN sizes y ON pairs.d2 = y.doc_id) q
+         |WHERE cmax >= 0.8
+         |ORDER BY 1, 2""".stripMargin,
+
+    // t38: t15's recursive-CTE components + the window argmax retention
+    // verdict (longest member kept, doc_id tiebreak).
+    "t38_cluster_keep" ->
+      s"""WITH RECURSIVE ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),
+         |sh AS (SELECT doc_id, sid
+         |       FROM (SELECT doc_id, sid, count(*) OVER (PARTITION BY sid) AS df FROM ids) z
+         |       WHERE df <= 50),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+         |          FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT d1, d2 FROM inter
+         |          JOIN sizes x ON inter.d1 = x.doc_id
+         |          JOIN sizes y ON inter.d2 = y.doc_id
+         |          WHERE CAST(i AS DOUBLE) / CAST(x.nsh + y.nsh - i AS DOUBLE) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+         |comp AS (SELECT n.doc_id,
+         |    CAST(least(n.doc_id, min(r.b)) AS BIGINT) AS cluster
+         |  FROM nodes n JOIN reach r ON r.a = n.doc_id GROUP BY n.doc_id),
+         |nt AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+         |  FROM documents)
+         |SELECT c.doc_id, c.cluster, nt.ntok,
+         |  row_number() OVER (PARTITION BY c.cluster
+         |    ORDER BY nt.ntok DESC, c.doc_id) = 1 AS keep
+         |FROM comp c JOIN nt ON nt.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
 
     "t32_lm_quality" ->
       """WITH h AS (

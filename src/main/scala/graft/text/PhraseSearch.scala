@@ -39,6 +39,49 @@ object PhraseSearch {
   def docsWithPhrase(toks: DataFrame, phrase: Seq[String]): DataFrame =
     phraseHits(toks, phrase).select("doc_id").distinct()
 
+  /** BM25 ranked retrieval over the token table (Robertson k1=1.2,
+    * b=0.75), the relevance-ranked counterpart of the boolean search —
+    * the reference ranks caption hits by raw count
+    * (app/esper/captions.py:126-140); this is the standard IR upgrade.
+    *
+    * Cross-engine exactness: idf uses the Robertson (N-df+0.5)/(df+0.5)
+    * ratio WITHOUT the ln (the t32 integerization move — ln is the one
+    * non-correctly-rounded op that differs between engines; the
+    * rational form is a monotone function of it so rankings by a single
+    * term agree, and the variant is documented in the score name). The
+    * per-(doc,term) score is one deterministic IEEE expression tree,
+    * micro-scaled to a BIGINT BEFORE the per-doc sum, so cross-engine
+    * float summation order cannot reassociate anything. With k1=6/5,
+    * b=3/4 and avgdl=L/N the tf part is exactly
+    * 88·tf·L / (40·tf·L + 12·L + 36·dl·N).
+    *
+    * Scale: tf and dl are one pass over the postings (the term filter
+    * pushes to the scan); df and the (N, L) scalars are broadcast; the
+    * only shuffles carry (matching doc, term) rows and the final
+    * ordered LIMIT is a TakeOrdered, never a global sort. */
+  def bm25TopK(toks: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
+    tf.join(broadcast(dfs), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("idf",
+        (lit(2) * (col("n") - col("df")) + lit(1)).cast("double") /
+          (lit(2) * col("df") + lit(1)).cast("double"))
+      .withColumn("tfc",
+        (lit(88.0) * col("tf") * col("l")) /
+          (lit(40.0) * col("tf") * col("l") + lit(12.0) * col("l") +
+            lit(36.0) * col("dl") * col("n")))
+      .withColumn("sc", round(col("idf") * col("tfc") * lit(1000000)).cast("long"))
+      .groupBy(col("doc_id")).agg(sum(col("sc")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // ---------------- boolean query language --------------------------
   sealed trait Q
   final case class Phrase(words: Seq[String]) extends Q

@@ -132,6 +132,30 @@ object TextOps {
     pairs
   }
 
+  /** Containment near-dup pairs: same candidate generation as
+    * [[jaccardPairs]] but scored by the ASYMMETRIC containment
+    * C(A,B) = |A ∩ B| / |A| (CCNet / Broder's "inclusion" metric) —
+    * a short doc fully embedded in a long one has cmax ≈ 1 yet a
+    * Jaccard of only |A|/|B|, so the symmetric filter misses exactly
+    * the quote/boilerplate-embedding duplication this catches. Keeps
+    * pairs with max(C(A,B), C(B,A)) >= tauC; emits the Jaccard too so
+    * callers can see which pairs the symmetric metric would have kept.
+    * Scale: the df-cap bounds candidates identically to jaccardPairs
+    * (the pigeonhole argument is metric-independent); same eager
+    * checkpoint + cache-release discipline. */
+  def containmentPairs(docs: DataFrame, k: Int = 3, dfCap: Int = 50,
+                       tauC: Double = 0.8): DataFrame = {
+    val (stats, cached) = pairStatsImpl(docs, k, dfCap, persist = true)
+    val plan = stats
+      .withColumn("cmax", greatest(
+        col("inter").cast("double") / col("n1").cast("double"),
+        col("inter").cast("double") / col("n2").cast("double")))
+      .filter(col("cmax") >= tauC)
+    val pairs = plan.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    pairs
+  }
+
   /** The lazy pair plan [[jaccardPairs]] materializes; `persist` caches
     * the two reused intermediates (ids is read by the df-cap count and
     * the index build; sh by the sizes agg and both self-join sides).
@@ -140,6 +164,15 @@ object TextOps {
     * LogicalRDD leaf. Returns (plan, cached intermediates to free). */
   private[graft] def jaccardPairsImpl(docs: DataFrame, k: Int, dfCap: Int,
       tauJacc: Double, persist: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val (stats, cached) = pairStatsImpl(docs, k, dfCap, persist)
+    (stats.filter(col("jacc") >= tauJacc), cached)
+  }
+
+  /** Shared near-dup pair statistics (d1 < d2, inter, n1, n2, jacc) —
+    * the inverted-index candidate generator both similarity metrics
+    * filter over. */
+  private def pairStatsImpl(docs: DataFrame, k: Int, dfCap: Int,
+      persist: Boolean): (DataFrame, Seq[DataFrame]) = {
     // map-side distinct ids (see shingleIds): the former
     // shingles().distinct() + fingerprint + .distinct() chain paid TWO
     // corpus-wide shuffles before the inverted index even started
@@ -158,7 +191,6 @@ object TextOps {
       .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
       .withColumn("jacc", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")).cast("double"))
-      .filter(col("jacc") >= tauJacc)
     (plan, if (persist) Seq(ids, sh) else Nil)
   }
 

@@ -116,6 +116,27 @@ class DedupSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("cluster retention keeps exactly the longest member per cluster (t38 law)") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry
+      .queries("t38_cluster_keep")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val perCluster = out.groupBy(col("cluster")).agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      max(col("ntok")).as("max_ntok"),
+      count(lit(1)).as("n"))
+    // non-vacuous: sf0.001 has 28 near-dup edges (checked offline)
+    assert(perCluster.count() > 0)
+    assert(perCluster.filter(col("n") < 2).count() === 0,
+      "CC emitted a singleton cluster")
+    assert(perCluster.filter(col("n_keep") =!= 1L).count() === 0,
+      "a cluster kept zero or multiple representatives")
+    assert(out.filter(col("keep")).join(perCluster, "cluster")
+      .filter(col("ntok") =!= col("max_ntok")).count() === 0,
+      "a kept representative is not the longest member")
+    out.unpersist()
+  }
+
   test("doubling preserves exactness on a dense-plus-bridge graph") {
     // two cliques bridged by one edge: labels must flow across the
     // bridge both ways regardless of which side holds the global min

@@ -142,4 +142,38 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.stopwordRatio($"text", Seq("a", "b"))).as[Double].head()
     assert(math.abs(ratio - 0.4) < 1e-9)
   }
+
+  test("containmentPairs flags an embedded doc the symmetric filter misses") {
+    // short = a contiguous 10-token slice of long: all 8 of its
+    // 3-shingles are inside long's 28, so containment is exactly 1.0
+    // while jacc = 8/28 < 0.5 — the quote-embedding case t37 exists for
+    val long = (0 until 30).map(i => s"w$i").mkString(" ")
+    val short = (10 until 20).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, long), (1L, short)).toDF("doc_id", "text")
+    assert(TextOps.jaccardPairs(d, k = 3, dfCap = 50, tauJacc = 0.5).count() === 0)
+    val got = TextOps.containmentPairs(d, k = 3, dfCap = 50, tauC = 0.8)
+      .select("d1", "d2", "inter", "n1", "n2", "cmax")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(got === List((0L, 1L, 8L, 28L, 8L, 1.0)))
+  }
+
+  test("bm25TopK exact micro-scores and ranking on a hand-checked fixture") {
+    import graft.text.PhraseSearch
+    val d = Seq(
+      (0L, "q q q a b"),
+      (1L, "q a b c d"),
+      (2L, "a b c d e")).toDF("doc_id", "text")
+    val toks = TextOps.tokens(d)
+    val got = PhraseSearch.bm25TopK(toks, Seq("q"), k = 10)
+      .as[(Long, Long)].collect().toList
+    // N=3, L=15, df=2 -> idf = 3/5; doc0: tf=3 -> tfc = 3960/2520 = 11/7
+    //   -> round(1e6 * (3/5) * (11/7)) = 942857; doc1: tf=1 -> tfc = 1
+    //   -> 600000; doc2 has no query term and must be absent
+    assert(got === List((0L, 942857L), (1L, 600000L)))
+    // multi-term scores ADD per-term micro-integers: querying (q, e)
+    // must leave q-only docs unchanged and rank doc2 by its e score
+    val multi = PhraseSearch.bm25TopK(toks, Seq("q", "e"), k = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(multi(0L) === 942857L && multi(1L) === 600000L && multi.contains(2L))
+  }
 }
