@@ -57,7 +57,8 @@ object PhraseQueries {
     // Log-free rational idf + micro-integer per-term scores keep the
     // ranking oracle-exact (see PhraseSearch.bm25TopK's scaladoc).
     "ph04_bm25_topk" -> ((s, d) =>
-      PhraseSearch.bm25TopK(toks(s, d),
+      PhraseSearch.bm25TopK(
+        Tables.documents(tune(s), d).select("doc_id", "text"),
         Seq("customer", "spark", "vector"), k = 10))
   )
 

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Caption/phrase search surface (SURVEY §3.3): n-gram phrase matching
@@ -55,29 +55,38 @@ object PhraseSearch {
     * b=3/4 and avgdl=L/N the tf part is exactly
     * 88·tf·L / (40·tf·L + 12·L + 36·dl·N).
     *
-    * Scale: tf and dl are one pass over the postings (the term filter
-    * pushes to the scan); df and the (N, L) scalars are broadcast; the
-    * only shuffles carry (matching doc, term) rows and the final
-    * ordered LIMIT is a TakeOrdered, never a global sort. */
-  def bm25TopK(toks: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
+    * Scale: tf and dl are PER-ROW quantities over `text` (array
+    * filter/size — no token-table explode, no shuffle); df per term
+    * and the (N, L) totals are ONE scalar aggregate broadcast back, so
+    * the whole score is map-side and the ordered LIMIT is a
+    * TakeOrdered, never a global sort. The per-doc total adds the
+    * per-term micro-integers in fixed term order — integer addition,
+    * nothing to reassociate. Input: docs (doc_id, text). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame = {
     require(terms.nonEmpty)
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val tf = toks.filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
-    tf.join(broadcast(dfs), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(tot))
-      .withColumn("idf",
-        (lit(2) * (col("n") - col("df")) + lit(1)).cast("double") /
-          (lit(2) * col("df") + lit(1)).cast("double"))
-      .withColumn("tfc",
-        (lit(88.0) * col("tf") * col("l")) /
-          (lit(40.0) * col("tf") * col("l") + lit(12.0) * col("l") +
-            lit(36.0) * col("dl") * col("n")))
-      .withColumn("sc", round(col("idf") * col("tfc") * lit(1000000)).cast("long"))
-      .groupBy(col("doc_id")).agg(sum(col("sc")).as("bm25_micro"))
+    def tfCol(t: String): Column =
+      size(filter(split(col("text"), " "), x => x === t)).cast("long")
+    val base = docs.select(col("doc_id") +:
+      size(split(col("text"), " ")).cast("long").as("dl") +:
+      terms.zipWithIndex.map { case (t, i) => tfCol(t).as(s"tf$i") }: _*)
+    val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("l") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val tot = broadcast(base.agg(aggs.head, aggs.tail: _*))
+    val scored = base.crossJoin(tot)
+    def scCol(i: Int): Column = {
+      val idf = (lit(2) * (col("n") - col(s"df$i")) + lit(1)).cast("double") /
+        (lit(2) * col(s"df$i") + lit(1)).cast("double")
+      val tfc = (lit(88.0) * col(s"tf$i") * col("l")) /
+        (lit(40.0) * col(s"tf$i") * col("l") + lit(12.0) * col("l") +
+          lit(36.0) * col("dl") * col("n"))
+      when(col(s"tf$i") > 0,
+        round(idf * tfc * lit(1000000)).cast("long")).otherwise(0L)
+    }
+    scored
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        terms.indices.map(scCol).reduce(_ + _).as("bm25_micro"))
       .orderBy(col("bm25_micro").desc, col("doc_id"))
       .limit(k)
   }

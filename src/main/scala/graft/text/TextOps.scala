@@ -170,8 +170,9 @@ object TextOps {
 
   /** Shared near-dup pair statistics (d1 < d2, inter, n1, n2, jacc) —
     * the inverted-index candidate generator both similarity metrics
-    * filter over. */
-  private def pairStatsImpl(docs: DataFrame, k: Int, dfCap: Int,
+    * filter over. Package-private so PlanAuditSpec can audit the lazy
+    * plan (the public APIs return opaque LogicalRDD leaves). */
+  private[graft] def pairStatsImpl(docs: DataFrame, k: Int, dfCap: Int,
       persist: Boolean): (DataFrame, Seq[DataFrame]) = {
     // map-side distinct ids (see shingleIds): the former
     // shingles().distinct() + fingerprint + .distinct() chain paid TWO

@@ -186,6 +186,29 @@ class PlanAuditSpec extends SparkSpec {
     assertMapSidePairGen(executed(mk))
   }
 
+  test("pairStats (t03/t37/t38 candidate generator) is map-side to the first sid agg") {
+    val (mk, _) = graft.text.TextOps.pairStatsImpl(
+      graft.sources.Tables.documents(spark, sf), 3, 50, persist = false)
+    assertMapSidePairGen(executed(mk))
+  }
+
+  test("ph04 BM25 is map-side: one scalar-agg shuffle, TakeOrdered, no explode") {
+    val plan = executed(SparkEntry.queries("ph04_bm25_topk")(spark, sf))
+    // tf/dl are per-row array ops — a Generate here means the
+    // token-table explode (a corpus-wide shuffle feeder) is back
+    assert(plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, "a token explode is back in ph04 - tf/dl must stay per-row")
+    val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size <= 1,
+      s"ph04 has ${exchanges.size} shuffles, expected only the (N,L,df) scalar agg")
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "final top-k degraded from TakeOrdered to a global sort")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "the broadcast scalar join degraded to sort-merge")
+  }
+
   test("t18 computes repetition per-row: zero exchanges before the lang rollup") {
     val plan = executed(SparkEntry.queries("t18_repetition_filter")(spark, sf))
     // the pre-r8 form exploded shingles corpus-wide to count per-doc

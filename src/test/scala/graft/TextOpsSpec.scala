@@ -163,8 +163,7 @@ class TextOpsSpec extends SparkSpec {
       (0L, "q q q a b"),
       (1L, "q a b c d"),
       (2L, "a b c d e")).toDF("doc_id", "text")
-    val toks = TextOps.tokens(d)
-    val got = PhraseSearch.bm25TopK(toks, Seq("q"), k = 10)
+    val got = PhraseSearch.bm25TopK(d, Seq("q"), k = 10)
       .as[(Long, Long)].collect().toList
     // N=3, L=15, df=2 -> idf = 3/5; doc0: tf=3 -> tfc = 3960/2520 = 11/7
     //   -> round(1e6 * (3/5) * (11/7)) = 942857; doc1: tf=1 -> tfc = 1
@@ -172,7 +171,7 @@ class TextOpsSpec extends SparkSpec {
     assert(got === List((0L, 942857L), (1L, 600000L)))
     // multi-term scores ADD per-term micro-integers: querying (q, e)
     // must leave q-only docs unchanged and rank doc2 by its e score
-    val multi = PhraseSearch.bm25TopK(toks, Seq("q", "e"), k = 10)
+    val multi = PhraseSearch.bm25TopK(d, Seq("q", "e"), k = 10)
       .as[(Long, Long)].collect().toMap
     assert(multi(0L) === 942857L && multi(1L) === 600000L && multi.contains(2L))
   }
