@@ -134,6 +134,17 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V14: binary-embedding ANN — sign-bit signatures (two 32-bit
+    // BIGINT halves per vector) ranked by Hamming distance. The
+    // extreme-compression end of the v08/v09/v11 quantization ladder:
+    // 16 bytes/vector, XOR+popcount distance, fully integer and thus
+    // oracle-exact like the rest of the ladder.
+    "v14_binary_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.binaryTopK(e, e.filter(col("vec_id") < 5), 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // V12: KMeans cluster-browsing surface (identity_clusters.py:1-40
     // lists faces per cluster; face_embeddings.py:98-110 kmeans): the
     // per-vector cluster assignment, each row carrying its cluster's
@@ -267,6 +278,34 @@ object SimilarityQueries {
         |      FROM sc)
         |SELECT q_id, vec_id, rank, adist FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // v14: sign-bit packing replayed as the same per-dim fold
+    // (list_reduce mirrors Spark's aggregate HOF); Hamming via
+    // xor + bit_count on the two halves, cast to BIGINT on both sides.
+    "v14_binary_ann" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, 31)),
+        |      (a, i) -> a + CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |        ELSE CAST(0 AS BIGINT) END) AS lo,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(32, 63)),
+        |      (a, i) -> a + CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+        |        ELSE CAST(0 AS BIGINT) END) AS hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM sig
+        |      WHERE vec_id < 5),
+        |d AS (SELECT q_id, s.vec_id,
+        |        CAST(bit_count(xor(s.lo, qlo)) + bit_count(xor(s.hi, qhi))
+        |          AS BIGINT) AS hamm
+        |      FROM sig s JOIN q ON s.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, hamm,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY hamm, vec_id) AS INT) AS rank
+        |      FROM d)
+        |SELECT q_id, vec_id, rank, hamm FROM r WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
 
     // v13: v11's PQ oracle with the signed stride-permutation rotation
     // inserted between quantization and the subspace split; index

@@ -680,6 +680,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // T39 winnowing candidate pairs: the MOSS/plagiarism-detector
+    // pipeline — per-doc winnowed fingerprints (k=3 grams, w=4
+    // windows; see TextOps.winnow) explode into a ~2/(w+1)-density
+    // inverted index, df-capped like t03, and docs sharing >= 2
+    // selected fingerprints become candidates. Positional selection
+    // means candidates are guaranteed for any shared run >= 6 tokens —
+    // a different (substring-run) guarantee than t03's set-Jaccard.
+    "t39_winnow_pairs" -> ((s, d) => {
+      val sel = docs(s, d).select(col("doc_id"),
+          explode(TextOps.winnow(col("text"), 3, 4)).as("fp"))
+        .cache()
+      val hot = broadcast(sel.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > 50).select("fp"))
+      val pruned = sel.join(hot, Seq("fp"), "left_anti").cache()
+      pruned.select(col("doc_id").as("d1"), col("fp"))
+        .join(pruned.select(col("doc_id").as("d2"), col("fp")), Seq("fp"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("d1", "d2")
+    }),
+
     "t35_cdc_dedup" -> ((s, d) =>
       docs(s, d).select(col("lang"),
           explode(TextOps.cdcChunks(col("text"), 8, 64L)).as("chunk"))
@@ -1081,6 +1103,42 @@ object TextQueries {
         |  CAST(sum(len(chunk)) AS BIGINT) AS total_chars,
         |  1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio
         |FROM fc GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t39: the winnowing selection replayed in SQL — ordered k-gram
+    // hash sequence per doc, per-window list_min over 4-wide slices
+    // (h[j:j+3] is inclusive), distinct selections, then the same
+    // df-cap + self-join as the other candidate generators.
+    "t39_winnow_pairs" ->
+      """WITH tkl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, greatest(len(l) - 2, 0)),
+        |          i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS grams
+        |      FROM tkl),
+        |hs AS (SELECT doc_id,
+        |         list_transform(grams, t ->
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |             (a, x) -> (a * 31 + x) % 1000000007)) AS h
+        |       FROM g),
+        |sel AS (SELECT doc_id,
+        |          CASE WHEN len(h) > 0 THEN
+        |            list_distinct(list_transform(
+        |              generate_series(1, greatest(len(h) - 3, 1)),
+        |              j -> list_min(h[j:j+3])))
+        |          ELSE CAST([] AS BIGINT[]) END AS fps
+        |        FROM hs),
+        |ids AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+        |pruned AS (SELECT doc_id, fp
+        |           FROM (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+        |                 FROM ids) z
+        |           WHERE df <= 50),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |            CAST(count(*) AS BIGINT) AS n_shared
+        |          FROM pruned a JOIN pruned b
+        |            ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, n_shared FROM pairs WHERE n_shared >= 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // t37: t03's candidate CTEs re-filtered by the asymmetric inclusion
     // metric — same expression tree (one div per side + greatest) as

@@ -184,6 +184,44 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
   }
 
+  /** 1-bit sign quantization of the 64-dim embedding, packed into TWO
+    * 32-bit-wide BIGINT halves (lo = dims 1..32 at bits 0..31, hi =
+    * dims 33..64) — two halves, not one 64-bit word, because bit 63
+    * would wrap a signed JVM long while the oracle's HUGEINT-backed
+    * sum would not. A per-row fold, no explode. */
+  private[graft] def signBits(embCol: String, from: Int, to: Int): Column =
+    expr(s"""aggregate(sequence($from, $to), CAST(0 AS BIGINT),
+      |(a, i) -> a + CASE WHEN element_at($embCol, i + 1) > 0
+      |  THEN shiftleft(CAST(1 AS BIGINT), i - $from)
+      |  ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+
+  /** Binary-embedding ANN: sign-bit signatures ranked by Hamming
+    * distance — the extreme-compression retrieval path (16 bytes/vector
+    * vs 256 for float32; Hamming over packed words approximates angular
+    * distance, and XOR+popcount is the cheapest distance there is).
+    * All integer, so unlike float-cosine ANN the full ranking is
+    * cross-engine oracle-checkable. Signature build is one map-side
+    * projection of the corpus scan; queries broadcast; ranking is the
+    * same per-query window as the other top-k paths. At 100 TB the
+    * signature table is the ONLY thing rescanned per query batch —
+    * 32x less bandwidth than the float corpus. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val sigs = corpus.select(col("vec_id"),
+      signBits("embedding", 0, 31).as("lo"),
+      signBits("embedding", 32, 63).as("hi"))
+    val qs = broadcast(sigs.join(
+        broadcast(queries.select(col("vec_id").as("q_id"))),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("lo").as("qlo"), col("hi").as("qhi")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("hamm"), col("vec_id"))
+    sigs.join(qs, col("vec_id") =!= col("q_id"))
+      .withColumn("hamm",
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("hamm"))
+  }
+
   /** Deterministic IVF over int8-quantized vectors: the coarse
     * quantizer is nPlanes quantized hyperplanes (sign of the exact
     * integer dot — not KMeans, whose float iterations are neither

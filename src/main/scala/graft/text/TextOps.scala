@@ -195,6 +195,29 @@ object TextOps {
     (plan, if (persist) Seq(ids, sh) else Nil)
   }
 
+  /** Winnowed document fingerprints (Schleimer et al.'s winnowing —
+    * the MOSS selection rule, reused by modern corpus-dedup pipelines):
+    * hash every k-gram IN ORDER (duplicates kept — selection is
+    * positional, unlike the set-semantics shingle ops), slide a
+    * w-window over the hash sequence, keep each window's minimum, and
+    * distinct the selections. Guarantee: two docs sharing any token
+    * run of length >= w+k-1 share at least one selected fingerprint,
+    * at ~2/(w+1) the index density of full shingling — the winnowed
+    * index is what gets shipped at 100 TB, not the full postings.
+    * Fully per-row columnar; callers explode only the (small)
+    * selected set to build the index. */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val grams = Bridge.column(graft.plans.Shingles(Bridge.expression(text), k))
+    val h = transform(grams, g => fingerprint(g))
+    val n = size(h)
+    when(n > 0,
+      array_distinct(transform(
+        sequence(lit(1), greatest(n - (w - 1), lit(1))),
+        j => array_min(slice(h, j, lit(w))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** Word-level alignment over an arbitrary candidate pair set — the
     * second stage of the transcript-alignment pipeline (reference
     * app/esper/transcript_alignment.py: per-segment word alignment of

@@ -143,6 +143,28 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(ratio - 0.4) < 1e-9)
   }
 
+  test("winnow: shared runs >= w+k-1 tokens share a fingerprint; selection is sparse") {
+    // a 6-token shared run (= w+k-1 for k=3, w=4) yields w identical
+    // consecutive gram hashes in both docs, so the window covering
+    // exactly those w grams selects the same minimum on both sides —
+    // the winnowing guarantee, independent of surrounding context
+    val shared = (0 until 6).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (0L, s"a0 a1 a2 $shared a3 a4"),
+      (1L, s"b0 b1 $shared b2 b3 b4"),
+      (2L, (0 until 20).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val sel = d.select($"doc_id", TextOps.winnow($"text", 3, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sel(0L).toSet.intersect(sel(1L).toSet).nonEmpty,
+      "winnowing guarantee violated: shared 6-token run selected no common fp")
+    assert(sel(2L).toSet.intersect(sel(0L).toSet).isEmpty,
+      "disjoint docs share a fingerprint (hash collision in a 3-doc fixture?)")
+    // doc 2 has 18 grams -> 15 windows; selections must be a strict
+    // subsample (the ~2/(w+1) density claim, loosely pinned)
+    assert(sel(2L).nonEmpty && sel(2L).size < 15,
+      s"winnowed ${sel(2L).size} of 18 grams - selection is not sparse")
+  }
+
   test("containmentPairs flags an embedded doc the symmetric filter misses") {
     // short = a contiguous 10-token slice of long: all 8 of its
     // 3-shingles are inside long's 28, so containment is exactly 1.0
