@@ -124,6 +124,77 @@ object RollingHash {
   }
 }
 
+/** Winnowed fingerprint selection (Schleimer et al.) in one row-level
+  * pass: k-gram rolling hashes in document order, per-w-window minima,
+  * first-occurrence-distinct — the codegen'd replacement for the
+  * transform(shingles)/slice/array_min HOF chain, which pays an
+  * interpreted lambda per gram AND per window. Gram assembly and hash
+  * are bit-identical to [[Shingles]] + [[RollingHash]] (and thus to
+  * the DuckDB oracle's list folds); window clamping matches
+  * `slice(h, j, w)` semantics at the tail. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(a: Any): Any =
+    WinnowFps.winnow(a.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.WinnowFps.winnow($a, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object WinnowFps {
+  def winnow(s: UTF8String, k: Int, w: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val h = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      h(i) = RollingHash.hash(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    // windows j..j+w-1 clamped at the tail (slice semantics); when the
+    // doc has fewer grams than a window, the single window is the doc
+    val nw = math.max(n - w + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    var j = 0
+    while (j < nw) {
+      var m = h(j)
+      var t = j + 1
+      val end = math.min(j + w, n)
+      while (t < end) { if (h(t) < m) m = h(t); t += 1 }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Unicode NFC normalization — the canonical-composition pass every
   * corpus pipeline runs before hashing/dedup (decomposed "e +
   * COMBINING ACUTE" and composed "é" must fingerprint identically, or

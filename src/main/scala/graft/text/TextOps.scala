@@ -205,8 +205,17 @@ object TextOps {
     * at ~2/(w+1) the index density of full shingling — the winnowed
     * index is what gets shipped at 100 TB, not the full postings.
     * Fully per-row columnar; callers explode only the (small)
-    * selected set to build the index. */
+    * selected set to build the index. Codegen'd native expression
+    * ([[graft.plans.WinnowFps]]); [[winnowHof]] is the built-in-
+    * functions form it replaced (bit-equal — TextOpsSpec). */
   def winnow(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.WinnowFps(Bridge.expression(text), k, w))
+  }
+
+  /** Reference form of [[winnow]]: interpreted lambda per gram and per
+    * window — kept as the spec cross-check oracle. */
+  def winnowHof(text: Column, k: Int, w: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     val grams = Bridge.column(graft.plans.Shingles(Bridge.expression(text), k))
     val h = transform(grams, g => fingerprint(g))

@@ -165,6 +165,23 @@ class TextOpsSpec extends SparkSpec {
       s"winnowed ${sel(2L).size} of 18 grams - selection is not sparse")
   }
 
+  test("native winnow equals the HOF reference form on random docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("a", "b", "c", "d", "e")
+    // include short docs (< k tokens, < w grams) to hit the clamps
+    val randDocs = (0L until 60L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    Seq((3, 4), (2, 5), (4, 1)).foreach { case (k, w) =>
+      val diff = randDocs.select(
+        TextOps.winnow($"text", k, w).as("a"),
+        TextOps.winnowHof($"text", k, w).as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(diff === 0, s"native/HOF winnow divergence at k=$k w=$w")
+    }
+  }
+
   test("containmentPairs flags an embedded doc the symmetric filter misses") {
     // short = a contiguous 10-token slice of long: all 8 of its
     // 3-shingles are inside long's 28, so containment is exactly 1.0
