@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.operators.IntervalOps
+import graft.sources.Tables
 import graft.operators.IntervalOps.{Allen, Cols}
 import Q._
 
@@ -242,6 +243,67 @@ object IntervalQueries {
       slotted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select("user_id", "event_type", "slot", "event_id")
         .orderBy("user_id", "event_type", "slot")
+    }),
+
+    // ST4 ordered funnel (signup -> click -> purchase): each stage is
+    // the earliest qualifying event at-or-after the previous stage's —
+    // the product-analytics sequence match. Scale: per-user min
+    // aggregations chained by user-key equi-joins; every stage's state
+    // is one row per surviving user, and each join reuses the same
+    // user_id hash partitioning — no corpus-sized intermediate ever
+    // leaves stage one.
+    "st04_funnel" -> ((s, d) => {
+      val e = Tables.events(tune(s), d).select(col("user_id"),
+        col("event_type"), expr("ts div 1000000000").as("t"))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("t")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("t") >= col("t1"))
+        .groupBy("user_id").agg(min(col("t")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("t") >= col("t2"))
+        .groupBy("user_id").agg(min(col("t")).as("t3"))
+      s1.select(lit(1L).as("stage"))
+        .union(s2.select(lit(2L).as("stage")))
+        .union(s3.select(lit(3L).as("stage")))
+        .groupBy("stage").agg(count(lit(1)).as("users"))
+        .orderBy("stage")
+    }),
+
+    // ST5 weekly cohort retention: cohort = signup week, activity =
+    // distinct (user, click-week) pairs, matrix = users active at each
+    // week offset from their cohort. The (user, week) distinct runs
+    // BEFORE the cohort join — at 100 TB that dedup collapses the event
+    // log to at most |users| x |weeks| rows, and the join + rollup run
+    // on the collapsed table.
+    "st05_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(tune(s), d).select(col("user_id"),
+        col("event_type"), expr("(ts div 1000000000) div 604800").as("w"))
+      val coh = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+      e.filter(col("event_type") === "click")
+        .select("user_id", "w").distinct()
+        .join(coh, "user_id")
+        .filter(col("w") >= col("cohort_week"))
+        .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // ST6 event-transition matrix (the Markov/path-analysis staple):
+    // per-user time-ordered lead pairs (event_id tiebreak keeps the
+    // order deterministic under equal timestamps), rolled up to
+    // (from, to) counts. Scale: ONE shuffle — the per-user sort window
+    // — then a map-side-combinable 25-key rollup.
+    "st06_transitions" -> ((s, d) => {
+      val e = Tables.events(tune(s), d).select(col("user_id"),
+        col("event_type"), expr("ts div 1000000000").as("t"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      e.withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -446,6 +508,46 @@ object IntervalQueries {
          |    row_number() OVER (PARTITION BY user_id, event_type, s // 600
          |      ORDER BY s, event_id) AS rn
          |  FROM (${evSql()}) t) x
-         |WHERE rn = 1 ORDER BY user_id, event_type, slot""".stripMargin
+         |WHERE rn = 1 ORDER BY user_id, event_type, slot""".stripMargin,
+
+    // st04/st05 use raw epoch seconds (no %86400 wrap): funnel order
+    // and cohort weeks need the real timeline, not the folded day.
+    "st04_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |            epoch_ns(ts) // 1000000000 AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t >= t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t >= t2 GROUP BY 1)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS users FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage FROM s1
+        |  UNION ALL SELECT 2 FROM s2
+        |  UNION ALL SELECT 3 FROM s3) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st05_cohort_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |            (epoch_ns(ts) // 1000000000) // 604800 AS w FROM events),
+        |coh AS (SELECT user_id, min(w) AS cohort_week FROM e
+        |        WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, w FROM e WHERE event_type = 'click')
+        |SELECT cohort_week, w - cohort_week AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS users
+        |FROM act JOIN coh USING (user_id)
+        |WHERE w >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "st06_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |            epoch_ns(ts) // 1000000000 AS t FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY t, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

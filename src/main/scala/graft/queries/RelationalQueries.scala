@@ -378,6 +378,39 @@ object RelationalQueries {
       f.intersect(p).except(urgent).orderBy("o_custkey")
     }),
 
+    // O6 snapshot diff: classify rows between two dataset versions as
+    // added / removed / changed / same — the incremental-refresh /
+    // SCD audit every recurring training-data build runs between
+    // snapshots. Versions are two overlapping date windows of orders
+    // (so all four classes are non-empty); the "new" snapshot perturbs
+    // price by +1.00 on keys = 0 (mod 7) to model in-place updates.
+    // Scale: one full outer join on the snapshot key + a 4-group
+    // rollup; with both snapshots bucketed by key this is the
+    // shuffle-free diff shape.
+    "o06_snapshot_diff" -> ((s, d) => {
+      val o = ord(s, d)
+      val old = o.filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice")).as("vo"))
+      val nw = o.filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select(col("o_orderkey").as("k"),
+          (cents(col("o_totalprice")) +
+            when(pmod(col("o_orderkey"), lit(7)) === 0, 100L).otherwise(0L)).as("vn"))
+      old.join(nw, Seq("k"), "full_outer")
+        .select(
+          when(col("vo").isNull, "added")
+            .when(col("vn").isNull, "removed")
+            .when(col("vn") =!= col("vo"), "changed")
+            .otherwise("same").as("diff_class"),
+          col("vo"), col("vn"))
+        .groupBy("diff_class")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("vn"), lit(0L)) - coalesce(col("vo"), lit(0L)))
+            .as("delta_cents"))
+        .orderBy("diff_class")
+    }),
+
     // ---------------- F: scalar functions ----------------------------
     // F1 math builtins
     "f01_math" -> ((s, d) =>
@@ -725,6 +758,23 @@ object RelationalQueries {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_custkey""".stripMargin,
+
+    "o06_snapshot_diff" ->
+      s"""WITH o1 AS (SELECT o_orderkey AS k, ${centsSql("o_totalprice")} AS vo
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+         |o2 AS (SELECT o_orderkey AS k, ${centsSql("o_totalprice")}
+         |    + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END AS vn
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+         |    AND o_orderdate < TIMESTAMP '1996-07-01')
+         |SELECT diff_class, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(coalesce(vn, 0) - coalesce(vo, 0)) AS BIGINT) AS delta_cents
+         |FROM (SELECT CASE WHEN vo IS NULL THEN 'added'
+         |             WHEN vn IS NULL THEN 'removed'
+         |             WHEN vn <> vo THEN 'changed'
+         |             ELSE 'same' END AS diff_class, vo, vn
+         |      FROM o1 FULL OUTER JOIN o2 USING (k)) t
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "f01_math" ->
       """SELECT l_orderkey, l_linenumber,

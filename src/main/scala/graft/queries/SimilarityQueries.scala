@@ -97,6 +97,18 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V15: two-stage retrieval — int8 coarse candidates (pool of 50
+    // per query) re-ranked by EXACT float cosine: the production ANN
+    // serving shape (compressed-corpus recall stage, exact precision
+    // at the top). The candidate set is integer-exact and the re-rank
+    // doubles are the same deterministic left-folds as v01, so the
+    // composed pipeline stays oracle-exact end to end.
+    "v15_rerank_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.rerankTopK(e, e.filter(col("vec_id") < 5), kCand = 50, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // V10: SemDeDup — semantic dedup clusters over the embedding
     // corpus: int8-quantized within-cell cosine pairs at tau = 2/5
     // (the corpus's planted similar pairs sit at quantized cos
@@ -450,6 +462,43 @@ object SimilarityQueries {
         |      FROM d)
         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // v15: v08's quantized-dot chain at rank <= 50 feeds v01's cosine
+    // re-rank restricted to the candidate list — both stages' arithmetic
+    // already proven engine-exact by those queries.
+    "v15_rerank_ann" ->
+      s"""WITH m AS (
+         |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+         |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+         |q0 AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |       WHERE vec_id < 5),
+         |z AS (SELECT q0.q_id, c.vec_id, unnest(list_zip(q0.qe, c.embedding)) AS p
+         |      FROM q0 JOIN embeddings c ON c.vec_id <> q0.q_id),
+         |dq AS (SELECT q_id, vec_id,
+         |        CAST(sum(
+         |          CAST(round(CAST(p[1] AS DOUBLE) * 127.0 / (SELECT ma FROM m)) AS BIGINT)
+         |          * CAST(round(CAST(p[2] AS DOUBLE) * 127.0 / (SELECT ma FROM m)) AS BIGINT)
+         |        ) AS BIGINT) AS qdot
+         |      FROM z GROUP BY 1, 2),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY qdot DESC, vec_id) AS rk FROM dq) rr
+         |  WHERE rk <= 50),
+         |qn AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |         sqrt(${sumsq("embedding")}) AS q_norm
+         |       FROM embeddings WHERE vec_id < 5),
+         |cn AS (SELECT cand.q_id, e.vec_id, e.embedding,
+         |         sqrt(${sumsq("e.embedding")}) AS nrm
+         |       FROM cand JOIN embeddings e USING (vec_id)),
+         |sc AS (SELECT cn.q_id, cn.vec_id,
+         |         ${dotOf("cn.embedding", "qn.q_emb")} / (cn.nrm * qn.q_norm) AS cos
+         |       FROM cn JOIN qn ON qn.q_id = cn.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |      FROM sc)
+         |SELECT q_id, vec_id, rank, round(cos, 6) AS cos6
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "v09_ivf_int8" ->
       """WITH m AS (

@@ -702,6 +702,56 @@ object TextQueries {
         .orderBy("d1", "d2")
     }),
 
+    // T40 TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    // power iteration over the token co-occurrence graph — the classic
+    // unsupervised keyword/summary scorer a corpus pipeline runs after
+    // cleaning. Fully integer (scores scaled 1e6, damping 0.85 as the
+    // rational 17/20, per-edge floor division), so three unrolled
+    // iterations are cross-engine exact — no float PageRank ever is.
+    // Scale: see TextOps.textRank — one corpus pass builds the
+    // vocabulary-bounded edge table (map-side native Shingles), then
+    // each iteration is a single vocabulary-sized join+agg over
+    // checkpointed leaves with superseded rounds freed eagerly.
+    "t40_textrank" -> ((s, d) =>
+      TextOps.textRank(docs(s, d), iters = 3)
+        .orderBy(col("pr").desc, col("tok")).limit(10)),
+
+    // T42 per-doc triangle participation in the near-dup graph — the
+    // cluster-density signal (a clique-ish cluster is template spam; a
+    // chain is drift) layered on t15's edge set. Ordered-edge triangle
+    // join: edges already satisfy d1 < d2, so each triangle a<b<c is
+    // found exactly once by the (ab ⋈ bc ⋈ ac) pattern. Scale: both
+    // joins key on shared endpoints of the df-cap-bounded edge list —
+    // never the corpus; degree is bounded by the candidate generator.
+    "t42_triangles" -> ((s, d) =>
+      graft.text.Dedup.trianglesPerNode(
+        TextOps.jaccardPairs(docs(s, d), k = 3, dfCap = 50, tauJacc = 0.5))
+        .orderBy("doc_id")),
+
+    // T41 TF-IDF top-terms per document — keyword tagging, the per-doc
+    // counterpart of ph04's corpus-level BM25 ranking. The idf is the
+    // same log-free rational Robertson form, but here QUANTIZED BY
+    // INTEGER DIVISION before the tf product, so the whole score is
+    // BIGINT arithmetic with no mirrored doubles at all. Scale: ONE
+    // corpus pass — tf is a map-side-combinable hash aggregation on
+    // (doc, tok), and df rides a count window over the tf table keyed
+    // by tok (a separate df aggregate would either re-scan the corpus
+    // or broadcast a raw-token vocabulary, which at web scale does not
+    // fit); only the 1-row corpus total broadcasts.
+    "t41_tfidf_terms" -> ((s, d) => {
+      val tf = toks(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val tot = docs(s, d).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+        .crossJoin(broadcast(tot))
+        .withColumn("score",
+          expr("tf * (((2 * (n - df) + 1) * 1000000) div (2 * df + 1))"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "score")
+        .orderBy("doc_id", "rnk")
+    }),
+
     "t35_cdc_dedup" -> ((s, d) =>
       docs(s, d).select(col("lang"),
           explode(TextOps.cdcChunks(col("text"), 8, 64L)).as("chunk"))
@@ -1195,6 +1245,74 @@ object TextQueries {
          |    ORDER BY nt.ntok DESC, c.doc_id) = 1 AS keep
          |FROM comp c JOIN nt ON nt.doc_id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    // t42: the t15/t38 candidate-pair CTEs (jacc >= 0.5) feeding the
+    // ordered-edge triangle join; per-doc participation via a UNION ALL
+    // of the three roles.
+    "t42_triangles" ->
+      s"""WITH ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),
+         |sh AS (SELECT doc_id, sid
+         |       FROM (SELECT doc_id, sid, count(*) OVER (PARTITION BY sid) AS df FROM ids) z
+         |       WHERE df <= 50),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS i
+         |          FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT d1, d2 FROM inter
+         |          JOIN sizes x ON inter.d1 = x.doc_id
+         |          JOIN sizes y ON inter.d2 = y.doc_id
+         |          WHERE CAST(i AS DOUBLE) / CAST(x.nsh + y.nsh - i AS DOUBLE) >= 0.5),
+         |tri AS (SELECT ab.a, ab.b, bc.c
+         |        FROM (SELECT d1 AS a, d2 AS b FROM pairs) ab
+         |        JOIN (SELECT d1 AS b, d2 AS c FROM pairs) bc USING (b)
+         |        JOIN (SELECT d1 AS a, d2 AS c FROM pairs) ac USING (a, c)),
+         |roles AS (SELECT a AS doc_id FROM tri
+         |          UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM roles GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // t40: three power-iteration steps unrolled as chained CTEs. Every
+    // arithmetic step is BIGINT with the same floor divisions as the
+    // Spark plan (per-edge (pr*w)//wd, then 150000 + 17*sum//20), so
+    // the ranking is exact — the HUGEINT sum is cast back before use.
+    "t40_textrank" -> {
+      def it(prev: String): String =
+        s"""SELECT n.tok,
+           |    CAST(150000 + (17 * CAST(coalesce(sum((p.pr * e.w) // e.wd), 0) AS BIGINT)) // 20 AS BIGINT) AS pr
+           |  FROM n0 n LEFT JOIN ew e ON e.v = n.tok LEFT JOIN $prev p ON p.tok = e.u
+           |  GROUP BY n.tok""".stripMargin
+      s"""WITH tk AS (${Q.toksSql}),
+         |bg AS (SELECT a.tok AS u, b.tok AS v FROM tk a JOIN tk b
+         |       ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       WHERE a.tok <> b.tok),
+         |ed AS (SELECT u, v, CAST(count(*) AS BIGINT) AS w
+         |       FROM (SELECT u, v FROM bg UNION ALL SELECT v AS u, u AS v FROM bg) e2
+         |       GROUP BY 1, 2),
+         |wd AS (SELECT u, CAST(sum(w) AS BIGINT) AS wd FROM ed GROUP BY 1),
+         |ew AS (SELECT ed.u, ed.v, ed.w, wd.wd FROM ed JOIN wd USING (u)),
+         |n0 AS (SELECT DISTINCT tok, CAST(1000000 AS BIGINT) AS pr FROM tk),
+         |i1 AS (${it("n0")}),
+         |i2 AS (${it("i1")}),
+         |i3 AS (${it("i2")})
+         |SELECT tok, pr FROM i3 ORDER BY pr DESC, tok LIMIT 10""".stripMargin
+    },
+
+    // t41: identical integer score (idf quantized by // before the tf
+    // product); rnk cast to INT to match Spark's row_number type.
+    "t41_tfidf_terms" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+         |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.tok,
+         |    tf.tf * (((2 * (n - df) + 1) * 1000000) // (2 * df + 1)) AS score
+         |  FROM tf JOIN dft ON dft.tok = tf.tok CROSS JOIN tot)
+         |SELECT doc_id, CAST(rnk AS INT) AS rnk, tok, score FROM (
+         |  SELECT doc_id, tok, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+         |  FROM sc) x
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "t32_lm_quality" ->
       """WITH h AS (

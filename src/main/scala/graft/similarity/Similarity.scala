@@ -184,6 +184,31 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
   }
 
+  /** Two-stage retrieval: coarse int8 candidate generation (kCand per
+    * query, exact-integer quantized dot over the compressed corpus)
+    * followed by exact float-cosine re-ranking of ONLY the candidate
+    * set — the production ANN serving shape (cheap recall stage, exact
+    * precision at the top). At 100 TB the float corpus is touched by
+    * an id equi-join on the |queries| * kCand candidate list, never
+    * rescanned per query; the re-rank arithmetic is the same
+    * deterministic left-fold as [[cosineTopK]], so the final ranking
+    * stays cross-engine exact GIVEN the integer candidate set. */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame,
+                 kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k, s"re-rank pool $kCand smaller than k=$k")
+    val cand = int8TopK(corpus, queries, kCand).select("q_id", "vec_id")
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), Fns.l2norm(col("embedding")).as("q_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.join(corpus, "vec_id")
+      .withColumn("__norm", Fns.l2norm(col("embedding")))
+      .join(q, "q_id")
+      .withColumn("cos", Fns.dot(col("embedding"), col("q_emb")) /
+        (col("__norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos6"))
+  }
+
   /** 1-bit sign quantization of the 64-dim embedding, packed into TWO
     * 32-bit-wide BIGINT halves (lo = dims 1..32 at bits 0..31, hi =
     * dims 33..64) — two halves, not one 64-bit word, because bit 63

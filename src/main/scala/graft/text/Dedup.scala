@@ -214,4 +214,24 @@ object Dedup {
         size(col("__kept")).cast("long").as("n_kept"),
         concat_ws(" ", col("__kept")).as("text_kept"))
   }
+
+  /** Per-node triangle participation counts over an id-ordered edge
+    * list (`left < right` on every row, as the near-dup pair
+    * generators emit): the ordered-edge pattern (ab ⋈ bc ⋈ ac) finds
+    * each triangle a<b<c exactly once, then the three roles explode
+    * and roll up. The density signal that separates clique-ish
+    * template-spam clusters from chains of drifting revisions. Scale:
+    * both joins key on shared endpoints of the edge list — degree (and
+    * so join fan-out) is bounded by the candidate generator's df-cap,
+    * and the corpus is never touched. */
+  def trianglesPerNode(pairs: DataFrame, leftCol: String = "d1",
+                       rightCol: String = "d2"): DataFrame = {
+    val e = pairs.select(col(leftCol), col(rightCol))
+    val ab = e.select(col(leftCol).as("a"), col(rightCol).as("b"))
+    val bc = e.select(col(leftCol).as("b"), col(rightCol).as("c"))
+    val ac = e.select(col(leftCol).as("a"), col(rightCol).as("c"))
+    ab.join(bc, "b").join(ac, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

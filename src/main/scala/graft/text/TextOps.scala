@@ -195,6 +195,59 @@ object TextOps {
     (plan, if (persist) Seq(ids, sh) else Nil)
   }
 
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank power
+    * iteration over the undirected token co-occurrence graph (adjacent
+    * tokens, edge weight = co-occurrence count). Fully integer so the
+    * ranking is cross-engine exact — scores scaled 1e6, damping 0.85 as
+    * the rational 17/20, per-edge floor division:
+    *   pr'(v) = 150000 + 17 * sum_{u~v} floor(pr(u)*w(u,v)/wdeg(u)) / 20
+    *
+    * Scale/lifecycle: bigrams come from the native map-side Shingles
+    * expression, so the ONE corpus-sized pass is the edge aggregation;
+    * the edge and node tables are vocabulary-bounded and eagerly
+    * checkpointed once. Each iteration is then a single
+    * vocabulary-sized join+agg over materialized leaves (a lazily
+    * unrolled loop instead re-derives the corpus scan per iteration —
+    * measured 32 scans / 50 exchanges in the 3-iteration plan), with
+    * superseded rounds unpersisted as in
+    * [[graft.text.Dedup.connectedComponentsWithRounds]]. Returns
+    * (tok, pr); lineage-truncated — consume before a cache sweep. */
+  def textRank(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val bg = positionedShingles(docs, 2)
+      .select(split(col("sh"), " ").as("p"))
+      .select(element_at(col("p"), 1).as("u"), element_at(col("p"), 2).as("v"))
+      .filter(col("u") =!= col("v"))
+    val edges = bg.union(bg.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val wdeg = edges.groupBy("u").agg(sum(col("w")).as("wd"))
+    val ew = edges.join(wdeg, "u").localCheckpoint(true)
+    val nodes = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .distinct().localCheckpoint(true)
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(pr.withColumnRenamed("tok", "u"), "u")
+        .select(col("v"), expr("(pr * w) div wd").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("sc"))
+      val next = nodes.join(contrib, nodes("tok") === contrib("v"), "left")
+        .select(col("tok"),
+          expr("150000 + (17 * coalesce(sc, CAST(0 AS BIGINT))) div 20").as("pr"))
+        .localCheckpoint(true)
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = checkpointRdd(next)
+      pr = next
+    }
+    Seq(ew, nodes).flatMap(checkpointRdd).foreach(_.unpersist(false))
+    pr
+  }
+
+  /** See [[graft.text.Dedup]]'s twin: the block-manager RDD pinned by
+    * an eager localCheckpoint, for deterministic release. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+      .collectFirst { case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+
   /** Winnowed document fingerprints (Schleimer et al.'s winnowing —
     * the MOSS selection rule, reused by modern corpus-dedup pipelines):
     * hash every k-gram IN ORDER (duplicates kept — selection is

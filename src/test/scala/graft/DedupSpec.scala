@@ -148,4 +148,19 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 10)
     assert(out.forall(_._2 === 1L))
   }
+
+  test("trianglesPerNode: 4-clique = 4 triangles, 3 per node; chains have none") {
+    // K4 on 0..3 (6 ordered edges) plus a chain 10-11-12: C(4,3) = 4
+    // triangles, each clique node in exactly 3; chain nodes in none
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val chain = Seq((10L, 11L), (11L, 12L))
+    val got = Dedup.trianglesPerNode((k4 ++ chain).toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // a bridge edge into the clique adds exactly the triangles its
+    // endpoints close: 4-5 alone closes nothing
+    val got2 = Dedup.trianglesPerNode((k4 ++ Seq((3L, 4L))).toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
 }

@@ -209,6 +209,23 @@ class PlanAuditSpec extends SparkSpec {
       "the broadcast scalar join degraded to sort-merge")
   }
 
+  test("t41 derives df from the tf table: two scans, no vocab-sized join") {
+    val plan = executed(SparkEntry.queries("t41_tfidf_terms")(spark, sf))
+    // df must ride a window over tf — a third scan means the corpus is
+    // re-read (or tf re-aggregated) just to count document frequencies
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size <= 2, s"t41 reads the corpus ${scans.size}x, expected 2 " +
+      "(token scan + 1-row total)")
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "the 1-row total join degraded to sort-merge")
+    // tf agg + tok window + doc window + final sort + the 1-row
+    // total's single-partition agg
+    val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.size <= 5, s"t41 has ${exchanges.size} exchanges, expected <= 5")
+  }
+
   test("t18 computes repetition per-row: zero exchanges before the lang rollup") {
     val plan = executed(SparkEntry.queries("t18_repetition_filter")(spark, sf))
     // the pre-r8 form exploded shingles corpus-wide to count per-doc

@@ -214,4 +214,31 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(multi(0L) === 942857L && multi(1L) === 600000L && multi.contains(2L))
   }
+
+  test("textRank matches an in-JVM integer power-iteration reference") {
+    val corpus = Seq("a b c a b", "b c d", "x y", "lonely")
+    val d = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextOps.textRank(d, iters = 3).as[(String, Long)].collect().toMap
+
+    // independent reference: same graph, same integer recurrence, built
+    // with plain Scala collections (truncating / division == Spark div
+    // == DuckDB // on the non-negative scores here)
+    val toksL = corpus.map(_.split(" ").toSeq)
+    val bigrams = toksL.flatMap(t => t.zip(t.tail)).filter(p => p._1 != p._2)
+    val sym = bigrams ++ bigrams.map(_.swap)
+    val w = sym.groupBy(identity).map { case (k, es) => (k, es.size.toLong) }
+    val wdeg = w.groupBy(_._1._1).map { case (u, es) => (u, es.values.sum) }
+    val nodes = toksL.flatten.distinct
+    var pr = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      pr = nodes.map { v =>
+        val s = w.collect { case ((u, v2), wt) if v2 == v => pr(u) * wt / wdeg(u) }.sum
+        v -> (150000L + 17L * s / 20L)
+      }.toMap
+    }
+    assert(got === pr)
+    // the isolated token never receives mass: damping floor only
+    assert(got("lonely") === 150000L + 17L * 0L / 20L)
+  }
 }
