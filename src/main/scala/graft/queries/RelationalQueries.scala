@@ -346,6 +346,30 @@ object RelationalQueries {
         .groupBy(col("pred"), col("actual")).agg(count(lit(1)).as("n"))
         .orderBy("pred", "actual")),
 
+    // A21 3-sigma outlier audit, FULLY INTEGER: the data-quality
+    // filter step, with the z-test cross-multiplied so no float mean/
+    // stddev ever exists — flag x iff (x - mû)² > 9·var̂ where
+    // mû = s div n and var̂ = (ssq div n) - mû² (floor-quantized
+    // moments, identical in both engines). Scale: one pass of
+    // map-side-combinable (n, s, ssq) per group, broadcast back to the
+    // row scan — the two-pass shape every distributed outlier pass
+    // uses; no window over the fact table.
+    "a21_zscore_outliers" -> ((s, d) => {
+      val e = Tables.events(tune(s), d).select(col("event_type"),
+        col("event_id"), cents(col("value")).as("c"))
+      val stats = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s"), sum(col("c") * col("c")).as("ssq"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("mu", expr("s div n"))
+        .withColumn("varr",
+          expr("greatest((ssq div n) - mu * mu, CAST(1 AS BIGINT))"))
+        .withColumn("dev", col("c") - col("mu"))
+        .filter(expr("dev * dev > 9 * varr"))
+        .select(col("event_type"), col("event_id"), col("c").as("cents"),
+          col("dev"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // ---------------- O: sort / limit / set ops ----------------------
     // O1 multi-key ordering
     "o01_multi_order" -> ((s, d) =>
@@ -734,6 +758,19 @@ object RelationalQueries {
       """SELECT CASE WHEN l_quantity > 25 THEN 'R' ELSE 'A' END AS pred,
         |  l_returnflag AS actual, CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY pred, actual""".stripMargin,
+
+    "a21_zscore_outliers" ->
+      s"""WITH e AS (SELECT event_type, event_id,
+         |            ${centsSql("value")} AS c FROM events),
+         |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(c) AS BIGINT) AS s,
+         |         CAST(sum(c * c) AS BIGINT) AS ssq
+         |       FROM e GROUP BY 1)
+         |SELECT event_type, event_id, c AS cents, c - (s // n) AS dev
+         |FROM e JOIN st USING (event_type)
+         |WHERE (c - s // n) * (c - s // n)
+         |  > 9 * greatest((ssq // n) - (s // n) * (s // n), 1)
+         |ORDER BY 1, 2""".stripMargin,
 
     "o01_multi_order" ->
       s"""SELECT o_orderkey, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS od,

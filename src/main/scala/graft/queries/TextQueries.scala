@@ -728,6 +728,23 @@ object TextQueries {
         TextOps.jaccardPairs(docs(s, d), k = 3, dfCap = 50, tauJacc = 0.5))
         .orderBy("doc_id")),
 
+    // T43 stratified quota sampling: a FIXED quota of 20 docs per
+    // language, chosen by deterministic hash order (the t20 salted
+    // rolling hash, doc_id tiebreak) — the per-language subsampling
+    // move a mixture build runs when a stratum must be capped
+    // regardless of corpus size (contrast t16/t22, which sample
+    // proportionally). One window per stratum; the quota makes the
+    // output size |langs| * 20 independent of SF.
+    "t43_stratified_sample" -> ((s, d) => {
+      val h = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":strat")))
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      docs(s, d).withColumn("h", h)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("h"))
+        .orderBy("lang", "rn")
+    }),
+
     // T41 TF-IDF top-terms per document — keyword tagging, the per-doc
     // counterpart of ph04's corpus-level BM25 ranking. The idf is the
     // same log-free rational Robertson form, but here QUANTIZED BY
@@ -1271,6 +1288,22 @@ object TextQueries {
          |          UNION ALL SELECT c FROM tri)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
          |FROM roles GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // t43: the t32/t20 rolling-hash idiom ordered per stratum; rnk
+    // cast to INT to match Spark's row_number.
+    "t43_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':strat',''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS h
+        |  FROM documents)
+        |SELECT lang, CAST(rn AS INT) AS rn, doc_id, h FROM (
+        |  SELECT lang, doc_id, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM h) x
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
 
     // t40: three power-iteration steps unrolled as chained CTEs. Every
     // arithmetic step is BIGINT with the same floor divisions as the
