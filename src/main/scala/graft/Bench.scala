@@ -82,10 +82,23 @@ object Bench {
     // pass interleaving the same query's samples land many minutes
     // apart, so the min sees at least one clean window. Total timed
     // work is unchanged — the samples are just reordered.
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A crashed query must NOT contribute a wall-clock number: the
+    // round-9 artifact timed 39 AnalysisException no-ops at 0.06 s
+    // each, so the headline total read as an improvement while a
+    // quarter of the corpus never ran. A failed sample is None; a
+    // query with zero successful samples is reported under "failed"
+    // (with its error) and excluded from "queries" and the total.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors(name) = Option(e.getMessage).getOrElse(e.toString)
+            .takeWhile(_ != '\n').take(300)
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // intra-query caches are never shared across queries; without
       // this a 100+-query run accumulates cached blocks + broadcasts
@@ -101,7 +114,7 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       // bill this sample's garbage to this sample, not the next one
       System.gc()
-      dt
+      if (ok) Some(dt) else None
     }
     val ordered = selected.toSeq
     // Each pass runs in an INDEPENDENT deterministic shuffle of the
@@ -117,15 +130,24 @@ object Bench {
     // localizes itself (slow-everywhere vs slow-in-one-window).
     def shuffledPass(pass: Int) =
       new scala.util.Random(1000003L * pass + 7919L).shuffle(ordered)
-    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Option[Double]]]()
     ordered.foreach { case (n, _) => samples(n) = Vector.empty }
     Seq(1, 2).foreach { pass =>
       shuffledPass(pass).foreach { case (n, f) => samples(n) :+= once(n, f) }
     }
-    // third pass only over queries whose best is still >1 s
-    shuffledPass(3).filter { case (n, _) => samples(n).min > 1.0 }
+    // third pass only over queries whose best is still >1 s (a query
+    // with no successful sample yet gets one more chance too)
+    shuffledPass(3).filter { case (n, _) =>
+        samples(n).flatten.forall(_ > 1.0) }
       .foreach { case (n, f) => samples(n) :+= once(n, f) }
-    val results = ordered.map { case (n, _) => n -> samples(n).min }
+    val results = ordered.flatMap { case (n, _) =>
+      val good = samples(n).flatten
+      if (good.nonEmpty) Some(n -> good.min) else None
+    }
+    val failed = ordered.collect {
+      case (n, _) if samples(n).flatten.isEmpty =>
+        n -> errors.getOrElse(n, "failed")
+    }
     // explicit Locale.ROOT: the f"" interpolator is default-locale
     // sensitive, and a comma-decimal locale would emit invalid JSON
     def num3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -133,8 +155,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val sampleJson = samples.map { case (k, vs) =>
-      s"\"" + k + "\":" + vs.map(num3).mkString("[", ",", "]")
+      s"\"" + k + "\":" +
+        vs.map(_.map(num3).getOrElse("null")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // JSON string escape for error messages (quotes/backslashes/ctl)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val failedJson = failed.map { case (k, v) => jq(k) + ":" + jq(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // a prefix-filtered run must not clobber the full-corpus gate
     // artifact with a partial total: divert to a .partial file unless
@@ -145,7 +177,7 @@ object Bench {
         outPath + ".partial" else outPath
     val partialField = if (partial) "\"partial\":true," else ""
     val json =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec",$partialField"queries":$qs,"samples":$sampleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec",$partialField"queries":$qs,"failed":$failedJson,"samples":$sampleJson,"sf":"$sfDir"}"""
     Files.write(Paths.get(effOut), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     // The stdout copy must survive a bounded log-tail capture (~2 KB):
@@ -156,7 +188,9 @@ object Bench {
     val shortQs = results.map { case (k, v) =>
       s"\"" + k.takeWhile(_ != '_') + "\":" + num2(v)
     }.mkString("{", ",", "}")
+    val shortFailed = failed.map { case (k, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\"" }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$shortQs,"failed":$shortFailed,"sf":"$sfDir"}""")
   }
 }

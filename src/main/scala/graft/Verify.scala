@@ -28,11 +28,30 @@ object Verify {
     val selected =
       if (prefixes.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+    // Failed queries MUST leave a loud trace in the artifact tree: the
+    // round-9 testdata regen crashed 39 queries and this loop's old
+    // stderr-only catch made them silently ABSENT from the correctness
+    // artifact (the driver records only directories that exist) — the
+    // hole was only found by diffing round artifacts. Now a failure
+    // (a) keeps the query directory, emptied of any partial parquet,
+    // (b) writes a `_FAILED` marker carrying the exception, and
+    // (c) lands in a failures.json manifest next to oracle_sql.json —
+    // so both tools/check.py and the driver see a dir with no parquet
+    // and count a failure instead of skipping.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.toString)
+        val qdir = new java.io.File(s"$outDir/$name")
+        // a write that died mid-flight may have left partial part-files
+        // that a glob-based compare would happily read as "the result"
+        if (qdir.isDirectory) qdir.listFiles().foreach(_.delete())
+        qdir.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_FAILED"),
+          s"$name failed: $e\n")
       }
       // intra-query caches (t03/t04/t06/LSH/...) are never reused across
       // queries; dropping them keeps 100+ queries from accumulating
@@ -59,6 +78,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val fjson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), fjson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} quer(ies) FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

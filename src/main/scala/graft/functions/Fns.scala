@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Scalar function library (SURVEY §2.8): bbox geometry, time, string,
   * array and vector helpers. All pure `Column` expressions — they stay
@@ -38,11 +39,24 @@ object Fns {
   def frameToSecond(frame: Column, fps: Column): Column = frame / fps
   def secondToFrame(sec: Column, fps: Column): Column = floor(sec * fps)
 
-  /** epoch nanos (events.ts read with nanosAsLong) -> epoch seconds.
-    * Exact integer division — `floor(ts/1e9)` would round through double
-    * (nanos ~1.7e18 exceed 2^53) and can land on the wrong second.
-    * Requires the nanos column to be literally named `ts`. */
-  val tsNanosToSec: Column = expr("ts div 1000000000")
+  /** events.ts -> epoch seconds, whatever the column's physical dtype.
+    * The canonical parquet has shipped `ts` both as int64 nanoseconds
+    * (read via nanosAsLong) and as timestamp[us]; derive seconds from
+    * whichever arrived rather than assuming one:
+    *  - LONG nanos: exact integer division — `floor(ts/1e9)` would
+    *    round through double (nanos ~1.7e18 exceed 2^53) and can land
+    *    on the wrong second;
+    *  - TIMESTAMP / TIMESTAMP_NTZ: `unix_seconds` after a cast to the
+    *    session-zoned type (sessions run UTC, so NTZ converts verbatim
+    *    and matches DuckDB's `epoch_ns(ts)//1e9` oracle exactly).
+    * Anything else fails loudly with the drifted dtype named. */
+  def tsSec(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000000")
+    case TimestampType | TimestampNTZType =>
+      unix_seconds(col("ts").cast(TimestampType))
+    case dt => throw new IllegalArgumentException(
+      s"events.ts: unsupported dtype $dt (expected LONG nanos or TIMESTAMP[_NTZ])")
+  }
 
   /** Hour-of-day at a frame offset within a video that starts at
     * `startHour` (spark_util.py:63-78 _annotate_hour — there a

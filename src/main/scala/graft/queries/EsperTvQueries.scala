@@ -30,8 +30,9 @@ object EsperTvQueries {
         .select(col("user_id").as("video_id"), col("s"), (col("s") + 2).as("e"))
       // carry props straight off the scan instead of re-joining events
       // to recover the column Q.ev drops (round-1 verdict cleanup)
-      val sec = expr("(ts div 1000000000) % 86400")
-      val caps = graft.sources.Tables.events(tune(s), d)
+      val raw = graft.sources.Tables.events(tune(s), d)
+      val sec = tsSec(raw) % 86400
+      val caps = raw
         .filter(col("event_type") === "error")
         .select(col("user_id").as("video_id"), sec.as("s"),
           (sec + floor(col("value")).cast("long") + 1).as("e"),

@@ -81,9 +81,10 @@ object ExtraQueries {
     // oracle. Purchases are deduped to one per (user, second) first —
     // "latest of several at the same instant" is not well-defined.
     "x06_asof_join" -> ((s, d) => {
-      val e = Tables.events(tune(s), d).select(col("event_id"),
+      val raw = Tables.events(tune(s), d)
+      val e = raw.select(col("event_id"),
         col("user_id"), col("event_type"),
-        expr("ts div 1000000000").as("t"), col("value"))
+        tsSec(raw).as("t"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
         .select("event_id", "user_id", "t")
       val pw = Window.partitionBy(col("user_id"), col("t"))

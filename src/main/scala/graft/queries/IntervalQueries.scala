@@ -253,8 +253,9 @@ object IntervalQueries {
     // user_id hash partitioning — no corpus-sized intermediate ever
     // leaves stage one.
     "st04_funnel" -> ((s, d) => {
-      val e = Tables.events(tune(s), d).select(col("user_id"),
-        col("event_type"), expr("ts div 1000000000").as("t"))
+      val raw = Tables.events(tune(s), d)
+      val e = raw.select(col("user_id"),
+        col("event_type"), tsSec(raw).as("t"))
       val s1 = e.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(col("t")).as("t1"))
       val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
@@ -277,8 +278,9 @@ object IntervalQueries {
     // log to at most |users| x |weeks| rows, and the join + rollup run
     // on the collapsed table.
     "st05_cohort_retention" -> ((s, d) => {
-      val e = Tables.events(tune(s), d).select(col("user_id"),
-        col("event_type"), expr("(ts div 1000000000) div 604800").as("w"))
+      val raw = Tables.events(tune(s), d)
+      val e = raw.select(col("user_id"),
+        col("event_type"), floor(tsSec(raw) / 604800).cast("long").as("w"))
       val coh = e.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(col("w")).as("cohort_week"))
       e.filter(col("event_type") === "click")
@@ -296,8 +298,9 @@ object IntervalQueries {
     // (from, to) counts. Scale: ONE shuffle — the per-user sort window
     // — then a map-side-combinable 25-key rollup.
     "st06_transitions" -> ((s, d) => {
-      val e = Tables.events(tune(s), d).select(col("user_id"),
-        col("event_type"), expr("ts div 1000000000").as("t"), col("event_id"))
+      val raw = Tables.events(tune(s), d)
+      val e = raw.select(col("user_id"),
+        col("event_type"), tsSec(raw).as("t"), col("event_id"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
       e.withColumn("nxt", lead(col("event_type"), 1).over(w))
         .filter(col("nxt").isNotNull)

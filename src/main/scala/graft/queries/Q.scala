@@ -20,8 +20,10 @@ object Q {
   /** Spark sessions the driver hands us may lack configs we rely on;
     * apply them idempotently at query entry. */
   def tune(s: SparkSession): SparkSession = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    // default; read as long nanos and do exact integer arithmetic.
+    // events.ts dtype has drifted across testdata generations (int64
+    // TIMESTAMP(NANOS) vs timestamp[us]); this conf only affects the
+    // NANOS generation (read as long instead of rejecting the file),
+    // and Fns.tsSec then branches on whichever dtype actually arrived.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.adaptive.enabled", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
@@ -43,21 +45,26 @@ object Q {
   /** Exact integer-valued double -> long (l_quantity is integral). */
   def asLong(c: Column): Column = c.cast("long")
 
+  /** Epoch seconds from events.ts, dtype-adaptive (see Fns.tsSec — the
+    * driver has shipped this column as both int64 nanos and
+    * timestamp[us]; assuming either crashes the other generation). */
+  def tsSec(df: DataFrame): Column = graft.functions.Fns.tsSec(df)
+
   // -------------------------------------------------------------------
   // Derived interval collection from `events`: one interval per event,
   // [epoch_sec(ts), epoch_sec(ts) + floor(value) + 1), keyed by user.
-  // `ts div 1e9` is exact integer division — nanos exceed 2^53 so any
-  // double round-trip could land on the wrong second.
   // -------------------------------------------------------------------
   // Starts are wrapped into one day (% 86400) so per-user intervals
   // actually overlap at test scale — the raw timestamps span a year and
   // would make every interval op trivially empty.
-  def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.events(tune(s), dir).select(
+  def ev(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.events(tune(s), dir)
+    val sec = tsSec(raw) % 86400
+    raw.select(
       col("event_id"), col("user_id"), col("event_type"),
-      expr("(ts div 1000000000) % 86400").as("s"),
-      (expr("(ts div 1000000000) % 86400") +
-        floor(col("value")).cast("long") + 1).as("e"))
+      sec.as("s"),
+      (sec + floor(col("value")).cast("long") + 1).as("e"))
+  }
 
   /** DuckDB mirror of [[ev]], optionally filtered by event type. */
   def evSql(typ: String = null): String = {

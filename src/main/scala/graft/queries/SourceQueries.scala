@@ -50,8 +50,9 @@ object SourceQueries {
     // formatting as a pure per-row expression; error-type events play
     // the caption track with props as text
     "s14_vtt_export" -> ((s, d) => {
-      val sec = expr("(ts div 1000000000) % 86400")
-      Tables.events(tune(s), d).filter(col("event_type") === "error")
+      val raw = Tables.events(tune(s), d)
+      val sec = tsSec(raw) % 86400
+      raw.filter(col("event_type") === "error")
         .select(col("user_id").as("video_id"), sec.as("s"),
           graft.result.CaptionExport.cue(sec,
             sec + floor(col("value")).cast("long") + 1,
@@ -62,8 +63,9 @@ object SourceQueries {
     // S16: supercut clip assembly (supercut.py): phrase-hit intervals
     // padded by 2 s and merged per video
     "s16_supercut" -> ((s, d) => {
-      val sec = expr("(ts div 1000000000) % 86400")
-      val hits = Tables.events(tune(s), d)
+      val raw = Tables.events(tune(s), d)
+      val sec = tsSec(raw) % 86400
+      val hits = raw
         .filter(col("event_type") === "error" && col("props").contains("7"))
         .select(col("user_id").as("video_id"), sec.as("s"),
           (sec + floor(col("value")).cast("long") + 1).as("e"))

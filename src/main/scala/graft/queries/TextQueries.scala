@@ -687,20 +687,12 @@ object TextQueries {
     // selected fingerprints become candidates. Positional selection
     // means candidates are guaranteed for any shared run >= 6 tokens —
     // a different (substring-run) guarantee than t03's set-Jaccard.
-    "t39_winnow_pairs" -> ((s, d) => {
-      val sel = docs(s, d).select(col("doc_id"),
-          explode(TextOps.winnow(col("text"), 3, 4)).as("fp"))
-        .cache()
-      val hot = broadcast(sel.groupBy(col("fp"))
-        .agg(count(lit(1)).as("df")).filter(col("df") > 50).select("fp"))
-      val pruned = sel.join(hot, Seq("fp"), "left_anti").cache()
-      pruned.select(col("doc_id").as("d1"), col("fp"))
-        .join(pruned.select(col("doc_id").as("d2"), col("fp")), Seq("fp"))
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .orderBy("d1", "d2")
-    }),
+    // Routed through TextOps.winnowPairs (eager checkpoint + cache
+    // release): the r9 verdict caught the inline version pinning its
+    // two corpus-sized caches for the rest of a full-corpus run.
+    "t39_winnow_pairs" -> ((s, d) =>
+      TextOps.winnowPairs(docs(s, d), k = 3, w = 4, dfCap = 50, minShared = 2)
+        .orderBy("d1", "d2")),
 
     // T40 TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     // power iteration over the token co-occurrence graph — the classic

@@ -25,6 +25,12 @@ for name in sorted(os.listdir(out)):
     qdir = os.path.join(out, name)
     if not os.path.isdir(qdir) or not name.startswith(prefix):
         continue
+    marker = os.path.join(qdir, "_FAILED")
+    if os.path.exists(marker):
+        msg = open(marker).read().strip().splitlines()
+        print(f"!! {name}: QUERY FAILED: {msg[0] if msg else '?'}")
+        fail += 1
+        continue
     files = glob.glob(f"{qdir}/*.parquet")
     if not files:
         print(f"!! {name}: NO SPARK OUTPUT")
