@@ -49,9 +49,12 @@ object Bench {
     }
     // t05 warms the explode/two-level-agg simhash pipeline (codegen +
     // JIT) that t05/t06 share — without it, whichever of the two runs
-    // first absorbs ~3-4 s of one-time compilation into its measurement
+    // first absorbs ~3-4 s of one-time compilation into its measurement.
+    // t03 likewise warms the jaccardPairs inverted-index + localCheckpoint
+    // machinery shared by t14/t15/t37/t38/t42 (first cold run measured
+    // ~2.9x the warm min on whichever of those shuffles first).
     Seq("j01_equi_join_agg", "t01_exact_dedup", "v01_cosine_topk", "r01_coalesce",
-      "t05_simhash")
+      "t05_simhash", "t03_shingle_jaccard")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()

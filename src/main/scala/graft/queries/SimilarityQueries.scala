@@ -109,6 +109,12 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V16: IVF list-balance audit — per-cell occupancy of the v09
+    // coarse quantizer (counts + ppm share), the index-health report
+    // that decides nprobe/plane-count before queries ever run
+    "v16_ivf_balance" -> ((s, d) =>
+      Similarity.ivfCellSizes(emb(s, d), 4).orderBy("cell")),
+
     // V10: SemDeDup — semantic dedup clusters over the embedding
     // corpus: int8-quantized within-cell cosine pairs at tau = 2/5
     // (the corpus's planted similar pairs sit at quantized cos
@@ -535,6 +541,32 @@ object SimilarityQueries {
         |      FROM d)
         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // v16: v09's quantize+cells prefix aggregated to per-cell counts;
+    // ppm is BIGINT floor division so the audit is cross-engine exact
+    "v16_ivf_balance" ->
+      """WITH m AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |qv AS (SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
+        |       FROM embeddings, m),
+        |planes AS (SELECT vec_id AS pid, q AS ph FROM qv WHERE vec_id < 4),
+        |cd AS (SELECT v.vec_id, p.pid, unnest(list_zip(v.q, p.ph)) AS z
+        |       FROM qv v CROSS JOIN planes p),
+        |cdot AS (SELECT vec_id, pid, CAST(sum(z[1] * z[2]) AS BIGINT) AS d
+        |         FROM cd GROUP BY 1, 2),
+        |cells AS (SELECT vec_id,
+        |            CAST(sum(CASE WHEN d > 0
+        |              THEN (CAST(1 AS BIGINT) << CAST(pid AS INT)) ELSE 0 END) AS BIGINT) AS cell
+        |          FROM cdot GROUP BY 1),
+        |sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+        |          FROM cells GROUP BY 1)
+        |SELECT cell, n_vecs,
+        |  (n_vecs * 1000000) //
+        |    (SELECT CAST(sum(n_vecs) AS BIGINT) FROM sizes) AS ppm
+        |FROM sizes ORDER BY cell""".stripMargin,
 
     // Mirrors semDedupPairs/semDedupClusters op-for-op: v09's
     // quantize+cells prefix, integer threshold qdot^2*5^2 >= 2^2*n1*n2

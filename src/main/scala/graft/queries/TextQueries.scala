@@ -737,6 +737,156 @@ object TextQueries {
         .orderBy("lang", "rn")
     }),
 
+    // T44 INCREMENTAL near-dup: probe a new batch against the indexed
+    // corpus — the production daily-crawl shape (the index persists;
+    // only the delta is signed and probed), vs t04's all-pairs batch
+    // job. Batch split by deterministic hash (~20% "new"); both sides
+    // get t04's 16-hash/8-band minhash signatures; candidates are
+    // new-band x old-band collisions; survivors verify by EXACT shingle
+    // Jaccard >= 0.5 (LSH recalls, the exact check decides — the
+    // two-stage discipline of v15 applied to text). Emits one audit row
+    // per new doc. Scale: the banded index is the persistent table
+    // (bucketed by (band, sig) at 100 TB); the new batch's bands are
+    // delta-sized and broadcastable; candidate verification joins only
+    // the candidates' shingle sets, never old x old.
+    "t44_incremental_dedup" -> ((s, d) => {
+      val hb = TextOps.fingerprint(
+        concat(lit("graft:"), col("doc_id").cast("string"), lit(":batch"))) % 10
+      val base = docs(s, d).withColumn("hb", hb)
+      val newD = base.filter(col("hb") >= 8).select("doc_id", "text")
+      val oldD = base.filter(col("hb") < 8).select("doc_id", "text")
+      val idsN = TextOps.shingleIds(newD, 3)
+      val idsO = TextOps.shingleIds(oldD, 3)
+      val bandsN = TextOps.lshBands(TextOps.minhash(idsN, 16, P), 2, P)
+      val bandsO = TextOps.lshBands(TextOps.minhash(idsO, 16, P), 2, P)
+      val cand = bandsN.select(col("doc_id").as("dn"), col("band"), col("sig"))
+        .join(bandsO.select(col("doc_id").as("dold"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .select("dn", "dold").distinct()
+      val szN = idsN.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+      val szO = idsO.groupBy("doc_id").agg(count(lit(1)).as("nold"))
+      val inter = cand
+        .join(idsN.select(col("doc_id").as("dn"), col("sid")), Seq("dn"))
+        .join(idsO.select(col("doc_id").as("dold"), col("sid")), Seq("dold", "sid"))
+        .groupBy("dn", "dold").agg(count(lit(1)).as("inter"))
+      val dups = inter
+        .join(szN.withColumnRenamed("doc_id", "dn"), "dn")
+        .join(szO.withColumnRenamed("doc_id", "dold"), "dold")
+        .filter(col("inter").cast("double") /
+          (col("nn") + col("nold") - col("inter")).cast("double") >= 0.5)
+        .groupBy("dn").agg(count(lit(1)).as("n_dup"))
+      val nc = cand.groupBy("dn").agg(count(lit(1)).as("n_cand"))
+      newD.select(col("doc_id"))
+        .join(nc.withColumnRenamed("dn", "doc_id"), Seq("doc_id"), "left")
+        .join(dups.withColumnRenamed("dn", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (coalesce(col("n_dup"), lit(0L)) > 0).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
+    // T45 DSIR-style hashed importance scores (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling",
+    // integerized): features are bigram occurrences hashed into 512
+    // buckets; the target distribution is the English subcorpus, the
+    // raw distribution the whole corpus; each bucket carries the
+    // add-one-smoothed scaled frequency ratio ((t_b+1)*1e6 div
+    // (r_b+1)), and a doc scores the SUM of its occurrences' bucket
+    // ratios — the higher, the more target-like. (DSIR sums log
+    // ratios; the monotone integer ratio-sum keeps the ranking
+    // cross-engine exact where float logs never are.) Scale: the
+    // 512-row bucket table is a broadcast; scoring is one map-side
+    // hash + a per-doc sum — the corpus is read once.
+    "t45_dsir_scores" -> ((s, d) => {
+      val base = docs(s, d)
+      val feats = TextOps.positionedShingles(base, 2)
+        .select(col("doc_id"), (TextOps.fingerprint(col("sh")) % 512).as("fb"))
+      val raw = feats.groupBy("fb").agg(count(lit(1)).as("rb"))
+      val tgt = feats.join(base.filter(col("lang") === "en").select("doc_id"), "doc_id")
+        .groupBy("fb").agg(count(lit(1)).as("tb"))
+      val wgt = broadcast(raw.join(tgt, Seq("fb"), "left")
+        .select(col("fb"),
+          expr("((coalesce(tb, 0) + 1) * 1000000) div (rb + 1)").as("wgt")))
+      val scored = feats.join(wgt, "fb")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feat"), sum(col("wgt")).as("dsir_score"))
+      base.select("doc_id", "lang").join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+          coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+        .orderBy("doc_id")
+    }),
+
+    // T46 mixture budget planner: given a total token target and fixed
+    // per-language mixture weights (en 50%, every other stratum an
+    // equal split of the rest), report per stratum what a sampler must
+    // do — the DOWN-sample rate when supply exceeds the target, or the
+    // repeat factor (epochs, in centi-units) when the target exceeds
+    // supply. The planning arithmetic that drives t16/t22/t43's
+    // samplers, emitted as an auditable table; pure integer (ppm /
+    // centi-epochs), so cross-engine exact. Scale: one aggregation to
+    // lang level, then constant-size arithmetic.
+    "t46_budget_plan" -> ((s, d) => {
+      val target = 100000L
+      val langs = docs(s, d)
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("toks_avail"))
+      val nOther = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      langs
+        .withColumn("n_strata", count(lit(1)).over(nOther))
+        .withColumn("share_ppm",
+          when(col("lang") === "en", lit(500000L))
+            .otherwise(expr("500000 div (n_strata - 1)")))
+        .withColumn("target_toks", expr(s"($target * share_ppm) div 1000000"))
+        .withColumn("rate_ppm",
+          least(lit(1000000L), expr("(target_toks * 1000000) div toks_avail")))
+        .withColumn("epochs_centi",
+          greatest(lit(100L),
+            expr("(target_toks * 100 + toks_avail - 1) div toks_avail")))
+        .select("lang", "n_docs", "toks_avail", "share_ppm",
+          "target_toks", "rate_ppm", "epochs_centi")
+        .orderBy("lang")
+    }),
+
+    // T47 tokenizer merge-table coverage audit: fix the "tokenizer" to
+    // the corpus's top-400 bigram merges (count desc, bigram asc — the
+    // deterministic stand-in for a shipped BPE merge table; unigrams
+    // are useless here, the synthetic corpus has only 31 of them) and
+    // report per language the rate of bigram occurrences OUTSIDE the
+    // table (ppm) plus how many docs exceed 50% uncovered — the "will
+    // this tokenizer shred the corpus into singles" fertility check
+    // run before committing a token budget. Scale: the merge table is
+    // an aggregate top-k (broadcast); scoring is one map-side
+    // anti-join per occurrence — the corpus is read once; only
+    // lang-level totals shuffle.
+    "t47_oov_audit" -> ((s, d) => {
+      val bg = TextOps.positionedShingles(docs(s, d), 2)
+        .select(col("doc_id"), col("sh"))
+      val vw = Window.orderBy(col("cnt").desc, col("sh"))
+      val vocab = broadcast(bg.groupBy("sh").agg(count(lit(1)).as("cnt"))
+        .withColumn("vr", row_number().over(vw)).filter(col("vr") <= 400)
+        .select("sh"))
+      val perDoc = bg.join(vocab.withColumn("__v", lit(1)), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nbg"),
+          sum(when(col("__v").isNull, 1L).otherwise(0L)).as("noov"))
+      docs(s, d).select("doc_id", "lang")
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("nbg"), lit(0L))).as("bg_total"),
+          sum(coalesce(col("noov"), lit(0L))).as("oov_total"),
+          sum(when(coalesce(col("noov"), lit(0L)) * 2 >
+            coalesce(col("nbg"), lit(0L)), 1L).otherwise(0L)).as("n_docs_high"))
+        .withColumn("oov_ppm", expr("(oov_total * 1000000) div bg_total"))
+        .select("lang", "n_docs", "bg_total", "oov_total", "oov_ppm",
+          "n_docs_high")
+        .orderBy("lang")
+    }),
+
     // T41 TF-IDF top-terms per document — keyword tagging, the per-doc
     // counterpart of ph04's corpus-level BM25 ranking. The idf is the
     // same log-free rational Robertson form, but here QUANTIZED BY
@@ -1296,6 +1446,131 @@ object TextQueries {
         |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
         |  FROM h) x
         |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    // t44: the t04 minhash/band chain split old/new by the batch hash;
+    // exact-Jaccard verification mirrors t03's pair stats restricted to
+    // the new x old candidate set
+    "t44_incremental_dedup" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split('graft:' || CAST(doc_id AS VARCHAR) || ':batch',''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (a, x) -> (a * 31 + x) % 1000000007) % 10 AS hb
+         |  FROM documents),
+         |g3 AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+         |       FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-2)) AS i
+         |             FROM (SELECT doc_id, string_split(text,' ') AS l FROM h) t0) t1),
+         |ids AS (SELECT DISTINCT doc_id,
+         |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |            list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+         |            (a, x) -> (a * 31 + x) % 1000000007) AS sid
+         |        FROM g3),
+         |mh AS (SELECT doc_id, i,
+         |         min((sid*((i*2+3)*524287 % $P) + (i*5+7)*8191) % $P) AS mh
+         |       FROM (SELECT doc_id, sid, unnest(generate_series(0, 15)) AS i
+         |             FROM ids) x
+         |       GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |            CAST(sum(CASE WHEN i % 2 = 0 THEN mh * $P ELSE mh END) AS BIGINT) AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |bn AS (SELECT b.doc_id, b.band, b.sig FROM bands b
+         |       JOIN h USING (doc_id) WHERE h.hb >= 8),
+         |bo AS (SELECT b.doc_id, b.band, b.sig FROM bands b
+         |       JOIN h USING (doc_id) WHERE h.hb < 8),
+         |cand AS (SELECT DISTINCT n.doc_id AS dn, o.doc_id AS dold
+         |         FROM bn n JOIN bo o ON n.band = o.band AND n.sig = o.sig),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+         |       FROM ids GROUP BY 1),
+         |ninter AS (SELECT c.dn, c.dold, CAST(count(*) AS BIGINT) AS ni
+         |           FROM cand c JOIN ids a ON a.doc_id = c.dn
+         |           JOIN ids b ON b.doc_id = c.dold AND b.sid = a.sid
+         |           GROUP BY 1, 2),
+         |dups AS (SELECT dn, CAST(count(*) AS BIGINT) AS n_dup
+         |         FROM ninter JOIN sz x ON x.doc_id = ninter.dn
+         |         JOIN sz y ON y.doc_id = ninter.dold
+         |         WHERE CAST(ni AS DOUBLE) /
+         |           CAST(x.nsh + y.nsh - ni AS DOUBLE) >= 0.5
+         |         GROUP BY 1),
+         |nc AS (SELECT dn, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1)
+         |SELECT h.doc_id,
+         |  coalesce(nc.n_cand, CAST(0 AS BIGINT)) AS n_cand,
+         |  coalesce(dups.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+         |  coalesce(dups.n_dup, CAST(0 AS BIGINT)) > 0 AS is_dup
+         |FROM h LEFT JOIN nc ON nc.dn = h.doc_id
+         |LEFT JOIN dups ON dups.dn = h.doc_id
+         |WHERE h.hb >= 8 ORDER BY h.doc_id""".stripMargin,
+
+    // t45: same bigram-occurrence CTE as t32; bucket ratios are pure
+    // BIGINT floor divisions, so doc scores match bit for bit
+    "t45_dsir_scores" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(l[i] || ' ' || l[i+1],''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 512 AS fb
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+        |        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents) t0) t1),
+        |raw AS (SELECT fb, CAST(count(*) AS BIGINT) AS rb FROM f GROUP BY 1),
+        |tgt AS (SELECT fb, CAST(count(*) AS BIGINT) AS tb
+        |        FROM f JOIN documents dd USING (doc_id)
+        |        WHERE dd.lang = 'en' GROUP BY 1),
+        |wgt AS (SELECT raw.fb,
+        |          ((coalesce(tgt.tb, 0) + 1) * 1000000) // (raw.rb + 1) AS wgt
+        |        FROM raw LEFT JOIN tgt ON tgt.fb = raw.fb),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+        |         CAST(sum(wgt) AS BIGINT) AS dsir_score
+        |       FROM f JOIN wgt USING (fb) GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  coalesce(sc.n_feat, CAST(0 AS BIGINT)) AS n_feat,
+        |  coalesce(sc.dsir_score, CAST(0 AS BIGINT)) AS dsir_score
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "t46_budget_plan" ->
+      """WITH langs AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS toks_avail
+        |  FROM documents GROUP BY 1),
+        |shares AS (
+        |  SELECT lang, n_docs, toks_avail,
+        |    CASE WHEN lang = 'en' THEN CAST(500000 AS BIGINT)
+        |      ELSE 500000 // ((SELECT count(*) FROM langs) - 1) END AS share_ppm
+        |  FROM langs),
+        |t AS (SELECT lang, n_docs, toks_avail, share_ppm,
+        |        (100000 * share_ppm) // 1000000 AS target_toks
+        |      FROM shares)
+        |SELECT lang, n_docs, toks_avail, share_ppm, target_toks,
+        |  least(CAST(1000000 AS BIGINT),
+        |    (target_toks * 1000000) // toks_avail) AS rate_ppm,
+        |  greatest(CAST(100 AS BIGINT),
+        |    (target_toks * 100 + toks_avail - 1) // toks_avail) AS epochs_centi
+        |FROM t ORDER BY lang""".stripMargin,
+
+    "t47_oov_audit" ->
+      """WITH bg AS (
+        |  SELECT doc_id, l[i] || ' ' || l[i+1] AS sh
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+        |        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents) t0) t1),
+        |vocab AS (SELECT sh FROM (
+        |    SELECT sh, count(*) AS cnt,
+        |      row_number() OVER (ORDER BY count(*) DESC, sh) AS vr
+        |    FROM bg GROUP BY sh) v
+        |  WHERE vr <= 400),
+        |pd AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS nbg,
+        |         CAST(sum(CASE WHEN v.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS noov
+        |       FROM bg LEFT JOIN vocab v ON v.sh = bg.sh
+        |       GROUP BY 1)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(pd.nbg, 0)) AS BIGINT) AS bg_total,
+        |  CAST(sum(coalesce(pd.noov, 0)) AS BIGINT) AS oov_total,
+        |  (CAST(sum(coalesce(pd.noov, 0)) AS BIGINT) * 1000000) //
+        |    CAST(sum(coalesce(pd.nbg, 0)) AS BIGINT) AS oov_ppm,
+        |  CAST(sum(CASE WHEN coalesce(pd.noov, 0) * 2 > coalesce(pd.nbg, 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_high
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // t40: three power-iteration steps unrolled as chained CTEs. Every
     // arithmetic step is BIGINT with the same floor divisions as the

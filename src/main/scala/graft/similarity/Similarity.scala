@@ -290,6 +290,30 @@ object Similarity {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))")).otherwise(0L))
       .groupBy(col("vec_id")).agg(sum(col("bit")).as("cell"))
 
+  /** IVF list-balance audit over the deterministic quantized-hyperplane
+    * coarse quantizer (v09's cell layout): per-cell vector counts plus
+    * occupancy share in ppm — the report that tells an IVF deployment
+    * whether its inverted lists are balanced (a hot cell is a slow
+    * probe; empty cells are wasted fanout), run before committing a
+    * probe budget. Scale: cell assignment is the same broadcast-planes
+    * map pass as [[ivfInt8TopK]]; only (cell, count) aggregates
+    * shuffle, and the ppm normalization windows over the <= 2^nPlanes
+    * aggregated rows, never the corpus. */
+  def ivfCellSizes(corpus: DataFrame, nPlanes: Int): DataFrame = {
+    require(nPlanes >= 1 && nPlanes < 20)
+    val quant = quantWith(maxAbs(corpus)) _
+    val qv = quant(corpus).select(col("vec_id"), col("__q").as("qv"))
+    val planes = broadcast(quant(corpus.filter(col("vec_id") < nPlanes))
+      .select(col("vec_id").as("pid"), col("__q").as("ph")))
+    val sizes = cellsOf(qv, planes)
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    sizes.withColumn("total", sum(col("n_vecs")).over(wAll))
+      .withColumn("ppm", expr("(n_vecs * 1000000) div total"))
+      .select("cell", "n_vecs", "ppm")
+  }
+
   /** SemDeDup (semantic dedup over embeddings, Abbas et al. 2023,
     * re-expressed deterministically): int8-quantize on the corpus
     * scale, coarse-cluster into quantized-hyperplane cells (the cells

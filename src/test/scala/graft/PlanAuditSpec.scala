@@ -226,6 +226,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.size <= 5, s"t41 has ${exchanges.size} exchanges, expected <= 5")
   }
 
+  test("t44/t45/t47 stay equi-joined; tiny weight/vocab tables broadcast") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    // t44's band probe and exact-verify are equi-joins on (band,sig) /
+    // (doc,sid); a cartesian here means the candidate bound is gone
+    Seq("t44_incremental_dedup", "t45_dsir_scores", "t47_oov_audit")
+      .foreach { q =>
+        val plan = executed(SparkEntry.queries(q)(spark, sf))
+        assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+          s"$q has a cartesian product")
+        if (q != "t44_incremental_dedup") {
+          // the 512-bucket DSIR weight table / 400-merge vocab must
+          // broadcast — a shuffle join here ships the corpus instead
+          assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+            s"$q lost its broadcast scoring join")
+        }
+      }
+  }
+
   test("t18 computes repetition per-row: zero exchanges before the lang rollup") {
     val plan = executed(SparkEntry.queries("t18_repetition_filter")(spark, sf))
     // the pre-r8 form exploded shingles corpus-wide to count per-doc
