@@ -71,6 +71,43 @@ object Ingest {
     }
   }
 
+  /** Streaming probe against a PERSISTENT dedup index — the streaming
+    * form of t44's incremental near-dup: each arriving doc's band
+    * signatures (multi-band OR-construction, same family as
+    * [[nearDedupStreamOr]]) left-anti-join the static index's
+    * signature table, so anything colliding with the historical corpus
+    * is dropped before it ever reaches state. Composable with
+    * [[nearDedupStream]] downstream for intra-stream dups. Scale: a
+    * stream-static join — Spark re-plans the static side per
+    * micro-batch; a bounded signature index broadcasts, an unbounded
+    * one stays a shuffle join on `__sig`, and the stream side carries
+    * exactly one extra long column per band. */
+  def dedupAgainstIndex(docs: DataFrame, index: DataFrame, k: Int = 3,
+                        bands: Int = 2): DataFrame = {
+    require(bands >= 1)
+    // "drop if ANY band collides" as a CHAIN of per-band equi
+    // anti-joins (survivors pass all stages) — an OR join condition
+    // would force a nested-loop join; the chain keeps every stage
+    // hash-joinable
+    (0 until bands).foldLeft(docs) { (df, b) =>
+      val idxB = indexSignatures(index, k, b)
+      df.withColumn(s"__sig$b",
+          coalesce(graft.text.TextOps.minhashBandSig(col("text"), k, b),
+            xxhash64(col("text"))))
+        .join(idxB, col(s"__sig$b") === idxB("__isig"), "left_anti")
+        .drop(s"__sig$b")
+    }
+  }
+
+  /** One band's signature set over the static corpus (build once per
+    * band, persist as the index tables; at 100 TB these are the things
+    * you bucket by `__isig`). */
+  def indexSignatures(index: DataFrame, k: Int, band: Int): DataFrame =
+    index.withColumn("__isig",
+        coalesce(graft.text.TextOps.minhashBandSig(col("text"), k, band),
+          xxhash64(col("text"))))
+      .select("__isig").distinct()
+
   /** Tumbling event-time aggregation (counts + value sum per window and
     * type). */
   def tumblingCounts(events: DataFrame, every: String = "1 hour"): DataFrame =

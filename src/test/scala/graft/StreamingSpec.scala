@@ -223,6 +223,46 @@ class StreamingSpec extends SparkSpec {
     assert(kept === expected)
   }
 
+  test("stream probe against a static index drops docs colliding on any band") {
+    implicit val sql = spark.sqlContext
+    val index = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine")
+      .zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text")
+    val streamTexts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta", // exact dup of idx 100
+      "one two three four five six seven eight nine ten", // near-dup of 101
+      "completely fresh words that match nothing at all",
+      "xy") // too short to shingle: full-text hash fallback, fresh
+    // ground truth from the SAME per-band signatures computed in batch
+    // (whether the near-dup collides is a band-family property, not
+    // streaming plumbing under test)
+    def bandSig(b: Int) = coalesce(
+      graft.text.TextOps.minhashBandSig($"text", 3, b), xxhash64($"text"))
+    val idxSigs = (0 until 2).map(b =>
+      index.select(bandSig(b).as("s")).as[Long].collect().toSet)
+    val expected = streamTexts.zipWithIndex.collect { case (t, i)
+      if {
+        val sigs = Seq(t).toDF("text")
+          .select(bandSig(0).as("s0"), bandSig(1).as("s1"))
+          .as[(Long, Long)].head()
+        !idxSigs(0).contains(sigs._1) && !idxSigs(1).contains(sigs._2)
+      } => i.toLong
+    }.toSet
+    assert(!expected.contains(0L)) // the exact dup must collide
+    assert(expected.contains(2L) && expected.contains(3L))
+
+    val in = MemoryStream[Doc]
+    in.addData(streamTexts.zipWithIndex.map { case (t, i) =>
+      Doc(i.toLong, ts(i * 10), t) }: _*)
+    runToMemory(graft.streaming.Ingest.dedupAgainstIndex(
+      in.toDF().select($"doc_id", $"ts", $"text"), index), "idxdedup_out",
+      "append")
+    val kept = spark.table("idxdedup_out").select("doc_id").as[Long].collect().toSet
+    assert(kept === expected)
+  }
+
   test("streaming VTT export writes cue files") {
     implicit val sql = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_vtt").toString
