@@ -115,6 +115,17 @@ object SimilarityQueries {
     "v16_ivf_balance" -> ((s, d) =>
       Similarity.ivfCellSizes(emb(s, d), 4).orderBy("cell")),
 
+    // V17: Matryoshka prefix-dim retrieval — coarse rank on the first
+    // 16 of 64 dims, exact full-dim cosine re-rank of the 50
+    // candidates (v15's two-stage shape with dimensions instead of
+    // int8 as the compression axis)
+    "v17_matryoshka_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.matryoshkaTopK(e, e.filter(col("vec_id") < 5),
+          prefixDim = 16, kCand = 50, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // V10: SemDeDup — semantic dedup clusters over the embedding
     // corpus: int8-quantized within-cell cosine pairs at tau = 2/5
     // (the corpus's planted similar pairs sit at quantized cos
@@ -541,6 +552,37 @@ object SimilarityQueries {
         |      FROM d)
         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // v17: stage 1 ranks by prefix-slice cosine (embedding[1:16], the
+    // same left-fold doubles), stage 2 re-ranks candidates by the full
+    // 64-dim cosine — every double mirrors the native expressions
+    "v17_matryoshka_ann" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |             sqrt(${sumsq("embedding")}) AS q_norm,
+         |             sqrt(${sumsq("(embedding[1:16])")}) AS q_pnorm
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding,
+         |        sqrt(${sumsq("embedding")}) AS nrm,
+         |        sqrt(${sumsq("(embedding[1:16])")}) AS pnrm
+         |      FROM embeddings),
+         |ps AS (SELECT q.q_id, c.vec_id,
+         |         ${dotOf("(c.embedding[1:16])", "(q.q_emb[1:16])")} /
+         |           (c.pnrm * q.q_pnorm) AS pcos
+         |       FROM c, q WHERE c.vec_id <> q.q_id),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY pcos DESC, vec_id) AS crank FROM ps) pr
+         |  WHERE crank <= 50),
+         |sc AS (SELECT cand.q_id, c.vec_id,
+         |         ${dotOf("c.embedding", "q.q_emb")} / (c.nrm * q.q_norm) AS cos
+         |       FROM cand JOIN c ON c.vec_id = cand.vec_id
+         |       JOIN q ON q.q_id = cand.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |      FROM sc)
+         |SELECT q_id, vec_id, rank, round(cos, 6) AS cos6
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // v16: v09's quantize+cells prefix aggregated to per-cell counts;
     // ppm is BIGINT floor division so the audit is cross-engine exact

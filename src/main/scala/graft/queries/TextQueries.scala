@@ -887,6 +887,38 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // T48 length-striped shard packing: rank docs by (ntok desc,
+    // doc_id) and stripe round-robin into 8 shards — the balanced-
+    // batch layout an SFT/packing job wants (longest docs spread
+    // evenly, no shard stuck with all the long tails). The global rank
+    // is the SCALABLE two-phase prefix count (t12's machinery with
+    // valCol = 1 over a composite order key) — a bare row_number()
+    // window with no partition would sort the corpus in one task. The
+    // audit emits per-shard doc/token totals and fill ppm vs the
+    // fullest shard.
+    "t48_striped_packing" -> ((s, d) => {
+      val nbins = 8
+      val base = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      // unique ascending key == (ntok desc, doc_id asc): ntok < 2^20,
+      // doc_id < 2^40, so the composite stays inside a long
+      val keyed = base
+        .withColumn("__key",
+          expr("(1048576 - ntok) * 1099511627776 + doc_id"))
+        .withColumn("__one", lit(1L))
+      val ranked = graft.text.Packing
+        .withRunningOffset(keyed, "__key", "__one", "rk0")
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      ranked.withColumn("bin", col("rk0") % nbins)
+        .groupBy("bin").agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("sum_toks"), max(col("ntok")).as("max_toks"))
+        .withColumn("__max_sum", max(col("sum_toks")).over(wAll))
+        .withColumn("fill_ppm", expr("(sum_toks * 1000000) div __max_sum"))
+        .select("bin", "n_docs", "sum_toks", "max_toks", "fill_ppm")
+        .orderBy("bin")
+    }),
+
     // T41 TF-IDF top-terms per document — keyword tagging, the per-doc
     // counterpart of ph04's corpus-level BM25 ranking. The idf is the
     // same log-free rational Robertson form, but here QUANTIZED BY
@@ -1547,6 +1579,22 @@ object TextQueries {
         |  greatest(CAST(100 AS BIGINT),
         |    (target_toks * 100 + toks_avail - 1) // toks_avail) AS epochs_centi
         |FROM t ORDER BY lang""".stripMargin,
+
+    "t48_striped_packing" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |rk AS (SELECT doc_id, ntok,
+        |         row_number() OVER (ORDER BY ntok DESC, doc_id) - 1 AS rk0
+        |       FROM base),
+        |b AS (SELECT rk0 % 8 AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(ntok) AS BIGINT) AS sum_toks,
+        |        CAST(max(ntok) AS BIGINT) AS max_toks
+        |      FROM rk GROUP BY 1)
+        |SELECT bin, n_docs, sum_toks, max_toks,
+        |  (sum_toks * 1000000) //
+        |    (SELECT CAST(max(sum_toks) AS BIGINT) FROM b) AS fill_ppm
+        |FROM b ORDER BY bin""".stripMargin,
 
     "t47_oov_audit" ->
       """WITH bg AS (

@@ -209,6 +209,52 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos6"))
   }
 
+  /** Matryoshka two-stage retrieval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): coarse-rank on the PREFIX of the
+    * embedding (MRL-trained encoders front-load information, so the
+    * first prefixDim dims are a valid cheap embedding), then exact
+    * full-dim cosine re-rank of only the kCand candidates — the same
+    * bandwidth move [[rerankTopK]] makes with int8, made with
+    * dimensions instead (stage 1 touches prefixDim/dim of the bytes).
+    * Both stages are the deterministic left-fold float arithmetic of
+    * [[cosineTopK]], so the pipeline is cross-engine exact end to end.
+    * At 100 TB the prefix is materialized as its OWN column at write
+    * time (parquet cannot prune inside an array), so stage 1's scan
+    * reads only that narrow column; the inline slice here stands in
+    * for that layout at test scale. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame,
+                     prefixDim: Int, kCand: Int, k: Int): DataFrame = {
+    require(kCand >= k, s"re-rank pool $kCand smaller than k=$k")
+    def pre(c: Column) = slice(c, 1, prefixDim)
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      pre(col("embedding")).as("__p"))
+    val q = broadcast(base.join(
+        broadcast(queries.select(col("vec_id").as("q_id"))),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("embedding").as("q_emb"),
+        col("__p").as("q_p"),
+        Fns.l2norm(col("embedding")).as("q_norm"),
+        Fns.l2norm(col("__p")).as("q_pnorm")))
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    val cand = base.join(q, col("vec_id") =!= col("q_id"))
+      .withColumn("pcos", Fns.dot(col("__p"), col("q_p")) /
+        (Fns.l2norm(col("__p")) * col("q_pnorm")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= kCand)
+      .select("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.join(corpus, "vec_id")
+      .withColumn("__norm", Fns.l2norm(col("embedding")))
+      .join(q.select(col("q_id"), col("q_emb"), col("q_norm")), "q_id")
+      .withColumn("cos", Fns.dot(col("embedding"), col("q_emb")) /
+        (col("__norm") * col("q_norm")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("cos"), 6).as("cos6"))
+  }
+
   /** 1-bit sign quantization of the 64-dim embedding, packed into TWO
     * 32-bit-wide BIGINT halves (lo = dims 1..32 at bits 0..31, hi =
     * dims 33..64) — two halves, not one 64-bit word, because bit 63

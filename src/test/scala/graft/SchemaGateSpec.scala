@@ -67,4 +67,31 @@ class SchemaGateSpec extends SparkSpec {
       "TESTDATA SCHEMA DRIFT (driver regenerated parquet?):\n" +
         drifts.mkString("\n"))
   }
+
+  test("Fns.tsSec yields the same epoch second for all three ts dtypes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sec = 1700000123L
+    val asNanos = Seq((1L, sec * 1000000000L + 456789012L)).toDF("id", "ts")
+    val asLtz = Seq((1L, new java.sql.Timestamp(sec * 1000L + 456L)))
+      .toDF("id", "ts")
+    val asNtz = Seq((1L,
+      java.time.LocalDateTime.ofEpochSecond(sec, 456789012,
+        java.time.ZoneOffset.UTC))).toDF("id", "ts")
+    val prev = spark.conf.getOption("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try Seq(asNanos, asLtz, asNtz).foreach { df =>
+      val got = df.select(graft.functions.Fns.tsSec(df).as("s"))
+        .as[Long].head()
+      assert(got === sec,
+        s"tsSec(${df.schema("ts").dataType.simpleString}) = $got, want $sec")
+    } finally prev.foreach(spark.conf.set("spark.sql.session.timeZone", _))
+  }
+
+  test("Fns.tsSec fails loudly on an unsupported ts dtype") {
+    import spark.implicits._
+    val df = Seq((1L, "not-a-time")).toDF("id", "ts")
+    val e = intercept[IllegalArgumentException](graft.functions.Fns.tsSec(df))
+    assert(e.getMessage.contains("unsupported dtype"))
+  }
 }
