@@ -307,6 +307,38 @@ object IntervalQueries {
         .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // ST7 peak concurrency ("max simultaneous open intervals per
+    // type" — peak concurrent viewers): the classic +1/-1 sweep. The
+    // running sum is the SCALABLE two-phase prefix sum (t12's packing
+    // machinery) over ONE composite key ordering (type, t,
+    // end-before-start, event_id): per-type resets are unnecessary
+    // because each type's deltas cancel to zero, so the global cumsum
+    // IS the per-type sweep — no single-task corpus window anywhere.
+    // Ends sort before starts at equal t (intervals are half-open
+    // [s, e)). Key bounds: t < 2^18 (day-wrapped seconds + value),
+    // event_id < 2^24 at driver SFs, type rank < 2^6.
+    "st07_peak_concurrency" -> ((s, d) => {
+      val iv = ev(s, d)
+      val del = iv.select(col("event_type"), col("s").as("t"),
+          lit(1L).as("delta"), lit(1L).as("flag"), col("event_id"))
+        .union(iv.select(col("event_type"), col("e").as("t"),
+          lit(-1L).as("delta"), lit(0L).as("flag"), col("event_id")))
+      val tw = Window.orderBy(col("event_type"))
+      val types = broadcast(del.select("event_type").distinct()
+        .withColumn("__tn", row_number().over(tw).cast("long")))
+      val keyed = del.join(types, "event_type")
+        .withColumn("__key",
+          expr("(((__tn * 262144 + t) * 2 + flag) * 16777216) + event_id"))
+      val rs = graft.text.Packing
+        .withRunningOffset(keyed, "__key", "delta", "__off")
+        .withColumn("c", col("__off") + col("delta"))
+      val peaks = rs.groupBy("event_type").agg(max(col("c")).as("peak"))
+      rs.join(peaks, "event_type").filter(col("c") === col("peak"))
+        .groupBy("event_type", "peak").agg(min(col("t")).as("peak_t"))
+        .select("event_type", "peak", "peak_t")
+        .orderBy("event_type")
     })
   )
 
@@ -551,6 +583,25 @@ object IntervalQueries {
         |      FROM e)
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         |FROM p WHERE to_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // st07: per-type +1/-1 sweep as a plain partitioned window (the
+    // Spark side's global two-phase cumsum equals this because each
+    // type's deltas sum to zero); ends before starts at equal t
+    "st07_peak_concurrency" ->
+      s"""WITH iv AS (${evSql()}),
+         |del AS (SELECT event_type, s AS t, CAST(1 AS BIGINT) AS delta,
+         |          1 AS flag, event_id FROM iv
+         |        UNION ALL
+         |        SELECT event_type, e, CAST(-1 AS BIGINT), 0, event_id FROM iv),
+         |rs AS (SELECT event_type, t,
+         |         CAST(sum(delta) OVER (PARTITION BY event_type
+         |           ORDER BY t, flag, event_id) AS BIGINT) AS c
+         |       FROM del),
+         |p AS (SELECT event_type, CAST(max(c) AS BIGINT) AS peak
+         |      FROM rs GROUP BY 1)
+         |SELECT rs.event_type, p.peak, CAST(min(rs.t) AS BIGINT) AS peak_t
+         |FROM rs JOIN p ON p.event_type = rs.event_type AND rs.c = p.peak
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
   )
 }

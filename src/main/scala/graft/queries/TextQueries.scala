@@ -919,6 +919,36 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // T49 BPE merge training, two steps unrolled: each iteration picks
+    // the corpus's most frequent adjacent token pair (count desc, pair
+    // asc — the deterministic BPE selection rule) and applies the merge
+    // corpus-wide (\b-anchored regexp, LTR non-overlapping in both
+    // engines) before the next count. This is the TRAINING side of the
+    // t47 coverage audit's merge table — tokenizer construction as a
+    // corpus query. Scale: each iteration is one map-side pair count +
+    // a 1-row broadcast into a per-row regexp — the corpus is read
+    // once per iteration, nothing corpus-sized shuffles.
+    "t49_bpe_merges" -> ((s, d) => {
+      def topPair(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        TextOps.positionedShingles(df, 2)
+          .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("sh")).limit(1)
+          .select(col("sh").as("pair"), col("cnt"))
+      def applyMerge(df: org.apache.spark.sql.DataFrame,
+                     pair: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.crossJoin(broadcast(pair.select(col("pair").as("__mp"))))
+          .withColumn("text", regexp_replace(col("text"),
+            concat(lit("\\b"), col("__mp"), lit("\\b")),
+            translate(col("__mp"), " ", "_")))
+          .select("doc_id", "text")
+      val d0 = docs(s, d).select(col("doc_id"), col("text"))
+      val p1 = topPair(d0)
+      val d1 = applyMerge(d0, p1)
+      val p2 = topPair(d1)
+      p1.withColumn("it", lit(1L)).union(p2.withColumn("it", lit(2L)))
+        .select("it", "pair", "cnt").orderBy("it")
+    }),
+
     // T41 TF-IDF top-terms per document — keyword tagging, the per-doc
     // counterpart of ph04's corpus-level BM25 ranking. The idf is the
     // same log-free rational Robertson form, but here QUANTIZED BY
@@ -1579,6 +1609,30 @@ object TextQueries {
         |  greatest(CAST(100 AS BIGINT),
         |    (target_toks * 100 + toks_avail - 1) // toks_avail) AS epochs_centi
         |FROM t ORDER BY lang""".stripMargin,
+
+    // t49: DuckDB regexp_replace with 'g' is the same LTR
+    // non-overlapping scan as Java replaceAll; \b is shared RE2/Java
+    "t49_bpe_merges" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |pc1 AS (SELECT l[i] || ' ' || l[i+1] AS pair, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
+        |              FROM (SELECT string_split(text,' ') AS l FROM d0) t0) t1
+        |        GROUP BY 1),
+        |p1 AS (SELECT pair, cnt FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
+        |d1 AS (SELECT doc_id,
+        |         regexp_replace(text,
+        |           '\b' || (SELECT pair FROM p1) || '\b',
+        |           replace((SELECT pair FROM p1), ' ', '_'), 'g') AS text
+        |       FROM d0),
+        |pc2 AS (SELECT l[i] || ' ' || l[i+1] AS pair, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
+        |              FROM (SELECT string_split(text,' ') AS l FROM d1) t0) t1
+        |        GROUP BY 1),
+        |p2 AS (SELECT pair, cnt FROM pc2 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS it, pair, cnt FROM p1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS it, pair, cnt FROM p2
+        |ORDER BY it""".stripMargin,
 
     "t48_striped_packing" ->
       """WITH base AS (
