@@ -370,6 +370,30 @@ object RelationalQueries {
         .orderBy("event_type", "event_id")
     }),
 
+    // A22 exact weighted median per group — the weighted-quantile cut a
+    // mixture builder runs when rows carry sampling weights (a10 is the
+    // unweighted form): smallest value whose cumulative weight reaches
+    // half the group total, `2*cum >= W` keeping it integer. Scale: the
+    // (group, value) pre-aggregation is map-side combinable and bounds
+    // every window to the DISTINCT-VALUE domain (price cents), never
+    // the row count.
+    "a22_weighted_median" -> ((s, d) => {
+      val li = Tables.lineitem(tune(s), d).select(
+        col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("v"),
+        asLong(col("l_quantity")).as("w"))
+      val byVal = li.groupBy("flag", "v").agg(sum(col("w")).as("w"))
+      val wc = Window.partitionBy(col("flag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy(col("flag"))
+      byVal.withColumn("cw", sum(col("w")).over(wc))
+        .withColumn("tw", sum(col("w")).over(wall))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("flag"), col("tw").as("total_w"))
+        .agg(min(col("v")).as("wmedian_cents"))
+        .orderBy("flag")
+    }),
+
     // ---------------- O: sort / limit / set ops ----------------------
     // O1 multi-key ordering
     "o01_multi_order" -> ((s, d) =>
@@ -771,6 +795,22 @@ object RelationalQueries {
          |WHERE (c - s // n) * (c - s // n)
          |  > 9 * greatest((ssq // n) - (s // n) * (s // n), 1)
          |ORDER BY 1, 2""".stripMargin,
+
+    "a22_weighted_median" ->
+      s"""WITH b AS (SELECT l_returnflag AS flag,
+         |             ${centsSql("l_extendedprice")} AS v,
+         |             CAST(l_quantity AS BIGINT) AS w
+         |           FROM lineitem),
+         |g AS (SELECT flag, v, CAST(sum(w) AS BIGINT) AS w
+         |      FROM b GROUP BY 1, 2),
+         |c AS (SELECT flag, v,
+         |        CAST(sum(w) OVER (PARTITION BY flag ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+         |        CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+         |      FROM g)
+         |SELECT flag, tw AS total_w, CAST(min(v) AS BIGINT) AS wmedian_cents
+         |FROM c WHERE cw * 2 >= tw
+         |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
 
     "o01_multi_order" ->
       s"""SELECT o_orderkey, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS od,

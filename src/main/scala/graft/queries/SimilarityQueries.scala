@@ -126,6 +126,29 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V18: retrieval-quality evaluation — recall@10 of the 16-byte
+    // binary-Hamming index (v14) against the exact-cosine ground truth
+    // (v01), per query: the eval a retrieval team runs after building
+    // any compressed index, as a first-class query. Both rankings are
+    // deterministic, so the overlap counts are cross-engine exact.
+    // Scale: two top-k pipelines (each already audited) + a join on
+    // the |queries| x 10 result lists — the corpus is never touched a
+    // third time.
+    "v18_ann_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+      val ex = Similarity.cosineTopK(e, qs, 10).select("q_id", "vec_id")
+      val bi = Similarity.binaryTopK(e, qs, 10).select("q_id", "vec_id")
+      val ov = ex.join(bi, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      qs.select(col("vec_id").as("q_id"))
+        .join(ov, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("(coalesce(n_overlap, 0) * 1000000) div 10").as("recall_ppm"))
+        .orderBy("q_id")
+    }),
+
     // V10: SemDeDup — semantic dedup clusters over the embedding
     // corpus: int8-quantized within-cell cosine pairs at tau = 2/5
     // (the corpus's planted similar pairs sit at quantized cos
@@ -552,6 +575,51 @@ object SimilarityQueries {
         |      FROM d)
         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // v18: v01's exact-cosine top-10 CTEs joined against v14's
+    // binary-Hamming top-10 CTEs; overlap counts are integers
+    "v18_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |             sqrt(${sumsq("embedding")}) AS q_norm
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding,
+         |        sqrt(${sumsq("embedding")}) AS nrm FROM embeddings),
+         |s AS (SELECT q.q_id, c.vec_id,
+         |        ${dotOf("c.embedding", "q.q_emb")} / (c.nrm * q.q_norm) AS cos
+         |      FROM c, q WHERE c.vec_id <> q.q_id),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rank FROM s) r
+         |  WHERE rank <= 10),
+         |sig AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(0, 31)),
+         |      (a, i) -> a + CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+         |        ELSE CAST(0 AS BIGINT) END) AS lo,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), generate_series(32, 63)),
+         |      (a, i) -> a + CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+         |        THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+         |        ELSE CAST(0 AS BIGINT) END) AS hi
+         |  FROM embeddings),
+         |qb AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM sig
+         |       WHERE vec_id < 5),
+         |db AS (SELECT q_id, sg.vec_id,
+         |         CAST(bit_count(xor(sg.lo, qlo)) + bit_count(xor(sg.hi, qhi))
+         |           AS BIGINT) AS hamm
+         |       FROM sig sg JOIN qb ON sg.vec_id <> qb.q_id),
+         |bi AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY hamm, vec_id) AS rank FROM db) rb
+         |  WHERE rank <= 10),
+         |ov AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM ex JOIN bi ON bi.q_id = ex.q_id AND bi.vec_id = ex.vec_id
+         |       GROUP BY 1)
+         |SELECT qq.q_id,
+         |  coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |  (coalesce(ov.n_overlap, 0) * 1000000) // 10 AS recall_ppm
+         |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5) qq
+         |LEFT JOIN ov USING (q_id) ORDER BY qq.q_id""".stripMargin,
 
     // v17: stage 1 ranks by prefix-slice cosine (embedding[1:16], the
     // same left-fold doubles), stage 2 re-ranks candidates by the full
