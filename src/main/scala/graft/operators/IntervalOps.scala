@@ -301,4 +301,39 @@ object IntervalOps {
       }
       .toDF(c.key, c.start, c.end)
   }
+
+  // --------------------------------------------------------------------
+  // Peak concurrency: max simultaneous open intervals per key (the
+  // "peak concurrent viewers" sweep). The +1/-1 running sum is the
+  // SCALABLE two-phase prefix sum (graft.text.Packing.withRunningOffset)
+  // over ONE composite key ordering (keyRank, t, end-before-start, id):
+  // per-key resets are unnecessary because each key's deltas cancel to
+  // zero, so the global cumsum IS the per-key sweep — no single-task
+  // corpus-sized window anywhere. Intervals are half-open [s, e): an
+  // end at t closes before a start at t opens.
+  //
+  // Preconditions (composite key must fit a long): 0 <= t < 2^18,
+  // 0 <= id < 2^24, distinct keys < 2^20. Returns one row per key:
+  // (key, peak, peak_t = earliest instant attaining the peak).
+  // --------------------------------------------------------------------
+  def peakConcurrency(df: DataFrame, c: Cols = Cols(),
+                      idCol: String = "event_id"): DataFrame = {
+    val del = df.select(col(c.key), col(c.start).as("t"),
+        lit(1L).as("delta"), lit(1L).as("flag"), col(idCol).as("__id"))
+      .union(df.select(col(c.key), col(c.end).as("t"),
+        lit(-1L).as("delta"), lit(0L).as("flag"), col(idCol).as("__id")))
+    val tw = Window.orderBy(col(c.key))
+    val keys = broadcast(del.select(c.key).distinct()
+      .withColumn("__kn", row_number().over(tw).cast("long")))
+    val keyed = del.join(keys, c.key)
+      .withColumn("__key",
+        expr("(((__kn * 262144 + t) * 2 + flag) * 16777216) + __id"))
+    val rs = graft.text.Packing
+      .withRunningOffset(keyed, "__key", "delta", "__off")
+      .withColumn("c", col("__off") + col("delta"))
+    val peaks = rs.groupBy(c.key).agg(max(col("c")).as("peak"))
+    rs.join(peaks, c.key).filter(col("c") === col("peak"))
+      .groupBy(col(c.key), col("peak")).agg(min(col("t")).as("peak_t"))
+      .select(col(c.key), col("peak"), col("peak_t"))
+  }
 }

@@ -319,27 +319,11 @@ object IntervalQueries {
     // Ends sort before starts at equal t (intervals are half-open
     // [s, e)). Key bounds: t < 2^18 (day-wrapped seconds + value),
     // event_id < 2^24 at driver SFs, type rank < 2^6.
-    "st07_peak_concurrency" -> ((s, d) => {
-      val iv = ev(s, d)
-      val del = iv.select(col("event_type"), col("s").as("t"),
-          lit(1L).as("delta"), lit(1L).as("flag"), col("event_id"))
-        .union(iv.select(col("event_type"), col("e").as("t"),
-          lit(-1L).as("delta"), lit(0L).as("flag"), col("event_id")))
-      val tw = Window.orderBy(col("event_type"))
-      val types = broadcast(del.select("event_type").distinct()
-        .withColumn("__tn", row_number().over(tw).cast("long")))
-      val keyed = del.join(types, "event_type")
-        .withColumn("__key",
-          expr("(((__tn * 262144 + t) * 2 + flag) * 16777216) + event_id"))
-      val rs = graft.text.Packing
-        .withRunningOffset(keyed, "__key", "delta", "__off")
-        .withColumn("c", col("__off") + col("delta"))
-      val peaks = rs.groupBy("event_type").agg(max(col("c")).as("peak"))
-      rs.join(peaks, "event_type").filter(col("c") === col("peak"))
-        .groupBy("event_type", "peak").agg(min(col("t")).as("peak_t"))
-        .select("event_type", "peak", "peak_t")
-        .orderBy("event_type")
-    })
+    "st07_peak_concurrency" -> ((s, d) =>
+      graft.operators.IntervalOps.peakConcurrency(ev(s, d),
+          graft.operators.IntervalOps.Cols("event_type", "s", "e"),
+          idCol = "event_id")
+        .orderBy("event_type"))
   )
 
   // ------------------------------------------------------------------

@@ -170,4 +170,28 @@ class IntervalOpsSpec extends SparkSpec {
     val out = IntervalOps.filterAgainst(a, b, Allen.before(5), C)
     assert(rows(out) === Set((1L, 0L, 10L)))
   }
+
+  test("peakConcurrency matches the brute-force sweep on random intervals") {
+    // the two-phase global cumsum rests on "each key's deltas cancel to
+    // zero, so no per-key reset is needed" — exactly the claim a seeded
+    // random sweep can falsify
+    randomCases(20260813, 12).foreach { ivs =>
+      val withId = ivs.zipWithIndex
+        .map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+      val got = IntervalOps
+        .peakConcurrency(withId.toDF("k", "s", "e", "id"), C, idCol = "id")
+        .select("k", "peak", "peak_t").as[(Long, Long, Long)]
+        .collect().toSet
+      // brute force: per key, concurrency at each start instant
+      // (half-open [s, e): peaks occur at starts)
+      val expect = ivs.groupBy(_._1).map { case (k, ks) =>
+        val conc = ks.map(_._2).distinct.map { t =>
+          (t, ks.count { case (_, s, e) => s <= t && t < e }.toLong)
+        }
+        val peak = conc.map(_._2).max
+        (k, peak, conc.filter(_._2 == peak).map(_._1).min)
+      }.toSet
+      assert(got === expect)
+    }
+  }
 }
