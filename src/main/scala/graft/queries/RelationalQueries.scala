@@ -459,6 +459,33 @@ object RelationalQueries {
         .orderBy("diff_class")
     }),
 
+    // O7 the full rank-function suite in one query (§2.6): rank /
+    // dense_rank / percent_rank / cume_dist over a TIES-BEARING order
+    // (date only — equal dates exercise the peer semantics; their
+    // outputs are tie-invariant), ntile over the TOTAL order (bucket
+    // assignment among peers is order-dependent, so ntile gets the
+    // orderkey tiebreak). percent_rank's double is (rank-1)/(n-1) in
+    // both engines — exact ints divided once, bit-identical. The
+    // row-thinning filter sits ABOVE the windows (filtering first
+    // would change every rank).
+    "o07_rank_suite" -> ((s, d) => {
+      val wt = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"))
+      val wu = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate"))
+        .withColumn("rnk", rank().over(wt).cast("long"))
+        .withColumn("drnk", dense_rank().over(wt).cast("long"))
+        .withColumn("prnk", percent_rank().over(wt))
+        .withColumn("cd", cume_dist().over(wt))
+        .withColumn("nt", ntile(4).over(wu).cast("long"))
+        .filter(col("o_orderkey") % 10 === 0)
+        .select("o_orderkey", "o_orderpriority", "rnk", "drnk", "prnk",
+          "cd", "nt")
+        .orderBy("o_orderkey")
+    }),
+
     // ---------------- F: scalar functions ----------------------------
     // F1 math builtins
     "f01_math" -> ((s, d) =>
@@ -817,6 +844,24 @@ object RelationalQueries {
          |  ${centsSql("o_totalprice")} AS price_cents
          |FROM orders ORDER BY o_orderpriority DESC, o_orderdate ASC, o_orderkey ASC
          |LIMIT 100""".stripMargin,
+
+    // o07: windows computed in the subquery, thinning filter outside —
+    // a WHERE below the windows would renumber every rank
+    "o07_rank_suite" ->
+      """SELECT o_orderkey, o_orderpriority, rnk, drnk, prnk, cd, nt FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate) AS BIGINT) AS drnk,
+        |    percent_rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate) AS prnk,
+        |    cume_dist() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate) AS cd,
+        |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS nt
+        |  FROM orders) w
+        |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "o02_limit_stride" ->
       """SELECT event_id, event_type FROM events WHERE event_id % 7 = 0

@@ -919,6 +919,43 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // T50 learned language classifier (Naive-Bayes-flavored,
+    // integerized): per-language feature weights TRAINED from the
+    // corpus — hashed token-bigram occurrences (512 buckets), weight =
+    // add-one-smoothed scaled frequency ((c_lf+1)*1e6 div (c_l+512))
+    // — then every doc classified by argmax of its occurrences' weight
+    // sum (the t45 ratio-sum proxy for the log-prob sum: monotone and
+    // cross-engine exact where float logs are not; weights exist for
+    // OBSERVED (lang, feature) pairs only — an unseen pair scores 0,
+    // a harsher-than-Laplace penalty, mirrored identically in the
+    // oracle). Output is the
+    // confusion matrix against the labeled lang — the classifier-
+    // quality audit t11's stopword heuristic cannot produce. Scale:
+    // the 5x512 weight table broadcasts; scoring is one map-side hash
+    // join + a (doc, lang) sum; only the 25-cell rollup shuffles.
+    "t50_nb_langid" -> ((s, d) => {
+      val base = docs(s, d)
+      val feats = TextOps.positionedShingles(base, 2)
+        .select(col("doc_id"), (TextOps.fingerprint(col("sh")) % 512).as("fb"))
+      val labeled = feats.join(base.select("doc_id", "lang"), "doc_id")
+      val cl = labeled.groupBy("lang").agg(count(lit(1)).as("c_l"))
+      val wgt = broadcast(labeled.groupBy("lang", "fb")
+        .agg(count(lit(1)).as("c_lf"))
+        .join(cl, "lang")
+        .select(col("fb"), col("lang").as("cand"),
+          expr("((c_lf + 1) * 1000000) div (c_l + 512)").as("w")))
+      val scores = feats.join(wgt, "fb")
+        .groupBy("doc_id", "cand").agg(sum(col("w")).as("score"))
+      val aw = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cand"))
+      val pred = scores.withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1).select(col("doc_id"), col("cand").as("pred"))
+      base.select("doc_id", "lang").join(pred, Seq("doc_id"), "left")
+        .groupBy(col("lang"), coalesce(col("pred"), lit("none")).as("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred")
+    }),
+
     // T49 BPE merge training, two steps unrolled: each iteration picks
     // the corpus's most frequent adjacent token pair (count desc, pair
     // asc — the deterministic BPE selection rule) and applies the merge
@@ -1562,6 +1599,37 @@ object TextQueries {
          |FROM h LEFT JOIN nc ON nc.dn = h.doc_id
          |LEFT JOIN dups ON dups.dn = h.doc_id
          |WHERE h.hb >= 8 ORDER BY h.doc_id""".stripMargin,
+
+    // t50: same bigram/fingerprint CTEs; weights are observed
+    // (lang, fb) pairs only (unseen pairs score 0), mirrored exactly
+    "t50_nb_langid" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(l[i] || ' ' || l[i+1],''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 512 AS fb
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+        |        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents) t0) t1),
+        |lab AS (SELECT f.doc_id, f.fb, d.lang
+        |        FROM f JOIN documents d USING (doc_id)),
+        |cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l
+        |       FROM lab GROUP BY 1),
+        |clf AS (SELECT lang, fb, CAST(count(*) AS BIGINT) AS c_lf
+        |        FROM lab GROUP BY 1, 2),
+        |wgt AS (SELECT fb, clf.lang AS cand,
+        |          ((c_lf + 1) * 1000000) // (c_l + 512) AS w
+        |        FROM clf JOIN cl USING (lang)),
+        |sc AS (SELECT f.doc_id, w.cand, CAST(sum(w.w) AS BIGINT) AS score
+        |       FROM f JOIN wgt w USING (fb) GROUP BY 1, 2),
+        |pred AS (SELECT doc_id, cand AS pred FROM (
+        |    SELECT doc_id, cand, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, cand) AS rn FROM sc) p
+        |  WHERE rn = 1)
+        |SELECT d.lang, coalesce(pred.pred, 'none') AS pred,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents d LEFT JOIN pred USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // t45: same bigram-occurrence CTE as t32; bucket ratios are pure
     // BIGINT floor divisions, so doc scores match bit for bit
