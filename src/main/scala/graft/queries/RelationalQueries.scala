@@ -394,6 +394,58 @@ object RelationalQueries {
         .orderBy("flag")
     }),
 
+    // A23 per-group OLS regression (slope/intercept/r2 of price-cents on
+    // quantity, one fit per supplier bucket) — the grouped trend fit an
+    // analytics surface runs over per-entity time/size series. All five
+    // sufficient statistics (n, Σx, Σy, Σx², Σxy) are exact longs and
+    // map-side combinable — ONE shuffle of 5 longs per group regardless
+    // of row count, so the fit costs the same as a grouped sum at 100 TB.
+    // The closed-form doubles are derived from identical integer inputs
+    // by identical expression trees in both engines (per-group scalar
+    // IEEE arithmetic, no reassociated float sums) — hash-exact.
+    // Σy² would overflow n*Σy² in int64 at scale, so r2's second
+    // denominator factor converts to double BEFORE the multiply.
+    "a23_group_regression" -> ((s, d) => {
+      val b = li(s, d).select(
+        (col("l_suppkey") % 100).as("grp"),
+        asLong(col("l_quantity")).as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      b.groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("slope",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("intercept",
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"))
+        .withColumn("r2",
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))))
+        .select("grp", "n", "slope", "intercept", "r2")
+        .orderBy("grp")
+    }),
+
+    // A24 pivot — long->wide conditional aggregation (status columns per
+    // priority row). Spark's relational pivot with an EXPLICIT value list:
+    // without one, .pivot() runs a distinct-scan job over the column
+    // before planning, a hidden extra pass over the fact table at scale.
+    // DuckDB mirrors with CASE-filtered sums (what PIVOT desugars to).
+    "a24_pivot" -> ((s, d) =>
+      ord(s, d).select(col("o_orderpriority").as("priority"),
+          col("o_orderstatus"), cents(col("o_totalprice")).as("v"))
+        .groupBy("priority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(coalesce(sum(col("v")), lit(0L)))
+        .withColumnsRenamed(Map("F" -> "f_cents", "O" -> "o_cents", "P" -> "p_cents"))
+        .orderBy("priority")),
+
     // ---------------- O: sort / limit / set ops ----------------------
     // O1 multi-key ordering
     "o01_multi_order" -> ((s, d) =>
@@ -838,6 +890,42 @@ object RelationalQueries {
          |SELECT flag, tw AS total_w, CAST(min(v) AS BIGINT) AS wmedian_cents
          |FROM c WHERE cw * 2 >= tw
          |GROUP BY 1, 2 ORDER BY flag""".stripMargin,
+
+    // a23: sufficient statistics are exact integers in both engines
+    // (DuckDB sums BIGINT into HUGEINT — same integer value, same
+    // round-to-nearest on the cast to DOUBLE); every double below is
+    // derived by the same expression tree as the Spark side.
+    "a23_group_regression" ->
+      s"""WITH b AS (SELECT l_suppkey % 100 AS grp,
+         |             CAST(l_quantity AS BIGINT) AS x,
+         |             ${centsSql("l_extendedprice")} AS y
+         |           FROM lineitem),
+         |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x*x) AS BIGINT) AS sxx,
+         |        CAST(sum(x*y) AS BIGINT) AS sxy,
+         |        CAST(sum(y*y) AS BIGINT) AS syy
+         |      FROM b GROUP BY grp)
+         |SELECT grp, n,
+         |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+         |  (CAST(sy AS DOUBLE) -
+         |     (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+         |       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+         |  (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) /
+         |    (CAST(n*sxx - sx*sx AS DOUBLE) *
+         |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+         |FROM g ORDER BY grp""".stripMargin,
+
+    "a24_pivot" ->
+      s"""SELECT o_orderpriority AS priority,
+         |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+         |    THEN ${centsSql("o_totalprice")} END), 0) AS BIGINT) AS f_cents,
+         |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+         |    THEN ${centsSql("o_totalprice")} END), 0) AS BIGINT) AS o_cents,
+         |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+         |    THEN ${centsSql("o_totalprice")} END), 0) AS BIGINT) AS p_cents
+         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
 
     "o01_multi_order" ->
       s"""SELECT o_orderkey, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS od,

@@ -225,6 +225,34 @@ object SimilarityQueries {
       Similarity.knnPredict(rest, train, 5)
         .withColumn("score", round(col("score"), 6))
         .orderBy("vec_id")
+    }),
+
+    // V19: prototype-based data pruning (Sorscher et al. 2022, "Beyond
+    // neural scaling laws"; the SSL-prototypes metric D4 reuses): rank
+    // every vector by cosine to its OWN cluster centroid and DROP the
+    // most prototypical 20% per cluster — the easy/redundant examples.
+    // Scale shape: centroids are one map-side-combinable agg (k×dim
+    // doubles), broadcast back; the rank is a per-cluster window over
+    // cluster-sized partitions, never the corpus. The cosine doubles
+    // mirror the oracle's ordered left folds bit-exactly (see v01/v04),
+    // so the per-cluster ranking — and hence the integer output — is
+    // engine-independent.
+    "v19_prototype_prune" -> ((s, d) => {
+      val e = emb(s, d)
+      val c = broadcast(Similarity.centroids(e)
+        .select(col("label"), col("centroid"),
+          graft.functions.Fns.l2norm(col("centroid")).as("c_norm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("cos").desc, col("vec_id"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      e.join(c, "label")
+        .withColumn("cos", graft.functions.Fns.dot(col("embedding"), col("centroid")) /
+          (graft.functions.Fns.l2norm(col("embedding")) * col("c_norm")))
+        .withColumn("proto_rank", row_number().over(w).cast("long"))
+        .withColumn("cn", count(lit(1)).over(wn))
+        .filter(col("proto_rank") * 5 > col("cn"))
+        .select(col("vec_id"), col("label"), col("proto_rank"))
+        .orderBy("vec_id")
     })
   )
 
@@ -721,6 +749,37 @@ object SimilarityQueries {
         |  CAST(least(n.vec_id, min(r.b)) AS BIGINT) AS cluster,
         |  (n.vec_id = least(n.vec_id, min(r.b))) AS keep
         |FROM nodes n JOIN reach r ON r.a = n.vec_id
-        |GROUP BY n.vec_id ORDER BY n.vec_id""".stripMargin
+        |GROUP BY n.vec_id ORDER BY n.vec_id""".stripMargin,
+
+    // v19: own-label centroid (ordered per-dimension mean, as v04),
+    // cosine by the same left folds, rank windows per label; the 20%
+    // cut keeps rows with rank*5 > cluster size — integers out.
+    "v19_prototype_prune" ->
+      s"""WITH x AS (SELECT label, vec_id, u.z[2] AS pos,
+         |             CAST(u.z[1] AS DOUBLE) AS v
+         |           FROM embeddings e,
+         |             unnest(list_zip(e.embedding,
+         |               generate_series(0, len(e.embedding)-1))) AS u(z)),
+         |cp AS (SELECT label, pos,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list(v ORDER BY vec_id)), (a, y) -> a + y)
+         |           / count(*) AS c
+         |       FROM x GROUP BY label, pos),
+         |ctr AS (SELECT label AS c_label,
+         |          list(c ORDER BY pos) AS centroid
+         |        FROM cp GROUP BY label),
+         |cn AS (SELECT c_label, centroid,
+         |         sqrt(${sumsq("centroid")}) AS c_norm FROM ctr),
+         |s AS (SELECT e.vec_id, e.label,
+         |        ${dotOf("e.embedding", "cn.centroid")} /
+         |          (sqrt(${sumsq("e.embedding")}) * cn.c_norm) AS cos
+         |      FROM embeddings e JOIN cn ON e.label = cn.c_label),
+         |w AS (SELECT vec_id, label,
+         |        CAST(row_number() OVER (PARTITION BY label
+         |          ORDER BY cos DESC, vec_id) AS BIGINT) AS proto_rank,
+         |        count(*) OVER (PARTITION BY label) AS cnt
+         |      FROM s)
+         |SELECT vec_id, label, proto_rank FROM w
+         |WHERE proto_rank * 5 > cnt ORDER BY vec_id""".stripMargin
   )
 }

@@ -1172,7 +1172,35 @@ object TextQueries {
           (ascii(substring(col("text"), 1, 1)) +
             ascii(substring(col("text"), 17, 1)) * 31 +
             ascii(substring(col("text"), 33, 1)) * 961).as("checksum"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // T51 RAG chunking: split every document into OVERLAPPING token
+    // windows (W=32, stride 24 — 8-token overlap so retrieval never
+    // loses a boundary-straddling answer span) and fingerprint each
+    // chunk for downstream embedding/dedup. Distinct from t12's packing
+    // (which CONCATENATES docs into training sequences): chunking is
+    // the retrieval-corpus shape. Scale: pure per-row explode — no
+    // shuffle at all before the output sort; chunk count per doc is
+    // computed with integer arithmetic (no float ceil divergence), and
+    // the chunk fingerprint is the codegen'd rolling hash, so a 100 TB
+    // corpus chunks map-side in one pass.
+    "t51_chunk_windows" -> ((s, d) => {
+      val (w, st) = (32, 24)
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .withColumn("ntok", size(col("l")).cast("long"))
+        .withColumn("nch",
+          expr(s"1L + (greatest(ntok - $w, 0L) + ${st - 1}) div $st"))
+        .select(col("doc_id"), col("l"), col("ntok"),
+          explode(sequence(lit(0L), col("nch") - 1)).as("chunk_idx"))
+        .withColumn("start", col("chunk_idx") * st)
+        .withColumn("len", least(lit(w.toLong), col("ntok") - col("start")))
+        .withColumn("chunk_fp", TextOps.fingerprint(
+          concat_ws(" ",
+            slice(col("l"), (col("start") + 1).cast("int"), col("len").cast("int")))))
+        .select("doc_id", "chunk_idx", "start", "len", "chunk_fp")
+        .orderBy("doc_id", "chunk_idx")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -2363,6 +2391,27 @@ object TextQueries {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS nbytes,
         |  ascii(substr(text, 1, 1)) + ascii(substr(text, 17, 1)) * 31
         |    + ascii(substr(text, 33, 1)) * 961 AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t51: integer chunk-count arithmetic and the same rolling hash over
+    // the space-joined chunk tokens — byte-identical fingerprints.
+    "t51_chunk_windows" ->
+      """WITH b AS (SELECT doc_id, string_split(text,' ') AS l,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+        |           FROM documents),
+        |n AS (SELECT doc_id, l, ntok,
+        |        1 + (greatest(ntok - 32, 0) + 23) // 24 AS nch FROM b),
+        |c AS (SELECT doc_id, l, ntok,
+        |        unnest(generate_series(0, nch - 1)) AS chunk_idx FROM n),
+        |s AS (SELECT doc_id, chunk_idx, chunk_idx * 24 AS start,
+        |        least(32, ntok - chunk_idx * 24) AS len, l FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start, CAST(len AS BIGINT) AS len,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(
+        |      array_to_string(l[CAST(start+1 AS INT):CAST(start+len AS INT)], ' '),''),
+        |      ch -> CAST(ascii(ch) AS BIGINT))),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -312,4 +312,47 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(partialBelowShuffle, "no map-side partial bottom_k before the shuffle")
   }
+
+  test("a23 regression fits from ONE shuffle of sufficient statistics") {
+    // the whole fit must reduce to the grouped sums: a partial
+    // (map-side) HashAggregate below a single exchange, then scalar
+    // arithmetic — any second pre-sort exchange means the closed form
+    // stopped being computed from the 6 combinable longs
+    val plan = executed(SparkEntry.queries("a23_group_regression")(spark, sf))
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    val partialBelowShuffle = aggs.exists { a =>
+      a.aggregateExpressions.exists(_.mode ==
+        org.apache.spark.sql.catalyst.expressions.aggregate.Partial) &&
+        a.collect { case e: ShuffleExchangeLike => e }.isEmpty
+    }
+    assert(partialBelowShuffle, "no map-side partial sums before the shuffle")
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, // group-by + final orderBy range exchange
+      s"a23 shuffled ${shuffles.size} times - the fit must cost one agg")
+  }
+
+  test("v19 broadcasts the centroids and never degrades to sort-merge") {
+    val plan = executed(SparkEntry.queries("v19_prototype_prune")(spark, sf))
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, "centroid join degraded to sort-merge")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "v19 lost its broadcast centroid join")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "v19 planned a cartesian product")
+  }
+
+  test("t51 chunking explodes map-side: no shuffle below the Generate") {
+    val plan = executed(SparkEntry.queries("t51_chunk_windows")(spark, sf))
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, "chunk explode missing from plan")
+    gens.foreach { g =>
+      assert(g.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "t51 shuffled before the chunk explode - chunking must be one map pass")
+    }
+  }
 }
