@@ -323,7 +323,26 @@ object IntervalQueries {
       graft.operators.IntervalOps.peakConcurrency(ev(s, d),
           graft.operators.IntervalOps.Cols("event_type", "s", "e"),
           idCol = "event_id")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ST8 hopping (sliding) event-time windows via Spark's NATIVE
+    // window() — width 600 s, slide 300 s, so every event lands in
+    // exactly two windows. This is the Structured-Streaming-compatible
+    // shape (the same groupBy(window(...)) runs unchanged on a stream
+    // with a watermark); st02's tumbling buckets are the special case
+    // width == slide. Scale: window assignment is per-row expression
+    // work (no explode of the corpus against a window table), then one
+    // map-side-combinable count — a single shuffle of (window, type)
+    // partials regardless of event volume.
+    "st08_sliding_windows" -> ((s, d) => {
+      val raw = graft.sources.Tables.events(tune(s), d)
+      raw.select(col("event_type"), Q.tsSec(raw).cast("timestamp").as("t"))
+        .groupBy(window(col("t"), "600 seconds", "300 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("event_type"), col("n"))
+        .orderBy("w_start", "event_type")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -586,6 +605,20 @@ object IntervalQueries {
          |      FROM rs GROUP BY 1)
          |SELECT rs.event_type, p.peak, CAST(min(rs.t) AS BIGINT) AS peak_t
          |FROM rs JOIN p ON p.event_type = rs.event_type AND rs.c = p.peak
-         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // st08: Spark's hopping windows align to epoch 0, so with width
+    // 600 / slide 300 an event at second t belongs to the two windows
+    // starting at floor(t/300)*300 and that minus 300 — generated here
+    // by an i in {0,1} unnest, no window table.
+    "st08_sliding_windows" ->
+      """WITH e AS (SELECT event_type,
+        |             epoch_ns(ts) // 1000000000 AS t FROM events),
+        |w AS (SELECT event_type, t - (t % 300) - 300 * i AS w_start
+        |      FROM (SELECT event_type, t,
+        |              unnest(generate_series(0, 1)) AS i FROM e) x)
+        |SELECT CAST(w_start AS BIGINT) AS w_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
   )
 }

@@ -446,6 +446,36 @@ object RelationalQueries {
         .withColumnsRenamed(Map("F" -> "f_cents", "O" -> "o_cents", "P" -> "p_cents"))
         .orderBy("priority")),
 
+    // A25 moments sketch (Gan et al., SIGMOD'18 "Moments-based quantile
+    // sketches"): per-group power sums Σx..Σx⁴ — a constant-size,
+    // merge-exact summary from which quantile estimates and all four
+    // shape statistics derive without a second pass. On integer x
+    // (quantity ≤ 50, Σx⁴ ≤ ~4e12 per group) the sums are EXACT longs,
+    // so unlike HLL/KMV this sketch is oracle-hash-checkable. One
+    // map-side-combinable shuffle; mean/variance/skew/kurtosis are
+    // per-group scalar doubles with identical trees in both engines.
+    "a25_moments_sketch" -> ((s, d) => {
+      val b = li(s, d).select(col("l_returnflag").as("grp"),
+        asLong(col("l_quantity")).as("x"))
+      b.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("m1"),
+          sum(col("x") * col("x")).as("m2"),
+          sum(col("x") * col("x") * col("x")).as("m3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("m4"))
+        .withColumn("mean", col("m1").cast("double") / col("n").cast("double"))
+        .withColumn("variance",
+          col("m2").cast("double") / col("n").cast("double") -
+            col("mean") * col("mean"))
+        .withColumn("skewness",
+          (col("m3").cast("double") / col("n").cast("double") -
+            lit(3.0) * col("mean") * col("variance") -
+            col("mean") * col("mean") * col("mean")) /
+            (col("variance") * sqrt(col("variance"))))
+        .select("grp", "n", "m1", "m2", "m3", "m4", "mean", "variance",
+          "skewness")
+        .orderBy("grp")
+    }),
+
     // ---------------- O: sort / limit / set ops ----------------------
     // O1 multi-key ordering
     "o01_multi_order" -> ((s, d) =>
@@ -926,6 +956,28 @@ object RelationalQueries {
          |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
          |    THEN ${centsSql("o_totalprice")} END), 0) AS BIGINT) AS p_cents
          |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    // a25: exact integer power sums; the shape statistics repeat the
+    // Spark expression trees op-for-op (central-moment expansion written
+    // from the raw moments, not DuckDB's skewness() — that one applies
+    // a sample-size correction and accumulates in floats).
+    "a25_moments_sketch" ->
+      """WITH b AS (SELECT l_returnflag AS grp,
+        |             CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS m1,
+        |        CAST(sum(x*x) AS BIGINT) AS m2,
+        |        CAST(sum(x*x*x) AS BIGINT) AS m3,
+        |        CAST(sum(x*x*x*x) AS BIGINT) AS m4
+        |      FROM b GROUP BY grp),
+        |d AS (SELECT *, CAST(m1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM g),
+        |v AS (SELECT *, CAST(m2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - mean * mean AS variance FROM d)
+        |SELECT grp, n, m1, m2, m3, m4, mean, variance,
+        |  (CAST(m3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - 3.0 * mean * variance - mean * mean * mean)
+        |    / (variance * sqrt(variance)) AS skewness
+        |FROM v ORDER BY grp""".stripMargin,
 
     "o01_multi_order" ->
       s"""SELECT o_orderkey, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS od,

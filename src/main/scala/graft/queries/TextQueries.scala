@@ -1200,6 +1200,55 @@ object TextQueries {
             slice(col("l"), (col("start") + 1).cast("int"), col("len").cast("int")))))
         .select("doc_id", "chunk_idx", "start", "len", "chunk_fp")
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // T52 per-source boilerplate n-grams (the CCNet/web-pipeline
+    // pre-clean: navigation chrome, cookie banners, footers repeat
+    // across most pages of ONE site but not across the corpus): a
+    // bigram is boilerplate within a source when it appears in >= 5
+    // docs AND >= 20% of that source's docs. Scale: the source column
+    // rides the shingle explode map-side (shingleIdsWith — no
+    // corpus-sized re-join), the (source, sid) count is one
+    // map-side-combinable agg, and the per-source doc totals are a
+    // source-dimension broadcast.
+    "t52_boilerplate_ngrams" -> ((s, d) => {
+      val base = docs(s, d)
+      val perSrc = broadcast(
+        base.groupBy("source").agg(count(lit(1)).as("n_docs")))
+      TextOps.shingleIdsWith(base, 2, "source")
+        .groupBy("source", "sid").agg(count(lit(1)).as("df"))
+        .join(perSrc, "source")
+        .filter(col("df") >= 5 && col("df") * 5 >= col("n_docs"))
+        .select("source", "sid", "df", "n_docs")
+        .orderBy("source", "sid")
+    }),
+
+    // T53 source-level vocabulary similarity — the corpus-composition
+    // diagnostic a mixture builder runs before setting source weights
+    // (two near-identical crawls should not both get full quota):
+    // Jaccard of each source PAIR's bigram-vocabulary sets. Scale: the
+    // per-source profile is dimension-sized (sources × vocab, NOT
+    // corpus-sized), so the sid-keyed self-join and the size lookups
+    // are joins between broadcastable profile tables; the corpus is
+    // touched exactly once, map-side, to build the profiles.
+    "t53_source_similarity" -> ((s, d) => {
+      // vocab size rides every profile row via a profile-sized window,
+      // so the whole query is the self-join's two corpus passes — no
+      // third/fourth pass to look the sizes back up
+      val prof = TextOps.shingleIdsWith(docs(s, d), 2, "source")
+        .select("source", "sid").distinct()
+        .withColumn("nv",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+      prof.as("a")
+        .join(prof.as("b"),
+          col("a.sid") === col("b.sid") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"),
+          max(col("a.nv")).as("n1"), max(col("b.nv")).as("n2"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"))
+        .select("s1", "s2", "n1", "n2", "inter", "jaccard")
+        .orderBy("s1", "s2")
     })
   )
 
@@ -2412,6 +2461,58 @@ object TextQueries {
         |      array_to_string(l[CAST(start+1 AS INT):CAST(start+len AS INT)], ' '),''),
         |      ch -> CAST(ascii(ch) AS BIGINT))),
         |    (a, x) -> (a * 31 + x) % 1000000007) AS chunk_fp
-        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // t52: distinct per-doc bigram ids by the same rolling hash, then
+    // per-source document frequency against the source's doc count.
+    "t52_boilerplate_ngrams" ->
+      """WITH b AS (SELECT doc_id, source, string_split(text,' ') AS l
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source, l[i] || ' ' || l[i+1] AS sh
+        |      FROM (SELECT doc_id, source, l,
+        |              unnest(generate_series(1, len(l)-1)) AS i FROM b) t),
+        |ids AS (SELECT DISTINCT doc_id, source,
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(sh,''),
+        |              c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |        FROM g),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |df AS (SELECT source, sid, CAST(count(*) AS BIGINT) AS df
+        |       FROM ids GROUP BY 1, 2)
+        |SELECT df.source, df.sid, df.df, ns.n_docs
+        |FROM df JOIN ns USING (source)
+        |WHERE df.df >= 5 AND df.df * 5 >= ns.n_docs
+        |ORDER BY df.source, df.sid""".stripMargin,
+
+    // t53: distinct (source, bigram-id) profiles, sid-keyed pair
+    // intersection, Jaccard as one double division — integers
+    // everywhere else.
+    "t53_source_similarity" ->
+      """WITH b AS (SELECT doc_id, source, string_split(text,' ') AS l
+        |           FROM documents),
+        |g AS (SELECT DISTINCT source, l[i] || ' ' || l[i+1] AS sh
+        |      FROM (SELECT source, l,
+        |              unnest(generate_series(1, len(l)-1)) AS i FROM b) t),
+        |ids AS (SELECT DISTINCT source,
+        |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(string_split(sh,''),
+        |              c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, x) -> (a * 31 + x) % 1000000007) AS sid
+        |        FROM g),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv
+        |       FROM ids GROUP BY 1),
+        |it AS (SELECT a.source AS s1, b.source AS s2,
+        |         CAST(count(*) AS BIGINT) AS inter
+        |       FROM ids a JOIN ids b
+        |         ON a.sid = b.sid AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT it.s1, it.s2, x.nv AS n1, y.nv AS n2, it.inter,
+        |  CAST(it.inter AS DOUBLE)
+        |    / CAST(x.nv + y.nv - it.inter AS DOUBLE) AS jaccard
+        |FROM it JOIN sz x ON x.source = it.s1
+        |  JOIN sz y ON y.source = it.s2
+        |ORDER BY s1, s2""".stripMargin
   )
 }

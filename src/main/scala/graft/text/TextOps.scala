@@ -52,6 +52,17 @@ object TextOps {
       explode(array_distinct(transform(arr, sh => fingerprint(sh)))).as("sid"))
   }
 
+  /** [[shingleIds]] carrying extra per-doc columns through the explode
+    * map-side — callers that need (doc attr, sid) pairs must NOT pay a
+    * corpus-sized re-join on doc_id to get the attribute back. */
+  def shingleIdsWith(docs: DataFrame, k: Int, extra: String*): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val arr = Bridge.column(
+      graft.plans.Shingles(Bridge.expression(col("text")), k))
+    docs.select((col("doc_id") +: extra.map(col)) :+
+      explode(array_distinct(transform(arr, sh => fingerprint(sh)))).as("sid"): _*)
+  }
+
   /** Per-row distinct k-shingle count — the map-side form of
     * `shingles(df,k).groupBy(doc_id).count()`: a quantity every row can
     * compute about itself must never cost a corpus-sized

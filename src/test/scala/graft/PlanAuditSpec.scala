@@ -344,6 +344,34 @@ class PlanAuditSpec extends SparkSpec {
     }.isEmpty, "v19 planned a cartesian product")
   }
 
+  test("st08 hopping windows aggregate partially before the shuffle") {
+    // window assignment is Expand + per-row expression work; the count
+    // must combine map-side so the exchange carries (window,type)
+    // partials, never raw events
+    val plan = executed(SparkEntry.queries("st08_sliding_windows")(spark, sf))
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    val partialBelowShuffle = aggs.exists { a =>
+      a.aggregateExpressions.exists(_.mode ==
+        org.apache.spark.sql.catalyst.expressions.aggregate.Partial) &&
+        a.collect { case e: ShuffleExchangeLike => e }.isEmpty
+    }
+    assert(partialBelowShuffle, "no map-side partial count below the shuffle")
+  }
+
+  test("t52/t53 source profiles join without cartesians; t52 broadcasts the dim") {
+    val p52 = executed(SparkEntry.queries("t52_boilerplate_ngrams")(spark, sf))
+    assert(p52.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "t52 lost the broadcast of the per-source doc counts")
+    Seq("t52_boilerplate_ngrams", "t53_source_similarity").foreach { q =>
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, s"$q planned a cartesian product")
+    }
+  }
+
   test("t51 chunking explodes map-side: no shuffle below the Generate") {
     val plan = executed(SparkEntry.queries("t51_chunk_windows")(spark, sf))
     val gens = plan.collect {
