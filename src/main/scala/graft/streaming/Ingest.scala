@@ -115,6 +115,31 @@ object Ingest {
       .groupBy(window(col("ts"), every), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Watermarked stream-stream interval join — Spark's BUILT-IN
+    * two-stream join (the attribution shape: each right event matches
+    * left events of the same user within [l.ts, l.ts + within]). The
+    * time-range condition plus both watermarks let the state store
+    * evict rows once the watermark passes their match horizon, so
+    * state stays bounded no matter how long the streams run — the
+    * property that separates this from an unbounded cache join.
+    * Contrast [[streamingAsof]], which needs custom state because
+    * "latest right only" is not expressible as a join condition. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       within: String = "10 minutes",
+                       watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(col("user_id"), col("event_id").as("l_id"),
+      col("ts").as("l_ts")).withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"),
+      col("event_id").as("r_id"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+      s"""user_id = r_user AND
+         |r_ts >= l_ts AND
+         |r_ts <= l_ts + interval $within""".stripMargin))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Session windows per user with an inactivity gap — the streaming
     * form of IntervalOps.coalesce(gap) (Rekall coalesce ~ session
     * window over event time). */

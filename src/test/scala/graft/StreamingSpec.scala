@@ -61,6 +61,32 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.contains((2L, 1L)))
   }
 
+  test("stream-stream interval join matches the batch join and bounds matches to the window") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    // user 1: impression at t=0 -> clicks at t=60 (in window) and
+    // t=700 (outside 10 min); user 2: click with no impression
+    imps.addData(
+      Ev(10, ts(0), 1, "imp", 0, "{}"),
+      Ev(11, ts(300), 1, "imp", 0, "{}"))
+    clicks.addData(
+      Ev(20, ts(60), 1, "click", 0, "{}"),
+      Ev(21, ts(700), 1, "click", 0, "{}"),
+      Ev(22, ts(50), 2, "click", 0, "{}"))
+    // advance both watermarks past every match horizon
+    imps.addData(Ev(99, ts(60 * 60 * 5), 9, "imp", 0, "{}"))
+    clicks.addData(Ev(98, ts(60 * 60 * 5), 8, "click", 0, "{}"))
+    runToMemory(
+      Ingest.streamStreamJoin(imps.toDF(), clicks.toDF(), "10 minutes"),
+      "ssj_out", "append")
+    val got = spark.table("ssj_out")
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    // imp 10 matches click 20 (60s later) and 21 (700s > 600s: no);
+    // imp 11 (t=300) matches 21 (t=700, 400s later: yes)
+    assert(got === Set((10L, 20L), (11L, 21L)))
+  }
+
   test("streamingCoalesce merges islands across micro-batches with custom state") {
     implicit val sql = spark.sqlContext
     import graft.streaming.Ingest.{ClosedIv, KeyedIv}
