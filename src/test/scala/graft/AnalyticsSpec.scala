@@ -207,4 +207,72 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(ap - p) <= 2.0, s"$g p50 off: $ap vs $p")
     }
   }
+
+  test("a23's sufficient-statistic fit equals the direct least-squares solution") {
+    // property: for y = 3x + 7 + structured residuals, the closed form
+    // from (n, Σx, Σy, Σx², Σxy) must match the normal-equation solve
+    // computed directly in Scala on the same points
+    val pts = (1 to 200).map { i =>
+      val x = (i % 17).toLong + 1
+      val y = 3 * x + 7 + (i % 5) - 2 // residuals sum to ~0 per x
+      (x, y)
+    }
+    val df = pts.toDF("x", "y")
+    val r = df.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .withColumn("slope", ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+        ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+      .withColumn("intercept",
+        ($"sy".cast("double") - $"slope" * $"sx".cast("double")) / $"n".cast("double"))
+      .head()
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept") - icept) < 1e-12)
+    // sanity: the generated data really is ~ y = 3x + 7
+    assert(math.abs(slope - 3.0) < 0.1 && math.abs(icept - 7.0) < 1.0)
+  }
+
+  test("t51 chunk windows cover every token; adjacent full chunks overlap by 8") {
+    val sf = "/root/testdata/sf0.001"
+    val chunks = SparkEntry.queries("t51_chunk_windows")(spark, sf)
+      .select($"doc_id", $"start", $"len").as[(Long, Long, Long)]
+      .collect().groupBy(_._1)
+    val ntok = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    chunks.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // full coverage: first starts at 0, last ends at ntok, no gaps
+      assert(sorted.head._2 === 0L)
+      assert(sorted.last._2 + sorted.last._3 === ntok(doc),
+        s"doc $doc: last chunk ends before the document does")
+      sorted.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) =>
+          assert(s2 < s1 + l1, s"doc $doc: gap between chunks at $s2")
+          if (l1 == 32L) assert(s1 + l1 - s2 === 8L,
+            s"doc $doc: full-chunk overlap is not the 8-token stride remainder")
+        case _ => ()
+      }
+    }
+  }
+
+  test("v19 drops exactly the floor(n/5) most-prototypical vectors per cluster") {
+    val sf = "/root/testdata/sf0.001"
+    val kept = SparkEntry.queries("v19_prototype_prune")(spark, sf)
+      .groupBy($"label").agg(count(lit(1)).as("k"), min($"proto_rank").as("minr"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (l, k, m) => l -> (k, m) }.toMap
+    val total = graft.sources.Tables.embeddings(spark, sf)
+      .groupBy($"label").count().as[(Int, Long)].collect().toMap
+    total.foreach { case (l, n) =>
+      val (k, minr) = kept(l)
+      assert(k === n - n / 5, s"label $l: kept $k of $n")
+      assert(minr === n / 5 + 1, s"label $l: the cut rank is wrong")
+    }
+  }
 }
