@@ -389,3 +389,69 @@ object NfcNormalize {
     }
   }
 }
+
+/** One BPE merge step inside a token array: every adjacent (w1, w2)
+  * occurrence becomes the single token "w1_w2", scanning left to right
+  * and resuming AFTER a merge (HuggingFace greedy sweep: pair (a,a) on
+  * ["a","a","a"] yields ["a_a","a"], never ["a","a_a"]). The merges are
+  * TRAINED pairs (t49's output) and therefore data, so they arrive as
+  * broadcast columns, not literals — encoding stays fully distributed
+  * with no driver collect. The DuckDB oracle mirrors this with
+  * regexp_replace(text, '\bw1 w2\b', 'w1_w2', 'g') over the
+  * space-joined tokens: RE2's global replace is the same left-to-right
+  * non-overlapping sweep, and '_' is a word character, so boundaries
+  * still align after earlier merge rounds. Null tokens are not
+  * expected (inputs come from split). */
+case class MergePair(toks: Expression, w1: Expression, w2: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = toks
+  override def second: Expression = w1
+  override def third: Expression = w2
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = toks.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _)
+      if w1.dataType == StringType && w2.dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, string, string), got " +
+        s"(${toks.dataType.simpleString}, ${w1.dataType.simpleString}, " +
+        s"${w2.dataType.simpleString})")
+  }
+  override def prettyName: String = "merge_pair"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    MergePair.merge(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[UTF8String], c.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.plans.MergePair.merge($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) = copy(f, s, t)
+}
+
+object MergePair {
+  private val underscore = UTF8String.fromString("_")
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def merge(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            w1: UTF8String, w2: UTF8String):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && arr.getUTF8String(i).equals(w1) &&
+          arr.getUTF8String(i + 1).equals(w2)) {
+        out.add(UTF8String.concat(w1, underscore, w2))
+        i += 2
+      } else {
+        out.add(arr.getUTF8String(i))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}

@@ -1249,6 +1249,76 @@ object TextQueries {
           (col("n1") + col("n2") - col("inter")).cast("double"))
         .select("s1", "s2", "n1", "n2", "inter", "jaccard")
         .orderBy("s1", "s2")
+    }),
+
+    // T54 cross-modal near-dup confirmation — the production dedup
+    // gate that neither modality gives alone: text MinHash-LSH banding
+    // proposes candidate pairs cheaply (t04's machinery), then each
+    // pair's document embeddings (doc_id == vec_id here) either
+    // confirm (cosine) or refute. Scale: the candidate set is
+    // LSH-bounded (never all-pairs), and the embedding lookup is two
+    // equi-joins of a SMALL pair table against the vector corpus —
+    // exactly the probe pattern a 100 TB pipeline runs, where loading
+    // vectors for every pair beats shipping vectors to every band.
+    "t54_crossmodal_dedup" -> ((s, d) => {
+      val ids = TextOps.shingleIds(docs(s, d), 3)
+      val bands = TextOps.lshBands(TextOps.minhash(ids, 16, P), 2, P)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      val e = Tables.embeddings(tune(s), d).select(col("vec_id"),
+        col("embedding"), graft.functions.Fns.l2norm(col("embedding")).as("nrm"))
+      cand
+        .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+          col("nrm").as("nrm1")), "d1")
+        .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+          col("nrm").as("nrm2")), "d2")
+        .withColumn("cos", graft.functions.Fns.dot(col("e1"), col("e2")) /
+          (col("nrm1") * col("nrm2")))
+        .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"),
+          (col("cos") > 0.5).as("confirmed"))
+        .orderBy("d1", "d2")
+    }),
+
+    // T55 BPE ENCODE — the other half of t49 (which only trains the
+    // merge table): apply the two trained merges to every document and
+    // report the shrinking token counts. The merge step is the native
+    // merge_pair expression over token ARRAYS (plans.MergePair), not
+    // t49's regexp_replace demo: a column-valued regex pattern
+    // recompiles PER ROW and rescans the whole string per merge — at
+    // corpus scale the array sweep is the only viable encode path (and
+    // it cannot be broken by pair text that happens to contain regex
+    // metacharacters). Merges stay data: each trained pair is a 1-row
+    // broadcast crossJoin, never a driver collect.
+    "t55_bpe_encode" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      def mergeCol(toks: org.apache.spark.sql.Column,
+                   pair: org.apache.spark.sql.Column) =
+        Bridge.column(graft.plans.MergePair(Bridge.expression(toks),
+          Bridge.expression(split(pair, " ").getItem(0)),
+          Bridge.expression(split(pair, " ").getItem(1))))
+      def topPair(df: org.apache.spark.sql.DataFrame, tcol: String) =
+        df.select(explode(expr(
+            s"if(size($tcol) < 2, array(), " +
+              s"transform(sequence(1, size($tcol)-1), " +
+              s"i -> concat(element_at($tcol, i), ' ', element_at($tcol, i+1))))"))
+            .as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+      val d0 = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("t0"))
+      val d1 = d0
+        .crossJoin(broadcast(topPair(d0, "t0").select(col("pair").as("p1"))))
+        .withColumn("t1", mergeCol(col("t0"), col("p1")))
+      val d2 = d1
+        .crossJoin(broadcast(topPair(d1, "t1").select(col("pair").as("p2"))))
+        .withColumn("t2", mergeCol(col("t1"), col("p2")))
+      d2.select(col("doc_id"),
+          size(col("t0")).cast("long").as("ntok0"),
+          size(col("t1")).cast("long").as("ntok1"),
+          size(col("t2")).cast("long").as("ntok2"),
+          col("p1"), col("p2"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2513,6 +2583,65 @@ object TextQueries {
         |    / CAST(x.nv + y.nv - it.inter AS DOUBLE) AS jaccard
         |FROM it JOIN sz x ON x.source = it.s1
         |  JOIN sz y ON y.source = it.s2
-        |ORDER BY s1, s2""".stripMargin
+        |ORDER BY s1, s2""".stripMargin,
+
+    // t54: t04's candidate CTE verbatim, then the v-series cosine left
+    // folds on the candidates' embeddings — same doubles both engines.
+    "t54_crossmodal_dedup" ->
+      s"""WITH mh AS ($minhashSql),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |            CAST(sum(CASE WHEN i % 2 = 0 THEN mh * $P ELSE mh END) AS BIGINT) AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |e AS (SELECT vec_id, embedding,
+         |        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(embedding,
+         |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |          (a, x) -> a + x)) AS nrm
+         |      FROM embeddings),
+         |sc AS (SELECT d1, d2,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list_transform(list_zip(a.embedding, b.embedding),
+         |             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+         |           (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+         |       FROM cand JOIN e a ON a.vec_id = d1
+         |         JOIN e b ON b.vec_id = d2)
+         |SELECT d1, d2, round(cos, 6) AS cos, cos > 0.5 AS confirmed
+         |FROM sc ORDER BY d1, d2""".stripMargin,
+
+    // t55: t49's two trained merges (same CTEs), applied to every doc;
+    // RE2's global \b-bounded replace is the same left-to-right
+    // non-overlapping sweep as the native merge_pair array scan.
+    "t55_bpe_encode" ->
+      """WITH d0 AS (SELECT doc_id, text FROM documents),
+        |pc1 AS (SELECT l[i] || ' ' || l[i+1] AS pair, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
+        |              FROM (SELECT string_split(text,' ') AS l FROM d0) t0) t1
+        |        GROUP BY 1),
+        |p1 AS (SELECT pair FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
+        |d1 AS (SELECT doc_id,
+        |         regexp_replace(text,
+        |           '\b' || (SELECT pair FROM p1) || '\b',
+        |           replace((SELECT pair FROM p1), ' ', '_'), 'g') AS text
+        |       FROM d0),
+        |pc2 AS (SELECT l[i] || ' ' || l[i+1] AS pair, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM (SELECT l, unnest(generate_series(1, len(l)-1)) AS i
+        |              FROM (SELECT string_split(text,' ') AS l FROM d1) t0) t1
+        |        GROUP BY 1),
+        |p2 AS (SELECT pair FROM pc2 ORDER BY cnt DESC, pair LIMIT 1),
+        |d2 AS (SELECT doc_id,
+        |         regexp_replace(text,
+        |           '\b' || (SELECT pair FROM p2) || '\b',
+        |           replace((SELECT pair FROM p2), ' ', '_'), 'g') AS text
+        |       FROM d1)
+        |SELECT d0.doc_id,
+        |  CAST(len(string_split(d0.text,' ')) AS BIGINT) AS ntok0,
+        |  CAST(len(string_split(d1.text,' ')) AS BIGINT) AS ntok1,
+        |  CAST(len(string_split(d2.text,' ')) AS BIGINT) AS ntok2,
+        |  (SELECT pair FROM p1) AS p1, (SELECT pair FROM p2) AS p2
+        |FROM d0 JOIN d1 USING (doc_id) JOIN d2 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

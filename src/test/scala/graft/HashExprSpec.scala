@@ -109,6 +109,41 @@ class HashExprSpec extends SparkSpec {
     assert(viaSql.isNullAt(1))
   }
 
+  test("merge_pair equals the \\b-bounded regex sweep, including self-pairs") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def mp(toks: org.apache.spark.sql.Column, w1: String, w2: String) =
+      Bridge.column(graft.plans.MergePair(Bridge.expression(toks),
+        Bridge.expression(lit(w1)), Bridge.expression(lit(w2))))
+    val texts = Seq(
+      "a a a",             // self-pair: greedy left-to-right, not rightmost
+      "a a a a",
+      "x a a y a a",
+      "a b a b a",
+      "b",
+      "ab a a",            // token boundary: 'ab' must not match 'a'
+      "a")
+    val df = texts.toDF("text")
+    // pair (a, a)
+    val got = df.select(
+        array_join(mp(split(col("text"), " "), "a", "a"), " ").as("m"),
+        regexp_replace(col("text"), "\\ba a\\b", "a_a").as("r"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"merge_pair diverged from the regex sweep: ${r.getString(0)} vs ${r.getString(1)}"))
+    // pair (a, b) on alternating text
+    val got2 = df.select(
+        array_join(mp(split(col("text"), " "), "a", "b"), " ").as("m"),
+        regexp_replace(col("text"), "\\ba b\\b", "a_b").as("r"))
+      .collect()
+    got2.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // explicit expectations for the tricky self-pair rows
+    val direct = df.select(array_join(mp(split(col("text"), " "), "a", "a"), " "))
+      .as[String].collect()
+    assert(direct(0) === "a_a a")
+    assert(direct(1) === "a_a a_a")
+    assert(direct(5) === "ab a_a")
+  }
+
   test("max_multiplicity equals a groupBy-count reference (incl. edges)") {
     val rnd = new scala.util.Random(877)
     val cases: Seq[Seq[String]] =
