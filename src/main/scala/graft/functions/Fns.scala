@@ -131,4 +131,14 @@ object Fns {
   def l2dist(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x))
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative bucket columns — x on even bit positions, y on odd.
+    * Pure per-row shift/mask arithmetic (codegen'd, shuffle-free); the
+    * multi-dimensional layout key behind ZORDER-style file clustering. */
+  def mortonKey(qx: Column, qy: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(qx, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(qy, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
 }

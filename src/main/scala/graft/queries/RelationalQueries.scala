@@ -476,6 +476,49 @@ object RelationalQueries {
         .orderBy("grp")
     }),
 
+    // A26 CUPED variance reduction (Deng et al., WSDM'13): experiment-
+    // arm means adjusted by a pre-period covariate — arm = user_id % 2,
+    // x = pre-period activity (first half of the wrapped day), y =
+    // post-period. theta = cov(x,y)/var(x) from GLOBAL integer moments;
+    // adj_mean_a = mean_y_a - theta*(mean_x_a - mean_x). Scale shape:
+    // ONE map-side-combinable pass over events reduces to per-user
+    // (x,y); the global and per-arm moments are two aggs over that
+    // user-sized table, joined as a broadcast 1-row cross. Every double
+    // is a fixed op tree over exact BIGINT moments — cross-engine
+    // deterministic (the a23 regression discipline).
+    "a26_cuped" -> ((s, d) => {
+      val raw = Tables.events(tune(s), d)
+      val sec = Q.tsSec(raw) % 86400
+      val per = raw.select((col("user_id") % 2).as("arm"), col("user_id"),
+          when(sec < 43200, floor(col("value")).cast("long"))
+            .otherwise(0L).as("xv"),
+          when(sec >= 43200, floor(col("value")).cast("long"))
+            .otherwise(0L).as("yv"))
+        .groupBy(col("arm"), col("user_id"))
+        .agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+      val g = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_a"), sum(col("x")).as("sx_a"),
+          sum(col("y")).as("sy_a"))
+        .crossJoin(broadcast(g))
+        .withColumn("theta",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .withColumn("mean_y",
+          col("sy_a").cast("double") / col("n_a").cast("double"))
+        .withColumn("adj_mean",
+          col("mean_y") - col("theta") *
+            (col("sx_a").cast("double") / col("n_a").cast("double") -
+              col("sx").cast("double") / col("n").cast("double")))
+        .select(col("arm"), col("n_a"), col("sx_a"), col("sy_a"),
+          round(col("theta"), 6).as("theta6"),
+          round(col("mean_y"), 6).as("mean_y6"),
+          round(col("adj_mean"), 6).as("adj6"))
+        .orderBy("arm")
+    }),
+
     // ---------------- O: sort / limit / set ops ----------------------
     // O1 multi-key ordering
     "o01_multi_order" -> ((s, d) =>
@@ -566,6 +609,28 @@ object RelationalQueries {
         .select("o_orderkey", "o_orderpriority", "rnk", "drnk", "prnk",
           "cd", "nt")
         .orderBy("o_orderkey")
+    }),
+
+    // O8 Z-order layout key (Morton code; Delta/Iceberg OPTIMIZE ZORDER
+    // shape): interleave 8 bits of the customer bucket with 8 bits of
+    // the price bucket into one sort key, then audit the locality it
+    // buys — each 1024-key z-range confines BOTH dimensions to narrow
+    // bands, which is what makes min/max file pruning fire on either
+    // predicate after a range-partitioned write. The key is pure
+    // per-row codegen'd bit arithmetic (no shuffle, no UDF); the only
+    // exchange is the 64-cell rollup.
+    "o08_zorder" -> ((s, d) => {
+      val pc = cents(col("o_totalprice"))
+      val base = ord(s, d).select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(256L)).as("qx"),
+        pmod(floor(pc / lit(100000.0)).cast("long"), lit(256L)).as("qy"))
+      base.withColumn("zkey", Fns.mortonKey(col("qx"), col("qy"), 8))
+        .groupBy(shiftright(col("zkey"), 10).as("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("qx")).as("min_qx"), max(col("qx")).as("max_qx"),
+          min(col("qy")).as("min_qy"), max(col("qy")).as("max_qy"),
+          min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+        .orderBy("zcell")
     }),
 
     // ---------------- F: scalar functions ----------------------------
@@ -978,6 +1043,51 @@ object RelationalQueries {
         |    - 3.0 * mean * variance - mean * mean * mean)
         |    / (variance * sqrt(variance)) AS skewness
         |FROM v ORDER BY grp""".stripMargin,
+
+    // a26: exact integer moments; theta/means repeat the Spark doubles
+    // op-for-op (the a23 discipline).
+    "a26_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id % 2 AS arm, user_id,
+        |    CAST(sum(CASE WHEN (epoch_ns(ts)//1000000000) % 86400 < 43200
+        |      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN (epoch_ns(ts)//1000000000) % 86400 >= 43200
+        |      THEN CAST(floor(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy FROM per),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
+        |        CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a
+        |      FROM per GROUP BY arm)
+        |SELECT arm, n_a, sx_a, sy_a,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS theta6,
+        |  round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS mean_y6,
+        |  round(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        |      * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS adj6
+        |FROM a, g ORDER BY arm""".stripMargin,
+
+    // o08: the Morton interleave written as the identical shift/mask
+    // sum; qx/qy/zkey are exact integers in both engines.
+    "o08_zorder" -> {
+      val z = (0 until 8).map(i =>
+        s"((qx >> $i) & 1) << ${2 * i}") ++ (0 until 8).map(i =>
+        s"((qy >> $i) & 1) << ${2 * i + 1}")
+      s"""WITH b AS (SELECT o_orderkey, o_custkey % 256 AS qx,
+         |  CAST(floor(${centsSql("o_totalprice")} / 100000.0) AS BIGINT) % 256
+         |    AS qy FROM orders),
+         |z AS (SELECT o_orderkey, qx, qy,
+         |        ${z.map(t => s"($t)").mkString(" + ")} AS zkey FROM b)
+         |SELECT zkey >> 10 AS zcell, CAST(count(*) AS BIGINT) AS n,
+         |  min(qx) AS min_qx, max(qx) AS max_qx,
+         |  min(qy) AS min_qy, max(qy) AS max_qy,
+         |  min(zkey) AS min_z, max(zkey) AS max_z
+         |FROM z GROUP BY 1 ORDER BY zcell""".stripMargin
+    },
 
     "o01_multi_order" ->
       s"""SELECT o_orderkey, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d') AS od,

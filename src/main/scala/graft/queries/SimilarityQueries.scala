@@ -253,6 +253,38 @@ object SimilarityQueries {
         .filter(col("proto_rank") * 5 > col("cn"))
         .select(col("vec_id"), col("label"), col("proto_rank"))
         .orderBy("vec_id")
+    }),
+
+    // V20: hard-negative mining — per labeled anchor, the 5 most-
+    // similar vectors of a DIFFERENT label by exact cosine (FaceNet-
+    // style mining for contrastive/triplet training). The cosine
+    // doubles are the same v01 left folds, ties break on vec_id, so
+    // ranks are engine-independent.
+    "v20_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // V21: embedding drift between two corpus snapshots — per label,
+    // cosine and L2 distance between the centroid of the even-id half
+    // and the odd-id half (the distribution-shift monitor a periodic
+    // re-embedding pipeline alerts on; pairs with o06's row-level
+    // snapshot diff). Scale shape: each half's centroid is one
+    // map-side-combinable agg producing label-count × dim doubles; the
+    // drift compare joins two label-sized tables — the corpus is
+    // scanned exactly twice and never shuffled row-wise.
+    "v21_centroid_drift" -> ((s, d) => {
+      val e = emb(s, d)
+      val a = Similarity.centroids(e.filter(col("vec_id") % 2 === 0))
+        .select(col("label"), col("centroid").as("c_a"))
+      val b = Similarity.centroids(e.filter(col("vec_id") % 2 === 1))
+        .select(col("label").as("lb"), col("centroid").as("c_b"))
+      a.join(b, col("label") === col("lb"))
+        .select(col("label"),
+          round(graft.functions.Fns.cosine(col("c_a"), col("c_b")), 6).as("cos6"),
+          round(graft.functions.Fns.l2dist(col("c_a"), col("c_b")), 6).as("l2_6"))
+        .orderBy("label")
     })
   )
 
@@ -780,6 +812,54 @@ object SimilarityQueries {
          |        count(*) OVER (PARTITION BY label) AS cnt
          |      FROM s)
          |SELECT vec_id, label, proto_rank FROM w
-         |WHERE proto_rank * 5 > cnt ORDER BY vec_id""".stripMargin
+         |WHERE proto_rank * 5 > cnt ORDER BY vec_id""".stripMargin,
+
+    // v20: v01's fold with a label-inequality join — the cosine
+    // doubles, and hence the per-anchor ranking, are bit-identical.
+    "v20_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+         |             embedding AS q_emb, sqrt(${sumsq("embedding")}) AS q_norm
+         |           FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id, label, embedding,
+         |        sqrt(${sumsq("embedding")}) AS nrm FROM embeddings),
+         |s AS (SELECT q.q_id, q.q_label, c.vec_id, c.label AS neg_label,
+         |        ${dotOf("c.embedding", "q.q_emb")} / (c.nrm * q.q_norm) AS cos
+         |      FROM c, q WHERE c.label <> q.q_label),
+         |r AS (SELECT q_id, q_label, vec_id, neg_label, cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |      FROM s)
+         |SELECT q_id, q_label, vec_id, neg_label, rank, round(cos, 6) AS cos6
+         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // v21: both half-centroids replay the v04 ordered-fold mean; the
+    // single-pass native cosine equals dot/(norm*norm) separately
+    // folded (NativeExprSpec), and the l2 fold mirrors Spark's
+    // zip_with (x-y)^2 left fold — all doubles bit-identical.
+    "v21_centroid_drift" ->
+      s"""WITH x AS (SELECT label, vec_id, vec_id % 2 AS half, u.z[2] AS pos,
+         |             CAST(u.z[1] AS DOUBLE) AS v
+         |           FROM embeddings e,
+         |             unnest(list_zip(e.embedding,
+         |               generate_series(0, len(e.embedding)-1))) AS u(z)),
+         |cp AS (SELECT label, half, pos,
+         |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |           list(v ORDER BY vec_id)), (a, y) -> a + y)
+         |           / count(*) AS c
+         |       FROM x GROUP BY label, half, pos),
+         |ctr AS (SELECT label, half, list(c ORDER BY pos) AS centroid
+         |        FROM cp GROUP BY label, half),
+         |p AS (SELECT a.label, a.centroid AS c_a, b.centroid AS c_b
+         |      FROM ctr a JOIN ctr b ON a.label = b.label
+         |      WHERE a.half = 0 AND b.half = 1)
+         |SELECT label,
+         |  round(${dotOf("c_a", "c_b")} /
+         |    (sqrt(${sumsq("c_a")}) * sqrt(${sumsq("c_b")})), 6) AS cos6,
+         |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list_transform(list_zip(c_a, c_b),
+         |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+         |    (a, x) -> a + x)), 6) AS l2_6
+         |FROM p ORDER BY label""".stripMargin
   )
 }

@@ -1319,7 +1319,31 @@ object TextQueries {
           size(col("t2")).cast("long").as("ntok2"),
           col("p1"), col("p2"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // T56 dataset card: the per-language corpus summary a training-mix
+    // decision reads first — doc/source counts, char and token volume,
+    // exact-dup ratio — plus the ALL rollup row (what a Hugging-Face
+    // dataset card tabulates; Gebru et al. 2018 "Datasheets for
+    // Datasets"). ONE pass: the per-row char/token counts are plain
+    // expressions, the rollup is map-side-combinable, and the two
+    // countDistincts expand per grouping set without rescanning the
+    // corpus.
+    "t56_corpus_card" -> ((s, d) =>
+      docs(s, d).select(col("lang"), col("source"), col("text"),
+          length(col("text")).cast("long").as("nc"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .rollup(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("nc")).as("total_chars"),
+          sum(col("nt")).as("total_toks"),
+          countDistinct(col("text")).as("n_distinct"))
+        .withColumn("lang", coalesce(col("lang"), lit("ALL")))
+        .withColumn("dup_ratio",
+          round((col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs").cast("double"), 6))
+        .orderBy("lang"))
   )
 
   // ------------------------------------------------------------------
@@ -2642,6 +2666,25 @@ object TextQueries {
         |  CAST(len(string_split(d2.text,' ')) AS BIGINT) AS ntok2,
         |  (SELECT pair FROM p1) AS p1, (SELECT pair FROM p2) AS p2
         |FROM d0 JOIN d1 USING (doc_id) JOIN d2 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // t56: GROUP BY ROLLUP mirrors Spark's rollup grouping sets; all
+    // counts exact BIGINTs, the one double is the dup ratio.
+    "t56_corpus_card" ->
+      """WITH b AS (SELECT lang, source, text,
+        |             CAST(length(text) AS BIGINT) AS nc,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS nt
+        |           FROM documents),
+        |g AS (SELECT coalesce(lang, 'ALL') AS lang,
+        |        CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |        CAST(sum(nc) AS BIGINT) AS total_chars,
+        |        CAST(sum(nt) AS BIGINT) AS total_toks,
+        |        CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+        |      FROM b GROUP BY ROLLUP(lang))
+        |SELECT lang, n_docs, n_sources, total_chars, total_toks, n_distinct,
+        |  round(CAST(n_docs - n_distinct AS DOUBLE)
+        |    / CAST(n_docs AS DOUBLE), 6) AS dup_ratio
+        |FROM g ORDER BY lang""".stripMargin
   )
 }

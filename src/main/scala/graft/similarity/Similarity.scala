@@ -35,6 +35,28 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos6"))
   }
 
+  /** Hard-negative mining for contrastive training: for each labeled
+    * anchor, the top-k most-similar corpus vectors with a DIFFERENT
+    * label by exact cosine — the pairs a metric-learning / embedding
+    * loss learns most from (Schroff et al., CVPR'15 FaceNet mining;
+    * the reference's identity-embedding surface is the same space,
+    * app/esper/face_embeddings.py:74-131). Anchors broadcast; the
+    * label-inequality theta join is ONE distributed corpus scan ranked
+    * per anchor — never an all-pairs shuffle. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(anchors.select(col("vec_id").as("q_id"),
+      col("label").as("q_label"), col("embedding").as("q_emb"),
+      Fns.l2norm(col("embedding")).as("q_norm")))
+    val scored = corpus.withColumn("__norm", Fns.l2norm(col("embedding")))
+      .join(q, col("label") =!= col("q_label"))
+      .withColumn("cos", Fns.dot(col("embedding"), col("q_emb")) /
+        (col("__norm") * col("q_norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        col("label").as("neg_label"), col("rank"), round(col("cos"), 6).as("cos6"))
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)); hyperplanes
     * are `nBits` corpus vectors (deterministic, seed-free). */
   def lshBuckets(corpus: DataFrame, hyperplanes: DataFrame): DataFrame = {

@@ -275,4 +275,75 @@ class AnalyticsSpec extends SparkSpec {
       assert(minr === n / 5 + 1, s"label $l: the cut rank is wrong")
     }
   }
+
+  test("mortonKey equals a bit-interleave reference on the full 8-bit grid") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).sum
+    val grid = for (x <- 0L until 256L by 17L; y <- 0L until 256L by 13L)
+      yield (x, y)
+    val got = grid.toDF("qx", "qy")
+      .select($"qx", $"qy", graft.functions.Fns.mortonKey($"qx", $"qy", 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z === ref(x, y), s"($x,$y)") }
+    // locality: a 1024-key z-range confines both dims to 32-wide bands
+    val cells = got.groupBy { case (_, _, z) => z >> 10 }
+    cells.values.foreach { g =>
+      assert(g.map(_._1).max - g.map(_._1).min < 32)
+      assert(g.map(_._2).max - g.map(_._2).min < 32)
+    }
+  }
+
+  test("CUPED adjustment matches the direct theta computation and cuts variance") {
+    // planted balanced design (each (x, arm) combo equally often, as
+    // randomization guarantees in expectation): y = 2x + arm_effect.
+    // Pooled theta is then exactly 2, the adjusted delta is the pure
+    // arm effect 5, and the adjusted metric has ZERO within-arm
+    // variance (y - theta*x is constant per arm) — the CUPED claim.
+    val users = (0L until 196L).map { u =>
+      val arm = u % 2
+      val x = u % 7
+      val y = 2 * x + (if (arm == 1) 5 else 0)
+      (arm, u, x, y)
+    }
+    val per = users.toDF("arm", "user_id", "x", "y")
+    val n = users.size.toLong
+    val sx = users.map(_._3).sum; val sy = users.map(_._4).sum
+    val sxx = users.map(t => t._3 * t._3).sum
+    val sxy = users.map(t => t._3 * t._4).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(theta === 2.0)
+    val adj = users.groupBy(_._1).map { case (arm, g) =>
+      val na = g.size; val sxa = g.map(_._3).sum; val sya = g.map(_._4).sum
+      arm -> (sya.toDouble / na - theta *
+        (sxa.toDouble / na - sx.toDouble / n))
+    }
+    // the adjusted delta is the pure arm effect
+    assert(math.abs(adj(1L) - adj(0L) - 5.0) < 1e-9)
+    // variance reduction: the adjusted per-user metric y - theta*x is
+    // constant within each arm, while raw y varies with x
+    users.groupBy(_._1).foreach { case (_, g) =>
+      val r = g.map(t => t._4 - theta * t._3)
+      assert(r.max - r.min < 1e-9)
+      assert(g.map(_._4).max - g.map(_._4).min > 1)
+    }
+    // the query's Spark aggregation tree recovers the same numbers
+    val g = per.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+      sum($"x" * $"y").as("sxy"))
+    val got = per.groupBy($"arm")
+      .agg(count(lit(1)).as("n_a"), sum($"x").as("sx_a"), sum($"y").as("sy_a"))
+      .crossJoin(g)
+      .withColumn("theta",
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+      .withColumn("adj", $"sy_a".cast("double") / $"n_a".cast("double") -
+        $"theta" * ($"sx_a".cast("double") / $"n_a".cast("double") -
+          $"sx".cast("double") / $"n".cast("double")))
+      .select($"arm", $"theta", $"adj").as[(Long, Double, Double)]
+      .collect().map { case (a, t, v) => a -> (t, v) }.toMap
+    got.values.foreach { case (t, _) => assert(t === theta) }
+    assert(math.abs(got(1L)._2 - adj(1L)) < 1e-12)
+    assert(math.abs(got(0L)._2 - adj(0L)) < 1e-12)
+  }
 }

@@ -22,6 +22,39 @@ class SimilaritySpec extends SparkSpec {
     assert(top.last === 3L)   // anti-parallel last
   }
 
+  test("hardNegatives returns only other-label vectors, nearest first") {
+    val hn = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 0), 2)
+      .orderBy("rank")
+      .select("vec_id", "neg_label", "rank").collect()
+    // anchor 0 has label 0; candidates are label-1 vectors {2, 3}
+    assert(hn.map(_.getInt(1)).forall(_ == 1))
+    // orthogonal (cos 0) ranks above anti-parallel (cos -1)
+    assert(hn.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+  }
+
+  test("centroid drift of identical halves is zero") {
+    // two copies of the same geometry on even/odd ids: per-label
+    // half-centroids coincide, so cos=1 and l2=0 exactly
+    val twin = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 2f, 0f, 0f), 1), (3L, Array(0f, 2f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val a = Similarity.centroids(twin.filter($"vec_id" % 2 === 0))
+      .select($"label", $"centroid".as("c_a"))
+    val b = Similarity.centroids(twin.filter($"vec_id" % 2 === 1))
+      .select($"label".as("lb"), $"centroid".as("c_b"))
+    val drift = a.join(b, $"label" === $"lb")
+      .select($"label",
+        graft.functions.Fns.cosine($"c_a", $"c_b").as("cos"),
+        graft.functions.Fns.l2dist($"c_a", $"c_b").as("l2"))
+      .collect()
+    assert(drift.length === 2)
+    drift.foreach { r =>
+      assert(r.getDouble(1) === 1.0)
+      assert(r.getDouble(2) === 0.0)
+    }
+  }
+
   test("nearDupPairs finds the planted near-duplicate") {
     val h = vecs.select($"vec_id".as("hid"), $"embedding".as("h_emb"))
     val pairs = Similarity.nearDupPairs(vecs, h, 0.9)
