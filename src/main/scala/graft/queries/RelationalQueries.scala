@@ -519,6 +519,44 @@ object RelationalQueries {
         .orderBy("arm")
     }),
 
+    // A27 Welch two-sample t-test (unequal variances) between the two
+    // a26 arms on per-user total activity: t and the Welch–
+    // Satterthwaite dof from per-arm integer moments (n, Σy, Σy²) —
+    // the significance readout an experiment pipeline pairs with
+    // CUPED. ONE map-side pass to per-user sums, a 2-row arm agg, and
+    // a 1×1 broadcast cross; every double is a fixed op tree over
+    // exact BIGINTs.
+    "a27_welch_ttest" -> ((s, d) => {
+      val raw = Tables.events(tune(s), d)
+      val per = raw.select((col("user_id") % 2).as("arm"), col("user_id"),
+          floor(col("value")).cast("long").as("yv"))
+        .groupBy(col("arm"), col("user_id")).agg(sum(col("yv")).as("y"))
+      val g = per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+          sum(col("y") * col("y")).as("ss"))
+      def m(p: String) = col(s"${p}s").cast("double") / col(s"${p}n").cast("double")
+      def v(p: String) =
+        (col(s"${p}ss").cast("double") -
+          col(s"${p}s").cast("double") * col(s"${p}s").cast("double") /
+            col(s"${p}n").cast("double")) / (col(s"${p}n").cast("double") - 1.0)
+      val g0 = g.filter(col("arm") === 0)
+        .select(col("n").as("an"), col("s").as("as"), col("ss").as("ass"))
+      val g1 = g.filter(col("arm") === 1)
+        .select(col("n").as("bn"), col("s").as("bs"), col("ss").as("bss"))
+      g0.crossJoin(g1)
+        .withColumn("se2", v("b") / col("bn").cast("double") +
+          v("a") / col("an").cast("double"))
+        .withColumn("t_stat", (m("b") - m("a")) / sqrt(col("se2")))
+        .withColumn("dof", col("se2") * col("se2") /
+          ((v("b") / col("bn").cast("double")) * (v("b") / col("bn").cast("double")) /
+            (col("bn").cast("double") - 1.0) +
+           (v("a") / col("an").cast("double")) * (v("a") / col("an").cast("double")) /
+            (col("an").cast("double") - 1.0)))
+        .select(col("an"), col("bn"),
+          round(m("a"), 6).as("mean0_6"), round(m("b"), 6).as("mean1_6"),
+          round(col("t_stat"), 6).as("t6"), round(col("dof"), 6).as("dof6"))
+    }),
+
     // ---------------- O: sort / limit / set ops ----------------------
     // O1 multi-key ordering
     "o01_multi_order" -> ((s, d) =>
@@ -1070,6 +1108,38 @@ object RelationalQueries {
         |      * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
         |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS adj6
         |FROM a, g ORDER BY arm""".stripMargin,
+
+    // a27: the Welch t and Satterthwaite dof repeat the Spark doubles
+    // op-for-op over exact per-arm integer moments.
+    "a27_welch_ttest" ->
+      """WITH per AS (SELECT user_id % 2 AS arm, user_id,
+        |    CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS BIGINT) AS s,
+        |        CAST(sum(y*y) AS BIGINT) AS ss FROM per GROUP BY arm),
+        |a AS (SELECT n AS an, s AS sa, ss AS ssa FROM g WHERE arm = 0),
+        |b AS (SELECT n AS bn, s AS sb, ss AS ssb FROM g WHERE arm = 1),
+        |x AS (SELECT an, bn,
+        |  CAST(sa AS DOUBLE) / CAST(an AS DOUBLE) AS ma,
+        |  CAST(sb AS DOUBLE) / CAST(bn AS DOUBLE) AS mb,
+        |  (CAST(ssa AS DOUBLE)
+        |    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(an AS DOUBLE))
+        |    / (CAST(an AS DOUBLE) - 1.0) AS va,
+        |  (CAST(ssb AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(bn AS DOUBLE))
+        |    / (CAST(bn AS DOUBLE) - 1.0) AS vb
+        | FROM a, b),
+        |w AS (SELECT *, vb / CAST(bn AS DOUBLE) + va / CAST(an AS DOUBLE)
+        |        AS se2 FROM x)
+        |SELECT an, bn, round(ma, 6) AS mean0_6, round(mb, 6) AS mean1_6,
+        |  round((mb - ma) / sqrt(se2), 6) AS t6,
+        |  round(se2 * se2 / (
+        |    (vb / CAST(bn AS DOUBLE)) * (vb / CAST(bn AS DOUBLE))
+        |      / (CAST(bn AS DOUBLE) - 1.0)
+        |    + (va / CAST(an AS DOUBLE)) * (va / CAST(an AS DOUBLE))
+        |      / (CAST(an AS DOUBLE) - 1.0)), 6) AS dof6
+        |FROM w""".stripMargin,
 
     // o08: the Morton interleave written as the identical shift/mask
     // sum; qx/qy/zkey are exact integers in both engines.

@@ -285,6 +285,15 @@ object SimilarityQueries {
           round(graft.functions.Fns.cosine(col("c_a"), col("c_b")), 6).as("cos6"),
           round(graft.functions.Fns.l2dist(col("c_a"), col("c_b")), 6).as("l2_6"))
         .orderBy("label")
+    }),
+
+    // V22: MMR diversified retrieval — greedy pick-3 from an int8
+    // pool of 12 per query, score = rel − max sim-to-selected (λ=1/2).
+    // Integer dots + vec_id tie-breaks keep the greedy trace exact.
+    "v22_mmr_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.mmrRerank(e, e.filter(col("vec_id") < 5), poolK = 12, k = 3)
+        .orderBy("q_id", "pick")
     })
   )
 
@@ -860,6 +869,64 @@ object SimilarityQueries {
          |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
          |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
          |    (a, x) -> a + x)), 6) AS l2_6
-         |FROM p ORDER BY label""".stripMargin
+         |FROM p ORDER BY label""".stripMargin,
+
+    // v22: v08's quantized-dot chain builds the pool; the greedy MMR
+    // trace is unrolled as three pick layers (max over the selected
+    // set = greatest of the individual sims — all exact integers).
+    "v22_mmr_rerank" -> {
+      val qz = (x: String) =>
+        s"CAST(round(CAST($x AS DOUBLE) * 127.0 / (SELECT ma FROM m)) AS BIGINT)"
+      s"""WITH m AS (
+         |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+         |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+         |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 5),
+         |z AS (SELECT q.q_id, c.vec_id, unnest(list_zip(q.qe, c.embedding)) AS p
+         |      FROM q JOIN embeddings c ON c.vec_id <> q.q_id),
+         |d AS (SELECT q_id, vec_id,
+         |        CAST(sum(${qz("p[1]")} * ${qz("p[2]")}) AS BIGINT) AS rel
+         |      FROM z GROUP BY 1, 2),
+         |pool AS (SELECT q_id, vec_id, rel FROM (
+         |    SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, vec_id) AS rn FROM d) t WHERE rn <= 12),
+         |zp AS (SELECT a.q_id, a.vec_id AS av, b.vec_id AS bv,
+         |         unnest(list_zip(ea.embedding, eb.embedding)) AS p
+         |       FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+         |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |       JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |ps AS (SELECT q_id, av, bv,
+         |         CAST(sum(${qz("p[1]")} * ${qz("p[2]")}) AS BIGINT) AS s
+         |       FROM zp GROUP BY 1, 2, 3),
+         |p1 AS (SELECT q_id, vec_id, rel AS score FROM (
+         |    SELECT q_id, vec_id, rel, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, vec_id) AS rn FROM pool) t WHERE rn = 1),
+         |c2 AS (SELECT pl.q_id, pl.vec_id, pl.rel - ps.s AS score
+         |       FROM pool pl
+         |       JOIN p1 ON p1.q_id = pl.q_id AND pl.vec_id <> p1.vec_id
+         |       JOIN ps ON ps.q_id = pl.q_id AND ps.av = pl.vec_id
+         |         AND ps.bv = p1.vec_id),
+         |p2 AS (SELECT q_id, vec_id, score FROM (
+         |    SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, vec_id) AS rn FROM c2) t WHERE rn = 1),
+         |c3 AS (SELECT pl.q_id, pl.vec_id,
+         |         pl.rel - greatest(s1.s, s2.s) AS score
+         |       FROM pool pl
+         |       JOIN p1 ON p1.q_id = pl.q_id
+         |       JOIN p2 ON p2.q_id = pl.q_id
+         |       JOIN ps s1 ON s1.q_id = pl.q_id AND s1.av = pl.vec_id
+         |         AND s1.bv = p1.vec_id
+         |       JOIN ps s2 ON s2.q_id = pl.q_id AND s2.av = pl.vec_id
+         |         AND s2.bv = p2.vec_id
+         |       WHERE pl.vec_id <> p1.vec_id AND pl.vec_id <> p2.vec_id),
+         |p3 AS (SELECT q_id, vec_id, score FROM (
+         |    SELECT q_id, vec_id, score, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, vec_id) AS rn FROM c3) t WHERE rn = 1)
+         |SELECT q_id, vec_id, pick, score FROM (
+         |  SELECT q_id, vec_id, 1 AS pick, score FROM p1
+         |  UNION ALL SELECT q_id, vec_id, 2, score FROM p2
+         |  UNION ALL SELECT q_id, vec_id, 3, score FROM p3) u
+         |ORDER BY q_id, pick""".stripMargin
+    }
   )
 }

@@ -231,6 +231,57 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rank"), round(col("cos"), 6).as("cos6"))
   }
 
+  /** Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein, SIGIR'98) with λ=1/2: greedily pick
+    * argmax[rel(c) − max_{s∈S} sim(c, s)] from an int8 candidate pool
+    * — the serving-side diversifier that stops k near-duplicates
+    * filling a retrieval slate. All scores are exact quantized-integer
+    * dots (the v08 scale), ties break on vec_id, so the greedy
+    * selection is cross-engine deterministic. Scale shape: the pool is
+    * |queries| × poolK rows; every greedy step is a pool-sized
+    * anti-join + max-agg + per-query window — the corpus is scanned
+    * only to build the pool and the pairwise sims are pool×pool per
+    * query, never corpus-wide. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+                poolK: Int, k: Int): DataFrame = {
+    require(k >= 1 && poolK >= k, s"pool $poolK smaller than k=$k")
+    val pool = int8TopK(corpus, queries, poolK)
+      .select(col("q_id"), col("vec_id"), col("qdot").as("rel"))
+    // pairwise quantized sims inside each pool (poolK² per query,
+    // directed); vectors arrive by id equi-join on the quantized corpus
+    val qv = quantizeInt8(corpus).select(col("vec_id").as("qv_id"),
+      col("__q").as("qv"))
+    val pa = pool.join(qv, col("vec_id") === col("qv_id"))
+      .select(col("q_id"), col("vec_id").as("av"), col("qv").as("aq"))
+    val pb = pool.join(qv, col("vec_id") === col("qv_id"))
+      .select(col("q_id").as("qb"), col("vec_id").as("bv"), col("qv").as("bq"))
+    val sims = pa.join(pb, col("q_id") === col("qb") && col("av") =!= col("bv"))
+      .select(col("q_id"), col("av"), col("bv"),
+        Fns.dot(col("aq"), col("bq")).cast("long").as("s"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    var sel = pool.withColumn("score", col("rel"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id"), lit(1).as("pick"), col("score"))
+    var i = 2
+    while (i <= k) {
+      val selIds = sel.select(col("q_id").as("sq"), col("vec_id").as("sv"))
+      val cand = pool.join(selIds,
+        col("q_id") === col("sq") && col("vec_id") === col("sv"), "left_anti")
+      val ms = sims.join(selIds,
+          col("q_id") === col("sq") && col("bv") === col("sv"))
+        .select(col("q_id").as("mq"), col("av"), col("s"))
+        .groupBy("mq", "av").agg(max(col("s")).as("maxsim"))
+      val scored = cand.join(ms,
+          col("q_id") === col("mq") && col("vec_id") === col("av"))
+        .withColumn("score", col("rel") - col("maxsim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), lit(i).as("pick"), col("score"))
+      sel = sel.unionByName(scored)
+      i += 1
+    }
+    sel
+  }
+
   /** Matryoshka two-stage retrieval (Kusupati et al. 2022, "Matryoshka
     * Representation Learning"): coarse-rank on the PREFIX of the
     * embedding (MRL-trained encoders front-load information, so the

@@ -346,4 +346,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(got(1L)._2 - adj(1L)) < 1e-12)
     assert(math.abs(got(0L)._2 - adj(0L)) < 1e-12)
   }
+
+  test("Welch t-test moments recover the textbook t and dof") {
+    // planted arms: a = {10,12,14}, b = {20,26,32}
+    val a = Seq(10.0, 12.0, 14.0); val b = Seq(20.0, 26.0, 32.0)
+    def mv(xs: Seq[Double]) = {
+      val n = xs.size; val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = mv(a); val (nb, mb, vb) = mv(b)
+    val se2 = vb / nb + va / na
+    val tRef = (mb - ma) / math.sqrt(se2)
+    val dofRef = se2 * se2 /
+      ((vb / nb) * (vb / nb) / (nb - 1) + (va / na) * (va / na) / (na - 1))
+    // the query's integer-moment formulation on a toy frame
+    val per = (a.map((0L, _)) ++ b.map((1L, _)))
+      .map { case (arm, y) => (arm, y.toLong) }.toDF("arm", "y")
+    val g = per.groupBy($"arm").agg(count(lit(1)).as("n"),
+      sum($"y").as("s"), sum($"y" * $"y").as("ss"))
+    val r = g.filter($"arm" === 0)
+      .select($"n".as("an"), $"s".as("sa"), $"ss".as("ssa"))
+      .crossJoin(g.filter($"arm" === 1)
+        .select($"n".as("bn"), $"s".as("sb"), $"ss".as("ssb")))
+      .withColumn("va", ($"ssa".cast("double") -
+        $"sa".cast("double") * $"sa".cast("double") / $"an".cast("double")) /
+        ($"an".cast("double") - 1.0))
+      .withColumn("vb", ($"ssb".cast("double") -
+        $"sb".cast("double") * $"sb".cast("double") / $"bn".cast("double")) /
+        ($"bn".cast("double") - 1.0))
+      .withColumn("se2", $"vb" / $"bn".cast("double") + $"va" / $"an".cast("double"))
+      .withColumn("t", ($"sb".cast("double") / $"bn".cast("double") -
+        $"sa".cast("double") / $"an".cast("double")) / sqrt($"se2"))
+      .withColumn("dof", $"se2" * $"se2" /
+        (($"vb" / $"bn".cast("double")) * ($"vb" / $"bn".cast("double")) /
+          ($"bn".cast("double") - 1.0) +
+         ($"va" / $"an".cast("double")) * ($"va" / $"an".cast("double")) /
+          ($"an".cast("double") - 1.0)))
+      .select($"t", $"dof").as[(Double, Double)].head()
+    assert(math.abs(r._1 - tRef) < 1e-12, s"t ${r._1} vs $tRef")
+    assert(math.abs(r._2 - dofRef) < 1e-12, s"dof ${r._2} vs $dofRef")
+    // sanity: variance-corrected dof sits strictly between min(n)-1 and na+nb-2
+    assert(r._2 > 2.0 - 1e-9 && r._2 < 4.0 + 1e-9)
+  }
 }

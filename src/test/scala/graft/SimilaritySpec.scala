@@ -55,6 +55,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank diversifies: the near-duplicate of pick 1 is skipped") {
+    // query 0 = (1,0,0,0); 1 and 2 are near-identical high-relevance
+    // vectors; 3 is less relevant but diverse. Pure relevance would
+    // pick (1, 2); MMR must pick 1 then jump to 3 because
+    // sim(2, 1) ~ rel(2) kills 2's marginal score.
+    val m = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.98f, 0.05f, 0f, 0f), 1),
+      (2L, Array(0.97f, 0.06f, 0f, 0f), 1),
+      (3L, Array(0.6f, -0.6f, 0.2f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val picks = Similarity.mmrRerank(m, m.filter($"vec_id" === 0), 3, 2)
+      .orderBy("pick").select("vec_id").as[Long].collect().toSeq
+    assert(picks === Seq(1L, 3L))
+    // and the full-k selection is a permutation of distinct pool ids
+    val all = Similarity.mmrRerank(m, m.filter($"vec_id" === 0), 3, 3)
+      .select("vec_id").as[Long].collect()
+    assert(all.toSet === Set(1L, 2L, 3L))
+  }
+
   test("nearDupPairs finds the planted near-duplicate") {
     val h = vecs.select($"vec_id".as("hid"), $"embedding".as("h_emb"))
     val pairs = Similarity.nearDupPairs(vecs, h, 0.9)
