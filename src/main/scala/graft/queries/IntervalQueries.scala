@@ -342,6 +342,55 @@ object IntervalQueries {
         .select(col("window.start").cast("long").as("w_start"),
           col("event_type"), col("n"))
         .orderBy("w_start", "event_type")
+    }),
+
+    // ST9 recency-decayed engagement score: per user, fold events in
+    // (t, event_id) order with score' = score/2 + value — the
+    // per-event half-life weighting a ranking/abuse pipeline keeps per
+    // entity (the batch twin of a mapGroupsWithState accumulator; each
+    // new event halves all history). ONE shuffle (groupBy user); the
+    // fold is an ordered left fold over a per-user list, so the
+    // doubles are cross-engine exact (the v01 discipline), with
+    // event_id breaking timestamp ties.
+    "st09_decay_score" -> ((s, d) => {
+      val raw = graft.sources.Tables.events(tune(s), d)
+      raw.select(col("user_id"), Q.tsSec(raw).as("t"),
+          col("event_id"), col("value"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          aggregate(
+            transform(array_sort(collect_list(
+              struct(col("t"), col("event_id"), col("value")))),
+              x => x.getField("value")),
+            lit(0.0d), (acc, v) => acc * 0.5 + v).as("score"))
+        .select(col("user_id"), col("n_events"),
+          round(col("score"), 6).as("score6"))
+        .orderBy("user_id")
+    }),
+
+    // ST10 retention survival curve (Kaplan-Meier shape, no censoring:
+    // the window is closed): per user lifespan = floor((last-first)/
+    // day), then S(w) = fraction of users alive >= w days. Scale:
+    // per-user min/max is one map-side-combinable pass; the curve is a
+    // lifespan-histogram suffix sum over a handful of week buckets —
+    // never a window over users.
+    "st10_survival_curve" -> ((s, d) => {
+      val raw = graft.sources.Tables.events(tune(s), d)
+      val t = Q.tsSec(raw)
+      val life = raw.select(col("user_id"), t.as("t"))
+        .groupBy("user_id")
+        .agg(floor((max(col("t")) - min(col("t"))) / 86400L).cast("long").as("w"))
+      val hist = life.groupBy("w").agg(count(lit(1)).as("n_w"))
+      val win = org.apache.spark.sql.expressions.Window
+        .orderBy(col("w").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      hist
+        .withColumn("n_alive", sum(col("n_w")).over(win))
+        .crossJoin(broadcast(life.agg(count(lit(1)).as("n_users"))))
+        .select(col("w"), col("n_w"), col("n_alive"),
+          round(col("n_alive").cast("double") /
+            col("n_users").cast("double"), 6).as("survival6"))
+        .orderBy("w")
     })
   )
 
@@ -619,6 +668,34 @@ object IntervalQueries {
         |              unnest(generate_series(0, 1)) AS i FROM e) x)
         |SELECT CAST(w_start AS BIGINT) AS w_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+        |FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    // st09: the same (t, event_id)-ordered left fold — event_id is
+    // unique, so the list order (and hence every IEEE double) matches
+    // Spark's struct-sorted fold exactly.
+    "st09_decay_score" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(value ORDER BY epoch_ns(ts) // 1000000000, event_id)),
+        |    (a, x) -> a * 0.5 + x), 6) AS score6
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // st10: lifespan histogram + suffix sum; all integers except the
+    // final ratio.
+    "st10_survival_curve" ->
+      """WITH life AS (SELECT user_id,
+        |    CAST(floor((max(epoch_ns(ts) // 1000000000)
+        |      - min(epoch_ns(ts) // 1000000000)) / 86400.0) AS BIGINT) AS w
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM life GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM life)
+        |SELECT w, n_w,
+        |  CAST(sum(n_w) OVER (ORDER BY w DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_alive,
+        |  round(CAST(sum(n_w) OVER (ORDER BY w DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(n_users AS DOUBLE), 6) AS survival6
+        |FROM h, n ORDER BY w""".stripMargin
   )
 }
