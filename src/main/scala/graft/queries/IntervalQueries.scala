@@ -391,6 +391,30 @@ object IntervalQueries {
           round(col("n_alive").cast("double") /
             col("n_users").cast("double"), 6).as("survival6"))
         .orderBy("w")
+    }),
+
+    // ST11 event-rate spike detection (the streaming-monitor shape:
+    // per-entity rate vs its own trailing baseline): per user-day
+    // activity counts, trailing baseline = the user's previous 3
+    // ACTIVE days (ROWS, not RANGE — gaps don't dilute the
+    // baseline), spike when count > 2× the trailing mean with a full
+    // baseline and count >= 5. All-integer predicate (3·cnt > 2·sum)
+    // — no float mean, nothing to drift cross-engine. Scale: one
+    // groupBy to user-day grain, then a window PARTITIONED BY user —
+    // both shuffle on user_id and AQE-coalesce; no global window.
+    "st11_rate_spikes" -> ((s, d) => {
+      val raw = graft.sources.Tables.events(tune(s), d)
+      val b = raw.select(col("user_id"), Q.tsSec(raw).as("t"))
+        .select(col("user_id"), expr("t div 86400").as("hb"))
+        .groupBy("user_id", "hb").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("hb")).rowsBetween(-3, -1)
+      b.withColumn("base_n", count(col("cnt")).over(w))
+        .withColumn("base_sum", sum(col("cnt")).over(w))
+        .filter(col("base_n") === 3 && col("cnt") * 3 > col("base_sum") * 2 &&
+          col("cnt") >= 5)
+        .select(col("user_id"), col("hb"), col("cnt"), col("base_sum"))
+        .orderBy("user_id", "hb")
     })
   )
 
@@ -696,6 +720,23 @@ object IntervalQueries {
         |  round(CAST(sum(n_w) OVER (ORDER BY w DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / CAST(n_users AS DOUBLE), 6) AS survival6
-        |FROM h, n ORDER BY w""".stripMargin
+        |FROM h, n ORDER BY w""".stripMargin,
+
+    // st11: identical user-day grain, ROWS-framed trailing window,
+    // and all-integer spike predicate.
+    "st11_rate_spikes" ->
+      """WITH b AS (SELECT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 86400 AS hb,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT user_id, hb, cnt,
+        |        count(cnt) OVER (PARTITION BY user_id ORDER BY hb
+        |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS base_n,
+        |        CAST(sum(cnt) OVER (PARTITION BY user_id ORDER BY hb
+        |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS base_sum
+        |      FROM b)
+        |SELECT user_id, CAST(hb AS BIGINT) AS hb, cnt, base_sum
+        |FROM w WHERE base_n = 3 AND cnt * 3 > base_sum * 2 AND cnt >= 5
+        |ORDER BY user_id, hb""".stripMargin
   )
 }

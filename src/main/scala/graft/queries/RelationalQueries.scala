@@ -557,6 +557,61 @@ object RelationalQueries {
           round(col("t_stat"), 6).as("t6"), round(col("dof"), 6).as("dof6"))
     }),
 
+    // A28 two-sample Kolmogorov–Smirnov test: D = sup_x |F_a(x) −
+    // F_b(x)| between the order-value distributions of the two a26/a27
+    // arms. The CDFs are running counts over the value-sorted distinct
+    // prices — computed with the scalable two-phase prefix sum
+    // (Packing.withRunningOffsets: range-partition + per-partition
+    // window + P-row offset table), NOT a bare global window that
+    // would single-task the corpus. Per-row F-gap doubles are one
+    // division + subtraction each (exactly-rounded IEEE, identical in
+    // DuckDB), and max is order-independent — so D is engine-exact at
+    // any n with no n_a*n_b integer-overflow risk.
+    "a28_ks_test" -> ((s, d) => {
+      val per = ord(s, d)
+        .select((col("o_orderkey") % 2).as("arm"), cents(col("o_totalprice")).as("v"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+      val cum = graft.text.Packing
+        .withRunningOffsets(per, "v", Seq("ca", "cb"), Seq("offa", "offb"))
+      val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"),
+          abs((col("offa") + col("ca")).cast("double") / col("na").cast("double") -
+            (col("offb") + col("cb")).cast("double") / col("nb").cast("double")).as("gap"))
+        .groupBy(col("na"), col("nb")).agg(max(col("gap")).as("d"))
+        .select(col("na"), col("nb"), round(col("d"), 6).as("d6"))
+    }),
+
+    // A29 chi-squared independence cells over priority × status: per
+    // cell the observed count, expected count under independence, and
+    // the (O−E)²/E contribution — emitted PER CELL rather than summed,
+    // because the 15-cell total would be a reassociated double sum
+    // (engine-dependent) while each cell's fixed op tree is exact.
+    // One groupBy on the fact table; margins come from re-aggregating
+    // the 15-row cell table and broadcast-joining back.
+    "a29_chi2_cells" -> ((s, d) => {
+      val cells = ord(s, d)
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("obs"))
+      val rowT = cells.groupBy(col("pri")).agg(sum(col("obs")).as("r"))
+      val colT = cells.groupBy(col("st")).agg(sum(col("obs")).as("c"))
+      val tot = cells.agg(sum(col("obs")).as("n"))
+      // margins as double products: r*c stays exact far past the long
+      // overflow point (2^53 rows before a cell product loses a bit)
+      cells.join(broadcast(rowT), "pri").join(broadcast(colT), "st")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", col("r").cast("double") * col("c").cast("double") /
+          col("n").cast("double"))
+        .withColumn("contrib",
+          (col("obs").cast("double") - col("e")) * (col("obs").cast("double") - col("e")) /
+            col("e"))
+        .select(col("pri"), col("st"), col("obs"),
+          round(col("e"), 6).as("e6"), round(col("contrib"), 6).as("chi6"))
+        .orderBy("pri", "st")
+    }),
+
     // ---------------- O: sort / limit / set ops ----------------------
     // O1 multi-key ordering
     "o01_multi_order" -> ((s, d) =>
@@ -1140,6 +1195,43 @@ object RelationalQueries {
         |    + (va / CAST(an AS DOUBLE)) * (va / CAST(an AS DOUBLE))
         |      / (CAST(an AS DOUBLE) - 1.0)), 6) AS dof6
         |FROM w""".stripMargin,
+
+    // a28: the same per-value running counts (a plain window cumsum
+    // here — DuckDB sorts once; the Spark side's two-phase prefix sum
+    // is bit-identical to it by PackingSpec), then the identical
+    // per-row gap doubles and max.
+    "a28_ks_test" ->
+      s"""WITH per AS (SELECT ${centsSql("o_totalprice")} AS v,
+         |    CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |        CAST(sum(cb) AS BIGINT) AS nb FROM per),
+         |c AS (SELECT v,
+         |        CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND CURRENT ROW) AS BIGINT) AS cuma,
+         |        CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND CURRENT ROW) AS BIGINT) AS cumb
+         |      FROM per)
+         |SELECT na, nb,
+         |  round(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+         |    - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS d6
+         |FROM c, t GROUP BY na, nb""".stripMargin,
+
+    // a29: observed/expected/contribution per cell with the same
+    // double op tree (r*c/n, (o-e)^2/e) — per-cell, never summed.
+    "a29_chi2_cells" ->
+      """WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+        |    CAST(count(*) AS BIGINT) AS obs FROM orders GROUP BY 1, 2),
+        |r AS (SELECT pri, CAST(sum(obs) AS BIGINT) AS r FROM cells GROUP BY pri),
+        |c AS (SELECT st, CAST(sum(obs) AS BIGINT) AS c FROM cells GROUP BY st),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |e AS (SELECT pri, st, obs,
+        |        CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        |      FROM cells JOIN r USING (pri) JOIN c USING (st), t)
+        |SELECT pri, st, obs, round(e, 6) AS e6,
+        |  round((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e, 6) AS chi6
+        |FROM e ORDER BY pri, st""".stripMargin,
 
     // o08: the Morton interleave written as the identical shift/mask
     // sum; qx/qy/zkey are exact integers in both engines.

@@ -22,7 +22,16 @@ object Packing {
     * order (first row gets 0). `ordCol` must be globally unique —
     * ties would make "the previous rows" ill-defined. */
   def withRunningOffset(df: DataFrame, ordCol: String, valCol: String,
-                        outCol: String): DataFrame = {
+                        outCol: String): DataFrame =
+    withRunningOffsets(df, ordCol, Seq(valCol), Seq(outCol))
+
+  /** Multi-column form of [[withRunningOffset]]: one range exchange
+    * and one partial-sum table serve every (valCol -> outCol) pair —
+    * callers needing several parallel cumsums over the same order
+    * (a28's two-sample CDFs) pay the shuffle once, not per column. */
+  def withRunningOffsets(df: DataFrame, ordCol: String,
+                         valCols: Seq[String], outCols: Seq[String]): DataFrame = {
+    require(valCols.nonEmpty && valCols.length == outCols.length)
     // cache the pid-stamped rows: the partial-sum branch and the main
     // branch below must observe the SAME partition assignment, and
     // without a shared materialization each branch re-executes the
@@ -37,15 +46,16 @@ object Packing {
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = withPid.groupBy(col("__pid"))
-      .agg(sum(col(valCol)).as("__psum"))
-      .withColumn("__poff", coalesce(sum(col("__psum")).over(offW), lit(0L)))
-      .select(col("__pid"), col("__poff"))
+      .agg(valCols.map(v => sum(col(v)).as(s"__psum_$v")).head,
+        valCols.tail.map(v => sum(col(v)).as(s"__psum_$v")): _*)
+      .select(col("__pid") +: valCols.map(v =>
+        coalesce(sum(col(s"__psum_$v")).over(offW), lit(0L)).as(s"__poff_$v")): _*)
     val local = Window.partitionBy(col("__pid")).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withPid.join(broadcast(offs), "__pid")
-      .withColumn(outCol,
-        coalesce(sum(col(valCol)).over(local), lit(0L)) + col("__poff"))
-      .drop("__pid", "__poff")
+    valCols.zip(outCols).foldLeft(withPid.join(broadcast(offs), "__pid")) {
+      case (acc, (v, out)) => acc.withColumn(out,
+        coalesce(sum(col(v)).over(local), lit(0L)) + col(s"__poff_$v"))
+    }.drop("__pid" +: valCols.map(v => s"__poff_$v"): _*)
   }
 
   /** Concat-and-chunk packing: each doc's start offset in the global

@@ -25,6 +25,23 @@ class PackingSpec extends SparkSpec {
     // P-row partial table
   }
 
+  test("withRunningOffsets: two parallel cumsums from one exchange match " +
+    "two independent single-column runs") {
+    val rnd = new scala.util.Random(97)
+    val df = (1 to 4000).map(i =>
+      (i.toLong, 1L + rnd.nextInt(9), 1L + rnd.nextInt(5)))
+      .toDF("id", "va", "vb").repartition(7)
+    val multi = Packing.withRunningOffsets(df, "id",
+        Seq("va", "vb"), Seq("offa", "offb"))
+      .select("id", "offa", "offb").as[(Long, Long, Long)]
+      .collect().sorted.toList
+    val a = Packing.withRunningOffset(df.select("id", "va"), "id", "va", "offa")
+      .select("id", "offa").as[(Long, Long)].collect().toMap
+    val b = Packing.withRunningOffset(df.select("id", "vb"), "id", "vb", "offb")
+      .select("id", "offb").as[(Long, Long)].collect().toMap
+    assert(multi === multi.map { case (id, _, _) => (id, a(id), b(id)) })
+  }
+
   test("packChunks: offsets are exclusive cumsums, chunks cover each doc") {
     val docs = Seq(
       (1L, "a b c"),          // ntok 3, off 0
