@@ -1343,7 +1343,71 @@ object TextQueries {
         .withColumn("dup_ratio",
           round((col("n_docs") - col("n_distinct")).cast("double") /
             col("n_docs").cast("double"), 6))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // T57 count-min-sketch heavy hitters (Cormode & Muthukrishnan
+    // 2005): the fixed-memory token-frequency sketch a streaming
+    // ingest keeps when the exact vocabulary doesn't fit — 4 hash
+    // rows × 512 buckets (the whole sketch is 2048 longs at ANY
+    // corpus size), estimate = min over rows, always >= the true
+    // count. Emitted next to the exact top-30 so the overestimate is
+    // visible. Scale: building the sketch is ONE aggregation on a
+    // bounded (j, bucket) key space — no vocabulary-sized state; the
+    // estimation join broadcasts the 2048-row sketch. Hash family =
+    // the minhash multipliers over the cross-engine rolling-hash
+    // token id, all exact integer arithmetic.
+    "t57_cms_heavy" -> ((s, d) => {
+      val tk = toks(s, d).select(col("tok"))
+        .withColumn("sid", TextOps.fingerprint(col("tok")))
+      val rows = tk.select(col("sid"), explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bucket",
+          expr(s"((sid * (((j*2+3)*524287) % $P) + (j*5+7)*8191) % $P) % 512"))
+      val sketch = rows.groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val exact = tk.groupBy(col("tok"), col("sid"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(30)
+      exact.select(col("tok"), col("sid"), col("exact_cnt"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("bucket",
+          expr(s"((sid * (((j*2+3)*524287) % $P) + (j*5+7)*8191) % $P) % 512"))
+        .join(broadcast(sketch), Seq("j", "bucket"))
+        .groupBy(col("tok"), col("exact_cnt"))
+        .agg(min(col("c")).as("est_cnt"))
+        .select("tok", "exact_cnt", "est_cnt")
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    }),
+
+    // T58 weighted systematic sample, probability proportional to size
+    // (PPS — the survey-sampling form of "sample docs by length"):
+    // docs laid end-to-end by cumulative weight, one deterministic
+    // probe every total/64 units; a doc is drawn n_hits times = the
+    // number of probes its weight interval covers (long docs can be
+    // drawn more than once — that IS pps-with-replacement's shape).
+    // No ln()/pow() in sight: the Efraimidis-Spirakis exponential-key
+    // trick needs transcendental functions whose last-ulp rounding is
+    // engine-specific, while this is all integer floor-division —
+    // cross-engine exact by construction. Scale: the cumulative
+    // offsets reuse the two-phase prefix sum (range exchange +
+    // P-row offset table), everything else is per-row arithmetic.
+    "t58_pps_sample" -> ((s, d) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      val cum = graft.text.Packing.withRunningOffset(base, "doc_id", "w", "off")
+      val tot = base.agg(sum(col("w")).as("tw"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("step", expr("greatest(tw div 64, 1L)"))
+        // probes sit at r + k*step with r = step/2; count of probes in
+        // [off, off+w) — the +2*step shift keeps every div argument
+        // non-negative (Spark `div` truncates toward zero, DuckDB `//`
+        // floors: they only agree on non-negatives)
+        .withColumn("n_hits",
+          expr("((off + w - 1 - step div 2 + 2*step) div step) - " +
+            "((off - 1 - step div 2 + 2*step) div step)"))
+        .filter(col("n_hits") >= 1)
+        .select("doc_id", "w", "off", "n_hits")
+        .orderBy("doc_id")
+    })
   )
 
   // ------------------------------------------------------------------
@@ -2685,6 +2749,53 @@ object TextQueries {
         |SELECT lang, n_docs, n_sources, total_chars, total_toks, n_distinct,
         |  round(CAST(n_docs - n_distinct AS DOUBLE)
         |    / CAST(n_docs AS DOUBLE), 6) AS dup_ratio
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+
+    // t57: identical sketch family (rolling-hash sid, minhash
+    // multipliers, 4x512), identical min-over-rows estimate.
+    "t57_cms_heavy" ->
+      s"""WITH tk AS (SELECT tok,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+         |      (a, x) -> (a * 31 + x) % 1000000007) AS sid
+         |  FROM ($toksSql) t0),
+         |r AS (SELECT sid, unnest(generate_series(0, 3)) AS j FROM tk),
+         |sk AS (SELECT j,
+         |         ((sid * (((j*2+3)*524287) % $P) + (j*5+7)*8191) % $P) % 512
+         |           AS bucket,
+         |         CAST(count(*) AS BIGINT) AS c
+         |       FROM r GROUP BY 1, 2),
+         |ex AS (SELECT tok, sid, CAST(count(*) AS BIGINT) AS exact_cnt
+         |       FROM tk GROUP BY 1, 2
+         |       ORDER BY exact_cnt DESC, tok LIMIT 30),
+         |q AS (SELECT tok, exact_cnt, sid, unnest(generate_series(0, 3)) AS j
+         |      FROM ex),
+         |qb AS (SELECT tok, exact_cnt, j,
+         |         ((sid * (((j*2+3)*524287) % $P) + (j*5+7)*8191) % $P) % 512
+         |           AS bucket
+         |       FROM q)
+         |SELECT tok, exact_cnt, CAST(min(c) AS BIGINT) AS est_cnt
+         |FROM qb JOIN sk USING (j, bucket)
+         |GROUP BY tok, exact_cnt ORDER BY exact_cnt DESC, tok""".stripMargin,
+
+    // t58: window cumsum (bit-identical to the two-phase prefix sum by
+    // PackingSpec) + the same shifted floor-division probe count.
+    "t58_pps_sample" ->
+      """WITH base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w
+        |  FROM documents),
+        |cum AS (SELECT doc_id, w,
+        |    CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off FROM base),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM base),
+        |p AS (SELECT doc_id, w, off, greatest(tw // 64, 1) AS step
+        |      FROM cum, t)
+        |SELECT doc_id, w, off,
+        |  CAST(((off + w - 1 - step//2 + 2*step) // step)
+        |    - ((off - 1 - step//2 + 2*step) // step) AS BIGINT) AS n_hits
+        |FROM p
+        |WHERE ((off + w - 1 - step//2 + 2*step) // step)
+        |    - ((off - 1 - step//2 + 2*step) // step) >= 1
+        |ORDER BY doc_id""".stripMargin
   )
 }
