@@ -294,7 +294,34 @@ object SimilarityQueries {
       val e = emb(s, d)
       Similarity.mmrRerank(e, e.filter(col("vec_id") < 5), poolK = 12, k = 3)
         .orderBy("q_id", "pick")
-    })
+    }),
+
+    // V23: semantic decontamination — train vectors too close (cosine
+    // >= 0.30) to the hash-held-out "benchmark" 1% are flagged, the
+    // embedding-space complement of the t21/t26 n-gram decontam
+    // (paraphrase leakage has no shared shingles but lands near the
+    // benchmark in embedding space). Bench set broadcasts (eval
+    // suites are small by construction); cosine doubles are the v01
+    // left folds, so flags and max scores are engine-exact.
+    "v23_semantic_decontam" -> ((s, d) => {
+      val e = emb(s, d)
+      val hb = graft.text.TextOps.fingerprint(
+        concat(lit("graft:"), col("vec_id").cast("string"), lit(":bench"))) % 100
+      val withB = e.withColumn("hb", hb)
+      Similarity.semanticDecontam(
+        withB.filter(col("hb") =!= 0).select("vec_id", "embedding"),
+        withB.filter(col("hb") === 0).select("vec_id", "embedding"),
+        tau = 0.30)
+        .orderBy("vec_id")
+    }),
+
+    // V24: ±1 signed projection (JL / Achlioptas) of the int8-
+    // quantized embeddings down to 8 dims — the cheap fixed-width
+    // index key a billion-vector pipeline stores instead of the full
+    // float vector. All-integer sums via one nested higher-order
+    // expression: zero shuffles, zero explodes on the Spark side.
+    "v24_jl_project" -> ((s, d) =>
+      Similarity.jlProjectInt8(emb(s, d), 8).orderBy("vec_id", "j"))
   )
 
   /** Float pipelines are rows-only (see scaladoc) — except v08, whose
@@ -927,6 +954,51 @@ object SimilarityQueries {
          |  UNION ALL SELECT q_id, vec_id, 2, score FROM p2
          |  UNION ALL SELECT q_id, vec_id, 3, score FROM p3) u
          |ORDER BY q_id, pick""".stripMargin
-    }
+    },
+
+    // v23: bench membership via the same rolling-hash split, cosine
+    // via the same left folds, max/count rollup per train vector.
+    "v23_semantic_decontam" ->
+      s"""WITH h AS (SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(
+         |        string_split('graft:' || CAST(vec_id AS VARCHAR) || ':bench',''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (a, x) -> (a * 31 + x) % 1000000007) % 100 AS hb
+         |  FROM embeddings),
+         |b AS (SELECT vec_id AS b_id, embedding AS b_emb,
+         |        sqrt(${sumsq("embedding")}) AS b_norm FROM h WHERE hb = 0),
+         |tr AS (SELECT vec_id, embedding,
+         |         sqrt(${sumsq("embedding")}) AS nrm FROM h WHERE hb <> 0),
+         |sc AS (SELECT tr.vec_id,
+         |         ${dotOf("tr.embedding", "b.b_emb")} / (tr.nrm * b.b_norm) AS cos
+         |       FROM tr, b),
+         |g AS (SELECT vec_id,
+         |        CAST(sum(CASE WHEN cos >= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_hits,
+         |        max(cos) AS mc
+         |      FROM sc GROUP BY vec_id)
+         |SELECT vec_id, n_hits, round(mc, 6) AS max_cos6
+         |FROM g WHERE n_hits >= 1 ORDER BY vec_id""".stripMargin,
+
+    // v24: the same corpus-scale int8 quantization (v08's op order)
+    // and ±1 integer hash signs; integer-valued double sums are exact
+    // in any association, so the unnest+GROUP BY form here equals the
+    // Spark side's per-row fold.
+    "v24_jl_project" ->
+      """WITH m AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |e AS (SELECT vec_id,
+        |        unnest(list_zip(embedding,
+        |          generate_series(0, len(embedding)-1))) AS p
+        |      FROM embeddings),
+        |x AS (SELECT vec_id, CAST(p[2] AS BIGINT) AS i,
+        |        round(CAST(p[1] AS DOUBLE) * 127.0 / ma) AS qi FROM e, m),
+        |jj AS (SELECT vec_id, i, qi, unnest(generate_series(0, 7)) AS j FROM x)
+        |SELECT vec_id, CAST(j AS INT) AS j,
+        |  CAST(sum(CASE WHEN ((i*2+3)*(j*5+7)*524287) % 1000003 % 2 = 0
+        |    THEN qi ELSE -qi END) AS BIGINT) AS proj
+        |FROM jj GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin
   )
 }

@@ -57,6 +57,47 @@ object Similarity {
         col("label").as("neg_label"), col("rank"), round(col("cos"), 6).as("cos6"))
   }
 
+  /** Semantic decontamination: flag corpus vectors whose cosine to ANY
+    * benchmark vector reaches `tau` — the embedding-space form of the
+    * n-gram decontamination in t21/t26 (catches paraphrased benchmark
+    * leakage that exact shingles miss; the held-out-set hygiene step
+    * of an LLM data pipeline). Benchmark sets are small by
+    * construction (an eval suite, not a corpus), so they broadcast
+    * and the corpus scan stays distributed — per train vector one
+    * pass over the broadcast bench, then a max/count rollup. */
+  def semanticDecontam(corpus: DataFrame, bench: DataFrame, tau: Double): DataFrame = {
+    val b = broadcast(bench.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), Fns.l2norm(col("embedding")).as("b_norm")))
+    corpus.withColumn("__norm", Fns.l2norm(col("embedding")))
+      .crossJoin(b)
+      .withColumn("cos", Fns.dot(col("embedding"), col("b_emb")) /
+        (col("__norm") * col("b_norm")))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_hits"),
+        max(col("cos")).as("mc"))
+      .filter(col("n_hits") >= 1)
+      .select(col("vec_id"), col("n_hits"), round(col("mc"), 6).as("max_cos6"))
+  }
+
+  /** Johnson–Lindenstrauss-style signed random projection on the int8-
+    * quantized components: proj_j = Σ_i sign(i,j)·q_i with ±1 signs
+    * from a deterministic integer hash (Achlioptas 2003 — ±1 entries
+    * suffice for JL). Quantizing first makes every sum an exact
+    * integer (order-free, engine-free) where a float projection would
+    * be a reassociated double sum. The whole projection is ONE nested
+    * higher-order expression per row — no explode, no shuffle; the
+    * only exchange anywhere is the 1-row max-abs scale broadcast. */
+  def jlProjectInt8(corpus: DataFrame, outDim: Int): DataFrame = {
+    val q = quantizeInt8(corpus).select(col("vec_id"), col("__q").as("q"))
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(
+        zip_with(col("q"), sequence(lit(0), size(col("q")) - 1), (x, i) =>
+          when(((i.cast("long") * 2 + 3) * (j.cast("long") * 5 + 7) * 524287L)
+            % 1000003L % 2 === 0, x).otherwise(-x)),
+        lit(0.0d), (acc, v) => acc + v).cast("long"))
+    q.select(col("vec_id"), posexplode(proj).as(Seq("j", "proj")))
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)); hyperplanes
     * are `nBits` corpus vectors (deterministic, seed-free). */
   def lshBuckets(corpus: DataFrame, hyperplanes: DataFrame): DataFrame = {
