@@ -1174,6 +1174,51 @@ object TextQueries {
             ascii(substring(col("text"), 33, 1)) * 961).as("checksum"))
         .orderBy("doc_id")),
 
+    // M5 scene-cut segmentation (shot detection — the video plane's
+    // canonical first derivative): adjacent sampled frames whose probe
+    // feature jumps >= 30 mark a cut; scenes are the runs between
+    // cuts, aggregated to (start, end, n_frames) intervals. The frame
+    // features are the honest decode stub (same as m02/m03); the
+    // pipeline shape — per-media ordered window, lag, running cut
+    // count, scene rollup — is exactly what a real decoder feeds.
+    // Scale: every window partitions by media_id; no global ordering
+    // anywhere.
+    "m05_scene_cuts" -> ((s, d) => {
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.asMedia(docs(s, d), "doc_id", "text", "video"), 64)
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_off"))
+      frames
+        .withColumn("prev", lag(col("probe"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev").isNotNull && abs(col("probe") - col("prev")) >= 30, 1L)
+            .otherwise(0L))
+        .withColumn("scene",
+          sum(col("cut")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("media_id"), col("scene"))
+        .agg(min(col("frame_off")).as("s_off"), max(col("frame_off")).as("e_off"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("media_id", "scene")
+    }),
+
+    // T59 per-source frequency cap (the RefinedWeb/CCNet host-level
+    // cap: no single source may dominate the mix): keep at most 100
+    // docs per source, chosen by a deterministic hash priority (so
+    // the cap is a uniform subsample, not a doc_id-ordered prefix).
+    // The rank<=k filter over a partitioned window is the shape
+    // Spark's WindowGroupLimit rewrites into per-partition partial
+    // top-k BEFORE the shuffle — a hot mega-source never materializes
+    // its full row list on one task.
+    "t59_source_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+      docs(s, d)
+        .withColumn("pri", TextOps.fingerprint(
+          concat(lit("graft:"), col("doc_id").cast("string"), lit(":cap"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 100)
+        .select("doc_id", "source", "rn")
+        .orderBy("source", "rn")
+    }),
+
     // T51 RAG chunking: split every document into OVERLAPPING token
     // windows (W=32, stride 24 — 8-token overlap so retrieval never
     // loses a boundary-straddling answer span) and fingerprint each
@@ -2599,6 +2644,44 @@ object TextQueries {
         |  ascii(substr(text, 1, 1)) + ascii(substr(text, 17, 1)) * 31
         |    + ascii(substr(text, 33, 1)) * 961 AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // m05: identical lag/cut/running-count windows over the same
+    // sampled probes.
+    "m05_scene_cuts" ->
+      """WITH f AS (SELECT doc_id AS media_id, CAST(off AS INT) AS frame_off,
+        |    ascii(substr(text, CAST(off AS INT) + 1, 1)) AS probe
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(0, octet_length(CAST(text AS BLOB)) - 1, 64))
+        |            AS off
+        |        FROM documents) t),
+        |c AS (SELECT media_id, frame_off, probe,
+        |        lag(probe, 1) OVER (PARTITION BY media_id ORDER BY frame_off)
+        |          AS prev FROM f),
+        |k AS (SELECT media_id, frame_off,
+        |        CASE WHEN prev IS NOT NULL AND abs(probe - prev) >= 30
+        |          THEN 1 ELSE 0 END AS cut FROM c),
+        |sc AS (SELECT media_id, frame_off,
+        |         CAST(sum(cut) OVER (PARTITION BY media_id ORDER BY frame_off
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS scene FROM k)
+        |SELECT media_id, scene, min(frame_off) AS s_off, max(frame_off) AS e_off,
+        |  CAST(count(*) AS BIGINT) AS n_frames
+        |FROM sc GROUP BY media_id, scene ORDER BY media_id, scene""".stripMargin,
+
+    // t59: same hash priority, same partitioned rank.
+    "t59_source_cap" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(
+        |        string_split('graft:' || CAST(doc_id AS VARCHAR) || ':cap',''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) AS pri
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY pri, doc_id) AS BIGINT) AS rn FROM p)
+        |SELECT doc_id, source, rn FROM r WHERE rn <= 100
+        |ORDER BY source, rn""".stripMargin,
 
     // t51: integer chunk-count arithmetic and the same rolling hash over
     // the space-joined chunk tokens — byte-identical fingerprints.
