@@ -321,7 +321,15 @@ object SimilarityQueries {
     // float vector. All-integer sums via one nested higher-order
     // expression: zero shuffles, zero explodes on the Spark side.
     "v24_jl_project" -> ((s, d) =>
-      Similarity.jlProjectInt8(emb(s, d), 8).orderBy("vec_id", "j"))
+      Similarity.jlProjectInt8(emb(s, d), 8).orderBy("vec_id", "j")),
+
+    // V25: exact integer Gram matrix of the leading 8 quantized
+    // components — the one-pass second-moment table PCA/whitening/OPQ
+    // fitting consumes. 36 upper-triangle cells regardless of corpus
+    // size; map-side partial aggregation makes the single shuffle
+    // carry ~36 rows per partition.
+    "v25_int8_gram" -> ((s, d) =>
+      Similarity.int8Gram(emb(s, d), 8).orderBy("i", "j"))
   )
 
   /** Float pipelines are rows-only (see scaladoc) — except v08, whose
@@ -999,6 +1007,21 @@ object SimilarityQueries {
         |SELECT vec_id, CAST(j AS INT) AS j,
         |  CAST(sum(CASE WHEN ((i*2+3)*(j*5+7)*524287) % 1000003 % 2 = 0
         |    THEN qi ELSE -qi END) AS BIGINT) AS proj
-        |FROM jj GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin
+        |FROM jj GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+
+    // v25: same full-corpus quantization scale, leading-8 slice, and
+    // integer upper-triangle products.
+    "v25_int8_gram" ->
+      """WITH m AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |e AS (SELECT vec_id,
+        |        unnest(list_zip(embedding[1:8], generate_series(0, 7))) AS p
+        |      FROM embeddings),
+        |x AS (SELECT vec_id, CAST(p[2] AS INT) AS i,
+        |        round(CAST(p[1] AS DOUBLE) * 127.0 / ma) AS qi FROM e, m)
+        |SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS g
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
   )
 }

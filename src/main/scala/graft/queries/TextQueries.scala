@@ -1219,6 +1219,35 @@ object TextQueries {
         .orderBy("source", "rn")
     }),
 
+    // T60 dedup-recall evaluation: precision/recall of the t04
+    // MinHash-LSH candidate set against the exact t03 Jaccard truth —
+    // the governance number that justifies replacing exact pairwise
+    // dedup with the banded approximation at scale (v18 is the same
+    // audit for ANN retrieval). Full-outer join of the two pair sets,
+    // integer tp/fp/fn counts, two divisions at the end.
+    "t60_lsh_recall" -> ((s, d) => {
+      val dd = docs(s, d)
+      val truth = TextOps.jaccardPairs(dd, k = 3, dfCap = 50, tauJacc = 0.5)
+        .select(col("d1"), col("d2")).withColumn("t", lit(1L))
+      val ids = TextOps.shingleIds(dd, 3)
+      val mh = TextOps.minhash(ids, 16, P)
+      val bands = TextOps.lshBands(mh, 2, P)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+        .withColumn("c", lit(1L))
+      truth.join(cand, Seq("d1", "d2"), "full_outer")
+        .agg(sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+          sum(when(col("t").isNotNull && col("c").isNotNull, 1L).otherwise(0L))
+            .as("tp"))
+        .withColumn("precision6",
+          round(col("tp").cast("double") / col("n_cand").cast("double"), 6))
+        .withColumn("recall6",
+          round(col("tp").cast("double") / col("n_truth").cast("double"), 6))
+    }),
+
     // T51 RAG chunking: split every document into OVERLAPPING token
     // windows (W=32, stride 24 — 8-token overlap so retrieval never
     // loses a boundary-straddling answer span) and fingerprint each
@@ -2682,6 +2711,45 @@ object TextQueries {
         |          ORDER BY pri, doc_id) AS BIGINT) AS rn FROM p)
         |SELECT doc_id, source, rn FROM r WHERE rn <= 100
         |ORDER BY source, rn""".stripMargin,
+
+    // t60: t03's truth CTEs + t04's candidate CTEs, full-outer joined.
+    "t60_lsh_recall" ->
+      s"""WITH ids AS (SELECT DISTINCT doc_id, sid FROM ($shingleIdsSql) i0),
+         |sh AS (SELECT doc_id, sid
+         |       FROM (SELECT doc_id, sid, count(*) OVER (PARTITION BY sid) AS df
+         |             FROM ids) z
+         |       WHERE df <= 50),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM sh GROUP BY 1),
+         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(count(*) AS BIGINT) AS inter
+         |        FROM sh a JOIN sh b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |truth AS (SELECT d1, d2 FROM prs JOIN sizes x ON prs.d1 = x.doc_id
+         |          JOIN sizes y ON prs.d2 = y.doc_id
+         |          WHERE CAST(inter AS DOUBLE)
+         |            / CAST(x.nsh + y.nsh - inter AS DOUBLE) >= 0.5),
+         |mh AS ($minhashSql),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |            CAST(sum(CASE WHEN i % 2 = 0 THEN mh * $P ELSE mh END) AS BIGINT)
+         |              AS sig
+         |          FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+         |fo AS (SELECT t.d1 AS td1, c.d1 AS cd1
+         |       FROM truth t FULL OUTER JOIN cand c
+         |         ON t.d1 = c.d1 AND t.d2 = c.d2),
+         |g AS (SELECT
+         |        CAST(sum(CASE WHEN td1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_truth,
+         |        CAST(sum(CASE WHEN cd1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_cand,
+         |        CAST(sum(CASE WHEN td1 IS NOT NULL AND cd1 IS NOT NULL
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |      FROM fo)
+         |SELECT n_truth, n_cand, tp,
+         |  round(CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS precision6,
+         |  round(CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall6
+         |FROM g""".stripMargin,
 
     // t51: integer chunk-count arithmetic and the same rolling hash over
     // the space-joined chunk tokens — byte-identical fingerprints.

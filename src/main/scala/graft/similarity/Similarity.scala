@@ -98,6 +98,25 @@ object Similarity {
     q.select(col("vec_id"), posexplode(proj).as(Seq("j", "proj")))
   }
 
+  /** Exact integer Gram matrix of the leading `dims` int8-quantized
+    * components: G(i,j) = Σ_v q_i·q_j over the corpus — the one-pass
+    * second-moment input to PCA/whitening/OPQ rotation fitting.
+    * Quantized products are integer-valued (|q| <= 127), so the
+    * cross-row sums are exact in any association up to 2^53 rows —
+    * a float covariance would be a reassociated double sum. Scale:
+    * dims(dims+1)/2 upper-triangle cells per row explode map-side and
+    * partial-aggregate to one tiny cell table per partition before
+    * the only shuffle. */
+  def int8Gram(corpus: DataFrame, dims: Int): DataFrame = {
+    val q = quantizeInt8(corpus).select(slice(col("__q"), 1, dims).as("q"))
+    val tri = flatten(transform(sequence(lit(0), lit(dims - 1)), i =>
+      transform(sequence(i, lit(dims - 1)), j =>
+        struct(i.as("i"), j.as("j"), (get(col("q"), i) * get(col("q"), j)).as("p")))))
+    q.select(explode(tri).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).cast("long").as("g"))
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)); hyperplanes
     * are `nBits` corpus vectors (deterministic, seed-free). */
   def lshBuckets(corpus: DataFrame, hyperplanes: DataFrame): DataFrame = {
