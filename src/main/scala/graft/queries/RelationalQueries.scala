@@ -612,6 +612,36 @@ object RelationalQueries {
         .orderBy("pri", "st")
     }),
 
+    // A30 Mann–Whitney U / rank-sum test (the nonparametric sibling of
+    // a27, and AUC in disguise): ranks over the pooled value-sorted
+    // counts with midrank tie handling, all DOUBLED so every rank sum
+    // stays an exact integer (avg rank = t + (m+1)/2 can be a .5).
+    // Reuses a28's two-phase CDF machinery — one range exchange, no
+    // global window. Exact for pooled n < ~2^31 (the doubled rank-sum
+    // products reach 2n² — switch the two product columns to
+    // decimal(38,0) past that, the shape is unchanged).
+    "a30_mann_whitney" -> ((s, d) => {
+      val per = ord(s, d)
+        .select((col("o_orderkey") % 2).as("arm"), cents(col("o_totalprice")).as("v"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+      val cum = graft.text.Packing
+        .withRunningOffsets(per, "v", Seq("ca", "cb"), Seq("offa", "offb"))
+      val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        // 2×(rank sum of arm a at value v) = ca·(2t + m + 1) with
+        // t = pooled count below v, m = ties at v
+        .select(col("na"), col("nb"),
+          (col("ca") * ((col("offa") + col("offb")) * 2 + col("ca") + col("cb") + 1))
+            .as("r2"))
+        .groupBy(col("na"), col("nb")).agg(sum(col("r2")).as("r2sum"))
+        .withColumn("u2", col("r2sum") - col("na") * (col("na") + 1))
+        .select(col("na"), col("nb"), col("u2"),
+          round(col("u2").cast("double") /
+            (col("na") * col("nb") * 2).cast("double"), 6).as("auc6"))
+    }),
+
     // ---------------- O: sort / limit / set ops ----------------------
     // O1 multi-key ordering
     "o01_multi_order" -> ((s, d) =>
@@ -1232,6 +1262,24 @@ object RelationalQueries {
         |SELECT pri, st, obs, round(e, 6) AS e6,
         |  round((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e, 6) AS chi6
         |FROM e ORDER BY pri, st""".stripMargin,
+
+    // a30: the same doubled-rank arithmetic over a window cumsum.
+    "a30_mann_whitney" ->
+      s"""WITH per AS (SELECT ${centsSql("o_totalprice")} AS v,
+         |    CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |        CAST(sum(cb) AS BIGINT) AS nb FROM per),
+         |c AS (SELECT v, ca, cb,
+         |        CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |          AS t0 FROM per),
+         |r AS (SELECT CAST(sum(ca * (2*t0 + ca + cb + 1)) AS BIGINT) AS r2sum FROM c)
+         |SELECT na, nb, r2sum - na*(na+1) AS u2,
+         |  round(CAST(r2sum - na*(na+1) AS DOUBLE)
+         |    / CAST(2*na*nb AS DOUBLE), 6) AS auc6
+         |FROM r, t""".stripMargin,
 
     // o08: the Morton interleave written as the identical shift/mask
     // sum; qx/qy/zkey are exact integers in both engines.

@@ -329,7 +329,14 @@ object SimilarityQueries {
     // size; map-side partial aggregation makes the single shuffle
     // carry ~36 rows per partition.
     "v25_int8_gram" -> ((s, d) =>
-      Similarity.int8Gram(emb(s, d), 8).orderBy("i", "j"))
+      Similarity.int8Gram(emb(s, d), 8).orderBy("i", "j")),
+
+    // V26: greedy k-center (farthest-first) coreset picks — the
+    // diverse-subset selector for eval-set construction; 4 picks on
+    // exact integer quantized distances, so the greedy trace (and the
+    // decreasing coverage radii) is engine-deterministic.
+    "v26_kcenter_coreset" -> ((s, d) =>
+      Similarity.kcenterPicks(emb(s, d), 4).orderBy("pick"))
   )
 
   /** Float pipelines are rows-only (see scaladoc) — except v08, whose
@@ -1022,6 +1029,39 @@ object SimilarityQueries {
         |        round(CAST(p[1] AS DOUBLE) * 127.0 / ma) AS qi FROM e, m)
         |SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS g
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    // v26: the greedy trace unrolled (the v22 move) over a pairwise
+    // quantized distance table — the oracle may go n² where the Spark
+    // side streams one corpus pass per pick.
+    "v26_kcenter_coreset" ->
+      """WITH m AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |e AS (SELECT vec_id,
+        |        unnest(list_zip(embedding,
+        |          generate_series(0, len(embedding)-1))) AS p
+        |      FROM embeddings),
+        |x AS (SELECT vec_id, CAST(p[2] AS BIGINT) AS i,
+        |        round(CAST(p[1] AS DOUBLE) * 127.0 / ma) AS qi FROM e, m),
+        |d AS (SELECT a.vec_id AS av, b.vec_id AS bv,
+        |        CAST(sum((a.qi - b.qi) * (a.qi - b.qi)) AS BIGINT) AS d2
+        |      FROM x a JOIN x b ON a.i = b.i GROUP BY 1, 2),
+        |c1 AS (SELECT av AS vec_id, min(d2) AS d2 FROM d
+        |       WHERE bv = 0 GROUP BY 1),
+        |p2 AS (SELECT vec_id, d2 FROM c1 ORDER BY d2 DESC, vec_id LIMIT 1),
+        |c2 AS (SELECT av AS vec_id, min(d2) AS d2 FROM d
+        |       WHERE bv = 0 OR bv = (SELECT vec_id FROM p2) GROUP BY 1),
+        |p3 AS (SELECT vec_id, d2 FROM c2 ORDER BY d2 DESC, vec_id LIMIT 1),
+        |c3 AS (SELECT av AS vec_id, min(d2) AS d2 FROM d
+        |       WHERE bv = 0 OR bv = (SELECT vec_id FROM p2)
+        |          OR bv = (SELECT vec_id FROM p3) GROUP BY 1),
+        |p4 AS (SELECT vec_id, d2 FROM c3 ORDER BY d2 DESC, vec_id LIMIT 1)
+        |SELECT vec_id, pick, d2 FROM (
+        |  SELECT CAST(0 AS BIGINT) AS vec_id, 1 AS pick, CAST(0 AS BIGINT) AS d2
+        |  UNION ALL SELECT vec_id, 2, d2 FROM p2
+        |  UNION ALL SELECT vec_id, 3, d2 FROM p3
+        |  UNION ALL SELECT vec_id, 4, d2 FROM p4) u
+        |ORDER BY pick""".stripMargin
   )
 }

@@ -117,6 +117,39 @@ object Similarity {
       .agg(sum(col("t.p")).cast("long").as("g"))
   }
 
+  /** Greedy k-center picks (Gonzalez 1985 farthest-first traversal) on
+    * int8-quantized squared-L2 — diverse-subset/coreset selection for
+    * eval sets and representative sampling (the 2-approximation to the
+    * optimal k-center cover). Seed = vec_id 0; each round picks the
+    * vector farthest from the selected set (ties to the smaller id).
+    * Quantized distances are exact integers, so the greedy trace is
+    * engine-deterministic. Scale: the selected set is <= k rows and
+    * broadcasts; each round is one distributed corpus pass + a
+    * TakeOrdered(1) — never a pairwise matrix. Returns (vec_id, pick,
+    * d2) where d2 is the distance-to-selected at pick time (the
+    * decreasing coverage-radius sequence). */
+  def kcenterPicks(corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val qv = quantizeInt8(corpus).select(col("vec_id"), col("__q").as("q"))
+    var sel = qv.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("q"), lit(1).as("pick"), lit(0L).as("d2"))
+    var i = 2
+    while (i <= k) {
+      val s = broadcast(sel.select(col("vec_id").as("sv"), col("q").as("sq")))
+      val dmin = qv.crossJoin(s)
+        .withColumn("d2", (Fns.dot(col("q"), col("q")) +
+          Fns.dot(col("sq"), col("sq")) -
+          lit(2.0d) * Fns.dot(col("q"), col("sq"))).cast("long"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
+      val next = dmin.orderBy(col("d2").desc, col("vec_id")).limit(1)
+        .join(qv, "vec_id")
+        .select(col("vec_id"), col("q"), lit(i).as("pick"), col("d2"))
+      sel = sel.unionByName(next)
+      i += 1
+    }
+    sel.select(col("vec_id"), col("pick"), col("d2"))
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)); hyperplanes
     * are `nBits` corpus vectors (deterministic, seed-free). */
   def lshBuckets(corpus: DataFrame, hyperplanes: DataFrame): DataFrame = {
