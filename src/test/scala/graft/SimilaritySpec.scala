@@ -203,6 +203,58 @@ class SimilaritySpec extends SparkSpec {
     assert(r * 100 >= n * 20, s"binary recall@10 collapsed: $r of $n")
   }
 
+  test("int8Gram matches the directly computed quantized moments") {
+    // max|v| = 2 -> q = round(v * 127 / 2); hand-check the 3 cells of
+    // the leading-2 Gram over both rows
+    val two = Seq(
+      (0L, Array(2f, 1f, 0f, 0f), 0),
+      (1L, Array(-1f, 0.5f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Similarity.int8Gram(two, 2).orderBy("i", "j")
+      .select("i", "j", "g").as[(Int, Int, Long)].collect().toList
+    // q0 = (127, 64), q1 = (-64, 32)  [round(63.5)=64 half-up]
+    val (a0, a1, b0, b1) = (127L, 64L, -64L, 32L)
+    assert(g === List(
+      (0, 0, a0 * a0 + b0 * b0),
+      (0, 1, a0 * a1 + b0 * b1),
+      (1, 1, a1 * a1 + b1 * b1)))
+  }
+
+  test("jlProjectInt8 is linear: projection of 2v equals twice the " +
+    "projection of v when the scale doubles with it") {
+    // corpus {v} vs corpus {2v}: quantization normalizes by max|v|, so
+    // q is identical and projections must match exactly
+    val v1 = Seq((0L, Array(0.5f, -1f, 0.25f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val v2 = Seq((0L, Array(1f, -2f, 0.5f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val p1 = Similarity.jlProjectInt8(v1, 4).orderBy("j")
+      .select("proj").as[Long].collect().toList
+    val p2 = Similarity.jlProjectInt8(v2, 4).orderBy("j")
+      .select("proj").as[Long].collect().toList
+    assert(p1 === p2 && p1.exists(_ != 0L))
+  }
+
+  test("kcenterPicks: distinct picks, non-increasing radii, true farthest second") {
+    val picks = Similarity.kcenterPicks(vecs, 3).orderBy("pick")
+      .select("vec_id", "pick", "d2").as[(Long, Int, Long)].collect().toList
+    assert(picks.map(_._1).distinct.size === 3)
+    assert(picks.head === ((0L, 1, 0L)))
+    val radii = picks.tail.map(_._3)
+    assert(radii === radii.sorted.reverse)
+    // vec 3 (anti-parallel to seed 0) is the farthest point
+    assert(picks(1)._1 === 3L)
+  }
+
+  test("semanticDecontam flags exactly the vectors within tau of the bench set") {
+    val bench = vecs.filter($"vec_id" === 0).select("vec_id", "embedding")
+    val train = vecs.filter($"vec_id" =!= 0).select("vec_id", "embedding")
+    val flagged = Similarity.semanticDecontam(train, bench, 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    // cos(v1,v0) ~ 0.9+, cos(v2,v0) ~ 0.05, cos(v3,v0) ~ -1
+    assert(flagged === Set(1L))
+  }
+
   test("multimodal decode stub: schema, checksum and feature width") {
     val media = Multimodal.asMedia(
       Seq((7L, "hello world")).toDF("id", "text"), "id", "text", "text")
