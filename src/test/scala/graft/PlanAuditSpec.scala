@@ -383,4 +383,61 @@ class PlanAuditSpec extends SparkSpec {
         "t51 shuffled before the chunk explode - chunking must be one map pass")
     }
   }
+
+  test("v24 JL projection computes with zero shuffle exchanges") {
+    // the nested-HOF projection is one map pass over the corpus; its
+    // only exchange is the broadcast of the 1-row max-abs scale (plus
+    // the final sort's range exchange from the query's orderBy)
+    val plan = executed(SparkEntry.queries("v24_jl_project")(spark, sf))
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    // orderBy adds one range exchange; nothing else may shuffle
+    assert(shuffles.size <= 1,
+      s"v24 has ${shuffles.size} shuffles - the projection must stay map-side")
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.nonEmpty => a
+    }.isEmpty, "v24 grew a grouped aggregation - the per-row fold regressed")
+  }
+
+  test("a28/a30 run no full-input global window (two-phase prefix sum)") {
+    // exactly one partition-less window is allowed: the P-row offset
+    // cumsum, whose child must be the __pid partial-sum aggregate —
+    // a partition-less window over the raw value table would
+    // single-task the corpus
+    for (q <- Seq("a28_ks_test", "a30_mann_whitney")) {
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      val globalWins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWins.size === 1,
+        s"$q has ${globalWins.size} global windows, expected exactly the P-row one")
+      val overPidAgg = globalWins.head.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.exists(_.toString.contains("__pid")) => a
+      }
+      assert(overPidAgg.nonEmpty,
+        s"$q's global window does not sit on the __pid partial-sum table")
+    }
+  }
+
+  test("t57 sketch estimation joins broadcast; no sort-merge anywhere") {
+    val plan = executed(SparkEntry.queries("t57_cms_heavy")(spark, sf))
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "t57's 2048-row sketch join degraded to sort-merge")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "t57 lost its broadcast sketch join")
+  }
+
+  test("v26 k-center never materializes a pairwise matrix") {
+    // every round is corpus x (<=k broadcast picks): allowed joins are
+    // broadcast nested-loop / hash; a sort-merge or cartesian means
+    // the selected set stopped being a dimension
+    val plan = executed(SparkEntry.queries("v26_kcenter_coreset")(spark, sf))
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "v26 degraded a pick join to sort-merge")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "v26 planned a cartesian product")
+  }
 }
