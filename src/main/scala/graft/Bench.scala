@@ -53,8 +53,14 @@ object Bench {
     // t03 likewise warms the jaccardPairs inverted-index + localCheckpoint
     // machinery shared by t14/t15/t37/t38/t42 (first cold run measured
     // ~2.9x the warm min on whichever of those shuffles first).
+    // t04 additionally warms the minhash/band path t60 re-runs, and
+    // st07 the two-phase prefix-sum machinery (a28/a30/t12/t48/t58) —
+    // without them, whichever of those queries lands first in pass 1
+    // absorbs a 10-30 s cold hit (r10 measured t60 at 37 s cold vs
+    // 3.1 s warm; the min-estimator hides it, the samples don't)
     Seq("j01_equi_join_agg", "t01_exact_dedup", "v01_cosine_topk", "r01_coalesce",
-      "t05_simhash", "t03_shingle_jaccard")
+      "t05_simhash", "t03_shingle_jaccard", "t04_minhash_lsh",
+      "st07_peak_concurrency")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()
