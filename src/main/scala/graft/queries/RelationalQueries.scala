@@ -642,6 +642,45 @@ object RelationalQueries {
             (col("na") * col("nb") * 2).cast("double"), 6).as("auc6"))
     }),
 
+    // O9 SCD type-2 snapshot merge (the warehouse versioned-row
+    // emission o06's diff classifies but doesn't produce): old vs new
+    // customer snapshots (deterministic synthetic deltas — 1-in-10
+    // keys absent from old = adds, 1-in-13 absent from new = removes,
+    // 1-in-7 balance bumps = changes) merged into validity-ranged
+    // rows: changed keys emit a closed v1 + open v2, removed keys a
+    // closed v1, unchanged an open v1. ONE full-outer key join and a
+    // per-row explode of the classified row array — never three
+    // re-joins of the snapshots.
+    "o09_scd2_merge" -> ((s, d) => {
+      val c = cust(s, d)
+      val old = c.filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey").as("k"), cents(col("c_acctbal")).as("bal_old"))
+      val neu = c.filter(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey").as("k"),
+          (cents(col("c_acctbal")) +
+            when(col("c_custkey") % 7 === 0, 100L).otherwise(0L)).as("bal_new"))
+      val j = old.join(neu, Seq("k"), "full_outer")
+      val changedOrRemoved =
+        col("bal_old").isNotNull &&
+          (col("bal_new").isNull || col("bal_new") =!= col("bal_old"))
+      val closed = when(changedOrRemoved,
+        struct(lit(1).as("version"), col("bal_old").as("bal"),
+          lit(1L).as("valid_from"), lit(2L).cast("long").as("valid_to")))
+      val openSame = when(col("bal_old").isNotNull && col("bal_new") === col("bal_old"),
+        struct(lit(1).as("version"), col("bal_old").as("bal"),
+          lit(1L).as("valid_from"), lit(null).cast("long").as("valid_to")))
+      val openNew = when(col("bal_new").isNotNull &&
+          (col("bal_old").isNull || col("bal_new") =!= col("bal_old")),
+        struct(when(col("bal_old").isNull, 1).otherwise(2).as("version"),
+          col("bal_new").as("bal"),
+          lit(2L).as("valid_from"), lit(null).cast("long").as("valid_to")))
+      j.select(col("k"),
+          explode(filter(array(closed, openSame, openNew), x => x.isNotNull)).as("r"))
+        .select(col("k"), col("r.version").as("version"), col("r.bal").as("bal"),
+          col("r.valid_from").as("valid_from"), col("r.valid_to").as("valid_to"))
+        .orderBy("k", "version")
+    }),
+
     // ---------------- O: sort / limit / set ops ----------------------
     // O1 multi-key ordering
     "o01_multi_order" -> ((s, d) =>
@@ -1280,6 +1319,32 @@ object RelationalQueries {
          |  round(CAST(r2sum - na*(na+1) AS DOUBLE)
          |    / CAST(2*na*nb AS DOUBLE), 6) AS auc6
          |FROM r, t""".stripMargin,
+
+    // o09: the same classification as a three-branch UNION ALL over
+    // one full-outer CTE.
+    "o09_scd2_merge" ->
+      s"""WITH old AS (SELECT c_custkey AS k, ${centsSql("c_acctbal")} AS bal_old
+         |  FROM customer WHERE c_custkey % 10 <> 0),
+         |neu AS (SELECT c_custkey AS k,
+         |    ${centsSql("c_acctbal")} +
+         |      CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END AS bal_new
+         |  FROM customer WHERE c_custkey % 13 <> 0),
+         |j AS (SELECT coalesce(old.k, neu.k) AS k, bal_old, bal_new
+         |      FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+         |SELECT k, version, bal, valid_from, valid_to FROM (
+         |  SELECT k, 1 AS version, bal_old AS bal,
+         |    CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to
+         |  FROM j WHERE bal_old IS NOT NULL
+         |    AND (bal_new IS NULL OR bal_new <> bal_old)
+         |  UNION ALL
+         |  SELECT k, 1, bal_old, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM j WHERE bal_old IS NOT NULL AND bal_new = bal_old
+         |  UNION ALL
+         |  SELECT k, CASE WHEN bal_old IS NULL THEN 1 ELSE 2 END, bal_new,
+         |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM j WHERE bal_new IS NOT NULL
+         |    AND (bal_old IS NULL OR bal_new <> bal_old)) u
+         |ORDER BY k, version""".stripMargin,
 
     // o08: the Morton interleave written as the identical shift/mask
     // sum; qx/qy/zkey are exact integers in both engines.
