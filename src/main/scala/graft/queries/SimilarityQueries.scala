@@ -336,7 +336,15 @@ object SimilarityQueries {
     // exact integer quantized distances, so the greedy trace (and the
     // decreasing coverage radii) is engine-deterministic.
     "v26_kcenter_coreset" -> ((s, d) =>
-      Similarity.kcenterPicks(emb(s, d), 4).orderBy("pick"))
+      Similarity.kcenterPicks(emb(s, d), 4).orderBy("pick")),
+
+    // V27: top principal component — one distributed Gram pass (v25)
+    // + a 12-step power iteration as pure expressions over a single
+    // packed row. No driver collect; every fold is fixed-order, so
+    // eigenvector entries and the Rayleigh eigenvalue are
+    // cross-engine exact.
+    "v27_pca_power" -> ((s, d) =>
+      Similarity.pcaPowerInt8(emb(s, d), 8, 12).orderBy("i"))
   )
 
   /** Float pipelines are rows-only (see scaladoc) — except v08, whose
@@ -355,6 +363,57 @@ object SimilarityQueries {
        |  list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
        |  (a, x) -> a + x)""".stripMargin
+
+  /** DuckDB mirror of [[Similarity.pcaPowerInt8]]: Gram cells (the v25
+    * arithmetic), row-major packed matrix, and one (w, normalize) CTE
+    * pair per power-iteration step. */
+  private def pcaPowerSql(dims: Int, iters: Int): String = {
+    val d1 = dims - 1
+    def matVec(vref: String) =
+      s"list_transform(generate_series(0, $d1), i -> " +
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(generate_series(0, $d1), j -> " +
+        s"md[i*$dims+j+1] * $vref[j+1])), (a, x) -> a + x))"
+    val mx = "list_reduce(list_prepend(CAST(0 AS DOUBLE), w), " +
+      "(a, x) -> CASE WHEN abs(x) > a THEN abs(x) ELSE a END)"
+    val head =
+      s"""WITH m AS (
+         |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+         |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+         |e AS (SELECT vec_id,
+         |        unnest(list_zip(embedding[1:$dims],
+         |          generate_series(0, $d1))) AS p
+         |      FROM embeddings),
+         |x AS (SELECT vec_id, CAST(p[2] AS INT) AS i,
+         |        round(CAST(p[1] AS DOUBLE) * 127.0 / ma) AS qi FROM e, m),
+         |cells AS (SELECT a.i AS i, b.i AS j,
+         |            CAST(sum(a.qi * b.qi) AS BIGINT) AS g
+         |          FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |          GROUP BY 1, 2),
+         |f2 AS (SELECT i*$dims+j AS k, g FROM cells
+         |       UNION ALL SELECT j*$dims+i, g FROM cells WHERE i <> j),
+         |mdrow AS (SELECT list(CAST(g AS DOUBLE) ORDER BY k) AS md FROM f2),
+         |it0 AS (SELECT md, list_transform(generate_series(0, $d1),
+         |          j -> CAST(1.0 AS DOUBLE)) AS v FROM mdrow)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS (SELECT md, ${matVec("v")} AS w FROM it${t - 1}),
+         |it$t AS (SELECT md, list_transform(w, x -> x / $mx) AS v FROM w$t)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    head + steps +
+      s""",
+         |wf AS (SELECT md, v, ${matVec("v")} AS mv FROM it$iters),
+         |r AS (SELECT v, round(
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(list_zip(v, mv), p -> p[1] * p[2])),
+         |      (a, x) -> a + x)
+         |    / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(v, x -> x * x)), (a, x) -> a + x),
+         |    6) AS lambda6 FROM wf)
+         |SELECT CAST(p[2] AS INT) AS i, round(p[1], 6) AS v6, lambda6
+         |FROM (SELECT lambda6,
+         |        unnest(list_zip(v, generate_series(0, $d1))) AS p FROM r) u
+         |ORDER BY i""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // v01: brute-force cosine ranking — every double (dot, the two
@@ -1030,6 +1089,12 @@ object SimilarityQueries {
         |SELECT a.i AS i, b.i AS j, CAST(sum(a.qi * b.qi) AS BIGINT) AS g
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    // v27: the same Gram cells packed row-major (lower triangle
+    // mirrored via UNION ALL + ordered list()), then the identical
+    // fixed-order matrix-vector folds and max-abs normalizations,
+    // iteration CTEs generated to match the Spark loop step for step.
+    "v27_pca_power" -> pcaPowerSql(8, 12),
 
     // v26: the greedy trace unrolled (the v22 move) over a pairwise
     // quantized distance table — the oracle may go n² where the Spark

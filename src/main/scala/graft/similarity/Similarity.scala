@@ -153,6 +153,61 @@ object Similarity {
     sel.select(col("vec_id"), col("pick"), col("d2"))
   }
 
+  /** Top principal component by power iteration on the int8 Gram
+    * matrix — the production PCA split at scale: ONE distributed pass
+    * builds the dims×dims second-moment matrix ([[int8Gram]]), and the
+    * O(dims²)-per-step eigen iteration runs as pure expressions over a
+    * single packed row (no driver collect anywhere, keeping the
+    * engine's zero-collect invariant). Every step is a left fold in
+    * fixed j order with max-abs normalization, so all doubles are
+    * cross-engine exact; `iters` fixed steps, not a convergence test —
+    * both engines compute the identical trace. Returns one row per
+    * component index with the (unit-∞-norm) eigenvector entry and the
+    * Rayleigh-quotient eigenvalue estimate. */
+  def pcaPowerInt8(corpus: DataFrame, dims: Int, iters: Int): DataFrame = {
+    val cells = int8Gram(corpus, dims)
+    // pack the 36 upper-triangle cells into one row-major dims² array
+    // (mirror the lower triangle); array_sort on (i, j, g) structs
+    // makes the packed order deterministic under parallel collect_list
+    val packed = cells
+      .agg(array_sort(collect_list(struct(col("i"), col("j"), col("g")))).as("cs"))
+      .select(transform(sequence(lit(0), lit(dims * dims - 1)), k => {
+        val i = floor(k.cast("double") / dims).cast("int")
+        val j = pmod(k, lit(dims)).cast("int")
+        val lo = least(i, j); val hi = greatest(i, j)
+        element_at(filter(col("cs"),
+          c => c.getField("i") === lo && c.getField("j") === hi), 1)
+          .getField("g").cast("double")
+      }).as("md"))
+    def matVec(v: Column): Column =
+      transform(sequence(lit(0), lit(dims - 1)), i =>
+        aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0d), (acc, j) =>
+          acc + get(col("md"), i * dims + j) * get(v, j)))
+    // each step references v many times (64 get()s in the mat-vec plus
+    // the normalizer); left as one lineage, CollapseProject inlines
+    // every layer and the expression tree grows geometrically (a 12-
+    // step chain measured a 13.7 MiB task binary before hanging in
+    // codegen). The 1-row localCheckpoint per step cuts the lineage —
+    // 12 trivial jobs instead of one unplannable expression.
+    var df = packed
+      .withColumn("v", transform(sequence(lit(0), lit(dims - 1)), _ => lit(1.0d)))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = matVec(col("v"))
+      val mx = aggregate(w, lit(0.0d), (a, x) =>
+        when(abs(x) > a, abs(x)).otherwise(a))
+      df = df.withColumn("v", transform(w, x => x / mx)).localCheckpoint()
+    }
+    val mv = matVec(col("v"))
+    val num = aggregate(zip_with(col("v"), mv, (a, b) => a * b),
+      lit(0.0d), (a, x) => a + x)
+    val den = aggregate(transform(col("v"), x => x * x),
+      lit(0.0d), (a, x) => a + x)
+    df.withColumn("lambda6", round(num / den, 6))
+      .select(col("lambda6"), posexplode(col("v")).as(Seq("i", "vi")))
+      .select(col("i"), round(col("vi"), 6).as("v6"), col("lambda6"))
+  }
+
   /** Random-hyperplane signature: bit j = sign(dot(v, h_j)); hyperplanes
     * are `nBits` corpus vectors (deterministic, seed-free). */
   def lshBuckets(corpus: DataFrame, hyperplanes: DataFrame): DataFrame = {
