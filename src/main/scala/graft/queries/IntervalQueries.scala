@@ -415,6 +415,31 @@ object IntervalQueries {
           col("cnt") >= 5)
         .select(col("user_id"), col("hb"), col("cnt"), col("base_sum"))
         .orderBy("user_id", "hb")
+    }),
+
+    // ST12 last-touch attribution (the conversion-credit shape st04's
+    // funnel doesn't produce): each purchase credits the user's most
+    // recent click within 600 s. "Most recent prior click" is
+    // max(click-time) over the preceding-rows window — times are
+    // increasing within the frame, so max IS the latest, and unlike
+    // last_value(IGNORE NULLS) it mirrors identically in every
+    // engine. One user-partitioned window, then a per-user rollup.
+    "st12_attribution" -> ((s, d) => {
+      val raw = graft.sources.Tables.events(tune(s), d)
+      val ev = raw.select(col("user_id"), col("event_id"),
+        col("event_type"), Q.tsSec(raw).as("t"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_t",
+          max(when(col("event_type") === "click", col("t"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attributed",
+          col("last_click_t").isNotNull && col("t") - col("last_click_t") <= 600)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"))
+        .orderBy("user_id")
     })
   )
 
@@ -737,6 +762,24 @@ object IntervalQueries {
         |      FROM b)
         |SELECT user_id, CAST(hb AS BIGINT) AS hb, cnt, base_sum
         |FROM w WHERE base_n = 3 AND cnt * 3 > base_sum * 2 AND cnt >= 5
-        |ORDER BY user_id, hb""".stripMargin
+        |ORDER BY user_id, hb""".stripMargin,
+
+    // st12: the same preceding-rows click-time max and 600 s credit
+    // window.
+    "st12_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS t FROM events),
+        |w AS (SELECT user_id, event_id, event_type, t,
+        |        max(CASE WHEN event_type = 'click' THEN t END)
+        |          OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS last_click_t
+        |      FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN last_click_t IS NOT NULL
+        |    AND t - last_click_t <= 600 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_attributed
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

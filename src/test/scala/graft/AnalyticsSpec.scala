@@ -388,4 +388,30 @@ class AnalyticsSpec extends SparkSpec {
     // sanity: variance-corrected dof sits strictly between min(n)-1 and na+nb-2
     assert(r._2 > 2.0 - 1e-9 && r._2 < 4.0 + 1e-9)
   }
+
+  test("o09 SCD2 merge: open rows reconstruct the new snapshot exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("o09_scd2_merge")(spark, sf).cache()
+    // at most one open row per key, and versions are {1} or {1,2}
+    val perKey = out.groupBy("k").agg(
+      sum(when(col("valid_to").isNull, 1).otherwise(0)).as("n_open"),
+      count(lit(1)).as("n_rows"), max(col("version")).as("maxv"))
+    assert(perKey.filter(col("n_open") > 1).count() === 0)
+    assert(perKey.filter(col("n_rows") > 2).count() === 0)
+    // the open rows ARE the new snapshot (keys and balances)
+    val c = graft.sources.Tables.customer(graft.queries.Q.tune(spark), sf)
+    val neu = c.filter(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey").as("k"),
+        (graft.queries.Q.cents(col("c_acctbal")) +
+          when(col("c_custkey") % 7 === 0, 100L).otherwise(0L)).as("bal"))
+    val open = out.filter(col("valid_to").isNull).select("k", "bal")
+    assert(open.exceptAll(neu).count() === 0)
+    assert(neu.exceptAll(open).count() === 0)
+    // removed keys (in old, not new) end fully closed
+    val removed = c.filter(col("c_custkey") % 10 =!= 0 && col("c_custkey") % 13 === 0)
+      .select(col("c_custkey").as("k"))
+    val openKeys = open.select("k")
+    assert(removed.join(openKeys, Seq("k"), "left_semi").count() === 0)
+    out.unpersist()
+  }
 }
