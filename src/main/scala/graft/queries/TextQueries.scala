@@ -956,6 +956,50 @@ object TextQueries {
         .orderBy("lang", "pred")
     }),
 
+    // T61 classifier calibration audit (reliability diagram): t50's
+    // NB language classifier re-scored with its CONFIDENCE — the
+    // integer score margin between the top two candidates, normalized
+    // per bigram — bucketed into 10 bands with per-band accuracy. The
+    // model-governance readout that decides whether a quality/langid
+    // classifier's confidence can gate data (a well-calibrated model
+    // shows accuracy rising monotonically with the band). All-integer
+    // margins; the only doubles are the final per-band ratios.
+    "t61_calibration" -> ((s, d) => {
+      val base = docs(s, d)
+      val feats = TextOps.positionedShingles(base, 2)
+        .select(col("doc_id"), (TextOps.fingerprint(col("sh")) % 512).as("fb"))
+      val labeled = feats.join(base.select("doc_id", "lang"), "doc_id")
+      val cl = labeled.groupBy("lang").agg(count(lit(1)).as("c_l"))
+      val wgt = broadcast(labeled.groupBy("lang", "fb")
+        .agg(count(lit(1)).as("c_lf"))
+        .join(cl, "lang")
+        .select(col("fb"), col("lang").as("cand"),
+          expr("((c_lf + 1) * 1000000) div (c_l + 512)").as("w")))
+      val scores = feats.join(wgt, "fb")
+        .groupBy("doc_id", "cand").agg(sum(col("w")).as("score"))
+      val aw = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cand"))
+      val ranked = scores.withColumn("rn", row_number().over(aw))
+        .filter(col("rn") <= 2)
+      val top = ranked.filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand").as("pred"), col("score").as("s1"))
+      val second = ranked.filter(col("rn") === 2)
+        .select(col("doc_id").as("d2"), col("score").as("s2"))
+      val nbg = feats.groupBy("doc_id").agg(count(lit(1)).as("n_bg"))
+      base.select("doc_id", "lang")
+        .join(top, "doc_id")
+        .join(second, col("doc_id") === col("d2"), "left")
+        .join(nbg, "doc_id")
+        .withColumn("mpb", expr("(s1 - coalesce(s2, 0L)) div n_bg"))
+        .withColumn("bucket", least(expr("mpb div 64"), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc6",
+          round(col("n_correct").cast("double") / col("n").cast("double"), 6))
+        .orderBy("bucket")
+    }),
+
     // T49 BPE merge training, two steps unrolled: each iteration picks
     // the corpus's most frequent adjacent token pair (count desc, pair
     // asc — the deterministic BPE selection rule) and applies the merge
@@ -1939,6 +1983,48 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents d LEFT JOIN pred USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t61: t50's scoring CTEs + the same integer margin/band
+    // arithmetic.
+    "t61_calibration" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(l[i] || ' ' || l[i+1],''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 1000000007) % 512 AS fb
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l)-1)) AS i
+        |        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents) t0) t1),
+        |lab AS (SELECT f.doc_id, f.fb, d.lang
+        |        FROM f JOIN documents d USING (doc_id)),
+        |cl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c_l
+        |       FROM lab GROUP BY 1),
+        |clf AS (SELECT lang, fb, CAST(count(*) AS BIGINT) AS c_lf
+        |        FROM lab GROUP BY 1, 2),
+        |wgt AS (SELECT fb, clf.lang AS cand,
+        |          ((c_lf + 1) * 1000000) // (c_l + 512) AS w
+        |        FROM clf JOIN cl USING (lang)),
+        |sc AS (SELECT f.doc_id, w.cand, CAST(sum(w.w) AS BIGINT) AS score
+        |       FROM f JOIN wgt w USING (fb) GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, cand, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, cand) AS rn FROM sc),
+        |top AS (SELECT doc_id, cand AS pred, score AS s1 FROM rk WHERE rn = 1),
+        |sec AS (SELECT doc_id, score AS s2 FROM rk WHERE rn = 2),
+        |nbg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg
+        |        FROM f GROUP BY 1),
+        |mg AS (SELECT d.doc_id, d.lang, t.pred,
+        |         least(((s1 - coalesce(s2, 0)) // n_bg) // 64, 9) AS bucket
+        |       FROM documents d
+        |       JOIN top t USING (doc_id)
+        |       LEFT JOIN sec USING (doc_id)
+        |       JOIN nbg USING (doc_id))
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  round(CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS acc6
+        |FROM mg GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // t45: same bigram-occurrence CTE as t32; bucket ratios are pure
     // BIGINT floor divisions, so doc scores match bit for bit
