@@ -440,6 +440,29 @@ object IntervalQueries {
         .agg(count(lit(1)).as("n_purchases"),
           sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"))
         .orderBy("user_id")
+    }),
+
+    // ST13 exact session-length quantiles over the WHOLE corpus —
+    // global p50/p90/p99 with no sort-collect and no approx sketch:
+    // session lengths pre-aggregate to (len, cnt) — the distinct-
+    // length domain, not the session count — then ONE two-phase
+    // prefix sum orders the CDF and each quantile is the smallest
+    // length whose cumulative count crosses the integer threshold
+    // (cum·100 >= n·q — no float percent anywhere). The exact-global-
+    // quantile move a22 makes per group, made corpus-wide scalably.
+    "st13_session_quantiles" -> ((s, d) => {
+      val pts = ev(s, d).select(col("user_id"), col("s"), (col("s") + 1).as("e"))
+      val lens = IntervalOps.coalesce(pts, C, gap = 1800)
+        .select((col("e") - col("s")).as("len"))
+        .groupBy("len").agg(count(lit(1)).as("cnt"))
+      val cum = graft.text.Packing.withRunningOffset(lens, "len", "cnt", "off")
+        .withColumn("cum", col("off") + col("cnt"))
+      val tot = lens.agg(sum(col("cnt")).as("n"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n_sessions"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("len"))).as("p50"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("len"))).as("p90"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("len"))).as("p99"))
     })
   )
 
@@ -780,6 +803,24 @@ object IntervalQueries {
         |    AND t - last_click_t <= 600 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_attributed
         |FROM w WHERE event_type = 'purchase'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // st13: the same session islands, (len, cnt) CDF, and integer
+    // threshold crossings (window cumsum here; two-phase on Spark).
+    "st13_session_quantiles" ->
+      s"""WITH sess AS (${coalesceSql(
+        s"SELECT user_id, s, s + 1 AS e FROM (${evSql()}) q", gap = 1800)}),
+         |lens AS (SELECT e - s AS len, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM sess GROUP BY 1),
+         |c AS (SELECT len, cnt,
+         |        CAST(sum(cnt) OVER (ORDER BY len
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS cum FROM lens),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM lens)
+         |SELECT max(n) AS n_sessions,
+         |  CAST(min(CASE WHEN cum*100 >= n*50 THEN len END) AS BIGINT) AS p50,
+         |  CAST(min(CASE WHEN cum*100 >= n*90 THEN len END) AS BIGINT) AS p90,
+         |  CAST(min(CASE WHEN cum*100 >= n*99 THEN len END) AS BIGINT) AS p99
+         |FROM c, t""".stripMargin
   )
 }

@@ -344,7 +344,41 @@ object SimilarityQueries {
     // eigenvector entries and the Rayleigh eigenvalue are
     // cross-engine exact.
     "v27_pca_power" -> ((s, d) =>
-      Similarity.pcaPowerInt8(emb(s, d), 8, 12).orderBy("i"))
+      Similarity.pcaPowerInt8(emb(s, d), 8, 12).orderBy("i")),
+
+    // V28: embedding OOD/outlier flags — a21's integer 3-sigma audit
+    // lifted to vectors: squared distance to the per-label FLOOR-
+    // QUANTIZED centroid (c_i = ⌊Σq_i/n⌋ keeps d2 bounded by the
+    // int8 grid at ANY corpus size — no n-scaled products to
+    // overflow), then the cross-multiplied moment test dev² > 9·var
+    // on integer d2 moments. Centroids broadcast (one 5-row table);
+    // the corpus is scanned twice (dim sums, then distances).
+    "v28_ood_flags" -> ((s, d) => {
+      val qv = Similarity.quantizeInt8(emb(s, d))
+        .select(col("vec_id"), col("label"), col("__q").as("q"))
+      val cent = qv.select(col("label"), posexplode(col("q")).as(Seq("i", "qi")))
+        .groupBy("label", "i")
+        .agg(sum(col("qi")).as("sd"), count(lit(1)).as("n"))
+        .withColumn("c", expr("CAST(sd AS BIGINT) div n"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          x => x.getField("c").cast("double")).as("carr"))
+      val d2s = qv.join(broadcast(cent), "label")
+        .withColumn("d2", aggregate(
+          zip_with(col("q"), col("carr"), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).cast("long"))
+        .select("label", "vec_id", "d2")
+      val stats = d2s.groupBy("label").agg(count(lit(1)).as("n"),
+        sum(col("d2")).as("sm"), sum(col("d2") * col("d2")).as("ssq"))
+      d2s.join(broadcast(stats), "label")
+        .withColumn("mu", expr("sm div n"))
+        .withColumn("varr",
+          expr("greatest((ssq div n) - mu * mu, CAST(1 AS BIGINT))"))
+        .withColumn("dev", col("d2") - col("mu"))
+        .filter(expr("dev * dev > 9 * varr"))
+        .select(col("label"), col("vec_id"), col("d2"), col("dev"))
+        .orderBy("label", "vec_id")
+    })
   )
 
   /** Float pipelines are rows-only (see scaladoc) — except v08, whose
@@ -1095,6 +1129,38 @@ object SimilarityQueries {
     // fixed-order matrix-vector folds and max-abs normalizations,
     // iteration CTEs generated to match the Spark loop step for step.
     "v27_pca_power" -> pcaPowerSql(8, 12),
+
+    // v28: same quantization, floor centroids, integer d2 and
+    // cross-multiplied moments (per-dim join form of the Spark HOF —
+    // integer-valued sums are association-free).
+    "v28_ood_flags" ->
+      """WITH m AS (
+        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+        |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+        |e AS (SELECT vec_id, label,
+        |        unnest(list_zip(embedding,
+        |          generate_series(0, len(embedding)-1))) AS p
+        |      FROM embeddings),
+        |x AS (SELECT vec_id, label, CAST(p[2] AS BIGINT) AS i,
+        |        round(CAST(p[1] AS DOUBLE) * 127.0 / ma) AS qi FROM e, m),
+        |cent AS (SELECT label, i,
+        |           CAST(sum(qi) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+        |         FROM x GROUP BY 1, 2),
+        |dd AS (SELECT x.vec_id, x.label,
+        |         CAST(sum((x.qi - c) * (x.qi - c)) AS BIGINT) AS d2
+        |       FROM x JOIN cent ON x.label = cent.label AND x.i = cent.i
+        |       GROUP BY 1, 2),
+        |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(d2) AS BIGINT) AS sm,
+        |         CAST(sum(d2 * d2) AS BIGINT) AS ssq
+        |       FROM dd GROUP BY 1),
+        |f AS (SELECT dd.label, vec_id, d2,
+        |        sm // n AS mu,
+        |        greatest((ssq // n) - (sm // n) * (sm // n), 1) AS varr
+        |      FROM dd JOIN st ON dd.label = st.label)
+        |SELECT label, vec_id, d2, d2 - mu AS dev
+        |FROM f WHERE (d2 - mu) * (d2 - mu) > 9 * varr
+        |ORDER BY label, vec_id""".stripMargin,
 
     // v26: the greedy trace unrolled (the v22 move) over a pairwise
     // quantized distance table — the oracle may go n² where the Spark
