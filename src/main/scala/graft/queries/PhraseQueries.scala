@@ -59,7 +59,15 @@ object PhraseQueries {
     "ph04_bm25_topk" -> ((s, d) =>
       PhraseSearch.bm25TopK(
         Tables.documents(tune(s), d).select("doc_id", "text"),
-        Seq("customer", "spark", "vector"), k = 10))
+        Seq("customer", "spark", "vector"), k = 10)),
+
+    // PH5: proximity (NEAR/k) search — "spark" within 8 tokens of
+    // "window". Width-k position bands turn the |p_a − p_b| <= k
+    // theta predicate into one (doc, bucket) equi join (a-side posts
+    // ±1 buckets; each within-k pair collides exactly once).
+    "ph05_near_search" -> ((s, d) =>
+      PhraseSearch.proximityHits(toks(s, d), "spark", "window", 8)
+        .orderBy("doc_id", "p_a", "p_b"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -69,6 +77,16 @@ object PhraseQueries {
          |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
          |WHERE a.tok = 'the' AND b.tok = 'customer'
          |ORDER BY 1, 2""".stripMargin,
+
+    // ph05: plain positions join + |Δ| filter (the oracle need not
+    // band; the pair set is identical).
+    "ph05_near_search" ->
+      s"""SELECT a.doc_id, CAST(a.pos AS INT) AS p_a, CAST(b.pos AS INT) AS p_b
+         |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b
+         |  ON b.doc_id = a.doc_id
+         |WHERE a.tok = 'spark' AND b.tok = 'window'
+         |  AND abs(a.pos - b.pos) <= 8
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     "ph02_boolean_search" ->
       """SELECT doc_id FROM documents

@@ -39,6 +39,27 @@ object PhraseSearch {
   def docsWithPhrase(toks: DataFrame, phrase: Seq[String]): DataFrame =
     phraseHits(toks, phrase).select("doc_id").distinct()
 
+  /** NEAR operator: (doc_id, p_a, p_b) occurrence pairs of `a` and
+    * `b` within `k` token positions — the proximity query a caption /
+    * document search layer adds on top of exact phrases. The position
+    * space is banded into width-k buckets and the a-side posts to its
+    * own ± 1 buckets, so every within-k pair collides on EXACTLY one
+    * (doc, bucket) equi key (b's bucket is unique and only one of a's
+    * three matches it) — a plain positions theta-join would shuffle
+    * per-doc cross products instead. */
+  def proximityHits(toks: DataFrame, a: String, b: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val pa = toks.filter(col("tok") === a)
+      .select(col("doc_id"), col("pos").as("p_a"),
+        explode(array(expr(s"pos div $k - 1"), expr(s"pos div $k"),
+          expr(s"pos div $k + 1"))).as("bk"))
+    val pb = toks.filter(col("tok") === b)
+      .select(col("doc_id"), col("pos").as("p_b"), expr(s"pos div $k").as("bk"))
+    pa.join(pb, Seq("doc_id", "bk"))
+      .filter(abs(col("p_a") - col("p_b")) <= k)
+      .select("doc_id", "p_a", "p_b")
+  }
+
   /** BM25 ranked retrieval over the token table (Robertson k1=1.2,
     * b=0.75), the relevance-ranked counterpart of the boolean search —
     * the reference ranks caption hits by raw count
