@@ -1000,6 +1000,32 @@ object TextQueries {
         .orderBy("bucket")
     }),
 
+    // T62 corpus length-concentration (Gini): how unequal the
+    // per-document length distribution is — the skew early-warning a
+    // mixture/packing plan reads next to t56's card (G→0 uniform,
+    // G→1 a few giant docs hold the corpus). Exact midrank form over
+    // the (len, cnt) distinct-value domain: 2·Σ rank·x per tie block
+    // is x·c·(2t+c+1) — all integer (exact to ~2^53-scale corpora;
+    // switch the two product columns to decimal(38,0) past that),
+    // cumulated by the same two-phase prefix sum as a28/a30/st13.
+    "t62_length_gini" -> ((s, d) => {
+      val lens = docs(s, d)
+        .select(length(col("text")).cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("c"))
+      val cum = graft.text.Packing.withRunningOffset(lens, "x", "c", "t")
+      val tot = lens.agg(sum(col("c")).as("n"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n"),
+          (col("x") * col("c")).as("sx"),
+          (col("x") * col("c") * (col("t") * 2 + col("c") + 1)).as("r2x"))
+        .groupBy(col("n"))
+        .agg(sum(col("sx")).as("sumx"), sum(col("r2x")).as("rank2x"))
+        .select(col("n").as("n_docs"), col("sumx").as("total_chars"),
+          round(col("rank2x").cast("double") /
+            (col("n").cast("double") * col("sumx").cast("double")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"), 6).as("gini6"))
+    }),
+
     // T49 BPE merge training, two steps unrolled: each iteration picks
     // the corpus's most frequent adjacent token pair (count desc, pair
     // asc — the deterministic BPE selection rule) and applies the merge
@@ -2025,6 +2051,26 @@ object TextQueries {
         |  round(CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS acc6
         |FROM mg GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // t62: window cumsum + the identical midrank products and final
+    // double division chain.
+    "t62_length_gini" ->
+      """WITH lens AS (SELECT CAST(length(text) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (SELECT x, c,
+        |    CAST(coalesce(sum(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS t FROM lens),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lens),
+        |g AS (SELECT n, CAST(sum(x * c) AS BIGINT) AS sumx,
+        |        CAST(sum(x * c * (t * 2 + c + 1)) AS BIGINT) AS rank2x
+        |      FROM cum, tt GROUP BY n)
+        |SELECT n AS n_docs, sumx AS total_chars,
+        |  round(CAST(rank2x AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(sumx AS DOUBLE))
+        |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini6
+        |FROM g""".stripMargin,
 
     // t45: same bigram-occurrence CTE as t32; bucket ratios are pure
     // BIGINT floor divisions, so doc scores match bit for bit
