@@ -442,6 +442,35 @@ object IntervalQueries {
         .orderBy("user_id")
     }),
 
+    // J17 nearest-event temporal join: each purchase pairs with the
+    // user's nearest click within ±600 s by |Δt| (tie → smaller click
+    // id) — the temporal nearest-neighbor alignment shape (sensor
+    // fusion, caption↔frame alignment) that x06's backward as-of
+    // can't express. Width-600 time bands with the click side posting
+    // ±1 buckets make every within-window pair collide on exactly one
+    // (user, bucket) equi key — the ph05 move on the time axis; a
+    // plain |Δt| theta join would shuffle per-user cross products.
+    "j17_nearest_event" -> ((s, d) => {
+      val raw = graft.sources.Tables.events(tune(s), d)
+      val ev0 = raw.select(col("user_id"), col("event_id"),
+        col("event_type"), Q.tsSec(raw).as("t"))
+      val pur = ev0.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"), col("t").as("tp"),
+          expr("t div 600").as("bk"))
+      val clk = ev0.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("cid"), col("t").as("tc"),
+          explode(array(expr("t div 600 - 1"), expr("t div 600"),
+            expr("t div 600 + 1"))).as("bk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid")).orderBy(abs(col("tp") - col("tc")), col("cid"))
+      pur.join(clk, Seq("user_id", "bk"))
+        .filter(abs(col("tp") - col("tc")) <= 600)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("pid"), col("cid"),
+          (col("tp") - col("tc")).as("dt"))
+        .orderBy("user_id", "pid")
+    }),
+
     // ST13 exact session-length quantiles over the WHOLE corpus —
     // global p50/p90/p99 with no sort-collect and no approx sketch:
     // session lengths pre-aggregate to (len, cnt) — the distinct-
@@ -804,6 +833,23 @@ object IntervalQueries {
         |    AS n_attributed
         |FROM w WHERE event_type = 'purchase'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // j17: plain theta join + qualify (the oracle needn't band — the
+    // pair set and rank-1 picks are identical).
+    "j17_nearest_event" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000000000 AS t FROM events),
+        |p AS (SELECT user_id, event_id AS pid, t AS tp FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS cid, t AS tc FROM ev
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, pid, cid, tp - tc AS dt,
+        |        row_number() OVER (PARTITION BY pid
+        |          ORDER BY abs(tp - tc), cid) AS rn
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND abs(tp - tc) <= 600)
+        |SELECT user_id, pid, cid, CAST(dt AS BIGINT) AS dt
+        |FROM j WHERE rn = 1 ORDER BY user_id, pid""".stripMargin,
 
     // st13: the same session islands, (len, cnt) CDF, and integer
     // threshold crossings (window cumsum here; two-phase on Spark).

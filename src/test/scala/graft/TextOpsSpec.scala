@@ -241,4 +241,26 @@ class TextOpsSpec extends SparkSpec {
     // the isolated token never receives mass: damping floor only
     assert(got("lonely") === 150000L + 17L * 0L / 20L)
   }
+
+  test("proximityHits banded join equals the naive theta join, each pair once") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(4242)
+    // random token streams dense enough to produce boundary-straddling
+    // pairs (the banding's exactly-once guarantee is what's under test)
+    val docs = (0 until 30).map { d =>
+      (d.toLong, (0 until 200).map(_ =>
+        if (rnd.nextInt(10) == 0) "aa" else if (rnd.nextInt(10) == 0) "bb"
+        else "x").mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val banded = graft.text.PhraseSearch.proximityHits(toks, "aa", "bb", 7)
+      .select("doc_id", "p_a", "p_b").as[(Long, Int, Int)].collect().toList
+    val pa = toks.filter($"tok" === "aa").select($"doc_id", $"pos".as("p_a"))
+    val pb = toks.filter($"tok" === "bb").select($"doc_id".as("d2"), $"pos".as("p_b"))
+    val naive = pa.join(pb, $"doc_id" === $"d2" && abs($"p_a" - $"p_b") <= 7)
+      .select("doc_id", "p_a", "p_b").as[(Long, Int, Int)].collect().toList
+    assert(banded.size === banded.distinct.size, "a pair collided twice")
+    assert(banded.sorted === naive.sorted)
+  }
 }
