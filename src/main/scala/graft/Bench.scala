@@ -160,7 +160,6 @@ object Bench {
     // explicit Locale.ROOT: the f"" interpolator is default-locale
     // sensitive, and a comma-decimal locale would emit invalid JSON
     def num3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def num2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val sampleJson = samples.map { case (k, vs) =>
@@ -190,16 +189,14 @@ object Bench {
     Files.write(Paths.get(effOut), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     // The stdout copy must survive a bounded log-tail capture (~2 KB):
-    // with 100+ queries the full-name map alone exceeds it and the line's
-    // head gets truncated mid-JSON. Every query name carries a unique
-    // group-prefix mnemonic (j01, t03, ...), so the stdout line keys on
-    // those — the full-name artifact is the file written above.
-    val shortQs = results.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + num2(v)
-    }.mkString("{", ",", "}")
+    // at 216 queries even a short-key per-query map is ~2.9 KB and the
+    // captured line truncates mid-JSON (r10's driver artifact was
+    // parsed:null). Print only the headline fields — total, failed
+    // names, query count, sf; the full per-query map + samples live in
+    // the file artifact written above.
     val shortFailed = failed.map { case (k, _) =>
       "\"" + k.takeWhile(_ != '_') + "\"" }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$shortQs,"failed":$shortFailed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","nqueries":${results.size},"failed":$shortFailed,"sf":"$sfDir"}""")
   }
 }

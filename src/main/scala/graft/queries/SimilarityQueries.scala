@@ -10,9 +10,11 @@ import Q._
   * DuckDB-oracle-exact since round 5: the native vector expressions
   * are defined left folds over doubles, and DuckDB's ordered
   * list_reduce replays them bit-identically — so signs, rankings with
-  * vec_id tie-breaks, and rounded scores all match. Only the
-  * genuinely engine-specific pipelines (MLlib LBFGS v05, KMeans v07)
-  * stay rows-only, run-to-run deterministic. */
+  * vec_id tie-breaks, and rounded scores all match. Since round 11
+  * the fitted pipelines (v05 probe, v07 IVF, v12 clusters) run on the
+  * deterministic integer Lloyd plane ([[graft.similarity.IntKMeans]])
+  * and are oracle-exact too; the MLlib LBFGS/KMeans library paths
+  * remain in [[graft.similarity.MlSimilarity]], spec-pinned. */
 object SimilarityQueries {
 
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -60,19 +62,26 @@ object SimilarityQueries {
     "v04_centroid_assign" -> ((s, d) =>
       Similarity.centroidAssign(emb(s, d)).orderBy("label")),
 
-    // V5: logreg_predict surface (face_embeddings.py:123-126,
-    // spark_identity.py identity propagation): fit on the labeled
-    // corpus, score every vector with the winning class + probability
-    "v05_logreg_score" -> ((s, d) => {
-      val e = emb(s, d)
-      graft.similarity.MlSimilarity.logregScoreAll(e, e).orderBy("vec_id")
-    }),
+    // V5: the logreg_predict scoring surface (face_embeddings.py:
+    // 123-126, spark_identity.py identity propagation) as a closed-
+    // form integer linear probe: per-label int8 prototypes, LDA
+    // discriminant, argmax class + winner-minus-runner-up margin.
+    // Integer end to end, so unlike the MLlib LBFGS path it replaced
+    // (still available: MlSimilarity.logregScoreAll, spec-pinned)
+    // DuckDB replays fit AND scoring bit-exactly.
+    "v05_linear_probe" -> ((s, d) =>
+      graft.similarity.IntKMeans.linearProbe(emb(s, d)).orderBy("vec_id")),
 
-    // V7: IVF approximate top-k — KMeans coarse quantizer, probe the 4
-    // nearest of 16 cells per query, exact-cosine rank inside them
+    // V7: IVF approximate top-k — seeded integer-Lloyd coarse
+    // quantizer (16 cells, 2 iterations, hashed-id seeds), probe the
+    // 4 nearest cells per query, exact-integer int8-dot rank inside
+    // them. The k-means IS part of the query now: every Lloyd step is
+    // integer arithmetic, so the whole fit+probe+rank pipeline is
+    // oracle-checked (the float-KMeans variant stays as
+    // MlSimilarity.ivfTopK for the MLlib library surface).
     "v07_ivf_topk" -> ((s, d) => {
       val e = emb(s, d)
-      graft.similarity.MlSimilarity
+      graft.similarity.IntKMeans
         .ivfTopK(e, e.filter(col("vec_id") < 5), k = 10, nlist = 16, nprobe = 4)
         .orderBy("q_id", "rank")
     }),
@@ -201,12 +210,13 @@ object SimilarityQueries {
     // lists faces per cluster; face_embeddings.py:98-110 kmeans): the
     // per-vector cluster assignment, each row carrying its cluster's
     // population and the cluster exemplar (min vec_id) — the frame a
-    // cluster browser pages through. Rows-only like v07: MLlib KMeans
-    // float iterations are engine-specific (seeded, so run-to-run
-    // deterministic). The per-cluster stats join back via a broadcast
-    // 10-row aggregate; the assignment scan stays distributed.
+    // cluster browser pages through. The clustering is the seeded
+    // integer Lloyd fit (k=10, 2 iterations), so the assignment — and
+    // hence the whole browser frame — is DuckDB-oracle-exact. The
+    // per-cluster stats join back via a broadcast 10-row aggregate;
+    // the assignment scan stays distributed.
     "v12_kmeans_clusters" -> ((s, d) => {
-      val a = graft.similarity.MlSimilarity.kmeansAssign(emb(s, d), k = 10)
+      val a = graft.similarity.IntKMeans.kmeansAssign(emb(s, d), k = 10)
       val stats = a.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_n"), min(col("vec_id")).as("exemplar"))
       a.join(broadcast(stats), "cluster")
@@ -397,6 +407,74 @@ object SimilarityQueries {
        |  list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
        |  (a, x) -> a + x)""".stripMargin
+
+  // ---- integer-Lloyd SQL fragments (mirror of IntKMeans, shared by
+  // v05/v07/v12): BIGINT arithmetic end to end; sums/divisions cast
+  // back to BIGINT because DuckDB widens sum(BIGINT) to HUGEINT.
+
+  /** Integer squared L2 between two BIGINT lists. */
+  private def l2i(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_zip($a, $b),
+       |    p -> (p[1] - p[2]) * (p[1] - p[2]))),
+       |  (a, x) -> a + x)""".stripMargin
+
+  /** Integer dot product of two BIGINT lists. */
+  private def doti(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(list_zip($a, $b), p -> p[1] * p[2])),
+       |  (a, x) -> a + x)""".stripMargin
+
+  /** Integer squared norm of a BIGINT list. */
+  private def sumsqi(a: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform($a, x -> x * x)),
+       |  (a, x) -> a + x)""".stripMargin
+
+  /** `m` + `qv` CTEs: the corpus on the shared int8 grid as BIGINT
+    * lists (same round(x*127/maxabs) chain as v08/v09). */
+  private val qvCte =
+    """m AS (
+      |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+      |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+      |qv AS (SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
+      |       FROM embeddings, m)""".stripMargin
+
+  /** One Lloyd assignment: nearest centroid in CTE `ctr` by integer
+    * squared L2, ties to the lower cell id. */
+  private def assignCte(ctr: String) =
+    s"""SELECT vec_id, label, q, cell FROM (
+       |  SELECT v.vec_id, v.label, v.q, c.cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${l2i("v.q", "c.c")}, c.cell) AS rn
+       |  FROM qv v CROSS JOIN $ctr c) t0 WHERE rn = 1""".stripMargin
+
+  /** One Lloyd update: truncated-integer mean per cell (`//` and
+    * Spark's `div` both truncate toward zero). */
+  private def updateCte(asg: String) =
+    s"""SELECT cell, list(cv ORDER BY pos) AS c FROM (
+       |  SELECT cell, u.z[2] AS pos,
+       |    CAST(sum(u.z[1]) // count(*) AS BIGINT) AS cv
+       |  FROM $asg a,
+       |    unnest(list_zip(a.q, generate_series(0, len(a.q) - 1))) AS u(z)
+       |  GROUP BY cell, u.z[2]) t1 GROUP BY cell""".stripMargin
+
+  /** Hashed-id seeds + two Lloyd rounds + final assignment `af` over
+    * `k` cells — the full IntKMeans.fit(k, iters = 2) chain. */
+  private def lloydCtes(k: Int) =
+    s"""seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1
+       |           AS cell, q AS c
+       |  FROM (SELECT vec_id, q,
+       |          (vec_id * 1103515245 + 12345) % 2147483648 AS h
+       |        FROM qv ORDER BY h, vec_id LIMIT $k) s0),
+       |a1 AS (${assignCte("seeds")}),
+       |c1 AS (${updateCte("a1")}),
+       |a2 AS (${assignCte("c1")}),
+       |c2 AS (${updateCte("a2")}),
+       |af AS (${assignCte("c2")})""".stripMargin
 
   /** DuckDB mirror of [[Similarity.pcaPowerInt8]]: Gram cells (the v25
     * arithmetic), row-major packed matrix, and one (w, normalize) CTE
@@ -779,6 +857,63 @@ object SimilarityQueries {
         |      FROM d)
         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+
+    // v07: the full integer-Lloyd IVF — seeds, two Lloyd rounds, final
+    // assignment, probe the 4 nearest cells, int8-dot rank. Every CTE
+    // mirrors an IntKMeans step 1:1.
+    "v07_ivf_topk" ->
+      s"""WITH $qvCte,
+         |${lloydCtes(16)},
+         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
+         |probes AS (SELECT q_id, qvq, cell FROM (
+         |    SELECT qq.q_id, qq.qvq, c.cell,
+         |      row_number() OVER (PARTITION BY qq.q_id
+         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+         |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
+         |      FROM af a JOIN probes p
+         |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |r AS (SELECT q_id, vec_id, qdot,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+         |      FROM d)
+         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // v12: the same Lloyd chain at k=10; browser stats are integer
+    // aggregates of the final assignment.
+    "v12_kmeans_clusters" ->
+      s"""WITH $qvCte,
+         |${lloydCtes(10)},
+         |stats AS (SELECT cell, CAST(count(*) AS BIGINT) AS cluster_n,
+         |            min(vec_id) AS exemplar
+         |          FROM af GROUP BY cell)
+         |SELECT a.vec_id, a.label, a.cell AS cluster,
+         |  s.cluster_n, s.exemplar
+         |FROM af a JOIN stats s ON s.cell = a.cell
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // v05: per-label integer prototypes (the Lloyd update grouped by
+    // label), doubled LDA discriminant, argmax + margin — all BIGINT.
+    "v05_linear_probe" ->
+      s"""WITH $qvCte,
+         |proto AS (SELECT label, list(cv ORDER BY pos) AS p FROM (
+         |    SELECT label, u.z[2] AS pos,
+         |      CAST(sum(u.z[1]) // count(*) AS BIGINT) AS cv
+         |    FROM qv a,
+         |      unnest(list_zip(a.q, generate_series(0, len(a.q) - 1))) AS u(z)
+         |    GROUP BY label, u.z[2]) t0 GROUP BY label),
+         |sc AS (SELECT v.vec_id, p.label AS c_label,
+         |         2 * ${doti("v.q", "p.p")} - ${sumsqi("p.p")} AS s
+         |       FROM qv v CROSS JOIN proto p),
+         |r AS (SELECT vec_id, c_label, s,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY s DESC, c_label) AS rn
+         |      FROM sc)
+         |SELECT vec_id, max(CASE WHEN rn = 1 THEN c_label END) AS pred,
+         |  max(CASE WHEN rn = 1 THEN s END) - max(CASE WHEN rn = 2 THEN s END)
+         |    AS margin
+         |FROM r WHERE rn <= 2 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // v18: v01's exact-cosine top-10 CTEs joined against v14's
     // binary-Hamming top-10 CTEs; overlap counts are integers

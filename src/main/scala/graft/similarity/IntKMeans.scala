@@ -1,0 +1,160 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer-exact k-means / IVF / linear-probe plane —
+  * the oracle-checkable counterpart of the MLlib paths in
+  * [[MlSimilarity]] (reference surface: face_embeddings.py:98-131
+  * kmeans/logreg_predict; identity_clusters.py:1-40 cluster browser).
+  *
+  * Everything here runs on the shared int8 quantization grid
+  * ([[Similarity.quantizeInt8]]): seeds come from a Knuth-multiplier
+  * id hash, Lloyd assignment uses integer squared-L2 with (dist,
+  * cell)-lexicographic tie-breaks, and centroid updates are
+  * truncated-integer means (`sum div n` — Spark `div` and DuckDB `//`
+  * both truncate toward zero). Every intermediate is a BIGINT, so
+  * DuckDB replays the whole fit bit-exactly and the derived queries
+  * (v05/v07/v12) carry full rows+schema+hash oracle rows, unlike the
+  * float LBFGS/KMeans pipelines they replace in the query corpus.
+  *
+  * Scale shape: the quantized corpus is scanned once per Lloyd step
+  * (centroids ride along as a broadcast k-row frame), assignment is a
+  * map-side-combinable `min(struct(dist, cell))` agg — no window over
+  * the corpus — and the per-(cell,pos) centroid sums are partial-agg
+  * friendly. Iteration count is a fixed small constant (coarse
+  * quantizers don't need convergence), so plan depth is bounded. */
+object IntKMeans {
+
+  /** Corpus on the int8 grid as BIGINT arrays: (vec_id, label, q). */
+  def quantized(corpus: DataFrame): DataFrame =
+    Similarity.quantizeInt8(corpus)
+      .select(col("vec_id"), col("label"),
+        transform(col("__q"), x => x.cast("long")).as("q"))
+
+  /** Integer squared L2 between two BIGINT arrays. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Integer dot product of two BIGINT arrays. */
+  private def ldot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Integer squared norm of a BIGINT array. */
+  private def sqNorm(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Deterministic seed centroids: the k corpus vectors with the
+    * smallest Knuth-style id hash (h = (id*1103515245 + 12345) mod
+    * 2^31), cell ids 0..k-1 in (h, vec_id) rank order. The pick is a
+    * TakeOrderedAndProject (per-partition top-k, no global sort); the
+    * unpartitioned rank window only ever sees the k selected rows. */
+  private def seedCentroids(qv: DataFrame, k: Int): DataFrame = {
+    val top = qv
+      .withColumn("h",
+        pmod(col("vec_id") * lit(1103515245L) + lit(12345L), lit(2147483648L)))
+      .select(col("h"), col("vec_id"), col("q"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+    top.withColumn("cell",
+        row_number().over(Window.orderBy(col("h"), col("vec_id")))
+          .cast("long") - 1)
+      .select(col("cell"), col("q").as("c"))
+  }
+
+  /** One Lloyd assignment: nearest centroid by integer squared L2,
+    * ties to the lower cell id — expressed as a map-side-combinable
+    * lexicographic struct-min, not a corpus-wide window. */
+  private def assign(qv: DataFrame, centroids: DataFrame): DataFrame =
+    qv.crossJoin(broadcast(centroids))
+      .withColumn("dist", sqDist(col("q"), col("c")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"),
+        first(col("label")).as("label"), first(col("q")).as("q"))
+      .select(col("vec_id"), col("label"), col("q"), col("m.cell").as("cell"))
+
+  /** One Lloyd update: per-cell truncated-integer mean centroid
+    * (c_pos = sum div n; truncation toward zero in both engines).
+    * Cells that lose all members simply drop out — deterministic, and
+    * mirrored by the oracle's GROUP BY. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("c"))
+
+  /** Fixed-iteration integer Lloyd fit; returns (final assignment
+    * (vec_id, label, q, cell), final centroids (cell, c)). */
+  def fit(corpus: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val qv = quantized(corpus).cache()
+    var ctr = seedCentroids(qv, k)
+    (1 to iters).foreach(_ => ctr = update(assign(qv, ctr)))
+    (assign(qv, ctr), ctr)
+  }
+
+  /** v12 surface: per-vector cluster assignment (vec_id, label,
+    * cluster) from a k-cluster integer Lloyd fit. */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame =
+    fit(corpus, k, iters)._1
+      .select(col("vec_id"), col("label"), col("cell").as("cluster"))
+
+  /** v07 surface: IVF approximate top-k — integer-k-means coarse
+    * quantizer (`nlist` cells), each query probes its `nprobe`
+    * nearest cells by integer squared L2 and ranks ONLY their members
+    * by exact-integer quantized dot (desc, vec_id). Candidate work
+    * per query is ~nprobe/nlist of the corpus; cells are the
+    * broadcast equi-join key, the corpus scan stays distributed. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+              nprobe: Int, iters: Int = 2): DataFrame = {
+    val (asg, ctr) = fit(corpus, nlist, iters)
+    val q = asg.join(
+        broadcast(queries.select(col("vec_id").as("q_id"))),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("q").as("qq"))
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("pdist"), col("cell"))
+    val probes = q.crossJoin(broadcast(ctr))
+      .withColumn("pdist", sqDist(col("qq"), col("c")))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("qq"), col("cell"))
+    val rw = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
+    asg.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qdot", ldot(col("q"), col("qq")))
+      .withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+  }
+
+  /** v05 surface: closed-form linear probe — identity-covariance LDA
+    * on the int8 grid. Per-label integer prototypes p_c (truncated
+    * mean, the Lloyd update grouped by label), discriminant
+    * s_c(v) = 2·(q_v·p_c) − ‖p_c‖² (= ‖q_v‖² − ‖q_v−p_c‖², kept
+    * doubled so it stays integral), pred = argmax with label-asc
+    * tie-break, margin = winner − runner-up (the integer confidence
+    * surrogate for the logreg probability). Serves the reference's
+    * logreg_predict scoring surface (face_embeddings.py:123-126)
+    * deterministically; the MLlib LBFGS fit stays available as
+    * [[MlSimilarity.logregScoreAll]] (spec-pinned). Prototypes are a
+    * broadcast |labels|-row frame over one distributed corpus scan. */
+  def linearProbe(corpus: DataFrame): DataFrame = {
+    val qv = quantized(corpus).cache()
+    val proto = qv.select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("sum(v) div count(1)").as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("p"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("s").desc, col("c_label"))
+    qv.crossJoin(broadcast(
+        proto.select(col("label").as("c_label"), col("p"))))
+      .withColumn("s", lit(2L) * ldot(col("q"), col("p")) - sqNorm(col("p")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("c_label"))).as("pred"),
+        (max(when(col("rn") === 1, col("s"))) -
+          max(when(col("rn") === 2, col("s")))).as("margin"))
+      .select(col("vec_id"), col("pred"), col("margin"))
+  }
+}

@@ -12,13 +12,13 @@ class SmokeSpec extends SparkSpec {
   test("every query key has an oracle or is deliberately rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the rows-only list explicit so additions are conscious
-    // choices. Only the genuinely engine-specific pipelines remain:
-    // Spark's RNG (p11), HLL/quantile sketch internals (a18), MLlib
-    // LBFGS (v05) and KMeans (v07, and v12's cluster browser on top
-    // of it). Every float-cosine query mirrors the native double
-    // folds bit-exactly and is oracle-checked.
-    assert(noOracle === Set("p11_random_sample", "a18_sketches",
-      "v05_logreg_score", "v07_ivf_topk", "v12_kmeans_clusters"))
+    // choices. Only the genuinely engine-internal queries remain:
+    // Spark's RNG (p11) and HLL/quantile sketch internals (a18).
+    // Every float-cosine query mirrors the native double folds
+    // bit-exactly, and since r11 the fitted pipelines (v05 probe,
+    // v07 IVF, v12 clusters) run on the integer Lloyd plane
+    // (IntKMeans) and are oracle-checked too.
+    assert(noOracle === Set("p11_random_sample", "a18_sketches"))
   }
 
   test("all queries execute at sf0.001") {
