@@ -18,6 +18,7 @@ import graft.functions.Fns
   */
 object Similarity {
 
+
   /** Exact brute-force cosine top-k: broadcast the (small) query set
     * against the corpus, rank per query. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -136,6 +137,14 @@ object Similarity {
       .cache()
     var sel = qv.filter(col("vec_id") === 0)
       .select(col("vec_id"), col("q"), lit(1).as("pick"), lit(0L).as("d2"))
+    // the accumulated picks are checkpointed eagerly EVERY round (<= k
+    // tiny rows): each pick's plan references `sel` more than once
+    // (the broadcast set AND the union), so un-truncated lineage grows
+    // EXPONENTIALLY in picks, not linearly — a chunked every-8-rounds
+    // roll was measured spinning the planner for minutes at k=50 while
+    // per-pick truncation costs ~0.1 s/pick of tiny checkpoint jobs.
+    // GreedyLoopSpec pins the O(1)-plan-depth-per-pick invariant.
+    var pinned: Option[org.apache.spark.rdd.RDD[_]] = None
     var i = 2
     while (i <= k) {
       val s = broadcast(sel.select(col("vec_id").as("sv"), col("q").as("sq")))
@@ -147,7 +156,8 @@ object Similarity {
       val next = dmin.orderBy(col("d2").desc, col("vec_id")).limit(1)
         .join(qv, "vec_id")
         .select(col("vec_id"), col("q"), lit(i).as("pick"), col("d2"))
-      sel = sel.unionByName(next)
+      val (rolled, p) = graft.util.Checkpoints.roll(sel.unionByName(next), pinned)
+      sel = rolled; pinned = p
       i += 1
     }
     sel.select(col("vec_id"), col("pick"), col("d2"))
@@ -419,6 +429,12 @@ object Similarity {
     var sel = pool.withColumn("score", col("rel"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("q_id"), col("vec_id"), lit(1).as("pick"), col("score"))
+    // per-pick eager checkpoint of the accumulated slate (|queries|*i
+    // rows): `sel` feeds THREE branches of each pick's plan (anti-join
+    // ids, max-sim join, union), so un-truncated lineage triples per
+    // pick — truncate every round; see kcenterPicks. GreedyLoopSpec
+    // pins plan depth at k=50.
+    var pinned: Option[org.apache.spark.rdd.RDD[_]] = None
     var i = 2
     while (i <= k) {
       val selIds = sel.select(col("q_id").as("sq"), col("vec_id").as("sv"))
@@ -433,7 +449,8 @@ object Similarity {
         .withColumn("score", col("rel") - col("maxsim"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("q_id"), col("vec_id"), lit(i).as("pick"), col("score"))
-      sel = sel.unionByName(scored)
+      val (rolled, p) = graft.util.Checkpoints.roll(sel.unionByName(scored), pinned)
+      sel = rolled; pinned = p
       i += 1
     }
     sel
