@@ -203,7 +203,21 @@ object TextOps {
     * the index build; sh by the sizes agg and both self-join sides).
     * Package-private so PlanAuditSpec can audit the physical plan the
     * checkpoint job executes — the public API's result is an opaque
-    * LogicalRDD leaf. Returns (plan, cached intermediates to free). */
+    * LogicalRDD leaf. Returns (plan, cached intermediates to free).
+    *
+    * Candidate-generation note (measured, r11): an exact
+    * AllPairs/PPJoin prefix filter (rarest-first canonical order,
+    * prefix length n - ceil(tau*n) + 1, size-ratio bound) was
+    * prototyped here and CUT CANDIDATES 3.6x on this corpus (1.13M ->
+    * 310k at sf0.1) yet ran ~2.5x SLOWER end to end: the df join +
+    * two doc_id windows + candidate distinct + per-candidate array
+    * intersection cost more than the saved join volume, because this
+    * corpus's pairs share ~1 shingle each so the full join is narrow
+    * and cheap while verification rows carry two ~52-element arrays.
+    * On a Zipfian web corpus (hot shingles, deep posting lists) the
+    * prefix variant wins and the df-capped full join loses recall-free
+    * pruning headroom — revisit if the data profile changes; the
+    * df-cap keeps the full join sub-quadratic either way. */
   private[graft] def jaccardPairsImpl(docs: DataFrame, k: Int, dfCap: Int,
       tauJacc: Double, persist: Boolean): (DataFrame, Seq[DataFrame]) = {
     val (stats, cached) = pairStatsImpl(docs, k, dfCap, persist)
