@@ -1274,6 +1274,36 @@ object TextQueries {
         .orderBy("media_id", "scene")
     }),
 
+    // M6 REAL container metadata probe (the ffprobe surface of the
+    // reference ingest, ingest.py:21-43 width/height/fps/duration): a
+    // genuine ISO-BMFF box walk + RIFF chunk walk over binary
+    // payloads, not a byte stub. The fixture payloads are built
+    // in-query from doc_id-derived parameters (Mp4Fixture/AviFixture
+    // — the inverse a real pipeline reads from disk), so the oracle
+    // checks the parser end to end: any wrong offset/endianness/box
+    // path breaks the hash match. One narrow shuffle-free map per
+    // side; scale = embarrassingly parallel header reads.
+    "m06_container_probe" -> ((s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).select(col("doc_id")).as[Long]
+      val media = ids.map { id =>
+        val payload =
+          if (id % 2 == 0)
+            graft.multimodal.Mp4Fixture.build(
+              (320 + (id % 8) * 16).toInt, (240 + (id % 6) * 16).toInt,
+              timescale = 25200L, durTicks = (id % 10 + 1) * 25200L,
+              sampleDelta = 25200L / (24 + (id % 4) * 6))
+          else {
+            val fps = if (id % 4 == 1) 25L else 50L
+            graft.multimodal.AviFixture.build(
+              (320 + (id % 8) * 16).toInt, (240 + (id % 6) * 16).toInt,
+              usPerFrame = 1000000L / fps, totalFrames = (id % 100 + 1) * 5L)
+          }
+        (id, payload)
+      }.toDF("media_id", "payload")
+      graft.multimodal.MediaProbe.probe(media).toDF().orderBy("media_id")
+    }),
+
     // T59 per-source frequency cap (the RefinedWeb/CCNet host-level
     // cap: no single source may dominate the mix): keep at most 100
     // docs per source, chosen by a deterministic hash priority (so
@@ -2803,6 +2833,28 @@ object TextQueries {
         |        unnest(generate_series(0, octet_length(CAST(text AS BLOB)) - 1, 48)) AS off
         |      FROM documents) t
         |ORDER BY 1, 2""".stripMargin,
+
+    // m06: the oracle recomputes every probed field from the SAME
+    // doc_id-derived construction parameters the query built the
+    // payload bytes from — equality proves the box/chunk walk inverted
+    // the build exactly (fixture sizes 316/88 bytes are the fixed box
+    // tree layouts, also asserted by MediaProbeSpec).
+    "m06_container_probe" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+        |  CAST(320 + (doc_id % 8) * 16 AS INT) AS width,
+        |  CAST(240 + (doc_id % 6) * 16 AS INT) AS height,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN (24 + (doc_id % 4) * 6) * 1000000
+        |    ELSE (CASE WHEN doc_id % 4 = 1 THEN 25 ELSE 50 END) * 1000000
+        |  END AS fps_ppm,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN (doc_id % 10 + 1) * 1000
+        |    ELSE ((doc_id % 100 + 1) * 5) *
+        |      (1000000 // (CASE WHEN doc_id % 4 = 1 THEN 25 ELSE 50 END)) // 1000
+        |  END AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 316 ELSE 88 END AS INT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS nbytes,

@@ -1,0 +1,58 @@
+package graft
+
+import graft.multimodal.{AviFixture, MediaProbe, Mp4Fixture}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real container probe (S9): the ISO-BMFF/RIFF header walks must
+  * invert the fixture builders field-for-field, reject junk without
+  * throwing, and survive truncation (an ingest queue cannot die on one
+  * corrupt file). Pure byte-level tests — no Spark session needed. */
+class MediaProbeSpec extends AnyFunSuite {
+
+  test("mp4: box walk recovers width/height/fps/duration exactly") {
+    // 640x360 @ 30 fps for 7 s on a 25200 tick clock
+    val b = Mp4Fixture.build(640, 360, timescale = 25200L,
+      durTicks = 7L * 25200L, sampleDelta = 25200L / 30L)
+    val r = MediaProbe.parse(9L, b)
+    assert(r === MediaProbe.ProbeRow(9L, "mp4", 640, 360,
+      30000000L, 7000L, b.length))
+    assert(b.length === 316) // the fixed box-tree layout the m06 oracle pins
+  }
+
+  test("avi: chunk walk recovers width/height/fps/duration exactly") {
+    // 320x240 @ 25 fps (40000 us/frame), 250 frames = 10 s
+    val b = AviFixture.build(320, 240, usPerFrame = 40000L, totalFrames = 250L)
+    val r = MediaProbe.parse(4L, b)
+    assert(r === MediaProbe.ProbeRow(4L, "avi", 320, 240,
+      25000000L, 10000L, b.length))
+    assert(b.length === 88)
+  }
+
+  test("junk and truncated payloads degrade, never throw") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    assert(MediaProbe.parse(1L, junk).container === "unknown")
+    assert(MediaProbe.parse(2L, Array.emptyByteArray).container === "unknown")
+    // a valid ftyp with the moov chopped off: recognized as mp4 but
+    // every field reports the -1 sentinel
+    val whole = Mp4Fixture.build(640, 360, 25200L, 25200L, 840L)
+    val cut = whole.take(40)
+    val r = MediaProbe.parse(3L, cut)
+    assert(r.container === "mp4" && r.width === -1 && r.fps_ppm === -1L)
+    // truncated AVI likewise
+    val avi = AviFixture.build(320, 240, 40000L, 250L).take(20)
+    val ra = MediaProbe.parse(5L, avi)
+    assert(ra.container === "avi" && ra.width === -1)
+  }
+
+  test("probe is byte-offset honest: a flipped width byte changes only width") {
+    val b = Mp4Fixture.build(640, 360, 25200L, 25200L, 840L)
+    val base = MediaProbe.parse(0L, b)
+    // tkhd width lives 84-8=76 bytes into the tkhd payload; rather than
+    // hand-compute the absolute offset, patch via rebuild with a new
+    // width and diff the rows
+    val b2 = Mp4Fixture.build(1920, 360, 25200L, 25200L, 840L)
+    val r2 = MediaProbe.parse(0L, b2)
+    assert(r2.width === 1920 && r2.height === base.height &&
+      r2.fps_ppm === base.fps_ppm && r2.duration_ms === base.duration_ms)
+  }
+}
