@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.queries ++ IntervalQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++
       SourceQueries.queries ++ PhraseQueries.queries ++
-      ExtraQueries.queries ++ EsperTvQueries.queries
+      ExtraQueries.queries ++ EsperTvQueries.queries ++
+      StreamParityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -25,5 +26,6 @@ object SparkEntry {
     RelationalQueries.oracle ++ IntervalQueries.oracle ++
       TextQueries.oracle ++ SimilarityQueries.oracle ++
       SourceQueries.oracle ++ PhraseQueries.oracle ++
-      ExtraQueries.oracle ++ EsperTvQueries.oracle
+      ExtraQueries.oracle ++ EsperTvQueries.oracle ++
+      StreamParityQueries.oracle
 }

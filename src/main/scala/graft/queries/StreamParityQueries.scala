@@ -1,0 +1,176 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.Ingest
+import Q._
+
+/** Oracle-checked batch-equivalence for the streaming plane (S7/S8/S11
+  * + the stream forms of R1 coalesce and the as-of join): each query
+  * stages the events fixture as ORDERED files, runs the REAL
+  * Structured Streaming pipeline over them — file source
+  * (maxFilesPerTrigger=1, so state genuinely carries across
+  * micro-batches), `flatMapGroupsWithState`, `foreachBatch` parquet
+  * sink with checkpointing — and returns the streamed result, which
+  * the DuckDB oracle then checks against the BATCH semantics
+  * (r01's island SQL / x06's ASOF JOIN). A drift between the custom
+  * state logic and the batch operators breaks the hash match.
+  *
+  * Determinism contract: all real rows ride the first file so no row
+  * is ever behind the watermark on arrival; file order is pinned by
+  * explicit modification times (the file source processes oldest
+  * first); per-key SENTINEL rows in the last file close every real
+  * island / flush every held left, so the streamed output is the
+  * complete batch answer, not a watermark-dependent prefix. */
+object StreamParityQueries {
+
+  /** Sentinel epoch-second far beyond any wrapped fixture time. */
+  private val SENT = 10000000L
+
+  /** Write each frame as ONE parquet file into a shared stream-input
+    * dir, with strictly increasing modification times so the file
+    * source replays them as ordered micro-batches. */
+  private def stage(base: Path, dfs: Seq[DataFrame]): String = {
+    val inDir = base.resolve("in")
+    Files.createDirectories(inDir)
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      val tmp = base.resolve(s"stage$i")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = inDir.resolve(f"b$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    inDir.toString
+  }
+
+  /** Run a streaming Dataset to completion through a foreachBatch
+    * parquet sink; returns the sink dir read back with `schema`. */
+  private def runToParquet[T](s: SparkSession, base: Path,
+      out: Dataset[T], schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val outDir = base.resolve("out")
+    Files.createDirectories(outDir)
+    val q = out.toDF().writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        b.write.mode("append").parquet(outDir.toString)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    // only out/ is read after this point — drop the staged input,
+    // checkpoint and staging scratch so repeated bench samples don't
+    // accumulate temp copies of the fixture
+    Seq("in", "ckpt", "stage0", "stage1").foreach { n =>
+      val p = base.resolve(n)
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    s.read.schema(schema).parquet(outDir.toString)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // ST14: streaming R1 — file source -> flatMapGroupsWithState
+    // island state -> parquet sink, over the SAME click intervals r01
+    // coalesces in batch. Split at mid-day so islands genuinely
+    // continue across the micro-batch boundary; the per-user sentinel
+    // in the last batch closes each final island (and is filtered from
+    // the result), so streamed output == batch coalesce exactly and
+    // the r01 island SQL is the oracle.
+    "st14_stream_coalesce_parity" -> ((s, d) => {
+      import s.implicits._
+      val base = Files.createTempDirectory("graft_st14_")
+      val iv = evTyped(s, d, "click")
+        .select(col("user_id"), col("s"), col("e"),
+          timestamp_seconds(col("s")).as("ts"))
+      val sent = iv.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
+          timestamp_seconds(lit(SENT)).as("ts"))
+      val inDir = stage(base, Seq(
+        iv.filter(col("s") < 43200),
+        iv.filter(col("s") >= 43200).unionByName(sent)))
+      val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      // the huge watermark delay keeps every fixture row on-time under
+      // any file race; island closure comes from the sentinel, not
+      // from timeout flushes, so the output set is exact
+      val streamed = Ingest.streamingCoalesce(
+        src.as[Ingest.KeyedIv], gap = 0, watermark = "400 days")
+      runToParquet(s, base, streamed,
+          org.apache.spark.sql.Encoders.product[Ingest.ClosedIv].schema)
+        .filter(col("s") < SENT)
+        .orderBy("user_id", "s", "e")
+    }),
+
+    // ST15: streaming as-of — the stream-stream form of x06: clicks
+    // (lefts) matched to the latest purchase at or before them. All
+    // real rows in batch 1 (held in state: the watermark starts at 0),
+    // a far-future sentinel right in batch 2 advances the watermark so
+    // every held left flushes via event-time timeout. rightTtl is
+    // raised above the sentinel jump so no retained right expires
+    // before its lefts flush; tie-breaking (latest t, then max id)
+    // mirrors x06's max-event_id dedup + ASOF JOIN.
+    "st15_stream_asof_parity" -> ((s, d) => {
+      import s.implicits._
+      val base = Files.createTempDirectory("graft_st15_")
+      val raw = Tables.events(tune(s), d)
+      val e = raw.select(col("event_id"), col("user_id"), col("event_type"),
+        tsSec(raw).as("t"), col("value"))
+      val lefts = e.filter(col("event_type") === "click")
+        .select(col("user_id"), timestamp_seconds(col("t")).as("ts"),
+          lit(true).as("is_left"), col("event_id").as("id"), lit(0L).as("rv"))
+      val rights = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), timestamp_seconds(col("t")).as("ts"),
+          lit(false).as("is_left"), col("event_id").as("id"),
+          cents(col("value")).as("rv"))
+      val sent = s.range(1).select(lit(9999999999L).as("user_id"),
+        timestamp_seconds(lit(32503680000L)).as("ts"),
+        lit(false).as("is_left"), lit(0L).as("id"), lit(0L).as("rv"))
+      val inDir = stage(base, Seq(lefts.unionByName(rights), sent))
+      val schema = org.apache.spark.sql.Encoders.product[Ingest.AsofEvent].schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val streamed = Ingest.streamingAsof(
+        src.as[Ingest.AsofEvent], watermark = "2 hours", rightTtlMs = 1L << 41)
+      runToParquet(s, base, streamed,
+          org.apache.spark.sql.Encoders.product[Ingest.AsofOut].schema)
+        .select(col("id").as("event_id"), col("user_id"),
+          expr("t_ms div 1000").as("t"),
+          col("r_id").as("p_event_id"), col("r_rv").as("p_cents"))
+        .orderBy("event_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // the streamed islands must equal the BATCH island coalesce —
+    // r01's oracle verbatim
+    "st14_stream_coalesce_parity" ->
+      s"""${coalesceSql(evSql("click"))}
+         |ORDER BY user_id, s, e""".stripMargin,
+
+    // the streamed as-of must equal the BATCH as-of — x06's oracle
+    // (dedup to the max event_id per (user, second), then ASOF LEFT)
+    "st15_stream_asof_parity" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |    epoch_ns(ts)//1000000000 AS t, value FROM events),
+         |clicks AS (SELECT event_id, user_id, t FROM e
+         |           WHERE event_type = 'click'),
+         |purchases AS (
+         |  SELECT user_id, t, p_event_id, p_cents FROM (
+         |    SELECT user_id, t, event_id AS p_event_id,
+         |      ${centsSql("value")} AS p_cents,
+         |      row_number() OVER (PARTITION BY user_id, t
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM e WHERE event_type = 'purchase') p0
+         |  WHERE rn = 1)
+         |SELECT c.event_id, c.user_id, c.t, p.p_event_id, p.p_cents
+         |FROM clicks c ASOF LEFT JOIN purchases p
+         |  ON c.user_id = p.user_id AND c.t >= p.t
+         |ORDER BY c.event_id""".stripMargin)
+}
