@@ -89,4 +89,35 @@ object WidgetJson {
         lit(1L).as("n"))
     finish(groups, resultType)
   }
+
+  /** group=True contiguous shape (widget.py:296-305): ONE group per
+    * video — `{type:'contiguous', label: <video>, num_frames,
+    * elements:[{video, segments:[frame dicts sorted by min_frame],
+    * color}]}` — groups ordered by video id. `frames` carries
+    * (video_id, frame_number); `videos` the (video_id, num_frames)
+    * lookup the reference pulls from its Video table. The whole
+    * grouping/sorting happens distributed; only the final JSON row is
+    * driver-side, as with the other shapes. */
+  def groupedResult(frames: DataFrame, videos: DataFrame,
+                    resultType: String, color: String = "red"): String = {
+    val segs = frames
+      .groupBy(col("video_id"))
+      .agg(sort_array(collect_list(struct(
+          col("frame_number").as("min_frame")))).as("ord"),
+        count(lit(1)).as("n"))
+      .join(videos.select(col("video_id"), col("num_frames")), "video_id")
+    val groups = segs.select(
+      struct(lit("contiguous").as("type"),
+        col("video_id").as("label"),
+        col("num_frames"),
+        array(struct(
+          col("video_id").as("video"),
+          transform(col("ord"), s => struct(
+            col("video_id").as("video"),
+            s.getField("min_frame").as("min_frame"),
+            array().cast("array<string>").as("objects"))).as("segments"),
+          lit(color).as("color"))).as("elements")).as("g"),
+      col("n"))
+    finish(groups, resultType)
+  }
 }
