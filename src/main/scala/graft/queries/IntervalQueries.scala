@@ -484,6 +484,9 @@ object IntervalQueries {
       val lens = IntervalOps.coalesce(pts, C, gap = 1800)
         .select((col("e") - col("s")).as("len"))
         .groupBy("len").agg(count(lit(1)).as("cnt"))
+        // cached: the totals branch otherwise re-runs the whole
+        // coalesce + groupBy for a 1-row sum (ADVICE r10)
+        .cache()
       val cum = graft.text.Packing.withRunningOffset(lens, "len", "cnt", "off")
         .withColumn("cum", col("off") + col("cnt"))
       val tot = lens.agg(sum(col("cnt")).as("n"))

@@ -349,8 +349,9 @@ object RelationalQueries {
     // A21 3-sigma outlier audit, FULLY INTEGER: the data-quality
     // filter step, with the z-test cross-multiplied so no float mean/
     // stddev ever exists — flag x iff (x - mû)² > 9·var̂ where
-    // mû = s div n and var̂ = (ssq div n) - mû² (floor-quantized
-    // moments, identical in both engines). Scale: one pass of
+    // mû = s div n and var̂ = (ssq div n) - mû² (truncation-quantized
+    // moments — `div` and `//` both truncate toward zero, so they are
+    // identical in both engines at any sign). Scale: one pass of
     // map-side-combinable (n, s, ssq) per group, broadcast back to the
     // row scan — the two-pass shape every distributed outlier pass
     // uses; no window over the fact table.
@@ -573,6 +574,10 @@ object RelationalQueries {
         .groupBy(col("v"))
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+        // cached: the totals branch below otherwise re-runs the full
+        // corpus scan + groupBy on a lineage separate from the
+        // pid-stamped rows withRunningOffsets caches (ADVICE r10)
+        .cache()
       val cum = graft.text.Packing
         .withRunningOffsets(per, "v", Seq("ca", "cb"), Seq("offa", "offb"))
       val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
@@ -626,6 +631,7 @@ object RelationalQueries {
         .groupBy(col("v"))
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+        .cache() // shared by the offsets AND totals branches (see a28)
       val cum = graft.text.Packing
         .withRunningOffsets(per, "v", Seq("ca", "cb"), Seq("offa", "offb"))
       val tot = per.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))

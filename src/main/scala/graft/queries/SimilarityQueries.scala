@@ -357,10 +357,12 @@ object SimilarityQueries {
       Similarity.pcaPowerInt8(emb(s, d), 8, 12).orderBy("i")),
 
     // V28: embedding OOD/outlier flags — a21's integer 3-sigma audit
-    // lifted to vectors: squared distance to the per-label FLOOR-
-    // QUANTIZED centroid (c_i = ⌊Σq_i/n⌋ keeps d2 bounded by the
-    // int8 grid at ANY corpus size — no n-scaled products to
-    // overflow), then the cross-multiplied moment test dev² > 9·var
+    // lifted to vectors: squared distance to the per-label TRUNCATION-
+    // QUANTIZED centroid (c_i = Σq_i div n, truncated toward zero in
+    // BOTH engines — Spark `div` and DuckDB `//` agree at any sign;
+    // the quantization keeps d2 bounded by the int8 grid at ANY
+    // corpus size — no n-scaled products to overflow), then the
+    // cross-multiplied moment test dev² > 9·var
     // on integer d2 moments. Centroids broadcast (one 5-row table);
     // the corpus is scanned twice (dim sums, then distances).
     "v28_ood_flags" -> ((s, d) => {
@@ -1265,7 +1267,7 @@ object SimilarityQueries {
     // iteration CTEs generated to match the Spark loop step for step.
     "v27_pca_power" -> pcaPowerSql(8, 12),
 
-    // v28: same quantization, floor centroids, integer d2 and
+    // v28: same quantization, truncated-mean centroids, integer d2 and
     // cross-multiplied moments (per-dim join form of the Spark HOF —
     // integer-valued sums are association-free).
     "v28_ood_flags" ->

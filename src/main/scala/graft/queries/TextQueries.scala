@@ -1016,6 +1016,7 @@ object TextQueries {
       val lens = docs(s, d)
         .select(length(col("text")).cast("long").as("x"))
         .groupBy("x").agg(count(lit(1)).as("c"))
+        .cache() // shared by the offsets AND totals branches (ADVICE r10)
       val cum = graft.text.Packing.withRunningOffset(lens, "x", "c", "t")
       val tot = lens.agg(sum(col("c")).as("n"))
       cum.crossJoin(broadcast(tot))
@@ -1571,14 +1572,16 @@ object TextQueries {
     "t58_pps_sample" -> ((s, d) => {
       val base = docs(s, d)
         .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+        .cache() // shared by the offsets AND totals branches (ADVICE r10)
       val cum = graft.text.Packing.withRunningOffset(base, "doc_id", "w", "off")
       val tot = base.agg(sum(col("w")).as("tw"))
       cum.crossJoin(broadcast(tot))
         .withColumn("step", expr("greatest(tw div 64, 1L)"))
         // probes sit at r + k*step with r = step/2; count of probes in
-        // [off, off+w) — the +2*step shift keeps every div argument
-        // non-negative (Spark `div` truncates toward zero, DuckDB `//`
-        // floors: they only agree on non-negatives)
+        // [off, off+w). Both Spark `div` and DuckDB `//` truncate
+        // toward zero (verified: -7 // 2 = -3 in DuckDB), so the
+        // engines agree at any sign; the +2*step shift keeping the
+        // div arguments non-negative is retained as belt-and-braces
         .withColumn("n_hits",
           expr("((off + w - 1 - step div 2 + 2*step) div step) - " +
             "((off - 1 - step div 2 + 2*step) div step)"))
