@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""10x scale stress: build a synthetic sf1 by self-unioning the sf0.1
+fixture (10 shifted copies; document tokens get a per-copy suffix so
+copies stay shingle-disjoint and the dedup family scales like 10x more
+data with the SAME duplication profile, not 10x artificial clones),
+then bench the worst scale-ladder queries against it.
+
+Usage:
+  python3 tools/stress10x.py build           # writes /tmp/sf1
+  SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_BENCH_ONLY=a14,j05,t03,t31,t42 \
+    SPARK_GRAFT_BENCH_OUT=/tmp/sf1_bench.json sbt "runMain graft.Bench"
+  python3 tools/stress10x.py report          # ratios vs BENCH.json
+
+Results recorded in STRESS10X.md.
+"""
+import json, sys
+
+def build():
+    import duckdb
+    con = duckdb.connect()
+    sf = '/root/testdata/sf0.1'
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    cols = [r[0] for r in con.execute("DESCRIBE lineitem").fetchall()]
+    rest = ", ".join(c for c in cols if c != 'l_orderkey')
+    con.execute(f"""
+      COPY (SELECT l_orderkey + i*10000000 AS l_orderkey, {rest}
+            FROM lineitem CROSS JOIN range(10) t(i))
+      TO '/tmp/sf1/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute("""
+      COPY (SELECT doc_id + i*1000000 AS doc_id,
+              array_to_string(list_transform(string_split(text, ' '),
+                x -> x || '~' || CAST(i AS VARCHAR)), ' ') AS text,
+              lang, source, n_chars
+            FROM documents CROSS JOIN range(10) t(i))
+      TO '/tmp/sf1/documents.parquet' (FORMAT PARQUET)""")
+    print("built /tmp/sf1")
+
+def report():
+    hi = json.load(open('/tmp/sf1_bench.json'))['queries']
+    lo = json.load(open('BENCH.json'))['queries']
+    for k, v in sorted(hi.items()):
+        print(f'{k:24s} sf0.1={lo.get(k)} sf1={v} ratio={v/lo[k]:.1f}')
+
+if __name__ == '__main__':
+    import os
+    os.makedirs('/tmp/sf1', exist_ok=True)
+    (build if 'build' in sys.argv[1:] else report)()
