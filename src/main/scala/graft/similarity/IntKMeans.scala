@@ -87,11 +87,17 @@ object IntKMeans {
         s => s.getField("cv")).as("c"))
 
   /** Fixed-iteration integer Lloyd fit; returns (final assignment
-    * (vec_id, label, q, cell), final centroids (cell, c)). */
+    * (vec_id, label, q, cell), final centroids (cell, c)).
+    *
+    * Every round's k-row centroid frame is cached: each reference to a
+    * lazy `ctr` would otherwise re-execute the whole preceding
+    * assign/update chain (ivfTopK reads the final centroids twice —
+    * once for the assignment, once for the probes — which doubled the
+    * corpus passes; r11 measured v07 at 3.2 s vs 1.9 s cached). */
   def fit(corpus: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val qv = quantized(corpus).cache()
-    var ctr = seedCentroids(qv, k)
-    (1 to iters).foreach(_ => ctr = update(assign(qv, ctr)))
+    var ctr = seedCentroids(qv, k).cache()
+    (1 to iters).foreach(_ => ctr = update(assign(qv, ctr)).cache())
     (assign(qv, ctr), ctr)
   }
 
