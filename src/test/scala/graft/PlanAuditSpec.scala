@@ -440,4 +440,41 @@ class PlanAuditSpec extends SparkSpec {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
     }.isEmpty, "v26 planned a cartesian product")
   }
+
+  test("v07 integer-Lloyd assignment is a struct-min agg, not a corpus window") {
+    // each Lloyd step must be map-side combinable: centroids broadcast
+    // into the corpus scan, nearest-cell picked by min(struct(dist,
+    // cell)) with partial aggregation — a WindowExec over corpus-sized
+    // input or a sort-merge join means the fit stopped scaling
+    val plan = executed(SparkEntry.queries("v07_ivf_topk")(spark, sf))
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "v07 degraded a centroid/probe join to sort-merge")
+    // the ONLY windows allowed are the tiny ones: the k-row seed rank,
+    // the |queries|x|cells| probe rank and the per-query result rank —
+    // all bounded by k/nlist/queries, never by the corpus. Corpus-side
+    // nearest-cell assignment must NOT appear as a window.
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size <= 3,
+      s"v07 grew ${windows.size} windows — assignment leaked into a window")
+    // struct-min is not hash-aggregable, so it plans as SortAggregate —
+    // match any BaseAggregateExec with a PARTIAL min (map-side combine
+    // is the property, the exec flavor is incidental)
+    val partials = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.aggregateExpressions.exists(e =>
+          e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial &&
+            e.aggregateFunction.prettyName.contains("min")) => a
+    }
+    assert(partials.nonEmpty, "v07 lost the partial struct-min assignment")
+  }
+
+  test("m06 container probe runs shuffle-free up to the final sort") {
+    // the probe is one narrow map over the payload column; the only
+    // exchange allowed in the whole query is the presentation orderBy
+    val plan = executed(SparkEntry.queries("m06_container_probe")(spark, sf))
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1,
+      s"m06 has ${shuffles.size} exchanges — the header parse stopped being map-only")
+  }
 }
