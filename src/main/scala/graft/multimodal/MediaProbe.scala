@@ -76,14 +76,21 @@ object MediaProbe {
     val bad = ProbeRow(id, "mp4", -1, -1, -1L, -1L, b.length)
     (for {
       (moov, moovEnd) <- findBox(b, 0, b.length, "moov")
-      (mvhd, _) <- findBox(b, moov, moovEnd, "mvhd")
+      (mvhd, mvhdEnd) <- findBox(b, moov, moovEnd, "mvhd")
       (trak, trakEnd) <- findBox(b, moov, moovEnd, "trak")
-      (tkhd, _) <- findBox(b, trak, trakEnd, "tkhd")
+      (tkhd, tkhdEnd) <- findBox(b, trak, trakEnd, "tkhd")
       (mdia, mdiaEnd) <- findBox(b, trak, trakEnd, "mdia")
-      (mdhd, _) <- findBox(b, mdia, mdiaEnd, "mdhd")
+      (mdhd, mdhdEnd) <- findBox(b, mdia, mdiaEnd, "mdhd")
       (minf, minfEnd) <- findBox(b, mdia, mdiaEnd, "minf")
       (stbl, stblEnd) <- findBox(b, minf, minfEnd, "stbl")
-      (stts, _) <- findBox(b, stbl, stblEnd, "stts")
+      (stts, sttsEnd) <- findBox(b, stbl, stblEnd, "stts")
+      // every fixed-offset field read below must fit INSIDE its box:
+      // findBox bounds the header scan, not the payload length, so a
+      // degenerate (spec-violating but well-framed) 8-byte mvhd would
+      // otherwise read past the box — or past the buffer — and throw,
+      // breaking the never-throw ingest contract
+      if mvhdEnd - mvhd >= 20 && tkhdEnd - tkhd >= 84 &&
+        mdhdEnd - mdhd >= 16 && sttsEnd - stts >= 16
     } yield {
       // mvhd v0: version/flags(4) ctime(4) mtime(4) timescale(4) dur(4)
       val mvTs = u32be(b, mvhd + 12)
@@ -139,7 +146,11 @@ object MediaProbe {
     val bad = ProbeRow(id, "avi", -1, -1, -1L, -1L, b.length)
     (for {
       (hdrl, hdrlEnd) <- findList(b, 12, b.length, "hdrl")
-      (avih, _) <- findChunk(b, hdrl, hdrlEnd, "avih")
+      (avih, avihEnd) <- findChunk(b, hdrl, hdrlEnd, "avih")
+      // the fixed-offset reads must fit inside the chunk (see the
+      // mp4-side comment): a declared-short avih would otherwise
+      // index past the chunk or the buffer
+      if avihEnd - avih >= 40
     } yield {
       // avih: usPerFrame(0) maxBps(4) pad(8) flags(12) totalFrames(16)
       // initial(20) streams(24) bufSize(28) width(32) height(36)
@@ -148,7 +159,12 @@ object MediaProbe {
       val width = u32le(b, avih + 32).toInt
       val height = u32le(b, avih + 36).toInt
       val fpsPpm = if (usPerFrame > 0) 1000000000000L / usPerFrame else -1L
-      val durMs = totalFrames * usPerFrame / 1000L
+      // both fields are u32 so the product can exceed Long range on
+      // hostile headers — overflow must surface as the -1 sentinel,
+      // not as a wrapped negative duration
+      val durMs =
+        if (totalFrames > 0 && usPerFrame > Long.MaxValue / totalFrames) -1L
+        else totalFrames * usPerFrame / 1000L
       ProbeRow(id, "avi", width, height, fpsPpm, durMs, b.length)
     }).getOrElse(bad)
   }

@@ -31,24 +31,51 @@ object StreamParityQueries {
   /** Sentinel epoch-second far beyond any wrapped fixture time. */
   private val SENT = 10000000L
 
+  /** Delete a directory tree (no-op if absent). */
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(Files.delete)
+    }
+
   /** Write each frame as ONE parquet file into a shared stream-input
     * dir, with strictly increasing modification times so the file
-    * source replays them as ordered micro-batches. */
+    * source replays them as ordered micro-batches. Each staging
+    * scratch dir is removed as soon as its part file has been moved. */
   private def stage(base: Path, dfs: Seq[DataFrame]): String = {
     val inDir = base.resolve("in")
     Files.createDirectories(inDir)
     dfs.zipWithIndex.foreach { case (df, i) =>
       val tmp = base.resolve(s"stage$i")
       df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(sys.error(s"no part file under $tmp"))
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        finally listing.close()
       val dst = inDir.resolve(f"b$i%02d.parquet")
       Files.move(part, dst)
       Files.setLastModifiedTime(dst,
         FileTime.fromMillis(1700000000000L + i * 60000L))
+      rmTree(tmp)
     }
     inDir.toString
+  }
+
+  // one completed sink dir per query is retained for the caller's lazy
+  // read; the PREVIOUS execution's dir is deleted when the same query
+  // runs again (bench samples run sequentially, so the prior sample's
+  // action has finished by then) — /tmp usage stays bounded at one
+  // result per query per JVM instead of growing per sample
+  private val priorBase =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def freshBase(tag: String): Path = {
+    val base = Files.createTempDirectory(s"graft_${tag}_")
+    Option(priorBase.put(tag, base)).foreach(rmTree)
+    base
   }
 
   /** Run a streaming Dataset to completion through a foreachBatch
@@ -64,14 +91,10 @@ object StreamParityQueries {
       }
       .start()
     q.processAllAvailable(); q.stop()
-    // only out/ is read after this point — drop the staged input,
-    // checkpoint and staging scratch so repeated bench samples don't
-    // accumulate temp copies of the fixture
-    Seq("in", "ckpt", "stage0", "stage1").foreach { n =>
-      val p = base.resolve(n)
-      if (Files.exists(p))
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    // only out/ is read after this point — drop the staged input and
+    // checkpoint now (staging scratch was removed inside stage());
+    // out/ itself is reclaimed by freshBase() on the next execution
+    Seq("in", "ckpt").foreach(n => rmTree(base.resolve(n)))
     s.read.schema(schema).parquet(outDir.toString)
   }
 
@@ -85,7 +108,7 @@ object StreamParityQueries {
     // the r01 island SQL is the oracle.
     "st14_stream_coalesce_parity" -> ((s, d) => {
       import s.implicits._
-      val base = Files.createTempDirectory("graft_st14_")
+      val base = freshBase("st14")
       val iv = evTyped(s, d, "click")
         .select(col("user_id"), col("s"), col("e"),
           timestamp_seconds(col("s")).as("ts"))
@@ -113,13 +136,17 @@ object StreamParityQueries {
     // (lefts) matched to the latest purchase at or before them. All
     // real rows in batch 1 (held in state: the watermark starts at 0),
     // a far-future sentinel right in batch 2 advances the watermark so
-    // every held left flushes via event-time timeout. rightTtl is
-    // raised above the sentinel jump so no retained right expires
-    // before its lefts flush; tie-breaking (latest t, then max id)
-    // mirrors x06's max-event_id dedup + ASOF JOIN.
+    // every held left flushes via event-time timeout. rightTtl (2^45
+    // ms ≈ 1100 years) exceeds the fixture-to-sentinel jump (~977
+    // years to the year-3000 sentinel), so no retained right can
+    // expire before a pending left flushes under ANY flush ordering —
+    // parity must not hinge on streamingAsof matching ready lefts
+    // before its TTL prune within one invocation. Tie-breaking
+    // (latest t, then max id) mirrors x06's max-event_id dedup +
+    // ASOF JOIN.
     "st15_stream_asof_parity" -> ((s, d) => {
       import s.implicits._
-      val base = Files.createTempDirectory("graft_st15_")
+      val base = freshBase("st15")
       val raw = Tables.events(tune(s), d)
       val e = raw.select(col("event_id"), col("user_id"), col("event_type"),
         tsSec(raw).as("t"), col("value"))
@@ -138,7 +165,7 @@ object StreamParityQueries {
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val streamed = Ingest.streamingAsof(
-        src.as[Ingest.AsofEvent], watermark = "2 hours", rightTtlMs = 1L << 41)
+        src.as[Ingest.AsofEvent], watermark = "2 hours", rightTtlMs = 1L << 45)
       runToParquet(s, base, streamed,
           org.apache.spark.sql.Encoders.product[Ingest.AsofOut].schema)
         .select(col("id").as("event_id"), col("user_id"),

@@ -28,6 +28,41 @@ class MediaProbeSpec extends AnyFunSuite {
     assert(b.length === 88)
   }
 
+  test("well-framed but degenerate boxes degrade, never throw") {
+    // an 8-byte (empty-payload) mvhd at the very end of the buffer:
+    // findBox accepts the frame, but the field reads must be bounds-
+    // gated — pre-guard this threw ArrayIndexOutOfBoundsException
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    val emptyMvhd = be32(8L) ++ cc("mvhd")
+    val moov = be32(8L + emptyMvhd.length) ++ cc("moov") ++ emptyMvhd
+    val ftyp = be32(20L) ++ cc("ftyp") ++ cc("isom") ++ be32(0L) ++ cc("isom")
+    val r = MediaProbe.parse(7L, ftyp ++ moov)
+    assert(r.container === "mp4" && r.width === -1 && r.duration_ms === -1L)
+    // an avih chunk declared shorter than its fixed field block
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val shortAvih = cc("avih") ++ le32(8L) ++ new Array[Byte](8)
+    val hdrl = cc("LIST") ++ le32(shortAvih.length + 4L) ++ cc("hdrl") ++ shortAvih
+    val avi = cc("RIFF") ++ le32(4L + hdrl.length) ++ cc("AVI ") ++ hdrl
+    val ra = MediaProbe.parse(8L, avi)
+    assert(ra.container === "avi" && ra.width === -1 && ra.fps_ppm === -1L)
+  }
+
+  test("hostile avi header values cannot overflow into a negative duration") {
+    // totalFrames and usPerFrame both near u32 max: the product
+    // exceeds Long range — must report the -1 sentinel, not a wrapped
+    // negative number
+    val b = AviFixture.build(1, 1, usPerFrame = 4294967295L,
+      totalFrames = 4294967295L)
+    val r = MediaProbe.parse(6L, b)
+    assert(r.container === "avi" && r.duration_ms === -1L)
+    assert(r.fps_ppm === 1000000000000L / 4294967295L)
+  }
+
   test("junk and truncated payloads degrade, never throw") {
     val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
     assert(MediaProbe.parse(1L, junk).container === "unknown")

@@ -40,7 +40,10 @@ def report():
     hi = json.load(open('/tmp/sf1_bench.json'))['queries']
     lo = json.load(open('BENCH.json'))['queries']
     for k, v in sorted(hi.items()):
-        print(f'{k:24s} sf0.1={lo.get(k)} sf1={v} ratio={v/lo[k]:.1f}')
+        if k in lo:
+            print(f'{k:24s} sf0.1={lo[k]} sf1={v} ratio={v/lo[k]:.1f}')
+        else:
+            print(f'{k:24s} sf1={v} (no sf0.1 entry in BENCH.json - skipped)')
 
 if __name__ == '__main__':
     import os
