@@ -133,6 +133,60 @@ object IntKMeans {
       .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
   }
 
+  /** Build-side of the IVF serve split: persist the fitted index —
+    * quantized vectors PARTITIONED BY CELL, the centroid table, and
+    * the quantization scale — so serving never refits and a query
+    * touches only its probed cells' files. At 100 TB this is the
+    * production layout: the index is built once by a batch job and
+    * the per-cell parquet directories are the unit of serve-side I/O. */
+  def writeIndex(corpus: DataFrame, dir: String, nlist: Int,
+                 iters: Int = 2): Unit = {
+    val (asg, ctr) = fit(corpus, nlist, iters)
+    asg.select(col("vec_id"), col("q"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    ctr.write.mode("overwrite").parquet(s"$dir/centroids")
+    // the corpus max-abs that defined the int8 grid (mirror of
+    // Similarity.quantizeInt8's scale): queries must be quantized on
+    // the SAME scale at serve time or dot products are meaningless
+    corpus.agg(max(array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))).as("ma"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Serve-side IVF top-k from a [[writeIndex]] layout: quantize the
+    * query vectors on the stored scale, rank the stored centroids
+    * (broadcast, k rows), and scan ONLY the probed cells — the
+    * cell equi-join against the broadcast probe table lets dynamic
+    * partition pruning drop every unprobed cell directory from the
+    * vectors scan (asserted by IntKMeansSpec). Output matches
+    * [[ivfTopK]] bit-for-bit because the stored fit is the same
+    * deterministic fit. */
+  def servedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val ma = broadcast(spark.read.parquet(s"$dir/meta"))
+    val ctr = broadcast(spark.read.parquet(s"$dir/centroids"))
+    // query quantization spelled out verbatim in quantizeInt8's op
+    // order, on the STORED corpus scale
+    val qq = queries
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .crossJoin(ma)
+      .withColumn("qq", transform(col("embedding"),
+        x => round(x.cast("double") * 127.0d / col("ma")).cast("long")))
+      .select(col("q_id"), col("qq"))
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("pdist"), col("cell"))
+    val probes = qq.crossJoin(ctr)
+      .withColumn("pdist", sqDist(col("qq"), col("c")))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("qq"), col("cell"))
+    val vec = spark.read.parquet(s"$dir/vectors")
+    val rw = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
+    vec.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qdot", ldot(col("q"), col("qq")))
+      .withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+  }
+
   /** v05 surface: closed-form linear probe — identity-covariance LDA
     * on the int8 grid. Per-label integer prototypes p_c (truncated
     * mean, the Lloyd update grouped by label), discriminant

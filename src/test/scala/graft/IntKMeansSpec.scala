@@ -57,6 +57,34 @@ class IntKMeansSpec extends SparkSpec {
     assert(top.map(_._2).sorted === (1 to 5).toArray)
   }
 
+  test("served IVF from a written index matches the direct fit bit-for-bit, partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    val qs = blobs.filter($"vec_id" < 2)
+    val direct = IntKMeans.ivfTopK(blobs, qs, k = 5, nlist = 3, nprobe = 1)
+      .collect().toSet
+    val served = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 1)
+    assert(served.collect().toSet === direct)
+    // the serve-side vectors scan must carry a partition filter on
+    // cell (dynamic partition pruning from the broadcast probe table)
+    // so unprobed cell directories are never read. AQE's query-stage
+    // wrappers hide subtrees from collect (see PlanAuditSpec), so
+    // audit a fresh plan with AQE off.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val audited = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 1)
+      audited.collect()
+      val scans = audited.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      val vecScan = scans.filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("vectors")))
+      assert(vecScan.nonEmpty, "vectors scan not found")
+      assert(vecScan.exists(_.partitionFilters.nonEmpty),
+        "serve-side scan lost its cell partition filter — every cell dir would be read")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("linear probe classifies separable labels perfectly with positive margins") {
     val out = IntKMeans.linearProbe(blobs)
       .select("vec_id", "pred", "margin").as[(Long, Int, Long)].collect()
