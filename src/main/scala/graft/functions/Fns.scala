@@ -132,6 +132,11 @@ object Fns {
     sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x))
 
+  /** Single-pass squared L2 (no sqrt) — codegen'd; exact on
+    * integer-valued inputs below 2^53 (the quantized Lloyd kernel). */
+  def l2sq(a: Column, b: Column): Column =
+    bridge.column(graft.plans.VecL2Sq(bridge.expression(a), bridge.expression(b)))
+
   /** Morton (Z-order) key: interleave the low `bits` bits of two
     * non-negative bucket columns — x on even bit positions, y on odd.
     * Pure per-row shift/mask arithmetic (codegen'd, shuffle-free); the

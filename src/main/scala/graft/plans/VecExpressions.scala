@@ -117,6 +117,53 @@ case class VecNorm2(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** Single-pass SQUARED L2 distance: sum((a_i - b_i)^2), no sqrt — the
+  * integer-exact kernel of the quantized Lloyd plane (inputs are
+  * integer-valued doubles on the int8 grid, so every term and the sum
+  * are exact below 2^53). Pairs missing in either array (length
+  * mismatch) contribute 0, matching zip_with's truncating semantics. */
+case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  import VecExprs._
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    check(prettyName, Seq(left.dataType, right.dataType))
+  override def prettyName: String = "vec_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val d = sGet(left.dataType, x, i) - sGet(right.dataType, y, i)
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            double $d = ${jGet(left.dataType, a, i)} - ${jGet(right.dataType, b, i)};
+            $s += $d * $d;
+          }
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
 /** Single-pass cosine: dot and both norms in one loop —
   * dot / (sqrt(na) * sqrt(nb)), identical IEEE result to computing the
   * three folds separately. */

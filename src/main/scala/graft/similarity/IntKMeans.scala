@@ -27,24 +27,28 @@ import org.apache.spark.sql.functions._
   * quantizers don't need convergence), so plan depth is bounded. */
 object IntKMeans {
 
-  /** Corpus on the int8 grid as BIGINT arrays: (vec_id, label, q). */
+  /** Corpus on the int8 grid: (vec_id, label, q) with q an
+    * INTEGER-VALUED array<double> (the quantizeInt8 convention —
+    * |q_i| <= 127, so every product/sum below stays exact in a double
+    * far past any realistic dim). Doubles, not longs, so the hot
+    * kernels run through the codegen'd native vector expressions
+    * (zip_with/aggregate HOFs are CodegenFallback — the r11 long-array
+    * form paid interpreted per-element lambdas on every Lloyd pass). */
   def quantized(corpus: DataFrame): DataFrame =
     Similarity.quantizeInt8(corpus)
-      .select(col("vec_id"), col("label"),
-        transform(col("__q"), x => x.cast("long")).as("q"))
+      .select(col("vec_id"), col("label"), col("__q").as("q"))
 
-  /** Integer squared L2 between two BIGINT arrays. */
+  /** Exact integer squared L2 (native single-pass kernel). */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.Fns.l2sq(a, b).cast("long")
 
-  /** Integer dot product of two BIGINT arrays. */
+  /** Exact integer dot product (native single-pass kernel). */
   private def ldot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.Fns.dot(a, b).cast("long")
 
-  /** Integer squared norm of a BIGINT array. */
+  /** Exact integer squared norm. */
   private def sqNorm(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+    graft.functions.Fns.dot(a, a).cast("long")
 
   /** Deterministic seed centroids: the k corpus vectors with the
     * smallest Knuth-style id hash (h = (id*1103515245 + 12345) mod
@@ -80,11 +84,14 @@ object IntKMeans {
     * mirrored by the oracle's GROUP BY. */
   private def update(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+      // q values are integer-valued doubles; the truncated mean is
+      // computed in BIGINT (sum is exact: the cast loses nothing) and
+      // re-emitted as integer-valued doubles for the native kernels
       .groupBy(col("cell"), col("pos"))
-      .agg(expr("sum(v) div count(1)").as("cv"))
+      .agg(expr("sum(CAST(v AS BIGINT)) div count(1)").as("cv"))
       .groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("c"))
+        s => s.getField("cv").cast("double")).as("c"))
 
   /** Fixed-iteration integer Lloyd fit; returns (final assignment
     * (vec_id, label, q, cell), final centroids (cell, c)).
@@ -171,7 +178,7 @@ object IntKMeans {
       .select(col("vec_id").as("q_id"), col("embedding"))
       .crossJoin(ma)
       .withColumn("qq", transform(col("embedding"),
-        x => round(x.cast("double") * 127.0d / col("ma")).cast("long")))
+        x => round(x.cast("double") * 127.0d / col("ma"))))
       .select(col("q_id"), col("qq"))
     val pw = Window.partitionBy(col("q_id")).orderBy(col("pdist"), col("cell"))
     val probes = qq.crossJoin(ctr)
@@ -202,10 +209,10 @@ object IntKMeans {
     val qv = quantized(corpus).cache()
     val proto = qv.select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(expr("sum(v) div count(1)").as("cv"))
+      .agg(expr("sum(CAST(v AS BIGINT)) div count(1)").as("cv"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("p"))
+        s => s.getField("cv").cast("double")).as("p"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("s").desc, col("c_label"))
     qv.crossJoin(broadcast(
         proto.select(col("label").as("c_label"), col("p"))))
