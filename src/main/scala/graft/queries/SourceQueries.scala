@@ -31,6 +31,39 @@ object SourceQueries {
         .toDF("id", "code", "name").orderBy("id")
     }),
 
+    // S17: ORC round-trip — the columnar sibling of s03's CSV path
+    // (same write->read->project shape, different on-disk format).
+    // ORC carries the schema, so no inference step: the read-back
+    // frame must be column- and type-identical to the parquet source.
+    "s17_orc_roundtrip" -> ((s, d) => {
+      val t = tune(s)
+      val tmp = s"/tmp/graft_orc_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Tables.nation(t, d).coalesce(1).write.mode("overwrite").orc(tmp)
+      t.read.orc(tmp)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
+    // S18: JSON-lines round-trip (the reference ingests json metadata,
+    // ingest.py:45-69): write a projection as JSONL, read back with
+    // schema inference (keys come back alphabetical — the select
+    // restores order), integer-cents aggregate on the round-tripped
+    // doubles. Spark writes doubles shortest-round-trip, so the cents
+    // scaling is bit-identical to reading the parquet directly — the
+    // oracle aggregates the original table.
+    "s18_jsonl_roundtrip" -> ((s, d) => {
+      val t = tune(s)
+      val tmp = s"/tmp/graft_jsonl_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+      Tables.orders(t, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .coalesce(1).write.mode("overwrite").json(tmp)
+      t.read.json(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // S10: catalog ingest via path/name parsing (regexp_extract ->
     // dims, ingest.py:71-109): parse source label into numeric id
     "s10_catalog_parse" -> ((s, d) =>
@@ -83,6 +116,15 @@ object SourceQueries {
         |  (CAST(2 AS BIGINT), 'F', 'female'),
         |  (CAST(3 AS BIGINT), 'U', 'unknown')) t(id, code, name)
         |ORDER BY id""".stripMargin,
+
+    "s17_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "s18_jsonl_roundtrip" ->
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(${Q.centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     "s10_catalog_parse" ->
       """SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
