@@ -700,9 +700,10 @@ object Similarity {
              m: Int, subDim: Int, codes: Int, k: Int,
              rotated: Boolean): DataFrame = {
     val ma = maxAbs(corpus).cache()
-    val d2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x).cast("long")
+    // native single-pass squared L2 (codegen'd; the HOF zip_with fold
+    // is CodegenFallback) — same truncating min-length semantics, same
+    // exact integer-valued doubles, same long cast
+    val d2 = (a: Column, b: Column) => Fns.l2sq(a, b).cast("long")
     // The rotated path FUSES sign * permutation * quantize into one
     // transform over the raw embedding attribute. Composing
     // opqRotate(quantWith(...)) instead looks identical but is O(d^2)
