@@ -376,9 +376,10 @@ object SimilarityQueries {
         .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
           x => x.getField("c").cast("double")).as("carr"))
       val d2s = qv.join(broadcast(cent), "label")
-        .withColumn("d2", aggregate(
-          zip_with(col("q"), col("carr"), (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x).cast("long"))
+        // native single-pass squared L2 (codegen'd; identical exact
+        // integer-valued doubles to the zip_with fold it replaced)
+        .withColumn("d2", graft.functions.Fns.l2sq(col("q"), col("carr"))
+          .cast("long"))
         .select("label", "vec_id", "d2")
       val stats = d2s.groupBy("label").agg(count(lit(1)).as("n"),
         sum(col("d2")).as("sm"), sum(col("d2") * col("d2")).as("ssq"))
