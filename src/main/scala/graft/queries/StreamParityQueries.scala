@@ -87,7 +87,9 @@ object StreamParityQueries {
     val q = out.toDF().writeStream.outputMode("append")
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
-        b.write.mode("append").parquet(outDir.toString)
+        // one file per micro-batch: the default 32 shuffle partitions
+        // would write 32 tiny files per batch for a result-sized frame
+        b.coalesce(1).write.mode("append").parquet(outDir.toString)
       }
       .start()
     q.processAllAvailable(); q.stop()

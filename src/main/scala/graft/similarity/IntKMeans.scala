@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * id hash, Lloyd assignment uses integer squared-L2 with (dist,
   * cell)-lexicographic tie-breaks, and centroid updates are
   * truncated-integer means (`sum div n` — Spark `div` and DuckDB `//`
-  * both truncate toward zero). Every intermediate is a BIGINT, so
+  * both truncate toward zero). Every value is an INTEGER — carried as
+  * integer-valued doubles inside the native kernels (exact below
+  * 2^53) and as BIGINT through the mean/ranking arithmetic — so
   * DuckDB replays the whole fit bit-exactly and the derived queries
   * (v05/v07/v12) carry full rows+schema+hash oracle rows, unlike the
   * float LBFGS/KMeans pipelines they replace in the query corpus.
@@ -108,6 +110,30 @@ object IntKMeans {
     (assign(qv, ctr), ctr)
   }
 
+  /** Per-query probe set: the `nprobe` nearest centroids by integer
+    * squared L2 (ties to the lower cell) — shared by the in-process
+    * IVF and the serve-from-index path. `qq` carries (q_id, qq). */
+  private def probeCells(qq: DataFrame, centroids: DataFrame,
+                         nprobe: Int): DataFrame = {
+    val pw = Window.partitionBy(col("q_id")).orderBy(col("pdist"), col("cell"))
+    qq.crossJoin(broadcast(centroids))
+      .withColumn("pdist", sqDist(col("qq"), col("c")))
+      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("qq"), col("cell"))
+  }
+
+  /** Rank the probed cells' members per query by exact-integer
+    * quantized dot (desc, vec_id), keep the top k. */
+  private def rankProbed(vectors: DataFrame, probes: DataFrame,
+                         k: Int): DataFrame = {
+    val rw = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
+    vectors.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qdot", ldot(col("q"), col("qq")))
+      .withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+  }
+
   /** v12 surface: per-vector cluster assignment (vec_id, label,
     * cluster) from a k-cluster integer Lloyd fit. */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame =
@@ -123,21 +149,11 @@ object IntKMeans {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
               nprobe: Int, iters: Int = 2): DataFrame = {
     val (asg, ctr) = fit(corpus, nlist, iters)
-    val q = asg.join(
+    val qq = asg.join(
         broadcast(queries.select(col("vec_id").as("q_id"))),
         col("vec_id") === col("q_id"))
       .select(col("q_id"), col("q").as("qq"))
-    val pw = Window.partitionBy(col("q_id")).orderBy(col("pdist"), col("cell"))
-    val probes = q.crossJoin(broadcast(ctr))
-      .withColumn("pdist", sqDist(col("qq"), col("c")))
-      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
-      .select(col("q_id"), col("qq"), col("cell"))
-    val rw = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
-    asg.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("qdot", ldot(col("q"), col("qq")))
-      .withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+    rankProbed(asg, probeCells(qq, ctr, nprobe), k)
   }
 
   /** Build-side of the IVF serve split: persist the fitted index —
@@ -180,18 +196,8 @@ object IntKMeans {
       .withColumn("qq", transform(col("embedding"),
         x => round(x.cast("double") * 127.0d / col("ma"))))
       .select(col("q_id"), col("qq"))
-    val pw = Window.partitionBy(col("q_id")).orderBy(col("pdist"), col("cell"))
-    val probes = qq.crossJoin(ctr)
-      .withColumn("pdist", sqDist(col("qq"), col("c")))
-      .withColumn("prn", row_number().over(pw)).filter(col("prn") <= nprobe)
-      .select(col("q_id"), col("qq"), col("cell"))
     val vec = spark.read.parquet(s"$dir/vectors")
-    val rw = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
-    vec.join(broadcast(probes), "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("qdot", ldot(col("q"), col("qq")))
-      .withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+    rankProbed(vec, probeCells(qq, ctr, nprobe), k)
   }
 
   /** v05 surface: closed-form linear probe — identity-covariance LDA
