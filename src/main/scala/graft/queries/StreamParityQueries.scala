@@ -87,9 +87,12 @@ object StreamParityQueries {
     val q = out.toDF().writeStream.outputMode("append")
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
-        // one file per micro-batch: the default 32 shuffle partitions
-        // would write 32 tiny files per batch for a result-sized frame
-        b.coalesce(1).write.mode("append").parquet(outDir.toString)
+        // one file per micro-batch — via repartition, NOT coalesce:
+        // coalesce(1) narrows the UPSTREAM stage to one task, so the
+        // whole flatMapGroupsWithState batch ran single-threaded
+        // (measured: st14/st15 doubled to ~6.5 s); the tiny
+        // result-row exchange is the cheap side of that trade
+        b.repartition(1).write.mode("append").parquet(outDir.toString)
       }
       .start()
     q.processAllAvailable(); q.stop()
