@@ -98,6 +98,21 @@ object Bench {
     // query with zero successful samples is reported under "failed"
     // (with its error) and excluded from "queries" and the total.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Contention telemetry (r11 verdict: the gate artifact and the
+    // code's claim disagreed on t14 and nothing in the artifact could
+    // say which was right). Before each pass, time a fixed
+    // single-thread integer spin: its cost is constant on a quiet box,
+    // so probe_i / min(probe) is a direct co-tenant load marker
+    // recorded next to the samples it contextualizes.
+    def loadProbe(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("unreachable") // defeat DCE
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probes = scala.collection.mutable.ArrayBuffer[Double]()
+    val wallT0 = System.nanoTime()
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       val ok =
@@ -142,13 +157,38 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Option[Double]]]()
     ordered.foreach { case (n, _) => samples(n) = Vector.empty }
     Seq(1, 2).foreach { pass =>
+      probes += loadProbe()
       shuffledPass(pass).foreach { case (n, f) => samples(n) :+= once(n, f) }
     }
     // third pass only over queries whose best is still >1 s (a query
     // with no successful sample yet gets one more chance too)
+    probes += loadProbe()
     shuffledPass(3).filter { case (n, _) =>
         samples(n).flatten.forall(_ > 1.0) }
       .foreach { case (n, f) => samples(n) :+= once(n, f) }
+    // Spread-gated resampling (r11 verdict ask #5): a query whose
+    // samples disagree by >2x was measured under at least one
+    // contended window, and its min may STILL be a contended number
+    // if all its windows were bad (r11's t14: [13.3, 6.6, 7.4] — the
+    // 2.8 s quiet-box cost never got a clean window). Re-run just
+    // those queries, up to two more passes, until every non-trivial
+    // query's min/max spread is < 2x or the pass budget is spent.
+    def spreadOf(n: String): Double = {
+      val good = samples(n).flatten
+      if (good.size < 2 || good.min <= 0.0) 1.0 else good.max / good.min
+    }
+    Seq(4, 5).foreach { pass =>
+      val noisy = shuffledPass(pass).filter { case (n, _) =>
+        val good = samples(n).flatten
+        // cap at 5 samples/query: once a min is corroborated twice the
+        // extra pass adds decidability, not information
+        good.nonEmpty && good.size < 5 && good.min > 0.5 && spreadOf(n) > 2.0
+      }
+      if (noisy.nonEmpty) {
+        probes += loadProbe()
+        noisy.foreach { case (n, f) => samples(n) :+= once(n, f) }
+      }
+    }
     val results = ordered.flatMap { case (n, _) =>
       val good = samples(n).flatten
       if (good.nonEmpty) Some(n -> good.min) else None
@@ -184,8 +224,20 @@ object Bench {
       if (partial && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty)
         outPath + ".partial" else outPath
     val partialField = if (partial) "\"partial\":true," else ""
+    // run-level contention record: per-pass load-probe seconds (ratio
+    // to their min = co-tenant load during that pass), total wall
+    // time, and each query's min/max sample spread — the fields that
+    // let a verdict distinguish "this plan regressed" from "this box
+    // was busy" without cross-referencing wall clocks (r11 ask #5)
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val probeJson = probes.map(num3).mkString("[", ",", "]")
+    val spreadJson = ordered.flatMap { case (n, _) =>
+      val good = samples(n).flatten
+      if (good.size >= 2 && good.min > 0.0)
+        Some("\"" + n + "\":" + num3(good.max / good.min)) else None
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec",$partialField"queries":$qs,"failed":$failedJson,"samples":$sampleJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec",$partialField"queries":$qs,"failed":$failedJson,"samples":$sampleJson,"load_probe_sec":$probeJson,"wall_sec":${num3(wallSec)},"spread":$spreadJson,"sf":"$sfDir"}"""
     Files.write(Paths.get(effOut), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     // The stdout copy must survive a bounded log-tail capture (~2 KB):
@@ -196,7 +248,8 @@ object Bench {
     // the file artifact written above.
     val shortFailed = failed.map { case (k, _) =>
       "\"" + k.takeWhile(_ != '_') + "\"" }.mkString("[", ",", "]")
+    val loadRatio = if (probes.nonEmpty && probes.min > 0) probes.max / probes.min else 1.0
     println(
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","nqueries":${results.size},"failed":$shortFailed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","nqueries":${results.size},"failed":$shortFailed,"load":${num3(loadRatio)},"sf":"$sfDir"}""")
   }
 }

@@ -102,19 +102,49 @@ object ExtraQueries {
     // A18: sketch aggregates — the 100 TB substitute for exact
     // distinct-count (a10/a04 shuffle every distinct value; HLL merges
     // fixed-size registers) and exact percentile (a10 sorts the group;
-    // QuantileSummaries merges bounded summaries). Deterministic for a
-    // fixed partitioning but algorithm-specific, so rows-only (DuckDB's
-    // approx functions use different sketches). AnalyticsSpec bounds
-    // the error against the exact answers.
-    "a18_sketches" -> ((s, d) =>
-      Tables.lineitem(tune(s), d)
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          expr("approx_percentile(l_quantity, array(0.5, 0.95), 1000)").as("q"),
+    // QuantileSummaries merges bounded summaries). The raw estimates
+    // are register-dependent and so cross-engine unverifiable; what IS
+    // verifiable is each sketch's PUBLISHED ERROR BOUND, so the query
+    // emits bound-check booleans next to the exact anchors: hll_ok
+    // (|HLL − exact distinct| ≤ 3·rsd·exact, rsd = 0.05), p50_ok /
+    // p95_ok (the estimate's rank interval intersects q·n ± (n/1000
+    // + 1), the accuracy-1000 GK guarantee). The oracle computes the
+    // same exact anchors and asserts the bounds hold — a sketch
+    // drifting out of its guarantee breaks the hash match. (The r11
+    // rows-only form is thereby retired; AnalyticsSpec still bounds
+    // the raw estimates.)
+    "a18_sketches" -> ((s, d) => {
+      val li = Tables.lineitem(tune(s), d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.05).as("hll"),
+          expr("approx_percentile(l_quantity, array(0.5, 0.95), 1000)").as("qs"),
+          countDistinct(col("l_orderkey")).as("nd"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("approx_orders"),
-          col("q").getItem(0).as("p50"), col("q").getItem(1).as("p95"), col("n"))
-        .orderBy("l_returnflag")),
+        .select(col("l_returnflag"), col("hll"), col("nd"), col("n"),
+          col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p95"))
+      // exact rank interval of each estimate within its group:
+      // [count(< est) + 1, count(<= est)] must intersect q·n ± tol
+      val ranks = li
+        .join(broadcast(sk.select("l_returnflag", "p50", "p95")), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("l_quantity") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_quantity") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_quantity") <= col("p95"), 1L).otherwise(0L)).as("le95"),
+          sum(when(col("l_quantity") < col("p95"), 1L).otherwise(0L)).as("lt95"))
+      val nD = col("n").cast("double")
+      val tol = nD / 1000.0 + 1.0
+      def rankOk(q: Double, le: String, lt: String) =
+        (col(le).cast("double") >= lit(q) * nD - tol) &&
+          (col(lt).cast("double") <= lit(q) * nD + tol)
+      sk.join(ranks, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("nd"),
+          (abs(col("hll") - col("nd")).cast("double") <=
+            lit(0.15) * col("nd").cast("double")).as("hll_ok"),
+          rankOk(0.50, "le50", "lt50").as("p50_ok"),
+          rankOk(0.95, "le95", "lt95").as("p95_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     // A16: cube over (returnflag, linestatus) — subtotals + grand total
     "a16_cube" -> ((s, d) =>
@@ -175,6 +205,16 @@ object ExtraQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // a18: the exact anchors (n, distinct) are computed exactly; the
+    // three booleans assert the sketches' published error bounds —
+    // TRUE is the contract, and a sketch outside its guarantee breaks
+    // the hash match on the Spark side.
+    "a18_sketches" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd,
+        |  true AS hll_ok, true AS p50_ok, true AS p95_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "x01_native_overlap" ->
       s"""SELECT a.user_id, a.event_id,
          |  CAST(coalesce(sum(CASE WHEN b.s IS NOT NULL

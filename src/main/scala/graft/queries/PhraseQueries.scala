@@ -67,10 +67,52 @@ object PhraseQueries {
     // ±1 buckets; each within-k pair collides exactly once).
     "ph05_near_search" -> ((s, d) =>
       PhraseSearch.proximityHits(toks(s, d), "spark", "window", 8)
-        .orderBy("doc_id", "p_a", "p_b"))
+        .orderBy("doc_id", "p_a", "p_b")),
+
+    // PH6: the SERVED phrase search — build the persistent inverted
+    // index (postings partitioned by token-hash bucket, the
+    // production 100 TB layout: tokenize once, serve from pruned
+    // bucket dirs), then answer ph01's phrase from it. Oracle = ph01's
+    // SQL: the served path must be indistinguishable from the
+    // in-process one. PhraseIndexSpec asserts the scan actually
+    // prunes (PartitionFilters on bucket).
+    "ph06_served_phrase" -> ((s, d) => {
+      val dir = Q.freshBase("ph06").resolve("idx").toString
+      PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64)
+      PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // PH7: served NEAR/k — ph05's proximity query from the same
+    // persisted index layout (two vocabulary buckets read, nothing
+    // else).
+    "ph07_served_near" -> ((s, d) => {
+      val dir = Q.freshBase("ph07").resolve("idx").toString
+      PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64)
+      PhraseSearch.servedProximityHits(s, dir, "spark", "window", 8)
+        .orderBy("doc_id", "p_a", "p_b")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    // ph06/ph07: the served-index paths must return EXACTLY what the
+    // in-process ph01/ph05 return — same oracle SQL (the index is a
+    // layout, not a semantics change).
+    "ph06_served_phrase" ->
+      s"""SELECT a.doc_id, CAST(a.pos AS INT) AS pos
+         |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b
+         |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |WHERE a.tok = 'the' AND b.tok = 'customer'
+         |ORDER BY 1, 2""".stripMargin,
+
+    "ph07_served_near" ->
+      s"""SELECT a.doc_id, CAST(a.pos AS INT) AS p_a, CAST(b.pos AS INT) AS p_b
+         |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b
+         |  ON b.doc_id = a.doc_id
+         |WHERE a.tok = 'spark' AND b.tok = 'window'
+         |  AND abs(a.pos - b.pos) <= 8
+         |ORDER BY 1, 2, 3""".stripMargin,
+
     "ph01_phrase_hits" ->
       s"""SELECT a.doc_id, CAST(a.pos AS INT) AS pos
          |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b

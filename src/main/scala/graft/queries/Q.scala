@@ -132,4 +132,30 @@ object Q {
       |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t,
       |  unnest(list_zip(t.l, generate_series(0, len(t.l)-1))) AS u(z)""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Scratch dirs for queries that exercise a build/serve or sink path
+  // (streaming parity, served indexes). One retained dir per tag per
+  // JVM: the PREVIOUS execution's tree is deleted when the same tag
+  // runs again — harness samples run sequentially, so the prior
+  // sample's lazy action has completed by then, and /tmp usage stays
+  // bounded at one artifact per query instead of growing per sample.
+  // -------------------------------------------------------------------
+  private val priorBase =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  /** Delete a directory tree (no-op if absent). */
+  def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      val all =
+        try { import scala.jdk.CollectionConverters._; walk.iterator().asScala.toSeq }
+        finally walk.close()
+      all.reverse.foreach(java.nio.file.Files.delete)
+    }
+
+  def freshBase(tag: String): java.nio.file.Path = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
+    Option(priorBase.put(tag, base)).foreach(rmTree)
+    base
+  }
 }

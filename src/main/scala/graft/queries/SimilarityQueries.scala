@@ -86,6 +86,23 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V29: the SERVED IVF — write the fitted index (vectors
+    // partitioned BY CELL + centroids + quantization scale), then
+    // answer v07's query purely from the on-disk layout: stored
+    // centroids rank the probes, dynamic partition pruning drops
+    // every unprobed cell directory from the vectors scan
+    // (IntKMeansSpec asserts the PartitionFilters). Oracle = v07's
+    // full Lloyd-CTE SQL: the serve split is a layout, not a
+    // semantics change, so the result is bit-identical.
+    "v29_ivf_served" -> ((s, d) => {
+      val dir = Q.freshBase("v29").resolve("idx").toString
+      val e = emb(s, d)
+      graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16)
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -865,6 +882,27 @@ object SimilarityQueries {
     // assignment, probe the 4 nearest cells, int8-dot rank. Every CTE
     // mirrors an IntKMeans step 1:1.
     "v07_ivf_topk" ->
+      s"""WITH $qvCte,
+         |${lloydCtes(16)},
+         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
+         |probes AS (SELECT q_id, qvq, cell FROM (
+         |    SELECT qq.q_id, qq.qvq, c.cell,
+         |      row_number() OVER (PARTITION BY qq.q_id
+         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+         |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
+         |      FROM af a JOIN probes p
+         |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |r AS (SELECT q_id, vec_id, qdot,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+         |      FROM d)
+         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // v29: the served IVF returns exactly what v07 returns (same
+    // deterministic fit, persisted then re-read) — same oracle.
+    "v29_ivf_served" ->
       s"""WITH $qvCte,
          |${lloydCtes(16)},
          |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),

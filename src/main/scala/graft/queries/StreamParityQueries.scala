@@ -32,12 +32,7 @@ object StreamParityQueries {
   private val SENT = 10000000L
 
   /** Delete a directory tree (no-op if absent). */
-  private def rmTree(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      val all = try walk.iterator().asScala.toSeq finally walk.close()
-      all.reverse.foreach(Files.delete)
-    }
+  private def rmTree(p: Path): Unit = Q.rmTree(p)
 
   /** Write each frame as ONE parquet file into a shared stream-input
     * dir, with strictly increasing modification times so the file
@@ -65,18 +60,9 @@ object StreamParityQueries {
   }
 
   // one completed sink dir per query is retained for the caller's lazy
-  // read; the PREVIOUS execution's dir is deleted when the same query
-  // runs again (bench samples run sequentially, so the prior sample's
-  // action has finished by then) — /tmp usage stays bounded at one
-  // result per query per JVM instead of growing per sample
-  private val priorBase =
-    new java.util.concurrent.ConcurrentHashMap[String, Path]()
-
-  private def freshBase(tag: String): Path = {
-    val base = Files.createTempDirectory(s"graft_${tag}_")
-    Option(priorBase.put(tag, base)).foreach(rmTree)
-    base
-  }
+  // read; the previous execution's tree is reclaimed on re-run —
+  // see Q.freshBase (shared with the served-index queries)
+  private def freshBase(tag: String): Path = Q.freshBase(tag)
 
   /** Run a streaming Dataset to completion through a foreachBatch
     * parquet sink; returns the sink dir read back with `schema`. */

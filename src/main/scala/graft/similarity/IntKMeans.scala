@@ -98,15 +98,35 @@ object IntKMeans {
   /** Fixed-iteration integer Lloyd fit; returns (final assignment
     * (vec_id, label, q, cell), final centroids (cell, c)).
     *
-    * Every round's k-row centroid frame is cached: each reference to a
-    * lazy `ctr` would otherwise re-execute the whole preceding
-    * assign/update chain (ivfTopK reads the final centroids twice —
-    * once for the assignment, once for the probes — which doubled the
-    * corpus passes; r11 measured v07 at 3.2 s vs 1.9 s cached). */
+    * Every round's k-row centroid frame is materialized: each
+    * reference to a lazy `ctr` would otherwise re-execute the whole
+    * preceding assign/update chain (ivfTopK reads the final centroids
+    * twice — once for the assignment, once for the probes — which
+    * doubled the corpus passes; r11 measured v07 at 3.2 s vs 1.9 s
+    * cached). Rounds go through [[graft.util.Checkpoints.roll]] — the
+    * engine's loop-hygiene pattern: each round's frame is eagerly
+    * checkpointed and its PREDECESSOR's blocks freed the moment the
+    * successor exists, so a caller running fit() in a loop pins O(1)
+    * centroid frames, not one per round per call (r11 left every
+    * round's cache for the harness sweep to find). After fit() the
+    * only net-new pinned state is the two frames the result needs:
+    * `qv` and the final centroids (asserted by IntKMeansSpec).
+    *
+    * HAZARD (same contract as Dedup.connectedComponents): the returned
+    * centroids are backed by a lineage-truncated localCheckpoint —
+    * consume the result before any getPersistentRDDs sweep. */
   def fit(corpus: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
-    val qv = quantized(corpus).cache()
-    var ctr = seedCentroids(qv, k).cache()
-    (1 to iters).foreach(_ => ctr = update(assign(qv, ctr)).cache())
+    val (qraw, ma) = Similarity.quantizeInt8WithScale(corpus)
+    val qv = qraw.select(col("vec_id"), col("label"), col("__q").as("q")).cache()
+    // the seed roll is eager and scans all of qv, materializing its
+    // cache — after that the 1-row scale cache is superseded (an
+    // eviction-recompute of qv re-derives it from lineage)
+    var (ctr, pin) = graft.util.Checkpoints.roll(seedCentroids(qv, k), None)
+    ma.unpersist(blocking = false)
+    (1 to iters).foreach { _ =>
+      val (c2, p2) = graft.util.Checkpoints.roll(update(assign(qv, ctr)), pin)
+      ctr = c2; pin = p2
+    }
     (assign(qv, ctr), ctr)
   }
 

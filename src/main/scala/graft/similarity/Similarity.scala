@@ -324,6 +324,18 @@ object Similarity {
   def quantizeInt8(corpus: DataFrame, embCol: String = "embedding"): DataFrame =
     quantWith(maxAbs(corpus, embCol), embCol)(corpus)
 
+  /** [[quantizeInt8]] plus the handle to its 1-row scale cache, for
+    * callers that materialize their own cache of the quantized frame
+    * and can then free the scale (IntKMeans.fit — once `qv` is cached
+    * the scale cache is superseded; unpersisting it only costs a
+    * corpus re-scan in the eviction-recompute path, where the same
+    * scan already re-runs). */
+  def quantizeInt8WithScale(corpus: DataFrame,
+      embCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val ma = maxAbs(corpus, embCol)
+    (quantWith(ma, embCol)(corpus), ma)
+  }
+
   /** 1-row corpus max-abs aggregate — the shared quantization scale.
     * Cache it: every quantized frame derived from it would otherwise
     * re-scan the corpus to recompute the scalar. */

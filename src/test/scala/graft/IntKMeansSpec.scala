@@ -85,6 +85,26 @@ class IntKMeansSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("fit pins only qv + final centroids (per-round caches freed by Checkpoints.roll)") {
+    val sc = spark.sparkContext
+    // start from a clean slate so the count below is attributable
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = sc.getPersistentRDDs.keySet
+    val (asg, ctr) = graft.similarity.IntKMeans.fit(blobs, k = 3, iters = 3)
+    // consume the result BEFORE inspecting pins (the returned
+    // centroids are checkpoint-backed — see fit's hazard note)
+    assert(asg.count() === 60L)
+    assert(ctr.count() === 3L)
+    val added = sc.getPersistentRDDs.keySet -- before
+    // exactly the two frames the result needs: the cached quantized
+    // corpus and the final centroid checkpoint — r11 left one cached
+    // k-row frame PER ROUND (seed + 3 updates) for the harness sweep
+    assert(added.size <= 2,
+      s"fit leaked ${added.size} pinned RDDs (expected <= 2: qv cache + final centroids): " +
+        added.toSeq.sorted.map(id => id -> sc.getPersistentRDDs(id).toString).mkString("; "))
+  }
+
   test("linear probe classifies separable labels perfectly with positive margins") {
     val out = IntKMeans.linearProbe(blobs)
       .select("vec_id", "pred", "margin").as[(Long, Int, Long)].collect()

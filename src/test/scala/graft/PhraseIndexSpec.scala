@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.PhraseSearch
+
+/** The persisted caption/posting index (build/serve split of the
+  * phrase plane): the served paths must return exactly what the
+  * in-process paths return, and the serve-side postings scan must
+  * PRUNE — only the query vocabulary's bucket directories may be
+  * read (the property that makes the layout viable at 100 TB). */
+class PhraseIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tiny corpus with repeated phrases across docs, multi-word overlap
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown cat sleeps near the quick brown fox"),
+    (3L, "a slow green turtle walks past the dog"),
+    (4L, "quick brown quick brown quick brown"),
+    (5L, "the fox and the dog and the turtle")
+  ).toDF("doc_id", "text")
+
+  private lazy val toks = docs.select(col("doc_id"),
+    posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  private def freshIndex(nBuckets: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
+    PhraseSearch.writeIndex(toks, dir, nBuckets)
+    dir
+  }
+
+  test("served phrase hits match the in-process path exactly") {
+    val dir = freshIndex(16)
+    for (phrase <- Seq(Seq("quick", "brown"), Seq("the"), Seq("quick", "brown", "fox"))) {
+      val direct = PhraseSearch.phraseHits(toks, phrase).collect().toSet
+      val served = PhraseSearch.servedPhraseHits(spark, dir, phrase).collect().toSet
+      assert(served === direct, s"phrase $phrase diverged")
+    }
+  }
+
+  test("served proximity hits match the in-process path exactly") {
+    val dir = freshIndex(16)
+    val direct = PhraseSearch.proximityHits(toks, "fox", "dog", 6).collect().toSet
+    val served = PhraseSearch.servedProximityHits(spark, dir, "fox", "dog", 6)
+      .collect().toSet
+    assert(served === direct)
+  }
+
+  test("serve-side postings scan prunes to the vocabulary's buckets") {
+    val nBuckets = 16
+    val dir = freshIndex(nBuckets)
+    // static pruning: the bucket predicate is a plan-time partition
+    // filter. AQE's query-stage wrappers hide subtrees from collect
+    // (see PlanAuditSpec), so audit with AQE off.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      served.collect()
+      val scans = served.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.nonEmpty, "postings scan not found")
+      scans.foreach { sc =>
+        assert(sc.partitionFilters.nonEmpty,
+          "postings scan lost its bucket partition filter — every bucket dir would be read")
+        // at most one bucket dir per vocabulary word actually read
+        val selected = sc.selectedPartitions.partitionCount
+        assert(selected <= 2,
+          s"scan read $selected bucket partitions for a 2-word vocabulary")
+      }
+      // the tok residual must push down to parquet (row-group stats
+      // inside a bucket are the second pruning level)
+      val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+      assert(pushed.contains("tok"), s"tok filter not pushed down: $pushed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("index round-trips the modulus (serve reads nBuckets from meta)") {
+    // different modulus than the serve-side default would break bucket
+    // recomputation if it were not persisted — build at 7, serve must
+    // still match
+    val dir = freshIndex(7)
+    val direct = PhraseSearch.phraseHits(toks, Seq("the", "quick")).collect().toSet
+    val served = PhraseSearch.servedPhraseHits(spark, dir, Seq("the", "quick"))
+      .collect().toSet
+    assert(served === direct)
+  }
+}
