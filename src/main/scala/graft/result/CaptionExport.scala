@@ -70,4 +70,34 @@ object CaptionExport {
     IntervalOps.coalesce(
       IntervalOps.dilate(hits.select("video_id", "s", "e"), pad, C,
         clampAtZero = true), C)
+
+  /** Per-video VTT documents as a DataFrame (video_id, vtt) — the
+    * distributed form of [[toVtt]]: each video's cues sort inside that
+    * video's collect_list (a per-group array, never a global collect),
+    * so document assembly shards across executors. */
+  def vttDocs(captions: DataFrame): DataFrame =
+    captions
+      .select(col("video_id"), struct(col("s"), col("e"),
+        cue(col("s"), col("e"), col("text")).as("c")).as("sc"))
+      .groupBy(col("video_id"))
+      .agg(concat(lit("WEBVTT\n\n"), array_join(
+        transform(sort_array(collect_list(col("sc"))), x => x.getField("c")),
+        "\n\n")).as("vtt"))
+
+  /** SHARDED corpus export — the 100 TB form of the caption/supercut
+    * tail: [[vttDocs]] written as a (video_id, vtt) table across
+    * however many files the data warrants. [[toVtt]]'s single string
+    * and the parity queries' one-file-per-micro-batch sinks are
+    * presentation/compare scaffolding (one widget document, a
+    * deterministic file set for hashing); a real corpus-scale export
+    * never funnels through one task. `shards <= 0` keeps the natural
+    * partitioning (AQE coalesces small outputs); a positive value pins
+    * the output file count (e.g. to match a downstream consumer's
+    * reader parallelism). */
+  def writeVttSharded(captions: DataFrame, outDir: String,
+                      shards: Int = 0): Unit = {
+    val docs = vttDocs(captions)
+    val out = if (shards > 0) docs.repartition(shards) else docs
+    out.write.mode("overwrite").parquet(outDir)
+  }
 }

@@ -148,6 +148,27 @@ class NativeExprSpec extends SparkSpec {
     assert(clips === Array((1L, 0L, 10L), (1L, 28L, 33L)))
   }
 
+  test("sharded VTT export: per-video documents equal the single-doc form") {
+    val caps = Seq(
+      (1L, 5L, 65L, "hello"), (1L, 3700L, 3706L, "world"),
+      (2L, 0L, 2L, "solo")).toDF("video_id", "s", "e", "text")
+    val dir = java.nio.file.Files.createTempDirectory("vtt_shard_").toString
+    graft.result.CaptionExport.writeVttSharded(caps, dir, shards = 3)
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+    // each per-video document is exactly what toVtt produces for that
+    // video's rows — the sharded export changes layout, not content
+    assert(back(1L) ===
+      graft.result.CaptionExport.toVtt(caps.filter($"video_id" === 1)))
+    assert(back(2L) === "WEBVTT\n\n00:00:00.000 --> 00:00:02.000\nsolo")
+    assert(back.size === 2)
+    // the shard count reached the file layout (empty partitions write
+    // no file, so 2 docs across 3 shards give 2-3 part files — the
+    // point is the export did NOT funnel through one task/file)
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts >= 2, s"export funneled to $parts file(s)")
+  }
+
   test("widget JSON video result golden (widget.py:276-284)") {
     val vids = Seq(3L, 1L, 3L).toDF("video_id")
     val json = WidgetJson.videoResult(vids, "Video")

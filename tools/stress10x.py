@@ -34,6 +34,25 @@ def build():
               lang, source, n_chars
             FROM documents CROSS JOIN range(10) t(i))
       TO '/tmp/sf1/documents.parquet' (FORMAT PARQUET)""")
+    # r12 planes: embeddings for the Lloyd-fit/IVF/served-index queries
+    # (vec_id shift keeps the 5 query vectors at ids 0-4 in copy 0;
+    # identical vectors per copy grow every IVF cell 10x — the fit and
+    # probe see 10x corpus volume with the same geometry), and events
+    # for the streaming-parity micro-batch pipelines (event_id/user_id
+    # shifts grow KEY CARDINALITY 10x, not per-key island sizes, so
+    # flatMapGroupsWithState state count scales while per-key work
+    # stays constant — the shape a 1000-executor ingest would see).
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.execute("""
+      COPY (SELECT vec_id + i*1000000 AS vec_id, embedding, label
+            FROM embeddings CROSS JOIN range(10) t(i))
+      TO '/tmp/sf1/embeddings.parquet' (FORMAT PARQUET)""")
+    con.execute("""
+      COPY (SELECT event_id + i*10000000 AS event_id, ts,
+              user_id + i*1000000 AS user_id, event_type, value, props
+            FROM events CROSS JOIN range(10) t(i))
+      TO '/tmp/sf1/events.parquet' (FORMAT PARQUET)""")
     print("built /tmp/sf1")
 
 def report():
