@@ -116,17 +116,29 @@ object ExtraQueries {
     "a18_sketches" -> ((s, d) => {
       val li = Tables.lineitem(tune(s), d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
+      // TWO separate single-kind aggregates, deliberately NOT one:
+      // combining approx_percentile (a TypedImperativeAggregate) with
+      // countDistinct in the same agg makes Spark plan the percentile
+      // buffer through the distinct rewrite's 4-level
+      // ObjectHashAggregate cascade — measured 14 s vs 1.2+1.3 s for
+      // the split at sf0.1 (and materializing the combined form via
+      // cache/localCheckpoint pins exactly that slow plan). The r12
+      // single-agg source only ran fast because column pruning split
+      // the two references into these same two aggregates; this makes
+      // the split explicit so each subtree is referenced once and no
+      // future "dedup the agg" cleanup re-merges them.
+      val pct = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.95), 1000)").as("qs"))
+        .select(col("l_returnflag"),
+          col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p95"))
       val sk = li.groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey"), 0.05).as("hll"),
-          expr("approx_percentile(l_quantity, array(0.5, 0.95), 1000)").as("qs"),
           countDistinct(col("l_orderkey")).as("nd"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("hll"), col("nd"), col("n"),
-          col("qs").getItem(0).as("p50"), col("qs").getItem(1).as("p95"))
       // exact rank interval of each estimate within its group:
       // [count(< est) + 1, count(<= est)] must intersect q·n ± tol
       val ranks = li
-        .join(broadcast(sk.select("l_returnflag", "p50", "p95")), "l_returnflag")
+        .join(broadcast(pct), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(sum(when(col("l_quantity") <= col("p50"), 1L).otherwise(0L)).as("le50"),
           sum(when(col("l_quantity") < col("p50"), 1L).otherwise(0L)).as("lt50"),

@@ -69,16 +69,18 @@ object PhraseQueries {
       PhraseSearch.proximityHits(toks(s, d), "spark", "window", 8)
         .orderBy("doc_id", "p_a", "p_b")),
 
-    // PH6: the SERVED phrase search — build the persistent inverted
-    // index (postings partitioned by token-hash bucket, the
-    // production 100 TB layout: tokenize once, serve from pruned
-    // bucket dirs), then answer ph01's phrase from it. Oracle = ph01's
-    // SQL: the served path must be indistinguishable from the
-    // in-process one. PhraseIndexSpec asserts the scan actually
-    // prunes (PartitionFilters on bucket).
+    // PH6: the SERVED phrase search — answer ph01's phrase from the
+    // persistent inverted index (postings partitioned by token-hash
+    // bucket, the production 100 TB layout: tokenize once, serve from
+    // pruned bucket dirs). Oracle = ph01's SQL: the served path must
+    // be indistinguishable from the in-process one. PhraseIndexSpec
+    // asserts the scan actually prunes (PartitionFilters on bucket).
+    // The index is built ONCE per corpus per JVM (Q.memoIndex, shared
+    // by ph06-ph09) so the timed query measures SERVE latency — the
+    // property the layout exists to provide; Bench reports the
+    // one-time build separately (index_build_sec).
     "ph06_served_phrase" -> ((s, d) => {
-      val dir = Q.freshBase("ph06").resolve("idx").toString
-      PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64)
+      val dir = phIdx(s, d)
       PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
         .orderBy("doc_id", "pos")
     }),
@@ -87,55 +89,111 @@ object PhraseQueries {
     // persisted index layout (two vocabulary buckets read, nothing
     // else).
     "ph07_served_near" -> ((s, d) => {
-      val dir = Q.freshBase("ph07").resolve("idx").toString
-      PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64)
+      val dir = phIdx(s, d)
       PhraseSearch.servedProximityHits(s, dir, "spark", "window", 8)
         .orderBy("doc_id", "p_a", "p_b")
+    }),
+
+    // PH8: served BOOLEAN search — ph02's query language evaluated
+    // entirely from the index: postings from the vocabulary's pruned
+    // buckets, the NOT-universe from the doclen sidecar. With ph09
+    // this completes SURVEY §3.3's serve story: every caption-language
+    // form (phrase, NEAR, boolean, ranked) has a served path.
+    "ph08_served_boolean" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phIdx(s, d),
+          """spark AND (window OR NOT batch)""")
+        .orderBy("doc_id")),
+
+    // PH9: served BM25 — ph04's ranked retrieval with tf from the
+    // pruned term postings, dl from the doclen sidecar, df/N/L as one
+    // broadcast scalar aggregate. Same integer micro-score arithmetic,
+    // so ph04's oracle applies verbatim.
+    "ph09_served_bm25" -> ((s, d) =>
+      PhraseSearch.servedBm25TopK(s, phIdx(s, d),
+        Seq("customer", "spark", "vector"), k = 10)),
+
+    // PH10: INCREMENTAL index maintenance — build the index on half
+    // the corpus (even doc_ids), appendIndex the other half as a new
+    // batch (the daily-crawl shape: new files in the same bucket
+    // dirs, stored modulus, no rebuild), then serve ph01's phrase.
+    // Oracle = ph01's full-corpus SQL: full-rebuild ≡ build+append.
+    "ph10_appended_phrase" -> ((s, d) => {
+      val t = toks(s, d)
+      val dir = Q.memoIndex("ph10", d) { dir =>
+        PhraseSearch.writeIndex(
+          t.filter(col("doc_id") % 2 === 0), dir, nBuckets = 64)
+        PhraseSearch.appendIndex(t.filter(col("doc_id") % 2 === 1), dir)
+      }
+      PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
+        .orderBy("doc_id", "pos")
     })
   )
 
+  /** The shared per-corpus persisted caption index (built once per
+    * JVM; ph06-ph09 all serve from it — the production shape: one
+    * batch build, many queries). */
+  private def phIdx(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Q.memoIndex("phidx", d)(dir =>
+      PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64))
+
+  // shared oracle bodies: the served/appended paths must return
+  // EXACTLY what the in-process forms return — same SQL (the index is
+  // a layout, not a semantics change)
+  private val phraseHitsSql =
+    s"""SELECT a.doc_id, CAST(a.pos AS INT) AS pos
+       |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b
+       |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |WHERE a.tok = 'the' AND b.tok = 'customer'
+       |ORDER BY 1, 2""".stripMargin
+
+  // plain positions join + |Δ| filter (the oracle need not band; the
+  // pair set is identical)
+  private val nearSql =
+    s"""SELECT a.doc_id, CAST(a.pos AS INT) AS p_a, CAST(b.pos AS INT) AS p_b
+       |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b
+       |  ON b.doc_id = a.doc_id
+       |WHERE a.tok = 'spark' AND b.tok = 'window'
+       |  AND abs(a.pos - b.pos) <= 8
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  private val booleanSql =
+    """SELECT doc_id FROM documents
+      |WHERE list_contains(string_split(text,' '), 'spark')
+      |  AND (list_contains(string_split(text,' '), 'window')
+      |       OR NOT list_contains(string_split(text,' '), 'batch'))
+      |ORDER BY doc_id""".stripMargin
+
+  // ph04/ph09: every arithmetic step mirrors the Spark expression tree
+  // op-for-op (integer idf terms cast to DOUBLE, left-associated
+  // products/sums, round-then-cast before the per-doc sum) so the
+  // doubles are bit-identical and the BIGINT sum is order-free.
+  private val bm25Sql =
+    s"""WITH tk AS (${Q.toksSql}),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+       |       WHERE tok IN ('customer', 'spark', 'vector') GROUP BY 1, 2),
+       |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
+       |sc AS (SELECT tf.doc_id,
+       |    CAST(round(
+       |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+       |      * ((88.0 * tf * l) / (40.0 * tf * l + 12.0 * l + 36.0 * dl.dl * n))
+       |      * 1000000, 0) AS BIGINT) AS sc
+       |  FROM tf JOIN dfs ON dfs.tok = tf.tok
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
+       |FROM sc GROUP BY 1
+       |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // ph06/ph07: the served-index paths must return EXACTLY what the
-    // in-process ph01/ph05 return — same oracle SQL (the index is a
-    // layout, not a semantics change).
-    "ph06_served_phrase" ->
-      s"""SELECT a.doc_id, CAST(a.pos AS INT) AS pos
-         |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b
-         |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-         |WHERE a.tok = 'the' AND b.tok = 'customer'
-         |ORDER BY 1, 2""".stripMargin,
-
-    "ph07_served_near" ->
-      s"""SELECT a.doc_id, CAST(a.pos AS INT) AS p_a, CAST(b.pos AS INT) AS p_b
-         |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b
-         |  ON b.doc_id = a.doc_id
-         |WHERE a.tok = 'spark' AND b.tok = 'window'
-         |  AND abs(a.pos - b.pos) <= 8
-         |ORDER BY 1, 2, 3""".stripMargin,
-
-    "ph01_phrase_hits" ->
-      s"""SELECT a.doc_id, CAST(a.pos AS INT) AS pos
-         |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b
-         |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-         |WHERE a.tok = 'the' AND b.tok = 'customer'
-         |ORDER BY 1, 2""".stripMargin,
-
-    // ph05: plain positions join + |Δ| filter (the oracle need not
-    // band; the pair set is identical).
-    "ph05_near_search" ->
-      s"""SELECT a.doc_id, CAST(a.pos AS INT) AS p_a, CAST(b.pos AS INT) AS p_b
-         |FROM (${Q.toksSql}) a JOIN (${Q.toksSql}) b
-         |  ON b.doc_id = a.doc_id
-         |WHERE a.tok = 'spark' AND b.tok = 'window'
-         |  AND abs(a.pos - b.pos) <= 8
-         |ORDER BY 1, 2, 3""".stripMargin,
-
-    "ph02_boolean_search" ->
-      """SELECT doc_id FROM documents
-        |WHERE list_contains(string_split(text,' '), 'spark')
-        |  AND (list_contains(string_split(text,' '), 'window')
-        |       OR NOT list_contains(string_split(text,' '), 'batch'))
-        |ORDER BY doc_id""".stripMargin,
+    "ph06_served_phrase" -> phraseHitsSql,
+    "ph07_served_near" -> nearSql,
+    "ph08_served_boolean" -> booleanSql,
+    "ph09_served_bm25" -> bm25Sql,
+    "ph10_appended_phrase" -> phraseHitsSql,
+    "ph01_phrase_hits" -> phraseHitsSql,
+    "ph05_near_search" -> nearSql,
+    "ph02_boolean_search" -> booleanSql,
 
     "ph03_phrase_segments" -> {
       val ivSql =
@@ -153,26 +211,6 @@ object PhraseQueries {
          |ORDER BY doc_id, s""".stripMargin
     },
 
-    // ph04: every arithmetic step mirrors the Spark expression tree
-    // op-for-op (integer idf terms cast to DOUBLE, left-associated
-    // products/sums, round-then-cast before the per-doc sum) so the
-    // doubles are bit-identical and the BIGINT sum is order-free.
-    "ph04_bm25_topk" ->
-      s"""WITH tk AS (${Q.toksSql}),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
-         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
-         |       WHERE tok IN ('customer', 'spark', 'vector') GROUP BY 1, 2),
-         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l FROM dl),
-         |sc AS (SELECT tf.doc_id,
-         |    CAST(round(
-         |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
-         |      * ((88.0 * tf * l) / (40.0 * tf * l + 12.0 * l + 36.0 * dl.dl * n))
-         |      * 1000000, 0) AS BIGINT) AS sc
-         |  FROM tf JOIN dfs ON dfs.tok = tf.tok
-         |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)
-         |SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
-         |FROM sc GROUP BY 1
-         |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+    "ph04_bm25_topk" -> bm25Sql
   )
 }

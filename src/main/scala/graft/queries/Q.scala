@@ -153,9 +153,70 @@ object Q {
       all.reverse.foreach(java.nio.file.Files.delete)
     }
 
+  /** [[rmTree]] that never propagates: a straggler file handle on the
+    * PREVIOUS sample's tree must not fail the UNRELATED current query
+    * it happens to be cleaned up inside. The leftover dir is retried
+    * by the JVM-exit sweep below. */
+  private def rmTreeQuiet(p: java.nio.file.Path): Unit =
+    try rmTree(p)
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[graft] deferred cleanup of $p: ${e.getMessage}")
+    }
+
+  // last-retained dirs (one per freshBase tag + every memoized index)
+  // are swept at JVM exit so a bench/verify run leaves /tmp clean
+  private val exitSweep =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    import scala.jdk.CollectionConverters._
+    exitSweep.asScala.foreach(rmTreeQuiet)
+  }))
+
+  /** CONTRACT: per-tag samples run strictly sequentially (the harness
+    * and Bench both do) — the previous tree is deleted only when the
+    * SAME tag runs again, by which point its lazy action has finished.
+    * Concurrent runs of one tag would need per-run dirs instead. */
   def freshBase(tag: String): java.nio.file.Path = {
     val base = java.nio.file.Files.createTempDirectory(s"graft_${tag}_")
-    Option(priorBase.put(tag, base)).foreach(rmTree)
+    exitSweep.add(base)
+    Option(priorBase.put(tag, base)).foreach { old =>
+      exitSweep.remove(old); rmTreeQuiet(old)
+    }
     base
+  }
+
+  // -------------------------------------------------------------------
+  // Memoized index builds (build/serve split): a served-index query
+  // measures SERVE latency — the property the persisted layout exists
+  // to provide — so the (expensive, run-once-per-corpus) build must
+  // not re-run inside every timed sample. One build per (tag, input
+  // dir) per JVM; the build's own wall time is recorded so Bench can
+  // report it as a separate field instead of folding it into the
+  // serve numbers. Keyed by input dir so sf0.001 smoke / sf0.01
+  // verify / sf0.1 bench runs never share an index.
+  // -------------------------------------------------------------------
+  private val builtIdx =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private val buildSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  /** First call per (tag, input) creates a temp dir and runs `build`
+    * into it (timed); later calls return the same dir untouched. */
+  def memoIndex(tag: String, input: String)(build: String => Unit): String =
+    builtIdx.computeIfAbsent((tag, input), { _ =>
+      val base = java.nio.file.Files.createTempDirectory(s"graft_idx_${tag}_")
+      exitSweep.add(base)
+      val dir = base.resolve("idx").toString
+      val t0 = System.nanoTime()
+      build(dir)
+      buildSecs.merge(tag, (System.nanoTime() - t0) / 1e9,
+        (a, b) => math.min(a, b))
+      dir
+    })
+
+  /** tag -> seconds of the one-time index build(s) this JVM ran. */
+  def indexBuildSecs: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildSecs.asScala.toMap
   }
 }

@@ -94,10 +94,36 @@ object SimilarityQueries {
     // (IntKMeansSpec asserts the PartitionFilters). Oracle = v07's
     // full Lloyd-CTE SQL: the serve split is a layout, not a
     // semantics change, so the result is bit-identical.
+    // The fitted index is built ONCE per corpus per JVM (Q.memoIndex)
+    // so the timed query measures serve latency — the property the
+    // build/serve split exists for; Bench reports the one-time build
+    // separately (index_build_sec).
     "v29_ivf_served" -> ((s, d) => {
-      val dir = Q.freshBase("v29").resolve("idx").toString
       val e = emb(s, d)
-      graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16)
+      val dir = Q.memoIndex("ivfidx", d)(dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16))
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // V30: INCREMENTAL IVF maintenance — fit + write the index on
+    // half the corpus (even vec_ids), appendIndex the other half as a
+    // new batch (quantized on the STORED scale, assigned to the
+    // nearest STORED centroid, appended into the same per-cell dirs —
+    // the coarse quantizer stays frozen between rebuilds), then serve
+    // v29's query over the combined index. The oracle replays fit on
+    // the even half and the frozen-centroid assignment of the odd
+    // half in SQL, so build+append ≡ one build over everything
+    // assigned to the same centroids — bit-exact, not approximate.
+    "v30_ivf_appended" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("v30", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(
+          e.filter(col("vec_id") % 2 === 0), dir, nlist = 16)
+        graft.similarity.IntKMeans.appendIndex(
+          e.filter(col("vec_id") % 2 === 1), dir)
+      }
       graft.similarity.IntKMeans
         .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
         .orderBy("q_id", "rank")
@@ -463,13 +489,15 @@ object SimilarityQueries {
       |       FROM embeddings, m)""".stripMargin
 
   /** One Lloyd assignment: nearest centroid in CTE `ctr` by integer
-    * squared L2, ties to the lower cell id. */
-  private def assignCte(ctr: String) =
+    * squared L2, ties to the lower cell id. `src` = the quantized
+    * corpus CTE being assigned (the full `qv` by default; the build /
+    * appended halves in v30's incremental-maintenance oracle). */
+  private def assignCte(ctr: String, src: String = "qv") =
     s"""SELECT vec_id, label, q, cell FROM (
        |  SELECT v.vec_id, v.label, v.q, c.cell,
        |    row_number() OVER (PARTITION BY v.vec_id
        |      ORDER BY ${l2i("v.q", "c.c")}, c.cell) AS rn
-       |  FROM qv v CROSS JOIN $ctr c) t0 WHERE rn = 1""".stripMargin
+       |  FROM $src v CROSS JOIN $ctr c) t0 WHERE rn = 1""".stripMargin
 
   /** One Lloyd update: truncated-integer mean per cell (`//` and
     * Spark's `div` both truncate toward zero). */
@@ -483,18 +511,18 @@ object SimilarityQueries {
 
   /** Hashed-id seeds + two Lloyd rounds + final assignment `af` over
     * `k` cells — the full IntKMeans.fit(k, iters = 2) chain. */
-  private def lloydCtes(k: Int) =
+  private def lloydCtes(k: Int, src: String = "qv") =
     s"""seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1
        |           AS cell, q AS c
        |  FROM (SELECT vec_id, q,
        |          (vec_id * 1103515245 + 12345) % 2147483648 AS h
-       |        FROM qv ORDER BY h, vec_id LIMIT $k) s0),
-       |a1 AS (${assignCte("seeds")}),
+       |        FROM $src ORDER BY h, vec_id LIMIT $k) s0),
+       |a1 AS (${assignCte("seeds", src)}),
        |c1 AS (${updateCte("a1")}),
-       |a2 AS (${assignCte("c1")}),
+       |a2 AS (${assignCte("c1", src)}),
        |c2 AS (${updateCte("a2")}),
-       |af AS (${assignCte("c2")})""".stripMargin
+       |af AS (${assignCte("c2", src)})""".stripMargin
 
   /** DuckDB mirror of [[Similarity.pcaPowerInt8]]: Gram cells (the v25
     * arithmetic), row-major packed matrix, and one (w, normalize) CTE
@@ -913,6 +941,44 @@ object SimilarityQueries {
          |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
          |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
          |      FROM af a JOIN probes p
+         |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |r AS (SELECT q_id, vec_id, qdot,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+         |      FROM d)
+         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // v30: incremental maintenance — the quantization scale AND the
+    // Lloyd fit come from the BUILD half (even vec_ids) only; the
+    // appended half (and the serve-time queries) are quantized on
+    // that stored scale and assigned to the frozen final centroids
+    // with the same (dist, cell)-lexicographic rule. The served
+    // ranking runs over the union — exactly what servedTopK reads
+    // back from the appended per-cell directories.
+    "v30_ivf_appended" ->
+      s"""WITH m AS (
+         |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+         |  FROM (SELECT unnest(embedding) AS x FROM embeddings
+         |        WHERE vec_id % 2 = 0) u0),
+         |qv AS (SELECT vec_id, label,
+         |         list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
+         |       FROM embeddings, m),
+         |qb AS (SELECT * FROM qv WHERE vec_id % 2 = 0),
+         |qo AS (SELECT * FROM qv WHERE vec_id % 2 = 1),
+         |${lloydCtes(16, "qb")},
+         |aApp AS (${assignCte("c2", "qo")}),
+         |idx AS (SELECT vec_id, q, cell FROM af
+         |        UNION ALL SELECT vec_id, q, cell FROM aApp),
+         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
+         |probes AS (SELECT q_id, qvq, cell FROM (
+         |    SELECT qq.q_id, qq.qvq, c.cell,
+         |      row_number() OVER (PARTITION BY qq.q_id
+         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+         |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
+         |      FROM idx a JOIN probes p
          |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
          |r AS (SELECT q_id, vec_id, qdot,
          |        CAST(row_number() OVER (PARTITION BY q_id

@@ -196,6 +196,40 @@ object IntKMeans {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Incremental maintenance (daily-crawl shape): append a NEW batch
+    * of vectors to an existing [[writeIndex]] layout WITHOUT refitting
+    * — the Spark-native analogue of the reference's job-ledger
+    * skip-processed ingest (scannerutil.py:136-146). The batch is
+    * quantized on the STORED corpus scale (serve-time dot products
+    * must live on one grid) and assigned to the nearest STORED
+    * centroid with fit's exact assignment rule (integer squared L2,
+    * ties to the lower cell — the same map-side-combinable
+    * struct-min), then appended as new files inside the same per-cell
+    * directories, so serve-side partition pruning is unchanged.
+    * Centroids deliberately do NOT move: a serving IVF keeps its
+    * coarse quantizer frozen between rebuilds (moving cells would
+    * silently re-home existing vectors' files). v30's oracle proves
+    * the append bit-equal to the same assignment done at build time.
+    *
+    * CONTRACT: batch vec_ids must be disjoint from indexed ones. */
+  def appendIndex(newCorpus: DataFrame, dir: String): Unit = {
+    val spark = newCorpus.sparkSession
+    val ma = broadcast(spark.read.parquet(s"$dir/meta"))
+    val ctr = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val qv = newCorpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(ma)
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") * 127.0d / col("ma"))))
+      .select(col("vec_id"), col("q"))
+    qv.crossJoin(ctr)
+      .withColumn("dist", sqDist(col("q"), col("c")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"),
+        first(col("q")).as("q"))
+      .select(col("vec_id"), col("q"), col("m.cell").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
   /** Serve-side IVF top-k from a [[writeIndex]] layout: quantize the
     * query vectors on the stored scale, rank the stored centroids
     * (broadcast, k rows), and scan ONLY the probed cells — the

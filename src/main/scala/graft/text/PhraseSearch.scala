@@ -188,7 +188,12 @@ object PhraseSearch {
     * and `dir/meta` (nBuckets; serve must band with the same modulus).
     * Rows within each bucket are sorted by (tok, doc_id, pos): parquet
     * row-group min/max stats on `tok` then skip non-matching row
-    * groups inside a bucket, the second pruning level. */
+    * groups inside a bucket, the second pruning level.
+    *
+    * `dir/doclen` (doc_id, dl) carries per-doc token counts — the
+    * doc-level metadata BM25 needs (dl, and N/L as one aggregate over
+    * it) and the universe NOT needs, so the whole §3.3 boolean/ranked
+    * surface serves from the layout without touching `documents`. */
   def writeIndex(toks: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1)
     val bucket = pmod(graft.text.TextOps.fingerprint(col("tok")),
@@ -198,9 +203,39 @@ object PhraseSearch {
       .repartition(col("bucket"))
       .sortWithinPartitions("tok", "doc_id", "pos")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclen")
     toks.sparkSession.range(1)
       .select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Incremental maintenance (the daily-crawl shape): append a NEW
+    * batch's postings/doc-lengths to an existing [[writeIndex]] layout
+    * without rebuilding — the Spark-native analogue of the reference's
+    * job-ledger skip-processed pattern (scannerutil.py:136-146, which
+    * re-ingests only unprocessed videos). The batch is bucketed with
+    * the STORED modulus, so it lands as new files inside the same
+    * bucket directories and serve-side pruning is unchanged; each new
+    * file is itself (tok, doc_id, pos)-sorted, so row-group stats
+    * prune within it exactly as they do in the base build.
+    *
+    * CONTRACT: batch doc_ids must be disjoint from already-indexed
+    * ones (append batches are new documents, not updates) — ph10's
+    * oracle proves full-rebuild ≡ build-half + append-half under it. */
+  def appendIndex(newToks: DataFrame, dir: String): Unit = {
+    val spark = newToks.sparkSession
+    val nBuckets = spark.read.parquet(s"$dir/meta")
+      .head().getAs[Int]("n_buckets")
+    val bucket = pmod(graft.text.TextOps.fingerprint(col("tok")),
+      lit(nBuckets.toLong))
+    newToks.select(col("doc_id"), col("pos"), col("tok"))
+      .withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("tok", "doc_id", "pos")
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    newToks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(s"$dir/doclen")
   }
 
   /** Driver-side mirror of the build's bucket assignment (same
@@ -243,4 +278,61 @@ object PhraseSearch {
   def servedProximityHits(spark: org.apache.spark.sql.SparkSession,
                           dir: String, a: String, b: String, k: Int): DataFrame =
     proximityHits(servedPostings(spark, dir, Seq(a, b).distinct), a, b, k)
+
+  /** All words a boolean query touches (its served vocabulary). */
+  private def vocabOf(q: Q): Seq[String] = q match {
+    case Phrase(ws) => ws
+    case And(l, r)  => vocabOf(l) ++ vocabOf(r)
+    case Or(l, r)   => vocabOf(l) ++ vocabOf(r)
+    case Not(x)     => vocabOf(x)
+  }
+
+  /** [[search]] over a [[writeIndex]] layout: the boolean evaluator
+    * runs unchanged, but its postings come from the pruned vocabulary
+    * buckets and the NOT-universe from the doc-length sidecar — no
+    * corpus tokenize, no `documents` scan. A query over V distinct
+    * words reads ≤ V of nBuckets index partitions plus the doc-level
+    * metadata table. */
+  def servedSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   query: String): DataFrame = {
+    val q = parse(query)
+    val posts = servedPostings(spark, dir, vocabOf(q).distinct)
+    val universe = spark.read.parquet(s"$dir/doclen").select("doc_id")
+    eval(q, posts, universe)
+  }
+
+  /** [[bm25TopK]] over a [[writeIndex]] layout, arithmetic-identical
+    * (same per-(doc,term) integer micro-score — see bm25TopK's
+    * cross-engine exactness note) but with every input served from
+    * the index: tf = posting count per (doc, term) from the pruned
+    * vocabulary buckets, dl from the doclen sidecar, df/N/L as one
+    * broadcast scalar aggregate. The corpus-sized work is ONE scan of
+    * the term postings (~|terms|/nBuckets of the index) plus a
+    * doc_id equi-join against doclen; the ordered LIMIT stays a
+    * TakeOrdered. Per-doc totals sum BIGINT micro-scores, so the
+    * doc-grouped sum needs no term ordering. */
+  def servedBm25TopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     terms: Seq[String], k: Int = 10): DataFrame = {
+    require(terms.nonEmpty)
+    val tf = servedPostings(spark, dir, terms.distinct)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$dir/doclen")
+    val tot = broadcast(dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l")))
+    val idf = (lit(2) * (col("n") - col("df")) + lit(1)).cast("double") /
+      (lit(2) * col("df") + lit(1)).cast("double")
+    val tfc = (lit(88.0) * col("tf") * col("l")) /
+      (lit(40.0) * col("tf") * col("l") + lit(12.0) * col("l") +
+        lit(36.0) * col("dl") * col("n"))
+    tf.join(broadcast(dfs), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(tot)
+      .select(col("doc_id"),
+        round(idf * tfc * lit(1000000)).cast("long").as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("bm25_micro"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -85,6 +85,42 @@ class IntKMeansSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("appendIndex: build-half + append serves identically to a full-scope assignment") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    // build on even ids only: the quantization scale and centroids
+    // come from the build half and stay frozen through the append
+    IntKMeans.writeIndex(blobs.filter($"vec_id" % 2 === 0), dir, nlist = 3)
+    val before = vectorFiles(dir)
+    IntKMeans.appendIndex(blobs.filter($"vec_id" % 2 === 1), dir)
+    val after = vectorFiles(dir)
+    // incremental: base files untouched, new files only
+    assert(before.subsetOf(after), "append rewrote or removed base vector files")
+    assert(after.size > before.size, "append added no files")
+    // the full index must hold every vector exactly once, and every
+    // appended vector must sit in the cell its (frozen-centroid)
+    // assignment picks: serving a blob-pure query with nprobe=1 must
+    // return only cluster-mates from BOTH halves
+    val vec = spark.read.parquet(s"$dir/vectors")
+    assert(vec.count() === 60L)
+    assert(vec.select("vec_id").distinct().count() === 60L)
+    val top = IntKMeans.servedTopK(spark, dir, blobs.filter($"vec_id" === 0),
+        k = 10, nprobe = 1)
+      .select("vec_id", "rank").as[(Long, Int)].collect()
+    assert(top.length === 10)
+    assert(top.forall(_._1 % 3 == 0), s"appended IVF leaked across blobs: ${top.toSeq}")
+    val parities = top.map(_._1 % 2).distinct
+    assert(parities.length === 2, "served results came from only one half — append not visible")
+  }
+
+  private def vectorFiles(dir: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))
+    try walk.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(_.toString).toSet
+    finally walk.close()
+  }
+
   test("fit pins only qv + final centroids (per-round caches freed by Checkpoints.roll)") {
     val sc = spark.sparkContext
     // start from a clean slate so the count below is attributable

@@ -75,6 +75,58 @@ class PhraseIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("served boolean search matches the in-process path exactly") {
+    val dir = freshIndex(16)
+    val universe = docs.select("doc_id")
+    for (q <- Seq("""fox AND dog""", """"quick brown" OR turtle""",
+                  """the AND NOT (cat OR turtle)""")) {
+      val direct = PhraseSearch.search(q, toks, universe).collect().toSet
+      val served = PhraseSearch.servedSearch(spark, dir, q).collect().toSet
+      assert(served === direct, s"boolean query [$q] diverged")
+    }
+  }
+
+  test("served BM25 matches the in-process scorer exactly") {
+    val dir = freshIndex(16)
+    val direct = PhraseSearch.bm25TopK(docs, Seq("quick", "dog"), 5)
+      .collect().toSeq
+    val served = PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq
+    // ranked output: order matters, scores must be integer-identical
+    assert(served === direct)
+  }
+
+  test("appendIndex: build+append serves identically to a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 16)
+    val before = postingFiles(dir)
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") % 2 === 1), dir)
+    val after = postingFiles(dir)
+    // incremental: the base build's files are untouched — append adds
+    // new files, it does not rewrite the index
+    assert(before.subsetOf(after), "append rewrote or removed base files")
+    assert(after.size > before.size, "append added no files")
+    for (phrase <- Seq(Seq("quick", "brown"), Seq("the"), Seq("fox"))) {
+      val direct = PhraseSearch.phraseHits(toks, phrase).collect().toSet
+      val served = PhraseSearch.servedPhraseHits(spark, dir, phrase).collect().toSet
+      assert(served === direct, s"appended index diverged on $phrase")
+    }
+    // BM25 needs the doclen sidecar maintained too
+    val direct = PhraseSearch.bm25TopK(docs, Seq("quick", "dog"), 5).collect().toSeq
+    val served = PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq
+    assert(served === direct, "appended doclen sidecar diverged")
+  }
+
+  private def postingFiles(dir: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "postings"))
+    try walk.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(_.toString).toSet
+    finally walk.close()
+  }
+
   test("index round-trips the modulus (serve reads nBuckets from meta)") {
     // different modulus than the serve-side default would break bucket
     // recomputation if it were not persisted — build at 7, serve must

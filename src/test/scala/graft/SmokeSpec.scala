@@ -11,14 +11,15 @@ class SmokeSpec extends SparkSpec {
 
   test("every query key has an oracle or is deliberately rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep the rows-only list explicit so additions are conscious
-    // choices. Only the genuinely engine-internal queries remain:
-    // Spark's RNG (p11) and HLL/quantile sketch internals (a18).
-    // Every float-cosine query mirrors the native double folds
-    // bit-exactly, and since r11 the fitted pipelines (v05 probe,
-    // v07 IVF, v12 clusters) run on the integer Lloyd plane
-    // (IntKMeans) and are oracle-checked too.
-    assert(noOracle === Set("p11_random_sample", "a18_sketches"))
+    // keep the rows-only list explicit so additions AND removals are
+    // conscious choices. Only one genuinely engine-internal query
+    // remains: Spark's RNG (p11). a18 graduated in r12 — it emits
+    // error-bound booleans (HLL within 15% of exact, percentile rank
+    // interval containment) that DuckDB can verify exactly. Every
+    // float-cosine query mirrors the native double folds bit-exactly,
+    // and the fitted pipelines (v05 probe, v07 IVF, v12 clusters) run
+    // on the integer Lloyd plane (IntKMeans), oracle-checked.
+    assert(noOracle === Set("p11_random_sample"))
   }
 
   test("all queries execute at sf0.001") {
