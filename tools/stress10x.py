@@ -27,10 +27,17 @@ def build():
       COPY (SELECT l_orderkey + i*10000000 AS l_orderkey, {rest}
             FROM lineitem CROSS JOIN range(10) t(i))
       TO '/tmp/sf1/lineitem.parquet' (FORMAT PARQUET)""")
+    # copy 0 keeps its ORIGINAL text (copies 1-9 get the ~i token
+    # suffix): the copies stay mutually shingle-disjoint — the dedup-
+    # family property — while the phrase/BM25/boolean serve queries
+    # (whose vocabulary is real words like 'the'/'customer') still
+    # have non-empty postings. A full suffix made the served-index
+    # stress vacuous: the query vocabulary matched nothing at sf1.
     con.execute("""
       COPY (SELECT doc_id + i*1000000 AS doc_id,
-              array_to_string(list_transform(string_split(text, ' '),
-                x -> x || '~' || CAST(i AS VARCHAR)), ' ') AS text,
+              CASE WHEN i = 0 THEN text
+                ELSE array_to_string(list_transform(string_split(text, ' '),
+                  x -> x || '~' || CAST(i AS VARCHAR)), ' ') END AS text,
               lang, source, n_chars
             FROM documents CROSS JOIN range(10) t(i))
       TO '/tmp/sf1/documents.parquet' (FORMAT PARQUET)""")
