@@ -65,8 +65,8 @@ object Bench {
     Seq("j01_equi_join_agg", "t01_exact_dedup", "v01_cosine_topk", "r01_coalesce",
       "t05_simhash", "t03_shingle_jaccard", "t04_minhash_lsh",
       "st07_peak_concurrency",
-      "ph06_served_phrase", "ph10_appended_phrase",
-      "v29_ivf_served", "v30_ivf_appended")
+      "ph06_served_phrase", "ph10_appended_phrase", "ph11_compacted_phrase",
+      "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()

@@ -126,6 +126,23 @@ object PhraseQueries {
       }
       PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
         .orderBy("doc_id", "pos")
+    }),
+
+    // PH11: COMPACTION — the full maintenance lifecycle (build half,
+    // append half, compact back to one sorted file set per bucket),
+    // then serve ph01's phrase. Compaction is a layout rewrite of the
+    // index itself; the oracle (ph01's full-corpus SQL) proves it
+    // changes nothing observable.
+    "ph11_compacted_phrase" -> ((s, d) => {
+      val t = toks(s, d)
+      val dir = Q.memoIndex("ph11", d) { dir =>
+        PhraseSearch.writeIndex(
+          t.filter(col("doc_id") % 2 === 0), dir, nBuckets = 64)
+        PhraseSearch.appendIndex(t.filter(col("doc_id") % 2 === 1), dir)
+        PhraseSearch.compactIndex(s, dir)
+      }
+      PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
+        .orderBy("doc_id", "pos")
     })
   )
 
@@ -191,6 +208,7 @@ object PhraseQueries {
     "ph08_served_boolean" -> booleanSql,
     "ph09_served_bm25" -> bm25Sql,
     "ph10_appended_phrase" -> phraseHitsSql,
+    "ph11_compacted_phrase" -> phraseHitsSql,
     "ph01_phrase_hits" -> phraseHitsSql,
     "ph05_near_search" -> nearSql,
     "ph02_boolean_search" -> booleanSql,

@@ -129,6 +129,24 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V31: COMPACTION — the full IVF maintenance lifecycle (build
+    // half, append half, compact each cell back to one sorted file
+    // set), then serve v29's query. Same oracle as v30: compaction is
+    // a layout rewrite and must change nothing observable.
+    "v31_ivf_compacted" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("v31", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(
+          e.filter(col("vec_id") % 2 === 0), dir, nlist = 16)
+        graft.similarity.IntKMeans.appendIndex(
+          e.filter(col("vec_id") % 2 === 1), dir)
+        graft.similarity.IntKMeans.compactIndex(s, dir)
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -508,6 +526,41 @@ object SimilarityQueries {
        |  FROM $asg a,
        |    unnest(list_zip(a.q, generate_series(0, len(a.q) - 1))) AS u(z)
        |  GROUP BY cell, u.z[2]) t1 GROUP BY cell""".stripMargin
+
+  /** v30/v31 oracle: fit on the even half (scale + seeds + Lloyd from
+    * `qb` only), frozen-centroid assignment of the odd half, serve
+    * over the union — the exact contents servedTopK reads back from
+    * an appended (and optionally compacted) index. */
+  private lazy val ivfAppendedSql =
+    s"""WITH m AS (
+       |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+       |  FROM (SELECT unnest(embedding) AS x FROM embeddings
+       |        WHERE vec_id % 2 = 0) u0),
+       |qv AS (SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
+       |       FROM embeddings, m),
+       |qb AS (SELECT * FROM qv WHERE vec_id % 2 = 0),
+       |qo AS (SELECT * FROM qv WHERE vec_id % 2 = 1),
+       |${lloydCtes(16, "qb")},
+       |aApp AS (${assignCte("c2", "qo")}),
+       |idx AS (SELECT vec_id, q, cell FROM af
+       |        UNION ALL SELECT vec_id, q, cell FROM aApp),
+       |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
+       |probes AS (SELECT q_id, qvq, cell FROM (
+       |    SELECT qq.q_id, qq.qvq, c.cell,
+       |      row_number() OVER (PARTITION BY qq.q_id
+       |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+       |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+       |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
+       |      FROM idx a JOIN probes p
+       |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, qdot,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+       |      FROM d)
+       |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 
   /** Hashed-id seeds + two Lloyd rounds + final assignment `af` over
     * `k` cells — the full IntKMeans.fit(k, iters = 2) chain. */
@@ -949,43 +1002,17 @@ object SimilarityQueries {
          |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
 
-    // v30: incremental maintenance — the quantization scale AND the
-    // Lloyd fit come from the BUILD half (even vec_ids) only; the
+    // v30/v31: incremental maintenance — the quantization scale AND
+    // the Lloyd fit come from the BUILD half (even vec_ids) only; the
     // appended half (and the serve-time queries) are quantized on
     // that stored scale and assigned to the frozen final centroids
     // with the same (dist, cell)-lexicographic rule. The served
     // ranking runs over the union — exactly what servedTopK reads
-    // back from the appended per-cell directories.
-    "v30_ivf_appended" ->
-      s"""WITH m AS (
-         |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
-         |  FROM (SELECT unnest(embedding) AS x FROM embeddings
-         |        WHERE vec_id % 2 = 0) u0),
-         |qv AS (SELECT vec_id, label,
-         |         list_transform(embedding,
-         |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
-         |       FROM embeddings, m),
-         |qb AS (SELECT * FROM qv WHERE vec_id % 2 = 0),
-         |qo AS (SELECT * FROM qv WHERE vec_id % 2 = 1),
-         |${lloydCtes(16, "qb")},
-         |aApp AS (${assignCte("c2", "qo")}),
-         |idx AS (SELECT vec_id, q, cell FROM af
-         |        UNION ALL SELECT vec_id, q, cell FROM aApp),
-         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
-         |probes AS (SELECT q_id, qvq, cell FROM (
-         |    SELECT qq.q_id, qq.qvq, c.cell,
-         |      row_number() OVER (PARTITION BY qq.q_id
-         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
-         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
-         |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
-         |      FROM idx a JOIN probes p
-         |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
-         |r AS (SELECT q_id, vec_id, qdot,
-         |        CAST(row_number() OVER (PARTITION BY q_id
-         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
-         |      FROM d)
-         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
-         |ORDER BY q_id, rank""".stripMargin,
+    // back from the appended per-cell directories. v31 additionally
+    // compacts the layout first; same oracle (compaction must be
+    // observationally invisible).
+    "v30_ivf_appended" -> ivfAppendedSql,
+    "v31_ivf_compacted" -> ivfAppendedSql,
 
     // v12: the same Lloyd chain at k=10; browser stats are integer
     // aggregates of the final assignment.

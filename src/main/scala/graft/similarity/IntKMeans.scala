@@ -230,6 +230,29 @@ object IntKMeans {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
+  /** Compaction (the third maintenance op after build/append): each
+    * [[appendIndex]] batch adds one file set per cell directory, so a
+    * daily-append index accumulates small files. Rewrite the vectors
+    * back to one sorted (by vec_id) file set per cell — a pure
+    * shuffle-by-cell over the index itself (centroids/meta are tiny
+    * and untouched), swapped in via FileSystem rename. Serve results
+    * are unchanged (v31's oracle row + IntKMeansSpec assert parity
+    * and the file-count drop). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val vec = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("q"), col("cell"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("vec_id")
+    val tmp = s"$dir/vectors.compact"
+    vec.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compaction swap failed for $dir/vectors")
+  }
+
   /** Serve-side IVF top-k from a [[writeIndex]] layout: quantize the
     * query vectors on the stored scale, rank the stored centroids
     * (broadcast, k rows), and scan ONLY the probed cells — the

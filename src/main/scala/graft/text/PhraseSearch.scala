@@ -279,6 +279,50 @@ object PhraseSearch {
                           dir: String, a: String, b: String, k: Int): DataFrame =
     proximityHits(servedPostings(spark, dir, Seq(a, b).distinct), a, b, k)
 
+  /** Compaction (the third maintenance op after build/append): each
+    * [[appendIndex]] batch adds one file set per bucket, so a
+    * long-running daily-append index accumulates small files and
+    * loses the global (tok, doc_id, pos) order within a bucket —
+    * row-group `tok` stats still prune per file, but over ever more
+    * files. Compaction rewrites the postings back to one sorted file
+    * set per bucket (and the doclen sidecar to one file set),
+    * restoring build-fresh layout without re-tokenizing anything:
+    * it is a pure shuffle-by-bucket + sort over the index itself.
+    * The swap is write-to-sibling + FileSystem rename (works on HDFS
+    * and local; an object-store deployment would swap a manifest
+    * instead). Serve results are unchanged — ph11's oracle row and
+    * PhraseIndexSpec assert exact parity and the file-count drop. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val posts = spark.read.parquet(s"$dir/postings")
+      .select(col("doc_id"), col("pos"), col("tok"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("tok", "doc_id", "pos")
+    swapRewrite(spark, s"$dir/postings",
+      posts.write.partitionBy("bucket"))
+    // range-partition + sort by doc_id (NOT coalesce(1) — doclen is
+    // one row per document, corpus-sized at 100 TB): bounded file
+    // count per compaction with doc_id min/max stats per file
+    val dl = spark.read.parquet(s"$dir/doclen")
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    swapRewrite(spark, s"$dir/doclen", dl.write)
+  }
+
+  /** Write `w` to `<path>.compact`, then atomically swap it into
+    * `path` (delete old, rename). */
+  private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
+    val tmp = path + ".compact"
+    w.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs.delete(p, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compaction swap failed for $path")
+  }
+
   /** All words a boolean query touches (its served vocabulary). */
   private def vocabOf(q: Q): Seq[String] = q match {
     case Phrase(ws) => ws

@@ -112,6 +112,22 @@ class IntKMeansSpec extends SparkSpec {
     assert(parities.length === 2, "served results came from only one half — append not visible")
   }
 
+  test("compactIndex collapses appended cell files without changing served results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IntKMeans.writeIndex(blobs.filter($"vec_id" % 2 === 0), dir, nlist = 3)
+    IntKMeans.appendIndex(blobs.filter($"vec_id" % 2 === 1), dir)
+    val qs = blobs.filter($"vec_id" < 2)
+    val before = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 2)
+      .collect().toSet
+    val filesBefore = vectorFiles(dir)
+    IntKMeans.compactIndex(spark, dir)
+    val filesAfter = vectorFiles(dir)
+    assert(filesAfter.size < filesBefore.size,
+      s"compaction did not reduce files (${filesBefore.size} -> ${filesAfter.size})")
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 2)
+      .collect().toSet === before)
+  }
+
   private def vectorFiles(dir: String): Set[String] = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))

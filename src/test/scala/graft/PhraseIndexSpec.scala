@@ -118,6 +118,27 @@ class PhraseIndexSpec extends SparkSpec {
     assert(served === direct, "appended doclen sidecar diverged")
   }
 
+  test("compactIndex restores one file set per bucket without changing results") {
+    val dir = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 16)
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") % 2 === 1), dir)
+    val beforeHits = PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet
+    val beforeBm25 = PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq
+    val filesBefore = postingFiles(dir)
+    PhraseSearch.compactIndex(spark, dir)
+    val filesAfter = postingFiles(dir)
+    // append left >1 file in at least one bucket; compaction collapses
+    // each bucket back to a single sorted file set
+    assert(filesAfter.size < filesBefore.size,
+      s"compaction did not reduce files (${filesBefore.size} -> ${filesAfter.size})")
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet === beforeHits)
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq === beforeBm25)
+  }
+
   private def postingFiles(dir: String): Set[String] = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "postings"))
