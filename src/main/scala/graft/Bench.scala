@@ -66,7 +66,8 @@ object Bench {
       "t05_simhash", "t03_shingle_jaccard", "t04_minhash_lsh",
       "st07_peak_concurrency",
       "ph06_served_phrase", "ph10_appended_phrase", "ph11_compacted_phrase",
-      "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted")
+      "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted",
+      "st16_stream_index_parity")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).write.format("noop")
           .mode("overwrite").save()

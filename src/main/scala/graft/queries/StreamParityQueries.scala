@@ -163,6 +163,50 @@ object StreamParityQueries {
           expr("t_ms div 1000").as("t"),
           col("r_id").as("p_event_id"), col("r_rv").as("p_cents"))
         .orderBy("event_id")
+    }),
+
+    // ST16: STREAMING incremental index maintenance — the daily-crawl
+    // shape run as an actual stream: documents arrive as ordered
+    // micro-batches (file source, maxFilesPerTrigger=1), each batch is
+    // tokenized and appended to the persisted caption index via
+    // PhraseSearch.appendIndex inside foreachBatch, guarded by a
+    // batchId ledger marker (foreachBatch is at-least-once; the
+    // marker is the S12 job-ledger skip-processed pattern applied to
+    // index maintenance — a replayed batch must not double its
+    // postings). The index starts EMPTY (initIndex persists only the
+    // modulus) so the whole layout is stream-built. Serving ph01's
+    // phrase from it must match the batch answer exactly — ph01's
+    // oracle is the gate.
+    "st16_stream_index_parity" -> ((s, d) => {
+      val dir = Q.memoIndex("st16idx", d) { dir =>
+        graft.text.PhraseSearch.initIndex(s, dir, nBuckets = 64)
+        val base = freshBase("st16")
+        val docs = Tables.documents(tune(s), d).select(col("doc_id"), col("text"))
+        val inDir = stage(base,
+          (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val applied = base.resolve("applied")
+        Files.createDirectories(applied)
+        val q = src.writeStream.outputMode("append")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+            val marker = applied.resolve(s"batch-$batchId")
+            if (!Files.exists(marker)) {
+              graft.text.PhraseSearch.appendIndex(
+                b.select(col("doc_id"),
+                  posexplode(split(col("text"), " ")).as(Seq("pos", "tok"))),
+                dir)
+              Files.createFile(marker)
+              ()
+            }
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        Seq("in", "ckpt", "applied").foreach(n => rmTree(base.resolve(n)))
+      }
+      graft.text.PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
+        .orderBy("doc_id", "pos")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -190,5 +234,9 @@ object StreamParityQueries {
          |SELECT c.event_id, c.user_id, c.t, p.p_event_id, p.p_cents
          |FROM clicks c ASOF LEFT JOIN purchases p
          |  ON c.user_id = p.user_id AND c.t >= p.t
-         |ORDER BY c.event_id""".stripMargin)
+         |ORDER BY c.event_id""".stripMargin,
+
+    // the stream-built index must serve EXACTLY what the in-process
+    // phrase search computes — ph01's oracle verbatim
+    "st16_stream_index_parity" -> PhraseQueries.oracle("ph01_phrase_hits"))
 }

@@ -210,6 +210,19 @@ object PhraseSearch {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Create an EMPTY index: persist the bucket modulus only, so a
+    * purely incremental ingest (st16: Structured Streaming micro-
+    * batches, each calling [[appendIndex]]) can build the whole index
+    * without a batch bootstrap. Postings/doclen dirs appear with the
+    * first append. */
+  def initIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1)
+    spark.range(1)
+      .select(lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
   /** Incremental maintenance (the daily-crawl shape): append a NEW
     * batch's postings/doc-lengths to an existing [[writeIndex]] layout
     * without rebuilding — the Spark-native analogue of the reference's
