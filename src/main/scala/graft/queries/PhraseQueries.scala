@@ -128,6 +128,36 @@ object PhraseQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // PH12: HYBRID retrieval — the lexical arm (ph04's BM25, top-50)
+    // fused with a semantic arm (v08's exact-integer int8 dot against
+    // doc 0's embedding, top-50) by Borda count: each arm contributes
+    // (60 − rank) for its top-50, fused score = sum, top-10 by
+    // (fused desc, doc_id). Rank fusion is THE standard way a
+    // training-data / RAG pipeline combines keyword and embedding
+    // retrieval, and Borda (unlike reciprocal-rank fusion's 1/(k+r)
+    // doubles) is integer end to end, so the whole query is
+    // oracle-exact. Scale shape: each arm ends in a TakeOrdered
+    // top-50; the rank windows run over those 50-row frames, never
+    // the corpus; the fusion join is 50x50.
+    "ph12_hybrid_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(tune(s), d).select("doc_id", "text")
+      val e = Tables.embeddings(tune(s), d)
+      val tw = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
+      val tr = PhraseSearch.bm25TopK(docs, Seq("customer", "spark", "vector"), 50)
+        .withColumn("r_t", row_number().over(tw))
+        .select(col("doc_id"), (lit(60) - col("r_t")).cast("long").as("b_t"))
+      val vr = graft.similarity.Similarity
+        .int8TopK(e, e.filter(col("vec_id") === 0), 50)
+        .select(col("vec_id").as("doc_id"),
+          (lit(60) - col("rank")).cast("long").as("b_v"))
+      tr.join(vr, Seq("doc_id"), "full_outer")
+        .na.fill(0L, Seq("b_t", "b_v"))
+        .select(col("doc_id"), (col("b_t") + col("b_v")).as("borda"))
+        .orderBy(col("borda").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // PH11: COMPACTION — the full maintenance lifecycle (build half,
     // append half, compact back to one sorted file set per bucket),
     // then serve ph01's phrase. Compaction is a layout rewrite of the
@@ -184,8 +214,8 @@ object PhraseQueries {
   // op-for-op (integer idf terms cast to DOUBLE, left-associated
   // products/sums, round-then-cast before the per-doc sum) so the
   // doubles are bit-identical and the BIGINT sum is order-free.
-  private val bm25Sql =
-    s"""WITH tk AS (${Q.toksSql}),
+  private val bm25Ctes =
+    s"""tk AS (${Q.toksSql}),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
        |       WHERE tok IN ('customer', 'spark', 'vector') GROUP BY 1, 2),
@@ -197,10 +227,43 @@ object PhraseQueries {
        |      * ((88.0 * tf * l) / (40.0 * tf * l + 12.0 * l + 36.0 * dl.dl * n))
        |      * 1000000, 0) AS BIGINT) AS sc
        |  FROM tf JOIN dfs ON dfs.tok = tf.tok
-       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)
+       |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)""".stripMargin
+
+  private val bm25Sql =
+    s"""WITH $bm25Ctes
        |SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
        |FROM sc GROUP BY 1
        |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+
+  // ph12: both arms reuse proven-exact arithmetic (bm25Ctes = ph04's
+  // score; the int8 dot = v08's); Borda weights 60 − rank are integer,
+  // so the fused ordering is cross-engine deterministic.
+  private val hybridSql =
+    s"""WITH $bm25Ctes,
+       |bt AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
+       |       FROM sc GROUP BY 1),
+       |tr AS (SELECT doc_id, CAST(row_number() OVER (
+       |         ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS r_t FROM bt),
+       |trf AS (SELECT doc_id, CAST(60 - r_t AS BIGINT) AS b_t FROM tr
+       |        WHERE r_t <= 50),
+       |m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+       |      FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
+       |z AS (SELECT c.vec_id, unnest(list_zip(q0.qe, c.embedding)) AS p
+       |      FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q0
+       |      JOIN embeddings c ON c.vec_id <> 0),
+       |dq AS (SELECT vec_id, CAST(sum(
+       |         CAST(round(CAST(p[1] AS DOUBLE) * 127.0 / (SELECT ma FROM m)) AS BIGINT)
+       |         * CAST(round(CAST(p[2] AS DOUBLE) * 127.0 / (SELECT ma FROM m)) AS BIGINT)
+       |       ) AS BIGINT) AS qdot FROM z GROUP BY 1),
+       |vr AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+       |         ORDER BY qdot DESC, vec_id) AS BIGINT) AS r_v FROM dq),
+       |vrf AS (SELECT doc_id, CAST(60 - r_v AS BIGINT) AS b_v FROM vr
+       |        WHERE r_v <= 50),
+       |f AS (SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       |        COALESCE(t.b_t, 0) + COALESCE(v.b_v, 0) AS borda
+       |      FROM trf t FULL OUTER JOIN vrf v ON v.doc_id = t.doc_id)
+       |SELECT doc_id, CAST(borda AS BIGINT) AS borda FROM f
+       |ORDER BY borda DESC, doc_id LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "ph06_served_phrase" -> phraseHitsSql,
@@ -209,6 +272,7 @@ object PhraseQueries {
     "ph09_served_bm25" -> bm25Sql,
     "ph10_appended_phrase" -> phraseHitsSql,
     "ph11_compacted_phrase" -> phraseHitsSql,
+    "ph12_hybrid_fusion" -> hybridSql,
     "ph01_phrase_hits" -> phraseHitsSql,
     "ph05_near_search" -> nearSql,
     "ph02_boolean_search" -> booleanSql,

@@ -1012,6 +1012,36 @@ object TextQueries {
     // is x·c·(2t+c+1) — all integer (exact to ~2^53-scale corpora;
     // switch the two product columns to decimal(38,0) past that),
     // cumulated by the same two-phase prefix sum as a28/a30/st13.
+    // T63: corpus snapshot diff — the change-detection step a daily
+    // crawl runs before incremental work (what t44/ph10 then ingest;
+    // reference analogue: the ScannerJob ledger comparing processed vs
+    // present videos, scannerutil.py:136-146). A deterministic
+    // "yesterday" snapshot is derived from today's corpus (docs ending
+    // in 2 didn't exist yet = added; a retired id block = removed;
+    // docs ending in 1 carried a shorter draft = changed), then one
+    // full-outer join on doc_id classifies every document. Scale: one
+    // equi-join + a 4-group aggregate — no content hashing needed
+    // until texts collide on id, and the text equality check is
+    // per-row.
+    "t63_corpus_diff" -> ((s, d) => {
+      val now = docs(s, d).select(col("doc_id"), col("text"))
+      val old = now.filter(col("doc_id") % 10 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1, substring(col("text"), 1, 40))
+            .otherwise(col("text")).as("old_text"))
+        .unionByName(now.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text").as("old_text")))
+      now.join(old, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("old_text").isNull, "added")
+            .when(col("text").isNull, "removed")
+            .when(col("text") === col("old_text"), "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     "t62_length_gini" -> ((s, d) => {
       val lens = docs(s, d)
         .select(length(col("text")).cast("long").as("x"))
@@ -2091,6 +2121,22 @@ object TextQueries {
 
     // t62: window cumsum + the identical midrank products and final
     // double division chain.
+    "t63_corpus_diff" ->
+      """WITH now_s AS (SELECT doc_id, text FROM documents),
+        |old_s AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 1 THEN substr(text, 1, 40)
+        |                      ELSE text END AS old_text
+        |  FROM documents WHERE doc_id % 10 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 3),
+        |j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |        WHEN n.doc_id IS NULL THEN 'removed'
+        |        WHEN n.text = o.old_text THEN 'unchanged'
+        |        ELSE 'changed' END AS status
+        |      FROM now_s n FULL OUTER JOIN old_s o ON o.doc_id = n.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n FROM j
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "t62_length_gini" ->
       """WITH lens AS (SELECT CAST(length(text) AS BIGINT) AS x,
         |    CAST(count(*) AS BIGINT) AS c

@@ -118,6 +118,30 @@ class PhraseIndexSpec extends SparkSpec {
     assert(served === direct, "appended doclen sidecar diverged")
   }
 
+  test("served BM25's postings scans prune to the term buckets") {
+    val dir = freshIndex(16)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      served.collect()
+      val scans = served.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      val posting = scans.filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("postings")))
+      assert(posting.nonEmpty, "postings scan not found")
+      // tf and df both derive from servedPostings — EVERY postings scan
+      // in the plan must carry the bucket partition filter and touch at
+      // most one bucket dir per term
+      posting.foreach { sc =>
+        assert(sc.partitionFilters.nonEmpty,
+          "a postings scan lost its bucket partition filter")
+        assert(sc.selectedPartitions.partitionCount <= 2,
+          s"scan read ${sc.selectedPartitions.partitionCount} bucket partitions for 2 terms")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("compactIndex restores one file set per bucket without changing results") {
     val dir = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
     PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 16)

@@ -62,6 +62,31 @@ def build():
       TO '/tmp/sf1/events.parquet' (FORMAT PARQUET)""")
     print("built /tmp/sf1")
 
+def build100():
+    """100x corpus for the SERVE-latency claim: documents + embeddings
+    only (the served-index planes), 100 shifted copies of sf0.1 with
+    copy 0 verbatim. The point is the gap: in-process phrase/BM25 must
+    grow ~100x while the bucket/cell-pruned served paths stay near the
+    query-vocabulary's posting volume."""
+    import duckdb
+    con = duckdb.connect()
+    sf = '/root/testdata/sf0.1'
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    con.execute("""
+      COPY (SELECT doc_id + i*1000000 AS doc_id,
+              CASE WHEN i = 0 THEN text
+                ELSE array_to_string(list_transform(string_split(text, ' '),
+                  x -> x || '~' || CAST(i AS VARCHAR)), ' ') END AS text,
+              lang, source, n_chars
+            FROM documents CROSS JOIN range(100) t(i))
+      TO '/tmp/sf10/documents.parquet' (FORMAT PARQUET)""")
+    con.execute("""
+      COPY (SELECT vec_id + i*1000000 AS vec_id, embedding, label
+            FROM embeddings CROSS JOIN range(100) t(i))
+      TO '/tmp/sf10/embeddings.parquet' (FORMAT PARQUET)""")
+    print("built /tmp/sf10")
+
 def report():
     hi = json.load(open('/tmp/sf1_bench.json'))['queries']
     lo = json.load(open('BENCH.json'))['queries']
@@ -73,5 +98,9 @@ def report():
 
 if __name__ == '__main__':
     import os
-    os.makedirs('/tmp/sf1', exist_ok=True)
-    (build if 'build' in sys.argv[1:] else report)()
+    if 'build100' in sys.argv[1:]:
+        os.makedirs('/tmp/sf10', exist_ok=True)
+        build100()
+    else:
+        os.makedirs('/tmp/sf1', exist_ok=True)
+        (build if 'build' in sys.argv[1:] else report)()
