@@ -14,7 +14,9 @@ object Explain {
         "x06_asof_join", "v08_int8_ann", "t06_simhash_pairs",
         "t25_span_dedup", "t26_bloom_decontam", "a20_kmv_sketch",
         "p13_hash_sample", "t29_span_removal", "t21_decontaminate",
-        "t31_align_pairs", "v13_opq_topk")
+        "t31_align_pairs", "v13_opq_topk",
+        "ph06_served_phrase", "ph09_served_bm25", "v29_ivf_served",
+        "ph12_hybrid_fusion", "t63_corpus_diff")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",

@@ -147,10 +147,16 @@ object PhraseQueries {
       val tr = PhraseSearch.bm25TopK(docs, Seq("customer", "spark", "vector"), 50)
         .withColumn("r_t", row_number().over(tw))
         .select(col("doc_id"), (lit(60) - col("r_t")).cast("long").as("b_t"))
+      // single-query arm: TakeOrdered top-50, THEN rank the 50-row
+      // frame — int8TopK's per-query rank window would run over the
+      // whole scored corpus in one partition for a 1-query set
+      val vw = Window.orderBy(col("qdot").desc, col("doc_id"))
       val vr = graft.similarity.Similarity
-        .int8TopK(e, e.filter(col("vec_id") === 0), 50)
-        .select(col("vec_id").as("doc_id"),
-          (lit(60) - col("rank")).cast("long").as("b_v"))
+        .int8Scores(e, e.filter(col("vec_id") === 0))
+        .select(col("vec_id").as("doc_id"), col("qdot"))
+        .orderBy(col("qdot").desc, col("doc_id")).limit(50)
+        .withColumn("r_v", row_number().over(vw))
+        .select(col("doc_id"), (lit(60) - col("r_v")).cast("long").as("b_v"))
       tr.join(vr, Seq("doc_id"), "full_outer")
         .na.fill(0L, Seq("b_t", "b_v"))
         .select(col("doc_id"), (col("b_t") + col("b_v")).as("borda"))

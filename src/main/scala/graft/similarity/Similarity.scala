@@ -358,23 +358,31 @@ object Similarity {
     * sides int8-quantized on the corpus scale, ranked per query by
     * (quantized dot desc, vec_id). Queries broadcast; the corpus scan
     * stays distributed. */
-  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // ONE corpus pass for the scale factor (1-row cache; recomputing it
-    // per quantize call would re-scan the corpus), one quantized corpus
-    // scan, and a broadcast-filtered pass for the query vectors — the
-    // query side's scan is pruned by the id join before quantizing.
+  /** Exact-integer quantized-dot scores (q_id, vec_id, qdot) for every
+    * (query, corpus-member) pair — the scoring stage [[int8TopK]] ranks
+    * and ph12's single-query arm feeds into a TakeOrdered top-k.
+    * ONE corpus pass for the scale factor (1-row cache; recomputing it
+    * per quantize call would re-scan the corpus), one quantized corpus
+    * scan, and a broadcast-filtered pass for the query vectors — the
+    * query side's scan is pruned by the id join before quantizing.
+    * Queries are quantized on the CORPUS max-abs so both sides share
+    * one scale (queries here are corpus members; an external query set
+    * would pass through the same corpus-derived factor). */
+  def int8Scores(corpus: DataFrame, queries: DataFrame): DataFrame = {
     val quant = quantWith(maxAbs(corpus)) _
     val qc = quant(corpus).select(col("vec_id"), col("__q").as("qc"))
-    // queries are quantized on the CORPUS max-abs so both sides share
-    // one scale (queries here are corpus members; an external query set
-    // would pass through the same corpus-derived factor)
     val qq = broadcast(quant(corpus.join(
         broadcast(queries.select(col("vec_id").as("q_id"))),
         col("vec_id") === col("q_id")))
       .select(col("q_id"), col("__q").as("qq")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
     qc.join(qq, col("vec_id") =!= col("q_id"))
       .withColumn("qdot", Fns.dot(col("qc"), col("qq")).cast("long"))
+      .select(col("q_id"), col("vec_id"), col("qdot"))
+  }
+
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
+    int8Scores(corpus, queries)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
   }

@@ -469,6 +469,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(partials.nonEmpty, "v07 lost the partial struct-min assignment")
   }
 
+  test("ph12 hybrid fusion ranks only post-limit frames (TakeOrdered arms, no corpus window)") {
+    val plan = executed(SparkEntry.queries("ph12_hybrid_fusion")(spark, sf))
+    // each arm ends in a per-partition top-k, never a global sort of
+    // all scored rows
+    val topk = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(topk.size >= 2,
+      s"expected both arms + the fused top-10 as TakeOrdered, got ${topk.size}")
+    // every rank window must sit ABOVE a limit — i.e. its subtree
+    // contains the arm's top-k — so no window ever sees corpus-sized
+    // input (the failure mode would be rank-then-filter over all docs)
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    windows.foreach { w =>
+      val limited = w.child.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+      }
+      assert(limited.nonEmpty,
+        "a rank window runs below any limit — it would sort the corpus at scale")
+    }
+  }
+
   test("m06 container probe runs shuffle-free up to the final sort") {
     // the probe is one narrow map over the payload column; the only
     // exchange allowed in the whole query is the presentation orderBy
