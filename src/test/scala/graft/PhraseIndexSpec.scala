@@ -172,6 +172,55 @@ class PhraseIndexSpec extends SparkSpec {
     finally walk.close()
   }
 
+  test("appendIndex to buckets absent from the base build still serves (new partition dirs)") {
+    // base = docs 1-2 only; the appended docs carry vocabulary whose
+    // hash buckets may not exist yet as directories — partition
+    // discovery must pick the new dirs up and pruning must still work
+    val dir = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") <= 2), dir, 64)
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") > 2), dir)
+    for (phrase <- Seq(Seq("turtle"), Seq("the", "fox"), Seq("quick", "brown"))) {
+      val direct = PhraseSearch.phraseHits(toks, phrase).collect().toSet
+      val served = PhraseSearch.servedPhraseHits(spark, dir, phrase).collect().toSet
+      assert(served === direct, s"new-bucket append diverged on $phrase")
+    }
+  }
+
+  test("appendIndex with an empty batch is a no-op") {
+    val dir = freshIndex(16)
+    val before = PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") > 9999), dir)
+    val after = PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq
+    assert(after === before)
+  }
+
+  test("compactIndex is idempotent (second compaction changes nothing)") {
+    val dir = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 16)
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") % 2 === 1), dir)
+    PhraseSearch.compactIndex(spark, dir)
+    val files1 = postingFiles(dir).size
+    val hits1 = PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet
+    PhraseSearch.compactIndex(spark, dir)
+    assert(postingFiles(dir).size === files1, "re-compaction changed the file count")
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet === hits1)
+  }
+
+  test("served boolean search handles queries over absent vocabulary") {
+    val dir = freshIndex(16)
+    val universe = docs.select("doc_id")
+    // 'zebra' never occurs: NOT zebra = every doc; zebra AND fox = none
+    for (q <- Seq("NOT zebra", "zebra AND fox", "fox OR zebra")) {
+      val direct = PhraseSearch.search(q, toks, universe).collect().toSet
+      val served = PhraseSearch.servedSearch(spark, dir, q).collect().toSet
+      assert(served === direct, s"absent-vocab query [$q] diverged")
+    }
+  }
+
   test("index round-trips the modulus (serve reads nBuckets from meta)") {
     // different modulus than the serve-side default would break bucket
     // recomputation if it were not persisted — build at 7, serve must
