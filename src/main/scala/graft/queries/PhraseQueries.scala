@@ -164,6 +164,26 @@ object PhraseQueries {
         .limit(10)
     }),
 
+    // PH13: full-index integrity audit — read EVERY posting row from
+    // the persisted index and aggregate per bucket (posting count,
+    // distinct terms, distinct docs); the oracle recomputes the same
+    // aggregates from the raw corpus with the bucket formula mirrored
+    // (rolling hash mod nBuckets). Unlike ph06-ph09 (which prove the
+    // served ANSWER right for one query), this proves the index
+    // CONTENTS complete and correctly bucketed — the operational
+    // health check a serving index runs after each build/append, and
+    // the direct observability for bucket skew (a hot bucket shows up
+    // as an outlier n_postings row).
+    "ph13_index_audit" -> ((s, d) => {
+      val dir = phIdx(s, d)
+      tune(s).read.parquet(s"$dir/postings")
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_postings"),
+          countDistinct(col("tok")).as("n_terms"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("bucket")
+    }),
+
     // PH11: COMPACTION — the full maintenance lifecycle (build half,
     // append half, compact back to one sorted file set per bucket),
     // then serve ph01's phrase. Compaction is a layout rewrite of the
@@ -279,6 +299,22 @@ object PhraseQueries {
     "ph10_appended_phrase" -> phraseHitsSql,
     "ph11_compacted_phrase" -> phraseHitsSql,
     "ph12_hybrid_fusion" -> hybridSql,
+
+    // ph13: bucket = the same (acc*31 + codepoint) % 1e9+7 rolling
+    // hash both engines compute (see TextQueries' shingleIdsSql),
+    // mod the build's 64 buckets; the hash is non-negative so % and
+    // pmod agree.
+    "ph13_index_audit" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |b AS (SELECT doc_id, pos, tok,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(tok,''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, x) -> (a * 31 + x) % 1000000007) % 64 AS bucket
+         |  FROM tk)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "ph01_phrase_hits" -> phraseHitsSql,
     "ph05_near_search" -> nearSql,
     "ph02_boolean_search" -> booleanSql,
