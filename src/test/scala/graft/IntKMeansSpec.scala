@@ -128,6 +128,24 @@ class IntKMeansSpec extends SparkSpec {
       .collect().toSet === before)
   }
 
+  test("appendIndex with an empty batch is a no-op; compactIndex is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IntKMeans.writeIndex(blobs.filter($"vec_id" % 2 === 0), dir, nlist = 3)
+    IntKMeans.appendIndex(blobs.filter($"vec_id" % 2 === 1), dir)
+    val qs = blobs.filter($"vec_id" < 2)
+    val before = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 2)
+      .collect().toSet
+    IntKMeans.appendIndex(blobs.filter($"vec_id" > 9999), dir)
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 2)
+      .collect().toSet === before, "empty append changed served results")
+    IntKMeans.compactIndex(spark, dir)
+    val files1 = vectorFiles(dir).size
+    IntKMeans.compactIndex(spark, dir)
+    assert(vectorFiles(dir).size === files1, "re-compaction changed the file count")
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 2)
+      .collect().toSet === before, "compaction changed served results")
+  }
+
   private def vectorFiles(dir: String): Set[String] = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.text.PhraseSearch
+import graft.text.PhraseSearch._
+
+/** Property tests for the boolean query parser (SURVEY §3.3's
+  * mini-language): any AST rendered with full parentheses must parse
+  * back to itself, operators are case-insensitive, and precedence
+  * (NOT > AND > OR, left-associative) matches the grammar the
+  * evaluator assumes. A parser drift would silently re-shape every
+  * boolean caption query, so the round-trip is the load-bearing
+  * property. */
+class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  /** Deterministic sampling (no scalatest-scalacheck bridge in the
+    * offline cache): draw `n` values from `g` across fixed seeds. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g(Gen.Parameters.default, Seed(42L + i)))
+
+  // words must avoid reserved operators and structural characters
+  private val word: Gen[String] =
+    Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "x1", "y2")
+
+  private val phrase: Gen[Q] = for {
+    n  <- Gen.choose(1, 3)
+    ws <- Gen.listOfN(n, word)
+  } yield Phrase(ws)
+
+  private def tree(depth: Int): Gen[Q] =
+    if (depth <= 0) phrase
+    else Gen.frequency(
+      3 -> phrase,
+      2 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield And(l, r)),
+      2 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield Or(l, r)),
+      1 -> tree(depth - 1).map(Not(_)))
+
+  /** Fully parenthesized rendering — structure-preserving by
+    * construction, so parse(render(q)) must equal q exactly. */
+  private def render(q: Q): String = q match {
+    case Phrase(ws) if ws.size == 1 => ws.head
+    case Phrase(ws)                 => "\"" + ws.mkString(" ") + "\""
+    case And(l, r)                  => s"(${render(l)} AND ${render(r)})"
+    case Or(l, r)                   => s"(${render(l)} OR ${render(r)})"
+    case Not(x)                     => s"(NOT ${render(x)})"
+  }
+
+  test("parse is a left inverse of fully-parenthesized rendering (500 random ASTs)") {
+    val qs = samples(tree(4), 500)
+    assert(qs.size === 500)
+    qs.foreach { q =>
+      assert(PhraseSearch.parse(render(q)) === q, s"round-trip failed for: ${render(q)}")
+    }
+  }
+
+  test("operators are case-insensitive") {
+    assert(parse("a and b") === And(Phrase(Seq("a")), Phrase(Seq("b"))))
+    assert(parse("a Or not b") ===
+      Or(Phrase(Seq("a")), Not(Phrase(Seq("b")))))
+  }
+
+  test("precedence: NOT > AND > OR; AND/OR left-associative") {
+    assert(parse("a OR b AND c") ===
+      Or(Phrase(Seq("a")), And(Phrase(Seq("b")), Phrase(Seq("c")))))
+    assert(parse("NOT a AND b") ===
+      And(Not(Phrase(Seq("a"))), Phrase(Seq("b"))))
+    assert(parse("a AND b AND c") ===
+      And(And(Phrase(Seq("a")), Phrase(Seq("b"))), Phrase(Seq("c"))))
+    assert(parse("a OR b OR c") ===
+      Or(Or(Phrase(Seq("a")), Phrase(Seq("b"))), Phrase(Seq("c"))))
+  }
+
+  test("bare words do not swallow parens; quoted phrases keep spaces") {
+    assert(parse("(dog)") === Phrase(Seq("dog")))
+    assert(parse("""("slow scan" OR cat)""") ===
+      Or(Phrase(Seq("slow", "scan")), Phrase(Seq("cat"))))
+  }
+}
