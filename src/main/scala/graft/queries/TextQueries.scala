@@ -1013,9 +1013,14 @@ object TextQueries {
     // switch the two product columns to decimal(38,0) past that),
     // cumulated by the same two-phase prefix sum as a28/a30/st13.
     // T63: corpus snapshot diff — the change-detection step a daily
-    // crawl runs before incremental work (what t44/ph10 then ingest;
-    // reference analogue: the ScannerJob ledger comparing processed vs
-    // present videos, scannerutil.py:136-146). A deterministic
+    // crawl runs before incremental work: its added/changed partitions
+    // are exactly the batches ph10's appendIndex and t44's incremental
+    // probe ingest (reference analogue: the ScannerJob ledger comparing
+    // processed vs present videos, scannerutil.py:136-146). Same
+    // full-outer classify SHAPE as o06's relational SCD audit, but on
+    // the text plane: membership + content equality over documents —
+    // the corpus-side input stage of the index-maintenance lifecycle,
+    // where o06 audits value deltas on a fact table. A deterministic
     // "yesterday" snapshot is derived from today's corpus (docs ending
     // in 2 didn't exist yet = added; a retired id block = removed;
     // docs ending in 1 carried a shorter draft = changed), then one
