@@ -235,9 +235,11 @@ object IntKMeans {
     * daily-append index accumulates small files. Rewrite the vectors
     * back to one sorted (by vec_id) file set per cell — a pure
     * shuffle-by-cell over the index itself (centroids/meta are tiny
-    * and untouched), swapped in via FileSystem rename. Serve results
-    * are unchanged (v31's oracle row + IntKMeansSpec assert parity
-    * and the file-count drop). */
+    * and untouched), swapped in via a backup rename (live -> .old,
+    * compact -> live, drop .old — the live data is never deleted
+    * before its replacement is in place). Serve results are unchanged
+    * (v31's oracle row + IntKMeansSpec assert parity and the
+    * file-count drop). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val vec = spark.read.parquet(s"$dir/vectors")
       .select(col("vec_id"), col("q"), col("cell"))
@@ -248,9 +250,12 @@ object IntKMeans {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(s"$dir/vectors")
-    fs.delete(p, true)
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/vectors.old")
+    fs.delete(bak, true)
+    require(fs.rename(p, bak), s"compaction: cannot stash $dir/vectors")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compaction swap failed for $dir/vectors")
+      s"compaction swap failed for $dir/vectors — previous layout at $bak")
+    fs.delete(bak, true)
   }
 
   /** Serve-side IVF top-k from a [[writeIndex]] layout: quantize the

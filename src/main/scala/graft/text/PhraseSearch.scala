@@ -321,8 +321,12 @@ object PhraseSearch {
     swapRewrite(spark, s"$dir/doclen", dl.write)
   }
 
-  /** Write `w` to `<path>.compact`, then atomically swap it into
-    * `path` (delete old, rename). */
+  /** Write `w` to `<path>.compact`, then swap it into `path` via a
+    * backup rename (live -> .old, compact -> live, drop .old) — the
+    * live data is never deleted before its replacement is in place,
+    * so a failure at any step leaves either the old or the new layout
+    * intact (a crash between the renames leaves `.old` for manual
+    * recovery). */
   private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
@@ -331,9 +335,12 @@ object PhraseSearch {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
-    fs.delete(p, true)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(bak, true)
+    require(fs.rename(p, bak), s"compaction: cannot stash $path")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compaction swap failed for $path")
+      s"compaction swap failed for $path — previous layout at $bak")
+    fs.delete(bak, true)
   }
 
   /** All words a boolean query touches (its served vocabulary). */
