@@ -199,8 +199,56 @@ object PhraseQueries {
       }
       PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
         .orderBy("doc_id", "pos")
+    }),
+
+    // PH14: DELETION — build the full index, tombstone every doc with
+    // doc_id ≡ 3 (mod 7) (a takedown/purge batch: one tiny sidecar
+    // write, no index rewrite), then serve ph01's phrase. The
+    // tombstoned docs must vanish immediately — oracle = ph01's SQL
+    // over the corpus minus the deleted docs, i.e. serving a deleted
+    // index is indistinguishable from rebuilding on what remains.
+    "ph14_deleted_phrase" -> ((s, d) =>
+      PhraseSearch.servedPhraseHits(s, phDelIdx(s, d), Seq("the", "customer"))
+        .orderBy("doc_id", "pos")),
+
+    // PH15: deletion must shift the GLOBAL ranking stats too — BM25's
+    // N/L/avgdl (live doclen rows) and per-term df (live postings) —
+    // not just drop rows from results. Oracle = ph04's SQL with the
+    // token table filtered to surviving docs: every deleted doc
+    // changes every surviving doc's score via the corpus stats, so a
+    // stale-stats serve path would hash-mismatch.
+    "ph15_deleted_bm25" -> ((s, d) =>
+      PhraseSearch.servedBm25TopK(s, phDelIdx(s, d),
+        Seq("customer", "spark", "vector"), k = 10)),
+
+    // PH16: physical RECLAIM — delete, then compact: compaction drops
+    // the tombstoned docs' rows from postings and doclen during its
+    // rewrite and clears the sidecar (PhraseIndexSpec asserts the
+    // rows and the tombstone dir are gone). Same oracle as ph14: the
+    // logical-delete view and the reclaimed layout must agree.
+    "ph16_reclaimed_phrase" -> ((s, d) => {
+      val t = toks(s, d)
+      val dir = Q.memoIndex("ph16", d) { dir =>
+        PhraseSearch.writeIndex(t, dir, nBuckets = 64)
+        PhraseSearch.deleteFromIndex(
+          Tables.documents(tune(s), d).filter(col("doc_id") % 7 === 3)
+            .select("doc_id"), dir)
+        PhraseSearch.compactIndex(s, dir)
+      }
+      PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
+        .orderBy("doc_id", "pos")
     })
   )
+
+  /** Shared deleted-but-not-yet-compacted index (ph14/ph15): full
+    * build + one tombstone batch (doc_id ≡ 3 mod 7). */
+  private def phDelIdx(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Q.memoIndex("phdel", d) { dir =>
+      PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64)
+      PhraseSearch.deleteFromIndex(
+        Tables.documents(tune(s), d).filter(col("doc_id") % 7 === 3)
+          .select("doc_id"), dir)
+    }
 
   /** The shared per-corpus persisted caption index (built once per
     * JVM; ph06-ph09 all serve from it — the production shape: one
@@ -240,8 +288,8 @@ object PhraseQueries {
   // op-for-op (integer idf terms cast to DOUBLE, left-associated
   // products/sums, round-then-cast before the per-doc sum) so the
   // doubles are bit-identical and the BIGINT sum is order-free.
-  private val bm25Ctes =
-    s"""tk AS (${Q.toksSql}),
+  private def bm25CtesFrom(tkSql: String) =
+    s"""tk AS ($tkSql),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
        |       WHERE tok IN ('customer', 'spark', 'vector') GROUP BY 1, 2),
@@ -254,6 +302,27 @@ object PhraseQueries {
        |      * 1000000, 0) AS BIGINT) AS sc
        |  FROM tf JOIN dfs ON dfs.tok = tf.tok
        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)""".stripMargin
+
+  private val bm25Ctes = bm25CtesFrom(Q.toksSql)
+
+  // ph14/ph15/ph16: the corpus with doc_id ≡ 3 (mod 7) deleted — the
+  // served deleted index must be indistinguishable from a rebuild on
+  // the surviving docs (including BM25's N/L/df corpus stats).
+  private val delToksSql =
+    s"SELECT * FROM (${Q.toksSql}) tdel WHERE doc_id % 7 <> 3"
+
+  private val deletedPhraseSql =
+    s"""SELECT a.doc_id, CAST(a.pos AS INT) AS pos
+       |FROM ($delToksSql) a JOIN ($delToksSql) b
+       |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |WHERE a.tok = 'the' AND b.tok = 'customer'
+       |ORDER BY 1, 2""".stripMargin
+
+  private val deletedBm25Sql =
+    s"""WITH ${bm25CtesFrom(delToksSql)}
+       |SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
+       |FROM sc GROUP BY 1
+       |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
 
   private val bm25Sql =
     s"""WITH $bm25Ctes
@@ -299,6 +368,9 @@ object PhraseQueries {
     "ph10_appended_phrase" -> phraseHitsSql,
     "ph11_compacted_phrase" -> phraseHitsSql,
     "ph12_hybrid_fusion" -> hybridSql,
+    "ph14_deleted_phrase" -> deletedPhraseSql,
+    "ph15_deleted_bm25" -> deletedBm25Sql,
+    "ph16_reclaimed_phrase" -> deletedPhraseSql,
 
     // ph13: bucket = the same (acc*31 + codepoint) % 1e9+7 rolling
     // hash both engines compute (see TextQueries' shingleIdsSql),

@@ -147,6 +147,42 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V32: DELETION — build the full fitted index, tombstone every
+    // vector with vec_id ≡ 2 (mod 5) (a purge batch: one sidecar
+    // write, no cell rewrite, centroids frozen — deletion is a
+    // candidate-set change, not a re-clustering), then serve v29's
+    // query. Oracle = v07's full Lloyd fit with the deleted ids
+    // excluded from the candidate set only: the quantizer the index
+    // serves with is the one it was built with.
+    "v32_ivf_deleted" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vdel", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16)
+        graft.similarity.IntKMeans.deleteFromIndex(
+          e.filter(col("vec_id") % 5 === 2).select("vec_id"), dir)
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // V33: physical RECLAIM — delete then compact: the rewrite drops
+    // tombstoned vectors from their cell files and clears the sidecar
+    // (IntKMeansSpec asserts both), and serving the reclaimed layout
+    // equals the logical-delete view (same oracle as v32).
+    "v33_ivf_reclaimed" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("v33", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16)
+        graft.similarity.IntKMeans.deleteFromIndex(
+          e.filter(col("vec_id") % 5 === 2).select("vec_id"), dir)
+        graft.similarity.IntKMeans.compactIndex(s, dir)
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -555,6 +591,31 @@ object SimilarityQueries {
        |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
        |      FROM idx a JOIN probes p
        |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, qdot,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+       |      FROM d)
+       |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** v32/v33 oracle: the full-corpus fit (scale, seeds, Lloyd rounds,
+    * final assignment — identical to v07/v29's), with the tombstoned
+    * ids (vec_id ≡ 2 mod 5) excluded from the CANDIDATE set only.
+    * Queries and centroids see the full corpus: the coarse quantizer
+    * is frozen at build time and deletion never refits it. */
+  private lazy val ivfDeletedSql =
+    s"""WITH $qvCte,
+       |${lloydCtes(16)},
+       |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
+       |probes AS (SELECT q_id, qvq, cell FROM (
+       |    SELECT qq.q_id, qq.qvq, c.cell,
+       |      row_number() OVER (PARTITION BY qq.q_id
+       |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+       |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+       |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
+       |      FROM af a JOIN probes p
+       |        ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |      WHERE a.vec_id % 5 <> 2),
        |r AS (SELECT q_id, vec_id, qdot,
        |        CAST(row_number() OVER (PARTITION BY q_id
        |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
@@ -1013,6 +1074,13 @@ object SimilarityQueries {
     // observationally invisible).
     "v30_ivf_appended" -> ivfAppendedSql,
     "v31_ivf_compacted" -> ivfAppendedSql,
+
+    // v32/v33: v07's full-corpus fit (the index was built on
+    // everything; deletion freezes the quantizer), candidates
+    // restricted to the surviving vectors. v33 compacts first — the
+    // reclaimed layout must serve identically to the logical view.
+    "v32_ivf_deleted" -> ivfDeletedSql,
+    "v33_ivf_reclaimed" -> ivfDeletedSql,
 
     // v12: the same Lloyd chain at k=10; browser stats are integer
     // aggregates of the final assignment.

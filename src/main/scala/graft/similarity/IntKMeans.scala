@@ -230,6 +230,41 @@ object IntKMeans {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
+  /** Logical deletion (the fourth maintenance op): record vec ids in
+    * a tombstone sidecar (`dir/tombstones`) — the per-cell vector
+    * files are untouched, so a delete batch costs one tiny write no
+    * matter the index size (the Lucene/log-structured delete model; a
+    * purge list in a 100 TB embedding store must not rewrite cells).
+    * [[servedTopK]] anti-joins the broadcast tombstone set, so
+    * deleted vectors stop appearing in results immediately; the
+    * frozen coarse quantizer (centroids) deliberately does NOT refit
+    * — exactly as [[appendIndex]] never moves it — so deletion is a
+    * candidate-set change, not a re-clustering ([[compactIndex]]
+    * physically reclaims the rows and clears the sidecar). Deleting
+    * an id twice, or an id not in the index, is a no-op. */
+  def deleteFromIndex(vecIds: DataFrame, dir: String): Unit =
+    vecIds.select(col("vec_id")).distinct()
+      // dimension-sized purge list: one file per delete batch
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The tombstone set, if any deletes have been recorded (driver-side
+    * existence probe — index metadata, like the scale read). */
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
+  }
+
+  /** Drop tombstoned vectors — a broadcast anti-join. */
+  private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    tombstones(spark, dir) match {
+      case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None    => df
+    }
+
   /** Compaction (the third maintenance op after build/append): each
     * [[appendIndex]] batch adds one file set per cell directory, so a
     * daily-append index accumulates small files. Rewrite the vectors
@@ -237,12 +272,18 @@ object IntKMeans {
     * shuffle-by-cell over the index itself (centroids/meta are tiny
     * and untouched), swapped in via a backup rename (live -> .old,
     * compact -> live, drop .old — the live data is never deleted
-    * before its replacement is in place). Serve results are unchanged
-    * (v31's oracle row + IntKMeansSpec assert parity and the
-    * file-count drop). */
+    * before its replacement is in place). Tombstoned vectors are
+    * physically dropped during the rewrite and the tombstone sidecar
+    * cleared (crash-safe in any order: stale tombstones over absent
+    * rows are a serve-side no-op). Serve results are unchanged (v31's
+    * oracle row + IntKMeansSpec assert parity and the file-count
+    * drop). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val vec = spark.read.parquet(s"$dir/vectors")
-      .select(col("vec_id"), col("q"), col("cell"))
+    val ts = tombstones(spark, dir)
+    val vec = liveOnly(
+      spark.read.parquet(s"$dir/vectors")
+        .select(col("vec_id"), col("q"), col("cell")),
+      spark, dir)
       .repartition(col("cell"))
       .sortWithinPartitions("vec_id")
     val tmp = s"$dir/vectors.compact"
@@ -256,6 +297,8 @@ object IntKMeans {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
       s"compaction swap failed for $dir/vectors — previous layout at $bak")
     fs.delete(bak, true)
+    if (ts.isDefined)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
   }
 
   /** Serve-side IVF top-k from a [[writeIndex]] layout: quantize the
@@ -278,7 +321,9 @@ object IntKMeans {
       .withColumn("qq", transform(col("embedding"),
         x => round(x.cast("double") * 127.0d / col("ma"))))
       .select(col("q_id"), col("qq"))
-    val vec = spark.read.parquet(s"$dir/vectors")
+    // tombstone anti-join sits on top of the pruned cell scan:
+    // deleted vectors vanish from results without touching the files
+    val vec = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir)
     rankProbed(vec, probeCells(qq, ctr, nprobe), k)
   }
 

@@ -251,6 +251,45 @@ object PhraseSearch {
       .write.mode("append").parquet(s"$dir/doclen")
   }
 
+  /** Logical deletion (the fourth maintenance op after build/append/
+    * compact): record the doc ids in a tombstone sidecar
+    * (`dir/tombstones`) — the postings/doclen files are untouched, so
+    * a delete batch costs one tiny write no matter how large the
+    * index is (the Lucene/log-structured delete model; the reference
+    * deletes videos by row, cascading to their captions —
+    * models.py's Video FK graph — and a takedown/purge in a 100 TB
+    * corpus must not rewrite the corpus). Serve paths anti-join the
+    * broadcast tombstone set, so deletes are visible immediately;
+    * [[compactIndex]] physically reclaims them and clears the
+    * sidecar. Delete batches accumulate across calls; re-deleting an
+    * id or deleting an unindexed id is a no-op at serve time (anti-
+    * join semantics). */
+  def deleteFromIndex(docIds: DataFrame, dir: String): Unit =
+    docIds.select(col("doc_id")).distinct()
+      // a delete batch is dimension-sized (takedowns, purge lists) —
+      // one file per batch, not one per shuffle partition
+      .coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The tombstone set, if any deletes have been recorded. The
+    * existence probe is one driver-side FS call — index metadata,
+    * like the meta read that makes bucket pruning static. */
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
+  }
+
+  /** Drop tombstoned docs from an indexed frame carrying `doc_id` —
+    * a broadcast anti-join (the delete set is dimension-sized). */
+  private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame =
+    tombstones(spark, dir) match {
+      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None    => df
+    }
+
   /** Driver-side mirror of the build's bucket assignment (same
     * RollingHash the [[writeIndex]] expression uses — HashExprSpec
     * pins the expression to this scalar kernel). */
@@ -275,8 +314,10 @@ object PhraseSearch {
     val nBuckets = spark.read.parquet(s"$dir/meta")
       .head().getAs[Int]("n_buckets")
     val bks = vocab.map(bucketOf(_, nBuckets)).distinct
-    spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(bks: _*) && col("tok").isin(vocab: _*))
+    liveOnly(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("bucket").isin(bks: _*) && col("tok").isin(vocab: _*)),
+      spark, dir)
       .select("doc_id", "pos", "tok")
   }
 
@@ -306,8 +347,16 @@ object PhraseSearch {
     * instead). Serve results are unchanged — ph11's oracle row and
     * PhraseIndexSpec assert exact parity and the file-count drop. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val posts = spark.read.parquet(s"$dir/postings")
-      .select(col("doc_id"), col("pos"), col("tok"), col("bucket"))
+    // physical reclaim: tombstoned docs are dropped from both
+    // sidecars during the rewrite, then the tombstone set is cleared.
+    // Crash-safe in any order: if the JVM dies before the clear, the
+    // stale tombstones name docs no longer present — the serve-side
+    // anti-join is a no-op, and the next compaction clears them.
+    val ts = tombstones(spark, dir)
+    val posts = liveOnly(
+      spark.read.parquet(s"$dir/postings")
+        .select(col("doc_id"), col("pos"), col("tok"), col("bucket")),
+      spark, dir)
       .repartition(col("bucket"))
       .sortWithinPartitions("tok", "doc_id", "pos")
     swapRewrite(spark, s"$dir/postings",
@@ -315,10 +364,14 @@ object PhraseSearch {
     // range-partition + sort by doc_id (NOT coalesce(1) — doclen is
     // one row per document, corpus-sized at 100 TB): bounded file
     // count per compaction with doc_id min/max stats per file
-    val dl = spark.read.parquet(s"$dir/doclen")
+    val dl = liveOnly(spark.read.parquet(s"$dir/doclen"), spark, dir)
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
     swapRewrite(spark, s"$dir/doclen", dl.write)
+    if (ts.isDefined) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Write `w` to `<path>.compact`, then swap it into `path` via a
@@ -361,7 +414,10 @@ object PhraseSearch {
                    query: String): DataFrame = {
     val q = parse(query)
     val posts = servedPostings(spark, dir, vocabOf(q).distinct)
-    val universe = spark.read.parquet(s"$dir/doclen").select("doc_id")
+    // the NOT-universe must shrink with deletes too, or NOT-only
+    // queries would resurrect tombstoned docs
+    val universe = liveOnly(
+      spark.read.parquet(s"$dir/doclen"), spark, dir).select("doc_id")
     eval(q, posts, universe)
   }
 
@@ -382,7 +438,10 @@ object PhraseSearch {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val dl = spark.read.parquet(s"$dir/doclen")
+    // deletes shift the GLOBAL stats too: N/L/avgdl come from the
+    // live doclen rows, df from the live tf rows — exactly what a
+    // rebuild on the remaining corpus would compute (ph15's oracle)
+    val dl = liveOnly(spark.read.parquet(s"$dir/doclen"), spark, dir)
     val tot = broadcast(dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l")))
     val idf = (lit(2) * (col("n") - col("df")) + lit(1)).cast("double") /
       (lit(2) * col("df") + lit(1)).cast("double")

@@ -146,6 +146,50 @@ class IntKMeansSpec extends SparkSpec {
       .collect().toSet === before, "compaction changed served results")
   }
 
+  test("deleteFromIndex hides vectors immediately; compaction reclaims them") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    val qs = blobs.filter($"vec_id" === 0)
+    val full = IntKMeans.servedTopK(spark, dir, qs, k = 10, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    // delete three blob-0 members that ARE in query 0's result set
+    val dead = full.take(3)
+    IntKMeans.deleteFromIndex(dead.toSeq.toDF("vec_id"), dir)
+    val logical = IntKMeans.servedTopK(spark, dir, qs, k = 10, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq
+    val logicalIds = logical.map(_.getLong(1)).toSet
+    assert(logicalIds.intersect(dead).isEmpty,
+      s"deleted vectors still served: ${logicalIds.intersect(dead)}")
+    // ranks re-close over the survivors (still a dense 1..k prefix)
+    assert(logical.map(_.getInt(2)).sorted === (1 to logical.size).toArray)
+    // physical reclaim
+    IntKMeans.compactIndex(spark, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombstones")),
+      "compaction left the tombstone sidecar in place")
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id").isin(dead.toSeq: _*)).count() === 0L,
+      "tombstoned vectors survived compaction")
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 10, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq === logical,
+      "reclaimed layout serves differently from the logical view")
+  }
+
+  test("IVF deletes are idempotent and unindexed ids are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    val qs = blobs.filter($"vec_id" === 0)
+    IntKMeans.deleteFromIndex(Seq(3L).toDF("vec_id"), dir)
+    val once = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq
+    IntKMeans.deleteFromIndex(Seq(3L, 9999L).toDF("vec_id"), dir)
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq === once)
+    IntKMeans.compactIndex(spark, dir)
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq === once)
+  }
+
   private def vectorFiles(dir: String): Set[String] = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))

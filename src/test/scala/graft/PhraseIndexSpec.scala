@@ -221,6 +221,67 @@ class PhraseIndexSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromIndex hides docs from every served surface immediately") {
+    val dir = freshIndex(16)
+    PhraseSearch.deleteFromIndex(Seq(2L, 4L).toDF("doc_id"), dir)
+    val liveToks = toks.filter(!col("doc_id").isin(2L, 4L))
+    val liveDocs = docs.filter(!col("doc_id").isin(2L, 4L))
+    // phrase
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet ===
+      PhraseSearch.phraseHits(liveToks, Seq("quick", "brown")).collect().toSet)
+    // boolean — including the NOT universe (a deleted doc must not be
+    // resurrected by "NOT <word it lacked>")
+    for (q <- Seq("fox AND dog", "NOT turtle", "quick OR turtle")) {
+      val direct = PhraseSearch.search(q, liveToks, liveDocs.select("doc_id"))
+        .collect().toSet
+      assert(PhraseSearch.servedSearch(spark, dir, q).collect().toSet === direct,
+        s"deleted-index boolean [$q] diverged")
+    }
+    // BM25 — the GLOBAL stats (N, L, df) must shift to the live corpus
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq ===
+      PhraseSearch.bm25TopK(liveDocs, Seq("quick", "dog"), 5).collect().toSeq,
+      "deleted-index BM25 stats did not shift to the live corpus")
+  }
+
+  test("compaction physically reclaims tombstoned rows and clears the sidecar") {
+    val dir = freshIndex(16)
+    PhraseSearch.deleteFromIndex(Seq(2L, 4L).toDF("doc_id"), dir)
+    val logical = PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet
+    PhraseSearch.compactIndex(spark, dir)
+    // sidecar cleared
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombstones")),
+      "compaction left the tombstone sidecar in place")
+    // rows physically gone from both sidecars (raw reads, no filter)
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id").isin(2L, 4L)).count() === 0L,
+      "tombstoned postings survived compaction")
+    assert(spark.read.parquet(s"$dir/doclen")
+      .filter(col("doc_id").isin(2L, 4L)).count() === 0L,
+      "tombstoned doclen rows survived compaction")
+    // reclaimed layout serves the same results as the logical view
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet === logical)
+  }
+
+  test("deletes are idempotent and unindexed ids are no-ops") {
+    val dir = freshIndex(16)
+    PhraseSearch.deleteFromIndex(Seq(2L).toDF("doc_id"), dir)
+    val once = PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq
+    // re-delete the same id, and delete an id the index never held
+    PhraseSearch.deleteFromIndex(Seq(2L, 999L).toDF("doc_id"), dir)
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq === once)
+    // and compaction after the mixed batch still converges
+    PhraseSearch.compactIndex(spark, dir)
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq === once)
+  }
+
   test("index round-trips the modulus (serve reads nBuckets from meta)") {
     // different modulus than the serve-side default would break bucket
     // recomputation if it were not persisted — build at 7, serve must
