@@ -199,15 +199,18 @@ object PhraseSearch {
     val bucket = pmod(graft.text.TextOps.fingerprint(col("tok")),
       lit(nBuckets.toLong))
     toks.select(col("doc_id"), col("pos"), col("tok"))
+      .withColumn("seq", lit(0L))
       .withColumn("bucket", bucket)
       .repartition(col("bucket"))
       .sortWithinPartitions("tok", "doc_id", "pos")
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
     toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .withColumn("seq", lit(0L))
       .write.mode("overwrite").parquet(s"$dir/doclen")
     toks.sparkSession.range(1)
       .select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+    writeSeqNo(toks.sparkSession, dir, 1L)
   }
 
   /** Create an EMPTY index: persist the bucket modulus only, so a
@@ -221,7 +224,30 @@ object PhraseSearch {
     spark.range(1)
       .select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+    writeSeqNo(spark, dir, 0L)
   }
+
+  // ---- batch sequence numbers (the versioning that makes UPSERT
+  // possible): every batch of rows carries the seq it was written
+  // under (base build = 0, each append = the then-current counter),
+  // and a tombstone is (doc_id, upto) — it kills only rows with
+  // seq < upto, so an upsert's replacement rows (written AT upto)
+  // survive their own doc's tombstone. This is the Lucene/LSM delete
+  // model: nothing is rewritten, visibility is resolved at read time,
+  // compaction makes it physical. The counter is a 1-row sidecar
+  // (`dir/seqno`) — a driver-side metadata read/write per append,
+  // same class as the meta/scale reads.
+  // CONTRACT: appends/deletes on one index run sequentially (the same
+  // contract appendIndex always had; st16's micro-batches are).
+
+  private def writeSeqNo(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, next: Long): Unit =
+    spark.range(1).select(lit(next).as("next_seq"))
+      .write.mode("overwrite").parquet(s"$dir/seqno")
+
+  private def readSeqNo(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Long =
+    spark.read.parquet(s"$dir/seqno").head().getAs[Long]("next_seq")
 
   /** Incremental maintenance (the daily-crawl shape): append a NEW
     * batch's postings/doc-lengths to an existing [[writeIndex]] layout
@@ -240,15 +266,35 @@ object PhraseSearch {
     val spark = newToks.sparkSession
     val nBuckets = spark.read.parquet(s"$dir/meta")
       .head().getAs[Int]("n_buckets")
+    val seq = readSeqNo(spark, dir)
     val bucket = pmod(graft.text.TextOps.fingerprint(col("tok")),
       lit(nBuckets.toLong))
     newToks.select(col("doc_id"), col("pos"), col("tok"))
+      .withColumn("seq", lit(seq))
       .withColumn("bucket", bucket)
       .repartition(col("bucket"))
       .sortWithinPartitions("tok", "doc_id", "pos")
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
     newToks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .withColumn("seq", lit(seq))
       .write.mode("append").parquet(s"$dir/doclen")
+    writeSeqNo(spark, dir, seq + 1)
+  }
+
+  /** UPSERT (the re-crawl shape: a batch of documents whose content
+    * CHANGED since they were indexed, plus possibly brand-new ones):
+    * tombstone the batch's doc ids at the current sequence number,
+    * then append the new token rows under that same number — the
+    * tombstone (doc_id, upto = S) kills every older version
+    * (seq < S) while the replacement rows (seq = S) survive it, so
+    * the swap is atomic at read time and nothing is rewritten.
+    * Upserting a doc the index never held degenerates to a plain
+    * append (the tombstone kills nothing). ph17/ph18's oracles prove
+    * a stale-then-upserted index indistinguishable from one built on
+    * the corrected corpus — positions, BM25 stats and all. */
+  def upsertIndex(newToks: DataFrame, dir: String): Unit = {
+    deleteFromIndex(newToks.select(col("doc_id")).distinct(), dir)
+    appendIndex(newToks, dir)
   }
 
   /** Logical deletion (the fourth maintenance op after build/append/
@@ -263,13 +309,21 @@ object PhraseSearch {
     * [[compactIndex]] physically reclaims them and clears the
     * sidecar. Delete batches accumulate across calls; re-deleting an
     * id or deleting an unindexed id is a no-op at serve time (anti-
-    * join semantics). */
-  def deleteFromIndex(docIds: DataFrame, dir: String): Unit =
+    * join semantics).
+    *
+    * Each tombstone is (doc_id, upto = the current sequence number):
+    * it kills only rows written BEFORE it (seq < upto), which is what
+    * lets [[upsertIndex]] tombstone and re-add a doc in one step, and
+    * means a delete never affects appends that come after it. */
+  def deleteFromIndex(docIds: DataFrame, dir: String): Unit = {
+    val upto = readSeqNo(docIds.sparkSession, dir)
     docIds.select(col("doc_id")).distinct()
+      .withColumn("upto", lit(upto))
       // a delete batch is dimension-sized (takedowns, purge lists) —
       // one file per batch, not one per shuffle partition
       .coalesce(1)
       .write.mode("append").parquet(s"$dir/tombstones")
+  }
 
   /** The tombstone set, if any deletes have been recorded. The
     * existence probe is one driver-side FS call — index metadata,
@@ -281,13 +335,19 @@ object PhraseSearch {
     if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
   }
 
-  /** Drop tombstoned docs from an indexed frame carrying `doc_id` —
-    * a broadcast anti-join (the delete set is dimension-sized). */
+  /** Drop tombstoned rows from an indexed frame carrying (doc_id,
+    * seq) — a broadcast anti-join (the delete set is dimension-
+    * sized); a row dies iff SOME tombstone for its doc postdates it
+    * (seq < upto). */
   private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame =
     tombstones(spark, dir) match {
-      case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
-      case None    => df
+      case Some(t) =>
+        val ts = broadcast(t.select(col("doc_id").as("__t_doc"),
+          col("upto").as("__t_upto")))
+        df.join(ts, df("doc_id") === col("__t_doc") &&
+          df("seq") < col("__t_upto"), "left_anti")
+      case None => df
     }
 
   /** Driver-side mirror of the build's bucket assignment (same
