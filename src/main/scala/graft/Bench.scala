@@ -66,7 +66,12 @@ object Bench {
       "t05_simhash", "t03_shingle_jaccard", "t04_minhash_lsh",
       "st07_peak_concurrency",
       "ph06_served_phrase", "ph10_appended_phrase", "ph11_compacted_phrase",
+      // deletion/upsert lifecycle: ph15 shares phdel with ph14, ph18
+      // shares phups with ph17 — one warmup per memoized index tag
+      "ph13_index_audit", "ph14_deleted_phrase", "ph16_reclaimed_phrase",
+      "ph17_upserted_phrase",
       "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted",
+      "v32_ivf_deleted", "v33_ivf_reclaimed",
       "st16_stream_index_parity")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).write.format("noop")
@@ -261,7 +266,7 @@ object Bench {
     // one-time memoized index builds (ph06-ph10 / v29 / v30 serve
     // from these) — the build/serve split the r12 verdict asked for:
     // timed samples are serve-only, the build cost lives here
-    val buildJson = graft.queries.Q.indexBuildSecs.toSeq.sortBy(_._1)
+    val buildJson = graft.queries.Q.indexBuildSecs(sfDir).toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val spreadJson = ordered.flatMap { case (n, _) =>

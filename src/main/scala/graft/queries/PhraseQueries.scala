@@ -237,8 +237,47 @@ object PhraseQueries {
       }
       PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
         .orderBy("doc_id", "pos")
-    })
+    }),
+
+    // PH17: UPSERT (the re-crawl shape — the reference re-ingests
+    // changed videos, scannerutil.py:136-146 + the Video FK cascade):
+    // build the index on a STALE corpus (docs ≡ 2 mod 5 truncated to
+    // their first 10 tokens; docs ≡ 0 mod 11 missing entirely), then
+    // one upsertIndex call with the corrected/new docs' full token
+    // rows — tombstone at seq S kills every older version, the
+    // replacement rows written AT S survive it, nothing is rewritten.
+    // Oracle = ph01's FULL-corpus SQL: a stale-then-upserted index
+    // must be indistinguishable from one built on the corrected
+    // corpus.
+    "ph17_upserted_phrase" -> ((s, d) =>
+      PhraseSearch.servedPhraseHits(s, phUpsIdx(s, d), Seq("the", "customer"))
+        .orderBy("doc_id", "pos")),
+
+    // PH18: the upsert must converge the GLOBAL ranking stats too —
+    // BM25's N/L/avgdl (doclen) and per-term df over the corrected
+    // corpus, not the stale one: the truncated docs shorten L and the
+    // missing docs shrink N, so serving stale stats would shift every
+    // surviving doc's score and hash-mismatch. Oracle = ph04's
+    // full-corpus SQL.
+    "ph18_upserted_bm25" -> ((s, d) =>
+      PhraseSearch.servedBm25TopK(s, phUpsIdx(s, d),
+        Seq("customer", "spark", "vector"), k = 10))
   )
+
+  /** Shared stale-then-upserted index (ph17/ph18): base build on a
+    * corrupted corpus (truncated + missing docs), then ONE
+    * [[PhraseSearch.upsertIndex]] call with the corrected docs' full
+    * token rows. A doc that is both changed and never-indexed
+    * exercises the degenerate-append path inside the same batch. */
+  private def phUpsIdx(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Q.memoIndex("phups", d) { dir =>
+      val t = toks(s, d)
+      val changed = col("doc_id") % 5 === 2
+      val missing = col("doc_id") % 11 === 0
+      PhraseSearch.writeIndex(
+        t.filter(!missing && (!changed || col("pos") < 10)), dir, nBuckets = 64)
+      PhraseSearch.upsertIndex(t.filter(changed || missing), dir)
+    }
 
   /** Shared deleted-but-not-yet-compacted index (ph14/ph15): full
     * build + one tombstone batch (doc_id ≡ 3 mod 7). */
@@ -371,6 +410,10 @@ object PhraseQueries {
     "ph14_deleted_phrase" -> deletedPhraseSql,
     "ph15_deleted_bm25" -> deletedBm25Sql,
     "ph16_reclaimed_phrase" -> deletedPhraseSql,
+    // ph17/ph18: upsert converges to the corrected (= full) corpus,
+    // so the plain full-corpus oracles apply verbatim
+    "ph17_upserted_phrase" -> phraseHitsSql,
+    "ph18_upserted_bm25" -> bm25Sql,
 
     // ph13: bucket = the same (acc*31 + codepoint) % 1e9+7 rolling
     // hash both engines compute (see TextQueries' shingleIdsSql),

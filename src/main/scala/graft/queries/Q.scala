@@ -198,7 +198,7 @@ object Q {
   private val builtIdx =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
   private val buildSecs =
-    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Double]()
 
   /** First call per (tag, input) creates a temp dir and runs `build`
     * into it (timed); later calls return the same dir untouched. */
@@ -209,14 +209,18 @@ object Q {
       val dir = base.resolve("idx").toString
       val t0 = System.nanoTime()
       build(dir)
-      buildSecs.merge(tag, (System.nanoTime() - t0) / 1e9,
+      buildSecs.merge((tag, input), (System.nanoTime() - t0) / 1e9,
         (a, b) => math.min(a, b))
       dir
     })
 
-  /** tag -> seconds of the one-time index build(s) this JVM ran. */
-  def indexBuildSecs: Map[String, Double] = {
+  /** tag -> seconds of the one-time index build this JVM ran for
+    * `input`. Keyed by (tag, input) like the memo itself, filtered to
+    * the caller's corpus: if the same JVM also built a tag for a
+    * different SF dir (smoke at sf0.001 before a bench at sf0.1),
+    * that other corpus's build time must not be reported here. */
+  def indexBuildSecs(input: String): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
-    buildSecs.asScala.toMap
+    buildSecs.asScala.collect { case ((t, i), s) if i == input => (t, s) }.toMap
   }
 }

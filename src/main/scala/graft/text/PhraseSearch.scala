@@ -291,7 +291,10 @@ object PhraseSearch {
     * Upserting a doc the index never held degenerates to a plain
     * append (the tombstone kills nothing). ph17/ph18's oracles prove
     * a stale-then-upserted index indistinguishable from one built on
-    * the corrected corpus — positions, BM25 stats and all. */
+    * the corrected corpus — positions, BM25 stats and all — and
+    * PhraseIndexSpec covers the upsert round-trip, upsert-then-
+    * compact (the stale version physically reclaimed, the replacement
+    * surviving its own doc's tombstone) and the degenerate append. */
   def upsertIndex(newToks: DataFrame, dir: String): Unit = {
     deleteFromIndex(newToks.select(col("doc_id")).distinct(), dir)
     appendIndex(newToks, dir)
@@ -413,9 +416,14 @@ object PhraseSearch {
     // stale tombstones name docs no longer present — the serve-side
     // anti-join is a no-op, and the next compaction clears them.
     val ts = tombstones(spark, dir)
+    // `seq` must survive the rewrite: liveOnly resolves it here, and
+    // post-compaction deletes (`seq < upto`) and upserts still need
+    // every row versioned — dropping it would leave mixed schemas
+    // once the next appendIndex writes seq-stamped files.
     val posts = liveOnly(
       spark.read.parquet(s"$dir/postings")
-        .select(col("doc_id"), col("pos"), col("tok"), col("bucket")),
+        .select(col("doc_id"), col("pos"), col("tok"), col("seq"),
+          col("bucket")),
       spark, dir)
       .repartition(col("bucket"))
       .sortWithinPartitions("tok", "doc_id", "pos")

@@ -282,6 +282,95 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSeq === once)
   }
 
+  test("deleteFromIndex after compaction still deletes (seq survives the rewrite)") {
+    // compaction rewrites postings/doclen; if it dropped the seq
+    // column, a later delete's `seq < upto` anti-join would see null
+    // seq on compacted rows and the deleted docs would be served
+    val dir = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 16)
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") % 2 === 1), dir)
+    PhraseSearch.compactIndex(spark, dir)
+    PhraseSearch.deleteFromIndex(Seq(2L, 4L).toDF("doc_id"), dir)
+    val liveToks = toks.filter(!col("doc_id").isin(2L, 4L))
+    val liveDocs = docs.filter(!col("doc_id").isin(2L, 4L))
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet ===
+      PhraseSearch.phraseHits(liveToks, Seq("quick", "brown")).collect().toSet,
+      "delete after compaction did not hide compacted rows")
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq ===
+      PhraseSearch.bm25TopK(liveDocs, Seq("quick", "dog"), 5).collect().toSeq)
+    // and the reclaim converges too
+    PhraseSearch.compactIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id").isin(2L, 4L)).count() === 0L)
+  }
+
+  // the corrected corpus an upsert must converge to: doc 2's text
+  // CHANGED (shorter, new vocabulary) and doc 6 is brand-new
+  private lazy val docsV2 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the sleepy cat purrs"),
+    (3L, "a slow green turtle walks past the dog"),
+    (4L, "quick brown quick brown quick brown"),
+    (5L, "the fox and the dog and the turtle"),
+    (6L, "a brand new document about the quick turtle")
+  ).toDF("doc_id", "text")
+
+  private lazy val toksV2 = docsV2.select(col("doc_id"),
+    posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  test("upsertIndex converges a stale index to the corrected corpus") {
+    val dir = freshIndex(16) // built on the STALE corpus (docs v1)
+    PhraseSearch.upsertIndex(toksV2.filter(col("doc_id").isin(2L, 6L)), dir)
+    // phrase positions: replacement rows (not the stale ones) serve
+    for (phrase <- Seq(Seq("quick", "brown"), Seq("sleepy", "cat"),
+                       Seq("quick", "turtle"), Seq("the")))
+      assert(PhraseSearch.servedPhraseHits(spark, dir, phrase).collect().toSet ===
+        PhraseSearch.phraseHits(toksV2, phrase).collect().toSet,
+        s"upserted index diverged from corrected corpus on $phrase")
+    // BM25: global N/L/df must reflect the corrected corpus exactly
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "cat"), 6)
+      .collect().toSeq ===
+      PhraseSearch.bm25TopK(docsV2, Seq("quick", "cat"), 6).collect().toSeq,
+      "upserted BM25 stats diverged from the corrected corpus")
+    // boolean NOT universe: the upserted doc 2 must appear under its
+    // NEW vocabulary only
+    assert(PhraseSearch.servedSearch(spark, dir, "NOT brown").collect().toSet ===
+      PhraseSearch.search("NOT brown", toksV2, docsV2.select("doc_id"))
+        .collect().toSet)
+  }
+
+  test("upsert then compact physically drops the stale version") {
+    val dir = freshIndex(16)
+    PhraseSearch.upsertIndex(toksV2.filter(col("doc_id").isin(2L, 6L)), dir)
+    val logical = PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "cat"), 6)
+      .collect().toSeq
+    PhraseSearch.compactIndex(spark, dir)
+    // the stale doc-2 rows (old vocabulary) are physically gone…
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") === 2L && col("tok") === "brown").count() === 0L,
+      "stale doc-2 postings survived compaction")
+    // …while the replacement rows survived their own doc's tombstone
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") === 2L && col("tok") === "cat").count() > 0L,
+      "replacement doc-2 postings were reclaimed along with the stale ones")
+    assert(spark.read.parquet(s"$dir/doclen")
+      .filter(col("doc_id") === 2L).count() === 1L,
+      "doclen must hold exactly the replacement row for an upserted doc")
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "cat"), 6)
+      .collect().toSeq === logical)
+  }
+
+  test("upserting a never-indexed doc degenerates to a plain append") {
+    val dir = freshIndex(16)
+    PhraseSearch.upsertIndex(toksV2.filter(col("doc_id") === 6L), dir)
+    val expected = toks.unionByName(toksV2.filter(col("doc_id") === 6L))
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "turtle"))
+      .collect().toSet ===
+      PhraseSearch.phraseHits(expected, Seq("quick", "turtle")).collect().toSet)
+  }
+
   test("index round-trips the modulus (serve reads nBuckets from meta)") {
     // different modulus than the serve-side default would break bucket
     // recomputation if it were not persisted — build at 7, serve must
