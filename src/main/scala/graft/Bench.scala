@@ -71,7 +71,7 @@ object Bench {
       "ph13_index_audit", "ph14_deleted_phrase", "ph16_reclaimed_phrase",
       "ph17_upserted_phrase",
       "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted",
-      "v32_ivf_deleted", "v33_ivf_reclaimed",
+      "v32_ivf_deleted", "v33_ivf_reclaimed", "v34_ivf_upserted",
       "st16_stream_index_parity")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).write.format("noop")

@@ -183,6 +183,38 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V34: UPSERT (the re-encode shape: an embedding-model refresh
+    // changed already-indexed vectors) — build the index on a STALE
+    // corpus (vectors ≡ 2 mod 5 indexed with a corrupted — negated —
+    // embedding, vectors ≡ 0 mod 11 missing entirely), then ONE
+    // upsertIndex call with the corrected embeddings: tombstone at
+    // seq S kills the stale versions, the replacement rows written AT
+    // S survive it, and the re-encoded vector may land in a DIFFERENT
+    // cell than its stale version — the version-kill (not a rewrite)
+    // is what makes that safe. Negation preserves each |x|, so the
+    // stored int8 scale equals the corrected corpus's and the oracle
+    // stays integer-exact. Oracle = the stale fit replayed in SQL
+    // (scale + seeds + Lloyd over the corrupted corpus), stale rows
+    // of the upserted ids dropped, corrected rows assigned to the
+    // FROZEN centroids on the stored scale — exactly what servedTopK
+    // reads back.
+    "v34_ivf_upserted" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vups", d) { dir =>
+        val stale = e.filter(col("vec_id") % 11 =!= 0)
+          .withColumn("embedding",
+            when(col("vec_id") % 5 === 2,
+              transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")))
+        graft.similarity.IntKMeans.writeIndex(stale, dir, nlist = 16)
+        graft.similarity.IntKMeans.upsertIndex(
+          e.filter(col("vec_id") % 5 === 2 || col("vec_id") % 11 === 0), dir)
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -622,6 +654,50 @@ object SimilarityQueries {
        |      FROM d)
        |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  /** v34 oracle: the STALE fit replayed end to end — scale + seeds +
+    * Lloyd over the corrupted corpus (vec_id ≡ 2 mod 5 negated,
+    * ≡ 0 mod 11 absent) — then the upsert resolved at read time:
+    * stale rows of the upserted ids dropped, the corrected embeddings
+    * quantized on the STORED (stale-corpus) scale and assigned to the
+    * FROZEN centroids. Queries are the true embeddings on the same
+    * stored scale, exactly as servedTopK quantizes them. */
+  private lazy val ivfUpsertedSql = {
+    val quant = "list_transform(embedding, x -> " +
+      "CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT))"
+    s"""WITH se AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN vec_id % 5 = 2
+       |      THEN list_transform(embedding, x -> -x)
+       |      ELSE embedding END AS embedding
+       |  FROM embeddings WHERE vec_id % 11 <> 0),
+       |m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+       |      FROM (SELECT unnest(embedding) AS x FROM se) u0),
+       |qs AS (SELECT vec_id, label, $quant AS q FROM se, m),
+       |${lloydCtes(16, "qs")},
+       |ub AS (SELECT vec_id, label, $quant AS q FROM embeddings, m
+       |       WHERE vec_id % 5 = 2 OR vec_id % 11 = 0),
+       |aUps AS (${assignCte("c2", "ub")}),
+       |idx AS (SELECT vec_id, q, cell FROM af
+       |          WHERE NOT (vec_id % 5 = 2 OR vec_id % 11 = 0)
+       |        UNION ALL SELECT vec_id, q, cell FROM aUps),
+       |qq AS (SELECT vec_id AS q_id, $quant AS qvq FROM embeddings, m
+       |       WHERE vec_id < 5),
+       |probes AS (SELECT q_id, qvq, cell FROM (
+       |    SELECT qq.q_id, qq.qvq, c.cell,
+       |      row_number() OVER (PARTITION BY qq.q_id
+       |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+       |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+       |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
+       |      FROM idx a JOIN probes p
+       |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |r AS (SELECT q_id, vec_id, qdot,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+       |      FROM d)
+       |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Hashed-id seeds + two Lloyd rounds + final assignment `af` over
     * `k` cells — the full IntKMeans.fit(k, iters = 2) chain. */
@@ -1081,6 +1157,10 @@ object SimilarityQueries {
     // reclaimed layout must serve identically to the logical view.
     "v32_ivf_deleted" -> ivfDeletedSql,
     "v33_ivf_reclaimed" -> ivfDeletedSql,
+
+    // v34: re-encode upsert — the stale fit's frozen quantizer, stale
+    // rows version-killed, corrected rows assigned on the stored scale
+    "v34_ivf_upserted" -> ivfUpsertedSql,
 
     // v12: the same Lloyd chain at k=10; browser stats are integer
     // aggregates of the final assignment.

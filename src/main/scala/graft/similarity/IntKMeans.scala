@@ -186,6 +186,7 @@ object IntKMeans {
                  iters: Int = 2): Unit = {
     val (asg, ctr) = fit(corpus, nlist, iters)
     asg.select(col("vec_id"), col("q"), col("cell"))
+      .withColumn("seq", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
     ctr.write.mode("overwrite").parquet(s"$dir/centroids")
     // the corpus max-abs that defined the int8 grid (mirror of
@@ -194,7 +195,26 @@ object IntKMeans {
     corpus.agg(max(array_max(transform(col("embedding"),
         x => abs(x.cast("double"))))).as("ma"))
       .write.mode("overwrite").parquet(s"$dir/meta")
+    writeSeqNo(corpus.sparkSession, dir, 1L)
   }
+
+  // ---- batch sequence numbers: the same versioning the phrase index
+  // carries (PhraseSearch's seqno sidecar) — every batch of vector
+  // rows is stamped with the seq it was written under (base build =
+  // 0, each append = the then-current counter) and a tombstone is
+  // (vec_id, upto): it kills only rows with seq < upto, so an
+  // upsert's re-encoded replacement row (written AT upto) survives
+  // its own id's tombstone. CONTRACT: appends/deletes/upserts on one
+  // index run sequentially (appendIndex's existing contract).
+
+  private def writeSeqNo(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, next: Long): Unit =
+    spark.range(1).select(lit(next).as("next_seq"))
+      .write.mode("overwrite").parquet(s"$dir/seqno")
+
+  private def readSeqNo(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Long =
+    spark.read.parquet(s"$dir/seqno").head().getAs[Long]("next_seq")
 
   /** Incremental maintenance (daily-crawl shape): append a NEW batch
     * of vectors to an existing [[writeIndex]] layout WITHOUT refitting
@@ -216,6 +236,7 @@ object IntKMeans {
     val spark = newCorpus.sparkSession
     val ma = broadcast(spark.read.parquet(s"$dir/meta"))
     val ctr = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val seq = readSeqNo(spark, dir)
     val qv = newCorpus.select(col("vec_id"), col("embedding"))
       .crossJoin(ma)
       .withColumn("q", transform(col("embedding"),
@@ -226,8 +247,30 @@ object IntKMeans {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cell"))).as("m"),
         first(col("q")).as("q"))
-      .select(col("vec_id"), col("q"), col("m.cell").as("cell"))
+      .select(col("vec_id"), col("q"), lit(seq).as("seq"),
+        col("m.cell").as("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    writeSeqNo(spark, dir, seq + 1)
+  }
+
+  /** UPSERT (the re-encode shape: an embedding-model refresh changed
+    * some already-indexed vectors, plus possibly brand-new ids):
+    * tombstone the batch's vec_ids at the current sequence number,
+    * then append the re-encoded vectors under that same number — the
+    * tombstone (vec_id, upto = S) kills every older version (seq < S)
+    * while the replacement rows (seq = S) survive it, so the swap is
+    * atomic at read time and no cell file is rewritten. The new
+    * embedding is quantized on the STORED scale and assigned to the
+    * frozen coarse quantizer (appendIndex's rule) — it may land in a
+    * DIFFERENT cell than the stale version, which is exactly why the
+    * stale row must die by version, not by rewrite. Upserting an id
+    * the index never held degenerates to a plain append. v34's oracle
+    * proves a stale-then-upserted index indistinguishable from the
+    * frozen-quantizer assignment of the corrected corpus; IntKMeans-
+    * Spec covers the round-trip and upsert-then-compact. */
+  def upsertIndex(newCorpus: DataFrame, dir: String): Unit = {
+    deleteFromIndex(newCorpus.select(col("vec_id")).distinct(), dir)
+    appendIndex(newCorpus, dir)
   }
 
   /** Logical deletion (the fourth maintenance op): record vec ids in
@@ -241,12 +284,20 @@ object IntKMeans {
     * — exactly as [[appendIndex]] never moves it — so deletion is a
     * candidate-set change, not a re-clustering ([[compactIndex]]
     * physically reclaims the rows and clears the sidecar). Deleting
-    * an id twice, or an id not in the index, is a no-op. */
-  def deleteFromIndex(vecIds: DataFrame, dir: String): Unit =
+    * an id twice, or an id not in the index, is a no-op.
+    *
+    * Each tombstone is (vec_id, upto = the current sequence number):
+    * it kills only rows written BEFORE it, which is what lets
+    * [[upsertIndex]] tombstone and re-add a vector in one step, and
+    * means a delete never affects appends that come after it. */
+  def deleteFromIndex(vecIds: DataFrame, dir: String): Unit = {
+    val upto = readSeqNo(vecIds.sparkSession, dir)
     vecIds.select(col("vec_id")).distinct()
+      .withColumn("upto", lit(upto))
       // dimension-sized purge list: one file per delete batch
       .coalesce(1)
       .write.mode("append").parquet(s"$dir/tombstones")
+  }
 
   /** The tombstone set, if any deletes have been recorded (driver-side
     * existence probe — index metadata, like the scale read). */
@@ -257,12 +308,19 @@ object IntKMeans {
     if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
   }
 
-  /** Drop tombstoned vectors — a broadcast anti-join. */
+  /** Drop tombstoned vectors from an indexed frame carrying
+    * (vec_id, seq) — a broadcast anti-join (the purge list is
+    * dimension-sized); a row dies iff SOME tombstone for its id
+    * postdates it (seq < upto). */
   private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame =
     tombstones(spark, dir) match {
-      case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None    => df
+      case Some(t) =>
+        val ts = broadcast(t.select(col("vec_id").as("__t_vec"),
+          col("upto").as("__t_upto")))
+        df.join(ts, df("vec_id") === col("__t_vec") &&
+          df("seq") < col("__t_upto"), "left_anti")
+      case None => df
     }
 
   /** Compaction (the third maintenance op after build/append): each
@@ -280,9 +338,12 @@ object IntKMeans {
     * drop). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val ts = tombstones(spark, dir)
+    // `seq` survives the rewrite: liveOnly resolves it here, and
+    // post-compaction deletes/upserts (`seq < upto`) still need every
+    // row versioned (the exact bug the phrase plane's ph16 caught)
     val vec = liveOnly(
       spark.read.parquet(s"$dir/vectors")
-        .select(col("vec_id"), col("q"), col("cell")),
+        .select(col("vec_id"), col("q"), col("seq"), col("cell")),
       spark, dir)
       .repartition(col("cell"))
       .sortWithinPartitions("vec_id")

@@ -190,6 +190,56 @@ class IntKMeansSpec extends SparkSpec {
       .orderBy("q_id", "rank").collect().toSeq === once)
   }
 
+  test("upsertIndex re-homes a re-encoded vector and it survives its own tombstone") {
+    // stale corpus: vec 3 (a blob-0 member) was indexed with a
+    // corrupted embedding sitting in blob 2's territory
+    val corrupted = blobs.withColumn("embedding",
+      when($"vec_id" === 3L,
+        transform($"embedding", x => x + lit(200.0f)))
+        .otherwise($"embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IntKMeans.writeIndex(corrupted, dir, nlist = 3)
+    val qs = blobs.filter($"vec_id" === 0)
+    val staleIds = IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!staleIds.contains(3L),
+      "corrupted vector should be homed away from blob 0's cell")
+    // re-encode: the corrected embedding lands back in blob 0's cell —
+    // a DIFFERENT cell than the stale version, killed by version not
+    // by rewrite
+    IntKMeans.upsertIndex(blobs.filter($"vec_id" === 3L), dir)
+    val fixed = IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(fixed.map(_.getLong(1)).contains(3L),
+      "re-encoded vector not served from its new cell")
+    // both versions physically present until compaction, one served
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter($"vec_id" === 3L).count() === 2L)
+    IntKMeans.compactIndex(spark, dir)
+    // …then only the replacement survives and serving is unchanged
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter($"vec_id" === 3L).count() === 1L,
+      "compaction must reclaim exactly the stale version")
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq === fixed)
+  }
+
+  test("IVF delete after compaction still deletes (seq survives the rewrite)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IntKMeans.writeIndex(blobs.filter($"vec_id" % 2 === 0), dir, nlist = 3)
+    IntKMeans.appendIndex(blobs.filter($"vec_id" % 2 === 1), dir)
+    IntKMeans.compactIndex(spark, dir)
+    val qs = blobs.filter($"vec_id" === 0)
+    val full = IntKMeans.servedTopK(spark, dir, qs, k = 10, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val dead = full.take(2)
+    IntKMeans.deleteFromIndex(dead.toSeq.toDF("vec_id"), dir)
+    val ids = IntKMeans.servedTopK(spark, dir, qs, k = 10, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.intersect(dead).isEmpty,
+      "delete after compaction did not hide compacted rows")
+  }
+
   private def vectorFiles(dir: String): Set[String] = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))
