@@ -116,17 +116,20 @@ object ExtraQueries {
     "a18_sketches" -> ((s, d) => {
       val li = Tables.lineitem(tune(s), d)
         .select(col("l_returnflag"), col("l_orderkey"), col("l_quantity"))
-      // TWO separate single-kind aggregates, deliberately NOT one:
-      // combining approx_percentile (a TypedImperativeAggregate) with
-      // countDistinct in the same agg makes Spark plan the percentile
-      // buffer through the distinct rewrite's 4-level
-      // ObjectHashAggregate cascade — measured 14 s vs 1.2+1.3 s for
-      // the split at sf0.1 (and materializing the combined form via
-      // cache/localCheckpoint pins exactly that slow plan). The r12
-      // single-agg source only ran fast because column pruning split
-      // the two references into these same two aggregates; this makes
-      // the split explicit so each subtree is referenced once and no
-      // future "dedup the agg" cleanup re-merges them.
+      // THREE separate passes over lineitem, deliberately — each
+      // aggregate subtree executes exactly once in the plan, and both
+      // "fewer passes" rewrites measure SLOWER at sf0.1:
+      // (a) merging approx_percentile (a TypedImperativeAggregate)
+      //     into the distinct agg plans the percentile buffer through
+      //     the distinct rewrite's 4-level ObjectHashAggregate
+      //     cascade — 14 s vs 1.2+1.3 s split (and cache/
+      //     localCheckpoint of the combined form pins the slow plan);
+      // (b) merging the rank sums into the distinct agg (sharing the
+      //     sk scan via the broadcast pct join) makes the distinct
+      //     expand carry the join output through the cascade —
+      //     measured 2.2 s vs 1.3 s for this split (r14).
+      // The 2-column parquet scans are the cheap part; no future
+      // "dedup the scans" cleanup may re-merge these aggregates.
       val pct = li.groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_quantity, array(0.5, 0.95), 1000)").as("qs"))
         .select(col("l_returnflag"),
