@@ -79,10 +79,10 @@ object Bench {
       // deletion/upsert lifecycle: ph15 shares phdel with ph14, ph18
       // shares phups with ph17 — one warmup per memoized index tag
       "ph13_index_audit", "ph14_deleted_phrase", "ph16_reclaimed_phrase",
-      "ph17_upserted_phrase",
+      "ph17_upserted_phrase", "ph19_synced_phrase",
       "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted",
       "v32_ivf_deleted", "v33_ivf_reclaimed", "v34_ivf_upserted",
-      "st16_stream_index_parity")
+      "st16_stream_index_parity", "st17_stream_cdc_parity")
     // targeted runs warm only what they measure — a 1-query iteration
     // loop must not pay 13 index builds it never serves from
     warmups.filter(selected.contains).foreach { n =>

@@ -261,8 +261,59 @@ object PhraseQueries {
     // full-corpus SQL.
     "ph18_upserted_bm25" -> ((s, d) =>
       PhraseSearch.servedBm25TopK(s, phUpsIdx(s, d),
+        Seq("customer", "spark", "vector"), k = 10)),
+
+    // PH19: the maintenance lifecycle driven by CHANGE DETECTION —
+    // t63's corpus snapshot diff classifies every document
+    // (added/changed/removed), and an index built on YESTERDAY's
+    // snapshot is synced with exactly the ops the diff prescribes:
+    // removed ids tombstoned, changed+added docs upserted in one
+    // batch (added ids degenerate to plain appends). This is the
+    // daily loop a 100 TB corpus index runs: one equi-join diff,
+    // batch-sized maintenance writes, zero rebuild. Oracle = ph01's
+    // full-corpus SQL: the synced index must be indistinguishable
+    // from one built on TODAY's corpus.
+    "ph19_synced_phrase" -> ((s, d) =>
+      PhraseSearch.servedPhraseHits(s, phSyncIdx(s, d), Seq("the", "customer"))
+        .orderBy("doc_id", "pos")),
+
+    // PH20: the sync converges the GLOBAL ranking stats too — the
+    // mixed delete+upsert batch shifts BM25's N/L/df exactly to
+    // today's corpus (the removed block shrinks N, the upserted
+    // drafts lengthen their dl). Oracle = ph04's full-corpus SQL.
+    "ph20_synced_bm25" -> ((s, d) =>
+      PhraseSearch.servedBm25TopK(s, phSyncIdx(s, d),
         Seq("customer", "spark", "vector"), k = 10))
   )
+
+  /** Shared diff-synced index (ph19/ph20): build on t63's
+    * deterministic "yesterday" snapshot (docs ending in 2 not yet
+    * crawled, docs ending in 1 a 40-char draft, a retired id block at
+    * +1e6), classify today's corpus against it with t63's full-outer
+    * diff, then apply the diff as maintenance ops. */
+  private def phSyncIdx(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Q.memoIndex("phsync", d) { dir =>
+      val now = Tables.documents(tune(s), d).select(col("doc_id"), col("text"))
+      val old = now.filter(col("doc_id") % 10 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 1, substring(col("text"), 1, 40))
+            .otherwise(col("text")).as("text"))
+        .unionByName(now.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      def tok(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      PhraseSearch.writeIndex(tok(old), dir, nBuckets = 64)
+      val diff = now
+        .join(old.select(col("doc_id"), col("text").as("old_text")),
+          Seq("doc_id"), "full_outer")
+      PhraseSearch.deleteFromIndex(
+        diff.filter(col("text").isNull).select("doc_id"), dir)
+      PhraseSearch.upsertIndex(tok(
+        diff.filter(col("text").isNotNull &&
+          (col("old_text").isNull || col("text") =!= col("old_text")))
+          .select("doc_id", "text")), dir)
+    }
 
   /** Shared stale-then-upserted index (ph17/ph18): base build on a
     * corrupted corpus (truncated + missing docs), then ONE
@@ -414,6 +465,10 @@ object PhraseQueries {
     // so the plain full-corpus oracles apply verbatim
     "ph17_upserted_phrase" -> phraseHitsSql,
     "ph18_upserted_bm25" -> bm25Sql,
+    // ph19/ph20: the diff-synced index converges to today's (= full)
+    // corpus, so the full-corpus oracles apply verbatim
+    "ph19_synced_phrase" -> phraseHitsSql,
+    "ph20_synced_bm25" -> bm25Sql,
 
     // ph13: bucket = the same (acc*31 + codepoint) % 1e9+7 rolling
     // hash both engines compute (see TextQueries' shingleIdsSql),

@@ -207,6 +207,70 @@ object StreamParityQueries {
       }
       graft.text.PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
         .orderBy("doc_id", "pos")
+    }),
+
+    // ST17: CDC index maintenance from a change stream — the
+    // streaming form of ph19's diff-driven sync. The index is built
+    // in batch on yesterday's snapshot (t63's derivation), then a
+    // stream of change records (op ∈ delete/upsert, doc_id, text) —
+    // the t63 diff split into 3 ordered micro-batches — is applied in
+    // foreachBatch: each batch tombstones its deletes and upserts its
+    // changed/added docs, and a batchId ledger makes the apply
+    // idempotent under micro-batch retries (exactly-once maintenance,
+    // S12's ledger pattern on the write side). The final index must
+    // serve exactly what an index built on TODAY's corpus serves —
+    // ph01's oracle verbatim. This is the production tail of the
+    // lifecycle: a crawler emits CDC, the index absorbs it in
+    // batch-sized sidecar writes, the serving layout never rebuilds.
+    "st17_stream_cdc_parity" -> ((s, d) => {
+      val dir = Q.memoIndex("st17idx", d) { dir =>
+        val docs = Tables.documents(tune(s), d).select(col("doc_id"), col("text"))
+        val old = docs.filter(col("doc_id") % 10 =!= 2)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 1, substring(col("text"), 1, 40))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        def tok(df: DataFrame) =
+          df.select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        graft.text.PhraseSearch.writeIndex(tok(old), dir, nBuckets = 64)
+        val diff = docs.join(
+          old.select(col("doc_id"), col("text").as("old_text")),
+          Seq("doc_id"), "full_outer")
+        val cdc = diff.filter(col("text").isNull)
+          .select(lit("delete").as("op"), col("doc_id"),
+            lit(null).cast("string").as("text"))
+          .unionByName(diff.filter(col("text").isNotNull &&
+              (col("old_text").isNull || col("text") =!= col("old_text")))
+            .select(lit("upsert").as("op"), col("doc_id"), col("text")))
+        val base = freshBase("st17")
+        val inDir = stage(base,
+          (0 until 3).map(i => cdc.filter(pmod(col("doc_id"), lit(3)) === i)))
+        val src = s.readStream.schema(cdc.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val applied = base.resolve("applied")
+        Files.createDirectories(applied)
+        val q = src.writeStream.outputMode("append")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+            val marker = applied.resolve(s"batch-$batchId")
+            if (!Files.exists(marker)) {
+              graft.text.PhraseSearch.deleteFromIndex(
+                b.filter(col("op") === "delete").select("doc_id"), dir)
+              graft.text.PhraseSearch.upsertIndex(
+                tok(b.filter(col("op") === "upsert")
+                  .select("doc_id", "text")), dir)
+              Files.createFile(marker)
+              ()
+            }
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        Seq("in", "ckpt", "applied").foreach(n => rmTree(base.resolve(n)))
+      }
+      graft.text.PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
+        .orderBy("doc_id", "pos")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -238,5 +302,9 @@ object StreamParityQueries {
 
     // the stream-built index must serve EXACTLY what the in-process
     // phrase search computes — ph01's oracle verbatim
-    "st16_stream_index_parity" -> PhraseQueries.oracle("ph01_phrase_hits"))
+    "st16_stream_index_parity" -> PhraseQueries.oracle("ph01_phrase_hits"),
+
+    // the CDC-synced index must serve exactly what an index built on
+    // today's corpus serves — ph01's oracle verbatim
+    "st17_stream_cdc_parity" -> PhraseQueries.oracle("ph01_phrase_hits"))
 }

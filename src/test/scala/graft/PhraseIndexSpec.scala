@@ -362,6 +362,45 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSeq === logical)
   }
 
+  test("diff-driven sync (delete removed + upsert changed/added) converges to the new corpus") {
+    // today's corpus: doc 2 changed, doc 6 added, doc 4 REMOVED
+    val docsV3 = docsV2.filter(col("doc_id") =!= 4L)
+    val toksV3 = docsV3.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val dir = freshIndex(16) // yesterday's index (docs v1)
+    // the classify-and-apply loop ph19 runs: one full-outer diff, then
+    // exactly the maintenance ops it prescribes
+    val diff = docsV3.join(
+      docs.select(col("doc_id"), col("text").as("old_text")),
+      Seq("doc_id"), "full_outer")
+    PhraseSearch.deleteFromIndex(
+      diff.filter(col("text").isNull).select("doc_id"), dir)
+    PhraseSearch.upsertIndex(
+      diff.filter(col("text").isNotNull &&
+          (col("old_text").isNull || col("text") =!= col("old_text")))
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok"))), dir)
+    for (phrase <- Seq(Seq("quick", "brown"), Seq("sleepy", "cat"), Seq("the")))
+      assert(PhraseSearch.servedPhraseHits(spark, dir, phrase).collect().toSet ===
+        PhraseSearch.phraseHits(toksV3, phrase).collect().toSet,
+        s"synced index diverged on $phrase")
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "cat"), 6)
+      .collect().toSeq ===
+      PhraseSearch.bm25TopK(docsV3, Seq("quick", "cat"), 6).collect().toSeq,
+      "synced BM25 stats diverged")
+    // compaction converges the physical layout: the removed doc and
+    // the stale version of the changed doc are both reclaimed
+    PhraseSearch.compactIndex(spark, dir)
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") === 4L).count() === 0L, "removed doc survived")
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") === 2L && col("tok") === "brown").count() === 0L,
+      "stale version of the changed doc survived")
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "cat"), 6)
+      .collect().toSeq ===
+      PhraseSearch.bm25TopK(docsV3, Seq("quick", "cat"), 6).collect().toSeq)
+  }
+
   test("upserting a never-indexed doc degenerates to a plain append") {
     val dir = freshIndex(16)
     PhraseSearch.upsertIndex(toksV2.filter(col("doc_id") === 6L), dir)
