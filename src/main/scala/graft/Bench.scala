@@ -79,7 +79,7 @@ object Bench {
       // deletion/upsert lifecycle: ph15 shares phdel with ph14, ph18
       // shares phups with ph17 — one warmup per memoized index tag
       "ph13_index_audit", "ph14_deleted_phrase", "ph16_reclaimed_phrase",
-      "ph17_upserted_phrase", "ph19_synced_phrase",
+      "ph17_upserted_phrase", "ph19_synced_phrase", "ph21_merged_phrase",
       "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted",
       "v32_ivf_deleted", "v33_ivf_reclaimed", "v34_ivf_upserted",
       "st16_stream_index_parity", "st17_stream_cdc_parity")

@@ -283,8 +283,45 @@ object PhraseQueries {
     // drafts lengthen their dl). Oracle = ph04's full-corpus SQL.
     "ph20_synced_bm25" -> ((s, d) =>
       PhraseSearch.servedBm25TopK(s, phSyncIdx(s, d),
+        Seq("customer", "spark", "vector"), k = 10)),
+
+    // PH21: SHARD MERGE — the distributed build shape: two builders
+    // index disjoint corpus halves in parallel (shared modulus, no
+    // other coordination), each absorbs a takedown batch (doc_id ≡ 3
+    // mod 7; ids the shard doesn't hold are no-ops), then one merge
+    // job folds the shards into a single serving layout, resolving
+    // both tombstone sets during the rewrite (Lucene's segment
+    // merge). Oracle = ph14's deleted-corpus SQL: the merged index
+    // must be indistinguishable from a fresh build on the union of
+    // the shards' LIVE docs.
+    "ph21_merged_phrase" -> ((s, d) =>
+      PhraseSearch.servedPhraseHits(s, phMrgIdx(s, d), Seq("the", "customer"))
+        .orderBy("doc_id", "pos")),
+
+    // PH22: the merged doclen sidecar carries the global stats — BM25
+    // over the merged index must score with the union-of-live-docs
+    // N/L/df, not either shard's. Oracle = ph15's deleted-corpus SQL.
+    "ph22_merged_bm25" -> ((s, d) =>
+      PhraseSearch.servedBm25TopK(s, phMrgIdx(s, d),
         Seq("customer", "spark", "vector"), k = 10))
   )
+
+  /** Shared merged index (ph21/ph22): two shard builds over disjoint
+    * halves, a tombstone batch on each, one [[PhraseSearch.mergeIndexes]]. */
+  private def phMrgIdx(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Q.memoIndex("phmrg", d) { dir =>
+      val t = toks(s, d)
+      val deadIds = Tables.documents(tune(s), d)
+        .filter(col("doc_id") % 7 === 3).select("doc_id")
+      val (shardA, shardB) = (s"$dir/shardA", s"$dir/shardB")
+      PhraseSearch.writeIndex(t.filter(col("doc_id") % 2 === 0), shardA, 64)
+      PhraseSearch.writeIndex(t.filter(col("doc_id") % 2 === 1), shardB, 64)
+      PhraseSearch.deleteFromIndex(deadIds, shardA)
+      PhraseSearch.deleteFromIndex(deadIds, shardB)
+      PhraseSearch.mergeIndexes(s, Seq(shardA, shardB), dir)
+      // the shards are build scratch — the merged layout is the index
+      Seq(shardA, shardB).foreach(p => Q.rmTree(java.nio.file.Paths.get(p)))
+    }
 
   /** Shared diff-synced index (ph19/ph20): build on t63's
     * deterministic "yesterday" snapshot (docs ending in 2 not yet
@@ -469,6 +506,10 @@ object PhraseQueries {
     // corpus, so the full-corpus oracles apply verbatim
     "ph19_synced_phrase" -> phraseHitsSql,
     "ph20_synced_bm25" -> bm25Sql,
+    // ph21/ph22: merge resolves both shards' tombstones, so the
+    // deleted-corpus oracles (ph14/ph15's) apply verbatim
+    "ph21_merged_phrase" -> deletedPhraseSql,
+    "ph22_merged_bm25" -> deletedBm25Sql,
 
     // ph13: bucket = the same (acc*31 + codepoint) % 1e9+7 rolling
     // hash both engines compute (see TextQueries' shingleIdsSql),

@@ -442,6 +442,47 @@ object PhraseSearch {
     }
   }
 
+  /** MERGE independently built shard indexes into one serving layout —
+    * the distributed 100 TB build shape: N builders each tokenize and
+    * index a corpus partition in parallel (no coordination beyond a
+    * shared bucket modulus), then one merge job folds the shards into
+    * a single index, exactly Lucene's segment-merge step. The merge
+    * never re-tokenizes: it is a union + shuffle-by-bucket + sort over
+    * the shards' postings (and a range-partition over their doclens).
+    * Each shard's tombstones are resolved DURING the merge (its
+    * deleted rows simply don't survive into the output), so the
+    * merged index starts clean: seq re-stamped to 0, fresh seqno,
+    * no tombstone sidecar — indistinguishable from a fresh build on
+    * the union of the shards' live corpora (ph21's oracle).
+    *
+    * CONTRACT: shards share the bucket modulus (required here) and
+    * their live doc sets are disjoint (same rule as [[appendIndex]]). */
+  def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
+                   shards: Seq[String], out: String): Unit = {
+    require(shards.nonEmpty)
+    val moduli = shards.map(d => spark.read.parquet(s"$d/meta")
+      .head().getAs[Int]("n_buckets"))
+    require(moduli.distinct.size == 1,
+      s"shards disagree on the bucket modulus: $moduli")
+    shards.map(d => liveOnly(spark.read.parquet(s"$d/postings"), spark, d)
+        .select(col("doc_id"), col("pos"), col("tok"), col("bucket")))
+      .reduce(_.unionByName(_))
+      .withColumn("seq", lit(0L))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("tok", "doc_id", "pos")
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/postings")
+    shards.map(d => liveOnly(spark.read.parquet(s"$d/doclen"), spark, d)
+        .select(col("doc_id"), col("dl")))
+      .reduce(_.unionByName(_))
+      .withColumn("seq", lit(0L))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$out/doclen")
+    spark.range(1).select(lit(moduli.head).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$out/meta")
+    writeSeqNo(spark, out, 1L)
+  }
+
   /** Write `w` to `<path>.compact`, then swap it into `path` via a
     * backup rename (live -> .old, compact -> live, drop .old) — the
     * live data is never deleted before its replacement is in place,

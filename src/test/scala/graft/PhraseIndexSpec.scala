@@ -410,6 +410,49 @@ class PhraseIndexSpec extends SparkSpec {
       PhraseSearch.phraseHits(expected, Seq("quick", "turtle")).collect().toSet)
   }
 
+  test("mergeIndexes folds shard builds into one clean layout, resolving tombstones") {
+    val base = java.nio.file.Files.createTempDirectory("phrase_mrg_").toString
+    val (a, b, out) = (s"$base/a", s"$base/b", s"$base/out")
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), a, 16)
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 1), b, 16)
+    // takedown lands on each shard; ids a shard doesn't hold are no-ops
+    PhraseSearch.deleteFromIndex(Seq(2L, 5L).toDF("doc_id"), a)
+    PhraseSearch.deleteFromIndex(Seq(2L, 5L).toDF("doc_id"), b)
+    PhraseSearch.mergeIndexes(spark, Seq(a, b), out)
+    val liveToks = toks.filter(!col("doc_id").isin(2L, 5L))
+    val liveDocs = docs.filter(!col("doc_id").isin(2L, 5L))
+    for (phrase <- Seq(Seq("quick", "brown"), Seq("the"), Seq("fox")))
+      assert(PhraseSearch.servedPhraseHits(spark, out, phrase).collect().toSet ===
+        PhraseSearch.phraseHits(liveToks, phrase).collect().toSet,
+        s"merged index diverged on $phrase")
+    assert(PhraseSearch.servedBm25TopK(spark, out, Seq("quick", "dog"), 5)
+      .collect().toSeq ===
+      PhraseSearch.bm25TopK(liveDocs, Seq("quick", "dog"), 5).collect().toSeq,
+      "merged BM25 stats diverged from the live union")
+    // the merged layout starts clean: no tombstones, rows physically
+    // absent, and later maintenance (delete) works against it
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "tombstones")))
+    assert(spark.read.parquet(s"$out/postings")
+      .filter(col("doc_id").isin(2L, 5L)).count() === 0L,
+      "shard tombstones not resolved during merge")
+    PhraseSearch.deleteFromIndex(Seq(1L).toDF("doc_id"), out)
+    assert(PhraseSearch.servedPhraseHits(spark, out, Seq("quick", "brown"))
+      .collect().toSet ===
+      PhraseSearch.phraseHits(liveToks.filter(col("doc_id") =!= 1L),
+        Seq("quick", "brown")).collect().toSet,
+      "post-merge delete did not apply")
+  }
+
+  test("mergeIndexes refuses shards with mismatched bucket moduli") {
+    val base = java.nio.file.Files.createTempDirectory("phrase_mrg_").toString
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), s"$base/a", 16)
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 1), s"$base/b", 8)
+    intercept[IllegalArgumentException] {
+      PhraseSearch.mergeIndexes(spark, Seq(s"$base/a", s"$base/b"), s"$base/out")
+    }
+  }
+
   test("index round-trips the modulus (serve reads nBuckets from meta)") {
     // different modulus than the serve-side default would break bucket
     // recomputation if it were not persisted — build at 7, serve must
