@@ -82,6 +82,7 @@ object Bench {
       "ph17_upserted_phrase", "ph19_synced_phrase", "ph21_merged_phrase",
       "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted",
       "v32_ivf_deleted", "v33_ivf_reclaimed", "v34_ivf_upserted",
+      "v35_ivf_merged",
       "st16_stream_index_parity", "st17_stream_cdc_parity")
     // targeted runs warm only what they measure — a 1-query iteration
     // loop must not pay 13 index builds it never serves from

@@ -215,6 +215,35 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V35: SHARD MERGE with a shared quantizer — the distributed IVF
+    // build: fit the coarse quantizer ONCE (writeIndex on the even
+    // half), initShard a second builder against it, appendIndex the
+    // odd half there (frozen-centroid assignment keeps both shards on
+    // one geometry), land a takedown batch on each shard, then one
+    // mergeIndexes folds the cells together, resolving both tombstone
+    // sets. Oracle = v30's appended SQL with the tombstoned ids
+    // dropped from the candidate set: the merged index must serve
+    // exactly like a single sequentially-maintained one.
+    "v35_ivf_merged" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vmrg", d) { dir =>
+        val (a, b) = (s"$dir/shardA", s"$dir/shardB")
+        graft.similarity.IntKMeans.writeIndex(
+          e.filter(col("vec_id") % 2 === 0), a, nlist = 16)
+        graft.similarity.IntKMeans.initShard(s, a, b)
+        graft.similarity.IntKMeans.appendIndex(
+          e.filter(col("vec_id") % 2 === 1), b)
+        val dead = e.filter(col("vec_id") % 5 === 2).select("vec_id")
+        graft.similarity.IntKMeans.deleteFromIndex(dead, a)
+        graft.similarity.IntKMeans.deleteFromIndex(dead, b)
+        graft.similarity.IntKMeans.mergeIndexes(s, Seq(a, b), dir)
+        Seq(a, b).foreach(p => Q.rmTree(java.nio.file.Paths.get(p)))
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -595,11 +624,13 @@ object SimilarityQueries {
        |    unnest(list_zip(a.q, generate_series(0, len(a.q) - 1))) AS u(z)
        |  GROUP BY cell, u.z[2]) t1 GROUP BY cell""".stripMargin
 
-  /** v30/v31 oracle: fit on the even half (scale + seeds + Lloyd from
-    * `qb` only), frozen-centroid assignment of the odd half, serve
-    * over the union — the exact contents servedTopK reads back from
-    * an appended (and optionally compacted) index. */
-  private lazy val ivfAppendedSql =
+  /** v30/v31 oracle (and, filtered, v35's): fit on the even half
+    * (scale + seeds + Lloyd from `qb` only), frozen-centroid
+    * assignment of the odd half, serve over the union — the exact
+    * contents servedTopK reads back from an appended (and optionally
+    * compacted, or shard-merged) index. `candFilter` restricts the
+    * candidate set (v35 drops the shards' tombstoned ids). */
+  private def ivfAppendedSqlWith(candFilter: String) =
     s"""WITH m AS (
        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
        |  FROM (SELECT unnest(embedding) AS x FROM embeddings
@@ -622,13 +653,21 @@ object SimilarityQueries {
        |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
        |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
        |      FROM idx a JOIN probes p
-       |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
+       |        ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |      WHERE $candFilter),
        |r AS (SELECT q_id, vec_id, qdot,
        |        CAST(row_number() OVER (PARTITION BY q_id
        |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
        |      FROM d)
        |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  private lazy val ivfAppendedSql = ivfAppendedSqlWith("TRUE")
+
+  /** v35 oracle: the appended contents (shared quantizer: even-half
+    * fit + frozen odd-half assignment) minus the tombstoned ids both
+    * shards received — exactly what the merge resolves away. */
+  private lazy val ivfMergedSql = ivfAppendedSqlWith("a.vec_id % 5 <> 2")
 
   /** v32/v33 oracle: the full-corpus fit (scale, seeds, Lloyd rounds,
     * final assignment — identical to v07/v29's), with the tombstoned
@@ -1161,6 +1200,8 @@ object SimilarityQueries {
     // v34: re-encode upsert — the stale fit's frozen quantizer, stale
     // rows version-killed, corrected rows assigned on the stored scale
     "v34_ivf_upserted" -> ivfUpsertedSql,
+    // v35: shared-quantizer shard merge ≡ sequential append + delete
+    "v35_ivf_merged" -> ivfMergedSql,
 
     // v12: the same Lloyd chain at k=10; browser stats are integer
     // aggregates of the final assignment.

@@ -362,6 +362,63 @@ object IntKMeans {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
   }
 
+  /** Start an EMPTY shard that SHARES `fromDir`'s coarse quantizer
+    * and int8 scale: the distributed IVF build fits the quantizer
+    * ONCE (a [[writeIndex]] on one partition or a sample), then every
+    * builder [[initShard]]s against it and [[appendIndex]]es its own
+    * corpus partition — frozen-centroid assignment keeps all shards
+    * on one geometry, which is what makes [[mergeIndexes]] a pure
+    * layout fold. Copies centroids + meta (tiny frames), no vectors,
+    * seqno 0. */
+  def initShard(spark: org.apache.spark.sql.SparkSession,
+                fromDir: String, dir: String): Unit = {
+    spark.read.parquet(s"$fromDir/centroids")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    spark.read.parquet(s"$fromDir/meta")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    writeSeqNo(spark, dir, 0L)
+  }
+
+  /** MERGE shard indexes that share one coarse quantizer into a
+    * single serving layout — the IVF counterpart of the phrase
+    * plane's shard merge (PhraseSearch.mergeIndexes): N builders each
+    * assign a corpus partition against the same frozen centroids
+    * ([[initShard]] + [[appendIndex]]), then one merge job unions the
+    * cell contents, resolving each shard's tombstones during the
+    * rewrite. Never re-fits, never re-quantizes: a union +
+    * shuffle-by-cell over the shards' vectors. The output starts
+    * clean (seq 0, fresh seqno, no sidecar) and serves exactly like a
+    * single index whose batches were appended sequentially (v35's
+    * oracle).
+    *
+    * CONTRACT: live vec_id sets are disjoint; the shared quantizer is
+    * REQUIRED here — shards with different centroids or scales are a
+    * geometry mismatch, not a mergeable layout. */
+  def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
+                   shards: Seq[String], out: String): Unit = {
+    require(shards.nonEmpty)
+    val ctrs = shards.map(d => spark.read.parquet(s"$d/centroids"))
+    ctrs.tail.foreach { c =>
+      require(c.exceptAll(ctrs.head).isEmpty && ctrs.head.exceptAll(c).isEmpty,
+        "shards disagree on the coarse quantizer (centroids differ)")
+    }
+    val scales = shards.map(d => spark.read.parquet(s"$d/meta")
+      .head().getAs[Double]("ma"))
+    require(scales.distinct.size == 1,
+      s"shards disagree on the int8 scale: $scales")
+    shards.map(d => liveOnly(spark.read.parquet(s"$d/vectors"), spark, d)
+        .select(col("vec_id"), col("q"), col("cell")))
+      .reduce(_.unionByName(_))
+      .withColumn("seq", lit(0L))
+      .repartition(col("cell"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
+    ctrs.head.write.mode("overwrite").parquet(s"$out/centroids")
+    spark.read.parquet(s"${shards.head}/meta")
+      .write.mode("overwrite").parquet(s"$out/meta")
+    writeSeqNo(spark, out, 1L)
+  }
+
   /** Serve-side IVF top-k from a [[writeIndex]] layout: quantize the
     * query vectors on the stored scale, rank the stored centroids
     * (broadcast, k rows), and scan ONLY the probed cells — the

@@ -14,7 +14,7 @@ class AlignSpec extends SparkSpec {
   private def d(a: Seq[String], b: Seq[String]): Long =
     Seq((a, b)).toDF("a", "b")
       .select(GraftFunctions.tokenEditDistance(col("a"), col("b")).as("d"))
-      .head.getLong(0)
+      .head().getLong(0)
 
   test("known distances") {
     assert(d(Seq("a", "b", "c"), Seq("a", "x", "c", "d")) === 2)
@@ -106,7 +106,7 @@ class AlignSpec extends SparkSpec {
     GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT token_edit_distance(array('a','b'), array('a','c')) AS d")
-      .head.getLong(0)
+      .head().getLong(0)
     assert(r === 1)
   }
 }

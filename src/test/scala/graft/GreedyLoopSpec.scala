@@ -21,7 +21,7 @@ class GreedyLoopSpec extends SparkSpec {
   private lazy val corpus = {
     val rows = (0L until 120L).map { i =>
       val e = Array.tabulate(8)(j =>
-        (math.sin(i * 31 + j * 7) * 100).toFloat)
+        (math.sin((i * 31 + j * 7).toDouble) * 100).toFloat)
       (i, e, (i % 3).toInt)
     }
     rows.toDF("vec_id", "embedding", "label")

@@ -240,6 +240,48 @@ class IntKMeansSpec extends SparkSpec {
       "delete after compaction did not hide compacted rows")
   }
 
+  test("mergeIndexes folds shared-quantizer shards, resolving tombstones") {
+    val base = java.nio.file.Files.createTempDirectory("ivf_mrg_").toString
+    val (a, b, out) = (s"$base/a", s"$base/b", s"$base/out")
+    IntKMeans.writeIndex(blobs.filter($"vec_id" % 2 === 0), a, nlist = 3)
+    IntKMeans.initShard(spark, a, b)
+    IntKMeans.appendIndex(blobs.filter($"vec_id" % 2 === 1), b)
+    // takedown lands on both shards; ids a shard doesn't hold no-op
+    IntKMeans.deleteFromIndex(Seq(6L, 9L).toDF("vec_id"), a)
+    IntKMeans.deleteFromIndex(Seq(6L, 9L).toDF("vec_id"), b)
+    IntKMeans.mergeIndexes(spark, Seq(a, b), out)
+    // reference: ONE sequentially maintained index over the same history
+    val ref = s"$base/ref"
+    IntKMeans.writeIndex(blobs.filter($"vec_id" % 2 === 0), ref, nlist = 3)
+    IntKMeans.appendIndex(blobs.filter($"vec_id" % 2 === 1), ref)
+    IntKMeans.deleteFromIndex(Seq(6L, 9L).toDF("vec_id"), ref)
+    val qs = blobs.filter($"vec_id" === 0)
+    assert(IntKMeans.servedTopK(spark, out, qs, k = 10, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq ===
+      IntKMeans.servedTopK(spark, ref, qs, k = 10, nprobe = 1)
+        .orderBy("q_id", "rank").collect().toSeq,
+      "merged shards diverge from the sequentially maintained index")
+    // merged layout starts clean and physically resolved
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "tombstones")))
+    assert(spark.read.parquet(s"$out/vectors")
+      .filter(col("vec_id").isin(6L, 9L)).count() === 0L,
+      "shard tombstones not resolved during merge")
+    // post-merge maintenance still works
+    IntKMeans.deleteFromIndex(Seq(3L).toDF("vec_id"), out)
+    assert(!IntKMeans.servedTopK(spark, out, qs, k = 10, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet.contains(3L))
+  }
+
+  test("mergeIndexes refuses shards with different quantizers") {
+    val base = java.nio.file.Files.createTempDirectory("ivf_mrg_").toString
+    IntKMeans.writeIndex(blobs.filter($"vec_id" % 2 === 0), s"$base/a", nlist = 3)
+    IntKMeans.writeIndex(blobs.filter($"vec_id" % 2 === 1), s"$base/b", nlist = 3)
+    intercept[IllegalArgumentException] {
+      IntKMeans.mergeIndexes(spark, Seq(s"$base/a", s"$base/b"), s"$base/out")
+    }
+  }
+
   private def vectorFiles(dir: String): Set[String] = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "vectors"))
@@ -260,7 +302,7 @@ class IntKMeansSpec extends SparkSpec {
     // centroids are checkpoint-backed — see fit's hazard note)
     assert(asg.count() === 60L)
     assert(ctr.count() === 3L)
-    val added = sc.getPersistentRDDs.keySet -- before
+    val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
     // exactly the two frames the result needs: the cached quantized
     // corpus and the final centroid checkpoint — r11 left one cached
     // k-row frame PER ROUND (seed + 3 updates) for the harness sweep

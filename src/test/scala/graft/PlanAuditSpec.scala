@@ -500,4 +500,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.size <= 1,
       s"m06 has ${shuffles.size} exchanges — the header parse stopped being map-only")
   }
+
+  test("ph14 tombstone filtering is a broadcast anti-join (never sort-merge)") {
+    // a takedown list is dimension-sized; if the serve-side liveOnly
+    // anti-join ever degrades to sort-merge, every query pays an
+    // index-sized shuffle at 100 TB for a kilobyte purge list
+    val plan = executed(SparkEntry.queries("ph14_deleted_phrase")(spark, sf))
+    val anti = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString.contains("LeftAnti") => j
+    }
+    assert(anti.nonEmpty, "tombstone anti-join missing or not broadcast")
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"ph14 has ${smj.size} sort-merge joins")
+  }
+
+  test("ph21 merged index still prunes the postings scan to vocab buckets") {
+    // shard merge must hand back a layout with the same static
+    // bucket-elimination property as a fresh build
+    val plan = executed(SparkEntry.queries("ph21_merged_phrase")(spark, sf))
+    val posting = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(posting.nonEmpty, "postings scan not found in ph21's plan")
+    posting.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "merged-index postings scan lost its bucket partition filter")
+      assert(sc.selectedPartitions.partitionCount <= 2,
+        s"merged-index scan read ${sc.selectedPartitions.partitionCount} bucket dirs for a 2-word phrase")
+    }
+  }
+
+  test("v32 deleted-IVF serve keeps DPP cell pruning AND broadcast tombstones") {
+    val plan = executed(SparkEntry.queries("v32_ivf_deleted")(spark, sf))
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"v32 has ${smj.size} sort-merge joins")
+    val vectors = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("vectors")) => s
+    }
+    assert(vectors.nonEmpty, "vectors scan not found in v32's plan")
+    // DPP from the broadcast probe table: the scan carries a dynamic
+    // cell partition filter, so unprobed cell dirs are never read
+    assert(vectors.exists(_.partitionFilters.nonEmpty),
+      "deleted-IVF vectors scan lost its cell partition filter — DPP regressed")
+  }
 }
