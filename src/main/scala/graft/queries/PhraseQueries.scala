@@ -303,7 +303,32 @@ object PhraseQueries {
     // N/L/df, not either shard's. Oracle = ph15's deleted-corpus SQL.
     "ph22_merged_bm25" -> ((s, d) =>
       PhraseSearch.servedBm25TopK(s, phMrgIdx(s, d),
-        Seq("customer", "spark", "vector"), k = 10))
+        Seq("customer", "spark", "vector"), k = 10)),
+
+    // PH23: TIME TRAVEL — serve ph01's phrase from snapshot 1 of the
+    // upserted index (ph17's layout: stale build = event 0, the
+    // upsert's tombstone+append = events 1-2). Every maintenance
+    // batch is a versioned event, so `asOf = 1` must reproduce the
+    // STALE corpus exactly — the reproducibility hook a training-data
+    // pipeline needs ("rebuild the corpus view that produced run X"
+    // after the corpus moved on). The read is the same pruned-bucket
+    // scan with two extra pushed-down predicates (seq < S,
+    // upto < S); no second layout, no rewrite. Oracle = ph01's SQL
+    // over the stale corpus (docs ≡ 0 mod 11 absent, docs ≡ 2 mod 5
+    // truncated to their first 10 tokens).
+    "ph23_asof_phrase" -> ((s, d) =>
+      PhraseSearch.servedPhraseHits(s, phUpsIdx(s, d), Seq("the", "customer"),
+          asOf = Some(1L))
+        .orderBy("doc_id", "pos")),
+
+    // PH24: the snapshot read must reproduce the GLOBAL ranking stats
+    // of that moment too — BM25's N/L/df as the stale corpus had
+    // them, not today's (the upserted docs changed L and df for every
+    // surviving doc). A stale-stats bug in either direction
+    // hash-mismatches. Oracle = ph04's SQL over the stale corpus.
+    "ph24_asof_bm25" -> ((s, d) =>
+      PhraseSearch.servedBm25TopK(s, phUpsIdx(s, d),
+        Seq("customer", "spark", "vector"), k = 10, asOf = Some(1L)))
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -438,6 +463,27 @@ object PhraseQueries {
   private val delToksSql =
     s"SELECT * FROM (${Q.toksSql}) tdel WHERE doc_id % 7 <> 3"
 
+  // ph23/ph24: the STALE corpus phUpsIdx's base build indexed (event
+  // 0) — docs ≡ 0 mod 11 not yet crawled, docs ≡ 2 mod 5 truncated
+  // to their first 10 tokens. An as-of-snapshot-1 read must be
+  // indistinguishable from a rebuild on exactly this corpus.
+  private val staleToksSql =
+    s"""SELECT * FROM (${Q.toksSql}) tst
+       |WHERE doc_id % 11 <> 0 AND (doc_id % 5 <> 2 OR pos < 10)""".stripMargin
+
+  private val staleAsOfPhraseSql =
+    s"""SELECT a.doc_id, CAST(a.pos AS INT) AS pos
+       |FROM ($staleToksSql) a JOIN ($staleToksSql) b
+       |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |WHERE a.tok = 'the' AND b.tok = 'customer'
+       |ORDER BY 1, 2""".stripMargin
+
+  private val staleAsOfBm25Sql =
+    s"""WITH ${bm25CtesFrom(staleToksSql)}
+       |SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
+       |FROM sc GROUP BY 1
+       |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
+
   private val deletedPhraseSql =
     s"""SELECT a.doc_id, CAST(a.pos AS INT) AS pos
        |FROM ($delToksSql) a JOIN ($delToksSql) b
@@ -510,6 +556,10 @@ object PhraseQueries {
     // deleted-corpus oracles (ph14/ph15's) apply verbatim
     "ph21_merged_phrase" -> deletedPhraseSql,
     "ph22_merged_bm25" -> deletedBm25Sql,
+    // ph23/ph24: snapshot 1 of the upserted index = the stale corpus
+    // the base build indexed, positions, BM25 stats and all
+    "ph23_asof_phrase" -> staleAsOfPhraseSql,
+    "ph24_asof_bm25" -> staleAsOfBm25Sql,
 
     // ph13: bucket = the same (acc*31 + codepoint) % 1e9+7 rolling
     // hash both engines compute (see TextQueries' shingleIdsSql),

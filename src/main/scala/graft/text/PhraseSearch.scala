@@ -284,9 +284,9 @@ object PhraseSearch {
   /** UPSERT (the re-crawl shape: a batch of documents whose content
     * CHANGED since they were indexed, plus possibly brand-new ones):
     * tombstone the batch's doc ids at the current sequence number,
-    * then append the new token rows under that same number — the
+    * then append the new token rows under the next one — the
     * tombstone (doc_id, upto = S) kills every older version
-    * (seq < S) while the replacement rows (seq = S) survive it, so
+    * (seq < S) while the replacement rows (seq = S+1) survive it, so
     * the swap is atomic at read time and nothing is rewritten.
     * Upserting a doc the index never held degenerates to a plain
     * append (the tombstone kills nothing). ph17/ph18's oracles prove
@@ -326,7 +326,24 @@ object PhraseSearch {
       // one file per batch, not one per shuffle partition
       .coalesce(1)
       .write.mode("append").parquet(s"$dir/tombstones")
+    // a delete is a versioned event like an append: advancing the
+    // counter gives every maintenance batch a distinct sequence slot,
+    // which is what makes the as-of snapshot reads well-defined
+    // (snapshot S excludes tombstones with upto >= S — they had not
+    // happened yet at S)
+    writeSeqNo(docIds.sparkSession, dir, upto + 1)
   }
+
+  /** The index's current sequence number — the snapshot id the
+    * `asOf` serve parameters accept. Snapshot S is the index state
+    * after events 0..S−1 (the base build is event 0; every
+    * append/delete/upsert batch advances the counter), so
+    * `currentSeq` names the LATEST state and any value recorded
+    * earlier names the exact historical state the index had then —
+    * the reproducibility hook a training-data pipeline needs
+    * ("rebuild the corpus view that produced run X"). */
+  def currentSeq(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    readSeqNo(spark, dir)
 
   /** The tombstone set, if any deletes have been recorded. The
     * existence probe is one driver-side FS call — index metadata,
@@ -341,17 +358,23 @@ object PhraseSearch {
   /** Drop tombstoned rows from an indexed frame carrying (doc_id,
     * seq) — a broadcast anti-join (the delete set is dimension-
     * sized); a row dies iff SOME tombstone for its doc postdates it
-    * (seq < upto). */
+    * (seq < upto). With `asOf = Some(S)` the frame is first cut to
+    * rows written before snapshot S (seq < S) and only tombstones
+    * that existed at S (upto < S) apply — the whole time-travel read
+    * is two extra pushed-down predicates, no second layout. */
   private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                       dir: String): DataFrame =
+                       dir: String, asOf: Option[Long] = None): DataFrame = {
+    val cut = asOf.map(s => df.filter(col("seq") < s)).getOrElse(df)
     tombstones(spark, dir) match {
       case Some(t) =>
-        val ts = broadcast(t.select(col("doc_id").as("__t_doc"),
+        val vis = asOf.map(s => t.filter(col("upto") < s)).getOrElse(t)
+        val ts = broadcast(vis.select(col("doc_id").as("__t_doc"),
           col("upto").as("__t_upto")))
-        df.join(ts, df("doc_id") === col("__t_doc") &&
-          df("seq") < col("__t_upto"), "left_anti")
-      case None => df
+        cut.join(ts, cut("doc_id") === col("__t_doc") &&
+          cut("seq") < col("__t_upto"), "left_anti")
+      case None => cut
     }
+  }
 
   /** Driver-side mirror of the build's bucket assignment (same
     * RollingHash the [[writeIndex]] expression uses — HashExprSpec
@@ -370,7 +393,8 @@ object PhraseSearch {
     * parquet row-group stats. At 100 TB a 3-word phrase touches
     * ~3/nBuckets of the index, not the corpus. */
   def servedPostings(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     vocab: Seq[String]): DataFrame = {
+                     vocab: Seq[String],
+                     asOf: Option[Long] = None): DataFrame = {
     require(vocab.nonEmpty)
     // 1-row index metadata, not data — reading it on the driver is
     // what makes the bucket pruning static
@@ -380,21 +404,25 @@ object PhraseSearch {
     liveOnly(
       spark.read.parquet(s"$dir/postings")
         .filter(col("bucket").isin(bks: _*) && col("tok").isin(vocab: _*)),
-      spark, dir)
+      spark, dir, asOf)
       .select("doc_id", "pos", "tok")
   }
 
   /** [[phraseHits]] over a [[writeIndex]] layout: identical output
     * (same position-join plan), but the scan side is the pruned
-    * postings instead of a full tokenize. */
+    * postings instead of a full tokenize. `asOf = Some(S)` answers
+    * from snapshot S instead of the latest state (see
+    * [[currentSeq]]). */
   def servedPhraseHits(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       phrase: Seq[String]): DataFrame =
-    phraseHits(servedPostings(spark, dir, phrase.distinct), phrase)
+                       phrase: Seq[String],
+                       asOf: Option[Long] = None): DataFrame =
+    phraseHits(servedPostings(spark, dir, phrase.distinct, asOf), phrase)
 
   /** [[proximityHits]] over a [[writeIndex]] layout. */
   def servedProximityHits(spark: org.apache.spark.sql.SparkSession,
-                          dir: String, a: String, b: String, k: Int): DataFrame =
-    proximityHits(servedPostings(spark, dir, Seq(a, b).distinct), a, b, k)
+                          dir: String, a: String, b: String, k: Int,
+                          asOf: Option[Long] = None): DataFrame =
+    proximityHits(servedPostings(spark, dir, Seq(a, b).distinct, asOf), a, b, k)
 
   /** Compaction (the third maintenance op after build/append): each
     * [[appendIndex]] batch adds one file set per bucket, so a
@@ -520,13 +548,13 @@ object PhraseSearch {
     * words reads ≤ V of nBuckets index partitions plus the doc-level
     * metadata table. */
   def servedSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   query: String): DataFrame = {
+                   query: String, asOf: Option[Long] = None): DataFrame = {
     val q = parse(query)
-    val posts = servedPostings(spark, dir, vocabOf(q).distinct)
+    val posts = servedPostings(spark, dir, vocabOf(q).distinct, asOf)
     // the NOT-universe must shrink with deletes too, or NOT-only
     // queries would resurrect tombstoned docs
     val universe = liveOnly(
-      spark.read.parquet(s"$dir/doclen"), spark, dir).select("doc_id")
+      spark.read.parquet(s"$dir/doclen"), spark, dir, asOf).select("doc_id")
     eval(q, posts, universe)
   }
 
@@ -541,16 +569,18 @@ object PhraseSearch {
     * TakeOrdered. Per-doc totals sum BIGINT micro-scores, so the
     * doc-grouped sum needs no term ordering. */
   def servedBm25TopK(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     terms: Seq[String], k: Int = 10): DataFrame = {
+                     terms: Seq[String], k: Int = 10,
+                     asOf: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty)
-    val tf = servedPostings(spark, dir, terms.distinct)
+    val tf = servedPostings(spark, dir, terms.distinct, asOf)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // deletes shift the GLOBAL stats too: N/L/avgdl come from the
     // live doclen rows, df from the live tf rows — exactly what a
-    // rebuild on the remaining corpus would compute (ph15's oracle)
-    val dl = liveOnly(spark.read.parquet(s"$dir/doclen"), spark, dir)
+    // rebuild on the remaining corpus would compute (ph15's oracle);
+    // an as-of read scores with the SNAPSHOT's stats (ph24's oracle)
+    val dl = liveOnly(spark.read.parquet(s"$dir/doclen"), spark, dir, asOf)
     val tot = broadcast(dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l")))
     val idf = (lit(2) * (col("n") - col("df")) + lit(1)).cast("double") /
       (lit(2) * col("df") + lit(1)).cast("double")

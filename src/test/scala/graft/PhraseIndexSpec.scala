@@ -410,6 +410,47 @@ class PhraseIndexSpec extends SparkSpec {
       PhraseSearch.phraseHits(expected, Seq("quick", "turtle")).collect().toSet)
   }
 
+  test("as-of snapshot reads reproduce every historical index state") {
+    // event log: build (0) -> upsert doc 2 (tombstone=1, append=2)
+    // -> delete doc 4 (3); snapshots are the states between events
+    val dir = freshIndex(16)
+    val s1 = PhraseSearch.currentSeq(spark, dir)
+    PhraseSearch.upsertIndex(toksV2.filter(col("doc_id") === 2L), dir)
+    val s2 = PhraseSearch.currentSeq(spark, dir)
+    PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), dir)
+    val s3 = PhraseSearch.currentSeq(spark, dir)
+    assert(s1 < s2 && s2 < s3, "maintenance events must advance the counter")
+    val afterUpsert = toks.filter(col("doc_id") =!= 2L)
+      .unionByName(toksV2.filter(col("doc_id") === 2L))
+    val afterDelete = afterUpsert.filter(col("doc_id") =!= 4L)
+    for ((asOf, want, label) <- Seq(
+        (Some(s1), toks, "original build"),
+        (Some(s2), afterUpsert, "post-upsert"),
+        (Some(s3), afterDelete, "post-delete"),
+        (None, afterDelete, "latest"))) {
+      assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"),
+          asOf = asOf).collect().toSet ===
+        PhraseSearch.phraseHits(want, Seq("quick", "brown")).collect().toSet,
+        s"snapshot '$label' phrase hits diverged")
+      val docsAt = want.select("doc_id").distinct()
+      assert(PhraseSearch.servedSearch(spark, dir, "NOT brown", asOf = asOf)
+          .collect().toSet ===
+        PhraseSearch.search("NOT brown", want, docsAt).collect().toSet,
+        s"snapshot '$label' NOT-universe diverged")
+    }
+    // BM25 stats at snapshot 1 are the ORIGINAL corpus's N/L/df
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5,
+        asOf = Some(s1)).collect().toSeq ===
+      PhraseSearch.bm25TopK(docs, Seq("quick", "dog"), 5).collect().toSeq,
+      "snapshot BM25 must score with the snapshot's corpus stats")
+    // compaction reclaims to the LATEST state — history before it is
+    // gone by design (the trade a physical reclaim always makes)
+    PhraseSearch.compactIndex(spark, dir)
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet ===
+      PhraseSearch.phraseHits(afterDelete, Seq("quick", "brown")).collect().toSet)
+  }
+
   test("mergeIndexes folds shard builds into one clean layout, resolving tombstones") {
     val base = java.nio.file.Files.createTempDirectory("phrase_mrg_").toString
     val (a, b, out) = (s"$base/a", s"$base/b", s"$base/out")
