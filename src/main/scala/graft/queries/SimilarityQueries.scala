@@ -244,6 +244,54 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V36: TIME TRAVEL over a delete — serve v29's query from
+    // snapshot 1 of the DELETED index (v32's layout: build = event 0,
+    // the purge batch = event 1). Every maintenance batch occupies a
+    // distinct sequence slot, so `asOf = 1` must resurrect the
+    // pre-takedown candidate set exactly — the reproducibility hook
+    // that rebuilds the corpus view a training run actually saw. The
+    // read is the same pruned-cell scan with two extra pushed-down
+    // predicates (seq < S on rows, upto < S on tombstones); no
+    // second layout. Oracle = v29's full-corpus served SQL.
+    "v36_ivf_asof" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vdel", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16)
+        graft.similarity.IntKMeans.deleteFromIndex(
+          e.filter(col("vec_id") % 5 === 2).select("vec_id"), dir)
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4,
+          asOf = Some(1L))
+        .orderBy("q_id", "rank")
+    }),
+
+    // V37: TIME TRAVEL over an upsert — snapshot 1 of v34's
+    // stale-then-upserted index is the STALE build (negated vectors
+    // ≡ 2 mod 5, vectors ≡ 0 mod 11 not yet encoded): neither the
+    // upsert's tombstone (upto = 1, not < 1) nor its replacement
+    // rows (seq = 2) are visible at that snapshot. Queries are the
+    // TRUE embeddings quantized on the stored scale — time travel
+    // versions the index contents, never the query. Oracle = v34's
+    // stale-fit SQL with the base build as the candidate set.
+    "v37_ivf_asof_stale" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vups", d) { dir =>
+        val stale = e.filter(col("vec_id") % 11 =!= 0)
+          .withColumn("embedding",
+            when(col("vec_id") % 5 === 2,
+              transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")))
+        graft.similarity.IntKMeans.writeIndex(stale, dir, nlist = 16)
+        graft.similarity.IntKMeans.upsertIndex(
+          e.filter(col("vec_id") % 5 === 2 || col("vec_id") % 11 === 0), dir)
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4,
+          asOf = Some(1L))
+        .orderBy("q_id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -669,12 +717,9 @@ object SimilarityQueries {
     * shards received — exactly what the merge resolves away. */
   private lazy val ivfMergedSql = ivfAppendedSqlWith("a.vec_id % 5 <> 2")
 
-  /** v32/v33 oracle: the full-corpus fit (scale, seeds, Lloyd rounds,
-    * final assignment — identical to v07/v29's), with the tombstoned
-    * ids (vec_id ≡ 2 mod 5) excluded from the CANDIDATE set only.
-    * Queries and centroids see the full corpus: the coarse quantizer
-    * is frozen at build time and deletion never refits it. */
-  private lazy val ivfDeletedSql =
+  /** v29's oracle (and v36's): the full-corpus fit served as-is —
+    * `candFilter` restricts the candidate set for the deleted views. */
+  private def ivfServedSqlWith(candFilter: String) =
     s"""WITH $qvCte,
        |${lloydCtes(16)},
        |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
@@ -686,7 +731,7 @@ object SimilarityQueries {
        |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
        |      FROM af a JOIN probes p
        |        ON a.cell = p.cell AND a.vec_id <> p.q_id
-       |      WHERE a.vec_id % 5 <> 2),
+       |      WHERE $candFilter),
        |r AS (SELECT q_id, vec_id, qdot,
        |        CAST(row_number() OVER (PARTITION BY q_id
        |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
@@ -694,14 +739,26 @@ object SimilarityQueries {
        |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
 
+  private lazy val ivfServedSql = ivfServedSqlWith("TRUE")
+
+  /** v32/v33 oracle: the full-corpus fit (scale, seeds, Lloyd rounds,
+    * final assignment — identical to v07/v29's), with the tombstoned
+    * ids (vec_id ≡ 2 mod 5) excluded from the CANDIDATE set only.
+    * Queries and centroids see the full corpus: the coarse quantizer
+    * is frozen at build time and deletion never refits it. */
+  private lazy val ivfDeletedSql = ivfServedSqlWith("a.vec_id % 5 <> 2")
+
   /** v34 oracle: the STALE fit replayed end to end — scale + seeds +
     * Lloyd over the corrupted corpus (vec_id ≡ 2 mod 5 negated,
     * ≡ 0 mod 11 absent) — then the upsert resolved at read time:
     * stale rows of the upserted ids dropped, the corrected embeddings
     * quantized on the STORED (stale-corpus) scale and assigned to the
     * FROZEN centroids. Queries are the true embeddings on the same
-    * stored scale, exactly as servedTopK quantizes them. */
-  private lazy val ivfUpsertedSql = {
+    * stored scale, exactly as servedTopK quantizes them. `cands`
+    * picks the candidate CTE: `idx` = the upsert resolved (v34),
+    * `af` = the stale build only (v37's as-of snapshot — DuckDB never
+    * evaluates the unused upsert CTEs). */
+  private def ivfUpsertSqlWith(cands: String) = {
     val quant = "list_transform(embedding, x -> " +
       "CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT))"
     s"""WITH se AS (
@@ -728,7 +785,7 @@ object SimilarityQueries {
        |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
        |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
        |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
-       |      FROM idx a JOIN probes p
+       |      FROM $cands a JOIN probes p
        |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
        |r AS (SELECT q_id, vec_id, qdot,
        |        CAST(row_number() OVER (PARTITION BY q_id
@@ -737,6 +794,16 @@ object SimilarityQueries {
        |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  private lazy val ivfUpsertedSql = ivfUpsertSqlWith("idx")
+
+  /** v37 oracle: the STALE fit served as it stood at snapshot 1 —
+    * the same corrupted-corpus Lloyd chain as v34's, with the
+    * candidate set being the base build alone (no tombstone, no
+    * replacement rows — neither existed yet at that snapshot).
+    * Queries are still the TRUE embeddings on the stored scale:
+    * time travel versions the index contents, not the query. */
+  private lazy val ivfStaleAsOfSql = ivfUpsertSqlWith("af")
 
   /** Hashed-id seeds + two Lloyd rounds + final assignment `af` over
     * `k` cells — the full IntKMeans.fit(k, iters = 2) chain. */
@@ -1159,24 +1226,7 @@ object SimilarityQueries {
 
     // v29: the served IVF returns exactly what v07 returns (same
     // deterministic fit, persisted then re-read) — same oracle.
-    "v29_ivf_served" ->
-      s"""WITH $qvCte,
-         |${lloydCtes(16)},
-         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
-         |probes AS (SELECT q_id, qvq, cell FROM (
-         |    SELECT qq.q_id, qq.qvq, c.cell,
-         |      row_number() OVER (PARTITION BY qq.q_id
-         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
-         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
-         |d AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
-         |      FROM af a JOIN probes p
-         |        ON a.cell = p.cell AND a.vec_id <> p.q_id),
-         |r AS (SELECT q_id, vec_id, qdot,
-         |        CAST(row_number() OVER (PARTITION BY q_id
-         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
-         |      FROM d)
-         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
-         |ORDER BY q_id, rank""".stripMargin,
+    "v29_ivf_served" -> ivfServedSql,
 
     // v30/v31: incremental maintenance — the quantization scale AND
     // the Lloyd fit come from the BUILD half (even vec_ids) only; the
@@ -1202,6 +1252,11 @@ object SimilarityQueries {
     "v34_ivf_upserted" -> ivfUpsertedSql,
     // v35: shared-quantizer shard merge ≡ sequential append + delete
     "v35_ivf_merged" -> ivfMergedSql,
+    // v36: snapshot 1 of the deleted index = the full pre-takedown
+    // corpus (v29's view); v37: snapshot 1 of the upserted index =
+    // the stale build alone, served against the true queries
+    "v36_ivf_asof" -> ivfServedSql,
+    "v37_ivf_asof_stale" -> ivfStaleAsOfSql,
 
     // v12: the same Lloyd chain at k=10; browser stats are integer
     // aggregates of the final assignment.

@@ -256,9 +256,9 @@ object IntKMeans {
   /** UPSERT (the re-encode shape: an embedding-model refresh changed
     * some already-indexed vectors, plus possibly brand-new ids):
     * tombstone the batch's vec_ids at the current sequence number,
-    * then append the re-encoded vectors under that same number — the
+    * then append the re-encoded vectors under the next one — the
     * tombstone (vec_id, upto = S) kills every older version (seq < S)
-    * while the replacement rows (seq = S) survive it, so the swap is
+    * while the replacement rows (seq = S+1) survive it, so the swap is
     * atomic at read time and no cell file is rewritten. The new
     * embedding is quantized on the STORED scale and assigned to the
     * frozen coarse quantizer (appendIndex's rule) — it may land in a
@@ -297,7 +297,24 @@ object IntKMeans {
       // dimension-sized purge list: one file per delete batch
       .coalesce(1)
       .write.mode("append").parquet(s"$dir/tombstones")
+    // a delete is a versioned event like an append: advancing the
+    // counter gives every maintenance batch a distinct sequence slot,
+    // which is what makes the as-of snapshot reads well-defined
+    // (snapshot S excludes tombstones with upto >= S — they had not
+    // happened yet at S)
+    writeSeqNo(vecIds.sparkSession, dir, upto + 1)
   }
+
+  /** The index's current sequence number — the snapshot id
+    * [[servedTopK]]'s `asOf` parameter accepts. Snapshot S is the
+    * index state after events 0..S−1 (the base build is event 0;
+    * every append/delete/upsert batch advances the counter), so
+    * `currentSeq` names the LATEST state and any value recorded
+    * earlier names the exact historical state the index had then —
+    * the same reproducibility contract as the phrase plane's
+    * [[graft.text.PhraseSearch.currentSeq]]. */
+  def currentSeq(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    readSeqNo(spark, dir)
 
   /** The tombstone set, if any deletes have been recorded (driver-side
     * existence probe — index metadata, like the scale read). */
@@ -311,17 +328,23 @@ object IntKMeans {
   /** Drop tombstoned vectors from an indexed frame carrying
     * (vec_id, seq) — a broadcast anti-join (the purge list is
     * dimension-sized); a row dies iff SOME tombstone for its id
-    * postdates it (seq < upto). */
+    * postdates it (seq < upto). With `asOf = Some(S)` the frame is
+    * first cut to rows written before snapshot S (seq < S) and only
+    * tombstones that existed at S (upto < S) apply — time travel is
+    * two extra pushed-down predicates, no second layout. */
   private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                       dir: String): DataFrame =
+                       dir: String, asOf: Option[Long] = None): DataFrame = {
+    val cut = asOf.map(s => df.filter(col("seq") < s)).getOrElse(df)
     tombstones(spark, dir) match {
       case Some(t) =>
-        val ts = broadcast(t.select(col("vec_id").as("__t_vec"),
+        val vis = asOf.map(s => t.filter(col("upto") < s)).getOrElse(t)
+        val ts = broadcast(vis.select(col("vec_id").as("__t_vec"),
           col("upto").as("__t_upto")))
-        df.join(ts, df("vec_id") === col("__t_vec") &&
-          df("seq") < col("__t_upto"), "left_anti")
-      case None => df
+        cut.join(ts, cut("vec_id") === col("__t_vec") &&
+          cut("seq") < col("__t_upto"), "left_anti")
+      case None => cut
     }
+  }
 
   /** Compaction (the third maintenance op after build/append): each
     * [[appendIndex]] batch adds one file set per cell directory, so a
@@ -426,9 +449,13 @@ object IntKMeans {
     * partition pruning drop every unprobed cell directory from the
     * vectors scan (asserted by IntKMeansSpec). Output matches
     * [[ivfTopK]] bit-for-bit because the stored fit is the same
-    * deterministic fit. */
+    * deterministic fit. `asOf = Some(S)` answers from snapshot S
+    * instead of the latest state (see [[currentSeq]]); the coarse
+    * quantizer is frozen across maintenance, so the probe set needs
+    * no versioning — only the candidate rows do. */
   def servedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+                 queries: DataFrame, k: Int, nprobe: Int,
+                 asOf: Option[Long] = None): DataFrame = {
     val ma = broadcast(spark.read.parquet(s"$dir/meta"))
     val ctr = broadcast(spark.read.parquet(s"$dir/centroids"))
     // query quantization spelled out verbatim in quantizeInt8's op
@@ -441,7 +468,7 @@ object IntKMeans {
       .select(col("q_id"), col("qq"))
     // tombstone anti-join sits on top of the pruned cell scan:
     // deleted vectors vanish from results without touching the files
-    val vec = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir)
+    val vec = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir, asOf)
     rankProbed(vec, probeCells(qq, ctr, nprobe), k)
   }
 

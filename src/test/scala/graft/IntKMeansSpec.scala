@@ -240,6 +240,40 @@ class IntKMeansSpec extends SparkSpec {
       "delete after compaction did not hide compacted rows")
   }
 
+  test("as-of snapshot reads reproduce every historical IVF state") {
+    // event log: corrupted build (0) -> upsert vec 3 (tombstone=1,
+    // append=2) -> delete two served ids (3). Capture the served
+    // result after each event; any snapshot id recorded then must
+    // reproduce it after the index has moved on — the contract a
+    // training run needs to name the corpus view it actually saw.
+    val corrupted = blobs.withColumn("embedding",
+      when($"vec_id" === 3L,
+        transform($"embedding", x => x + lit(200.0f)))
+        .otherwise($"embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IntKMeans.writeIndex(corrupted, dir, nlist = 3)
+    val qs = blobs.filter($"vec_id" === 0)
+    def serve(asOf: Option[Long]) =
+      IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1, asOf = asOf)
+        .orderBy("q_id", "rank").collect().toSeq
+    val s1 = IntKMeans.currentSeq(spark, dir); val r1 = serve(None)
+    IntKMeans.upsertIndex(blobs.filter($"vec_id" === 3L), dir)
+    val s2 = IntKMeans.currentSeq(spark, dir); val r2 = serve(None)
+    val dead = r2.map(_.getLong(1)).take(2)
+    IntKMeans.deleteFromIndex(dead.toDF("vec_id"), dir)
+    val s3 = IntKMeans.currentSeq(spark, dir); val r3 = serve(None)
+    assert(s1 < s2 && s2 < s3, "maintenance events must advance the counter")
+    assert(r1 != r2 && r2 != r3, "each event must change the served view")
+    assert(serve(Some(s1)) === r1, "pre-upsert snapshot diverged")
+    assert(serve(Some(s2)) === r2, "post-upsert snapshot diverged")
+    assert(serve(Some(s3)) === r3, "post-delete snapshot diverged")
+    // compaction reclaims to the LATEST state — history before it is
+    // gone by design (the trade a physical reclaim always makes)
+    IntKMeans.compactIndex(spark, dir)
+    assert(serve(None) === r3,
+      "reclaimed layout serves differently from the logical view")
+  }
+
   test("mergeIndexes folds shared-quantizer shards, resolving tombstones") {
     val base = java.nio.file.Files.createTempDirectory("ivf_mrg_").toString
     val (a, b, out) = (s"$base/a", s"$base/b", s"$base/out")
