@@ -83,7 +83,8 @@ object Bench {
       "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted",
       "v32_ivf_deleted", "v33_ivf_reclaimed", "v34_ivf_upserted",
       "v35_ivf_merged",
-      "st16_stream_index_parity", "st17_stream_cdc_parity")
+      "st16_stream_index_parity", "st17_stream_cdc_parity",
+      "st18_stream_ivf_parity")
     // targeted runs warm only what they measure — a 1-query iteration
     // loop must not pay 13 index builds it never serves from
     warmups.filter(selected.contains).foreach { n =>

@@ -328,7 +328,19 @@ object PhraseQueries {
     // hash-mismatches. Oracle = ph04's SQL over the stale corpus.
     "ph24_asof_bm25" -> ((s, d) =>
       PhraseSearch.servedBm25TopK(s, phUpsIdx(s, d),
-        Seq("customer", "spark", "vector"), k = 10, asOf = Some(1L)))
+        Seq("customer", "spark", "vector"), k = 10, asOf = Some(1L))),
+
+    // PH25: as-of BOOLEAN search — ph08's query language served from
+    // snapshot 1 of the upserted index. The NOT-universe must
+    // time-travel too: it comes from the doclen sidecar cut to the
+    // snapshot, so a NOT arm neither resurrects docs that hadn't been
+    // crawled yet nor keeps docs whose replacement arrived later.
+    // With ph23/ph24 this gives every §3.3 served form an as-of
+    // variant. Oracle = ph02's boolean over the stale corpus tokens.
+    "ph25_asof_boolean" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phUpsIdx(s, d),
+          """spark AND (window OR NOT batch)""", asOf = Some(1L))
+        .orderBy("doc_id"))
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -484,6 +496,19 @@ object PhraseQueries {
        |FROM sc GROUP BY 1
        |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin
 
+  // ph25: ph02's boolean evaluated over the stale corpus TOKENS (the
+  // truncation can cut a term out of a doc's first 10 tokens, so the
+  // raw-text oracle would be wrong here) — universe = docs the stale
+  // corpus had at all.
+  private val staleAsOfBooleanSql =
+    s"""WITH st AS ($staleToksSql),
+       |has AS (SELECT DISTINCT doc_id, tok FROM st)
+       |SELECT DISTINCT doc_id FROM st
+       |WHERE doc_id IN (SELECT doc_id FROM has WHERE tok = 'spark')
+       |  AND (doc_id IN (SELECT doc_id FROM has WHERE tok = 'window')
+       |       OR doc_id NOT IN (SELECT doc_id FROM has WHERE tok = 'batch'))
+       |ORDER BY doc_id""".stripMargin
+
   private val deletedPhraseSql =
     s"""SELECT a.doc_id, CAST(a.pos AS INT) AS pos
        |FROM ($delToksSql) a JOIN ($delToksSql) b
@@ -560,6 +585,7 @@ object PhraseQueries {
     // the base build indexed, positions, BM25 stats and all
     "ph23_asof_phrase" -> staleAsOfPhraseSql,
     "ph24_asof_bm25" -> staleAsOfBm25Sql,
+    "ph25_asof_boolean" -> staleAsOfBooleanSql,
 
     // ph13: bucket = the same (acc*31 + codepoint) % 1e9+7 rolling
     // hash both engines compute (see TextQueries' shingleIdsSql),

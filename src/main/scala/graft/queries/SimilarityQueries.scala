@@ -292,6 +292,29 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V38: full-index integrity AUDIT — the IVF counterpart of the
+    // phrase plane's ph13: read EVERY stored vector row from the
+    // persisted index and aggregate per cell (occupancy, vec_id
+    // checksum, integer norm mass); the oracle recomputes the same
+    // aggregates by replaying the deterministic fit. Unlike
+    // v29-v37 (which prove one query's ANSWER right), this proves the
+    // index CONTENTS complete, correctly assigned, and bit-faithfully
+    // quantized — the post-build health check a serving store runs,
+    // and the direct observability for cell skew (a hot cell is an
+    // outlier n_vectors row, the signal that decides nlist/nprobe).
+    "v38_ivf_audit" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("ivfidx", d)(dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16))
+      tune(s).read.parquet(s"$dir/vectors")
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("vec_id")).as("id_sum"),
+          sum(aggregate(col("q"), lit(0L),
+            (a, x) => a + x.cast("long") * x.cast("long"))).as("qnorm_sum"))
+        .orderBy("cell")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -672,23 +695,25 @@ object SimilarityQueries {
        |    unnest(list_zip(a.q, generate_series(0, len(a.q) - 1))) AS u(z)
        |  GROUP BY cell, u.z[2]) t1 GROUP BY cell""".stripMargin
 
-  /** v30/v31 oracle (and, filtered, v35's): fit on the even half
-    * (scale + seeds + Lloyd from `qb` only), frozen-centroid
-    * assignment of the odd half, serve over the union — the exact
-    * contents servedTopK reads back from an appended (and optionally
-    * compacted, or shard-merged) index. `candFilter` restricts the
-    * candidate set (v35 drops the shards' tombstoned ids). */
-  private def ivfAppendedSqlWith(candFilter: String) =
+  /** v30/v31 oracle (and, filtered, v35's; re-split, st18's): fit on
+    * the `buildPred` slice (scale + seeds + Lloyd from `qb` only),
+    * frozen-centroid assignment of everything else, serve over the
+    * union — the exact contents servedTopK reads back from an
+    * appended (and optionally compacted, or shard-merged, or
+    * stream-built) index. `candFilter` restricts the candidate set
+    * (v35 drops the shards' tombstoned ids). */
+  private[queries] def ivfAppendedSqlWith(candFilter: String,
+                                          buildPred: String = "vec_id % 2 = 0") =
     s"""WITH m AS (
        |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
        |  FROM (SELECT unnest(embedding) AS x FROM embeddings
-       |        WHERE vec_id % 2 = 0) u0),
+       |        WHERE $buildPred) u0),
        |qv AS (SELECT vec_id, label,
        |         list_transform(embedding,
        |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
        |       FROM embeddings, m),
-       |qb AS (SELECT * FROM qv WHERE vec_id % 2 = 0),
-       |qo AS (SELECT * FROM qv WHERE vec_id % 2 = 1),
+       |qb AS (SELECT * FROM qv WHERE $buildPred),
+       |qo AS (SELECT * FROM qv WHERE NOT ($buildPred)),
        |${lloydCtes(16, "qb")},
        |aApp AS (${assignCte("c2", "qo")}),
        |idx AS (SELECT vec_id, q, cell FROM af
@@ -1257,6 +1282,15 @@ object SimilarityQueries {
     // the stale build alone, served against the true queries
     "v36_ivf_asof" -> ivfServedSql,
     "v37_ivf_asof_stale" -> ivfStaleAsOfSql,
+    // v38: per-cell content audit of the persisted index — occupancy,
+    // id checksum and integer norm mass must equal the replayed fit's
+    "v38_ivf_audit" ->
+      s"""WITH $qvCte,
+         |${lloydCtes(16)}
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(${sumsqi("q")}) AS BIGINT) AS qnorm_sum
+         |FROM af GROUP BY cell ORDER BY cell""".stripMargin,
 
     // v12: the same Lloyd chain at k=10; browser stats are integer
     // aggregates of the final assignment.

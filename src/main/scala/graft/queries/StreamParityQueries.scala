@@ -271,6 +271,48 @@ object StreamParityQueries {
       }
       graft.text.PhraseSearch.servedPhraseHits(s, dir, Seq("the", "customer"))
         .orderBy("doc_id", "pos")
+    }),
+
+    // ST18: STREAMING IVF index maintenance — st16's shape on the
+    // vector plane. The coarse quantizer is fitted ONCE in batch on a
+    // bootstrap slice (vec_id ≡ 0 mod 7 — production fits the
+    // quantizer offline on a sample, then freezes it), and the other
+    // six slices arrive as ordered micro-batches, each appended via
+    // IntKMeans.appendIndex inside foreachBatch behind the batchId
+    // ledger (a replayed batch must not double its cell rows).
+    // Frozen-centroid assignment makes append order irrelevant to the
+    // final contents, so the stream-built index must serve exactly
+    // the bootstrap-fit + frozen-assignment answer — v30's oracle
+    // re-split on the bootstrap predicate.
+    "st18_stream_ivf_parity" -> ((s, d) => {
+      val e = Tables.embeddings(tune(s), d)
+      val dir = Q.memoIndex("st18idx", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(
+          e.filter(col("vec_id") % 7 === 0), dir, nlist = 16)
+        val base = freshBase("st18")
+        val inDir = stage(base,
+          (1 until 7).map(i => e.filter(pmod(col("vec_id"), lit(7)) === i)))
+        val src = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val applied = base.resolve("applied")
+        Files.createDirectories(applied)
+        val q = src.writeStream.outputMode("append")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+            val marker = applied.resolve(s"batch-$batchId")
+            if (!Files.exists(marker)) {
+              graft.similarity.IntKMeans.appendIndex(b, dir)
+              Files.createFile(marker)
+              ()
+            }
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        Seq("in", "ckpt", "applied").foreach(n => rmTree(base.resolve(n)))
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -306,5 +348,10 @@ object StreamParityQueries {
 
     // the CDC-synced index must serve exactly what an index built on
     // today's corpus serves — ph01's oracle verbatim
-    "st17_stream_cdc_parity" -> PhraseQueries.oracle("ph01_phrase_hits"))
+    "st17_stream_cdc_parity" -> PhraseQueries.oracle("ph01_phrase_hits"),
+
+    // the stream-built IVF must serve the bootstrap-fit +
+    // frozen-assignment answer — v30's oracle on the mod-7 split
+    "st18_stream_ivf_parity" ->
+      SimilarityQueries.ivfAppendedSqlWith("TRUE", "vec_id % 7 = 0"))
 }
