@@ -340,7 +340,30 @@ object PhraseQueries {
     "ph25_asof_boolean" -> ((s, d) =>
       PhraseSearch.servedSearch(s, phUpsIdx(s, d),
           """spark AND (window OR NOT batch)""", asOf = Some(1L))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // PH26: ROLLBACK — the undo for a bad maintenance batch. The
+    // index takes a bad upsert AND a bad delete after its base build,
+    // then [[PhraseSearch.rollbackIndex]] truncates the event log
+    // back to snapshot 1: rows written at events >= 1 and tombstones
+    // recorded at events >= 1 are PHYSICALLY dropped and the counter
+    // reset, so serving HEAD (no asOf) must equal what the as-of read
+    // answered before — and maintenance continues from the freed
+    // slot. ph23 proves the historical state is readABLE; this proves
+    // it is restorABLE as the live index. Oracle = ph23's stale-
+    // corpus SQL, served here at HEAD.
+    "ph26_rollback_phrase" -> ((s, d) =>
+      PhraseSearch.servedPhraseHits(s, phRbkIdx(s, d), Seq("the", "customer"))
+        .orderBy("doc_id", "pos")),
+
+    // PH27: the rollback must restore the GLOBAL ranking stats too —
+    // doclen is truncated alongside the postings, so BM25's N/L/df at
+    // HEAD are the stale corpus's (a rollback that only fixed the
+    // postings would score with post-upsert stats and hash-mismatch).
+    // Oracle = ph24's stale-corpus BM25 SQL, served at HEAD.
+    "ph27_rollback_bm25" -> ((s, d) =>
+      PhraseSearch.servedBm25TopK(s, phRbkIdx(s, d),
+        Seq("customer", "spark", "vector"), k = 10))
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -402,6 +425,25 @@ object PhraseQueries {
       PhraseSearch.writeIndex(
         t.filter(!missing && (!changed || col("pos") < 10)), dir, nBuckets = 64)
       PhraseSearch.upsertIndex(t.filter(changed || missing), dir)
+    }
+
+  /** Shared rolled-back index (ph26/ph27): phUpsIdx's stale build +
+    * upsert, plus a delete batch on top — then ONE
+    * [[PhraseSearch.rollbackIndex]] to snapshot 1 truncates all of it
+    * (the upsert's replacement rows, its tombstone, and the delete's)
+    * and the live HEAD is the stale build again. */
+  private def phRbkIdx(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Q.memoIndex("phrbk", d) { dir =>
+      val t = toks(s, d)
+      val changed = col("doc_id") % 5 === 2
+      val missing = col("doc_id") % 11 === 0
+      PhraseSearch.writeIndex(
+        t.filter(!missing && (!changed || col("pos") < 10)), dir, nBuckets = 64)
+      PhraseSearch.upsertIndex(t.filter(changed || missing), dir)
+      PhraseSearch.deleteFromIndex(
+        Tables.documents(tune(s), d).filter(col("doc_id") % 7 === 3)
+          .select("doc_id"), dir)
+      PhraseSearch.rollbackIndex(s, dir, 1L)
     }
 
   /** Shared deleted-but-not-yet-compacted index (ph14/ph15): full
@@ -586,6 +628,11 @@ object PhraseQueries {
     "ph23_asof_phrase" -> staleAsOfPhraseSql,
     "ph24_asof_bm25" -> staleAsOfBm25Sql,
     "ph25_asof_boolean" -> staleAsOfBooleanSql,
+
+    // ph26/ph27: rollback restores the stale build as the LIVE index
+    // — same stale-corpus SQL as the as-of reads, served at HEAD
+    "ph26_rollback_phrase" -> staleAsOfPhraseSql,
+    "ph27_rollback_bm25" -> staleAsOfBm25Sql,
 
     // ph13: bucket = the same (acc*31 + codepoint) % 1e9+7 rolling
     // hash both engines compute (see TextQueries' shingleIdsSql),

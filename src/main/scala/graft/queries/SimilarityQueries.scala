@@ -315,6 +315,62 @@ object SimilarityQueries {
         .orderBy("cell")
     }),
 
+    // V39: ROLLBACK — the undo for a bad maintenance batch on the
+    // vector plane. v34's stale index takes its upsert AND a purge
+    // batch, then [[IntKMeans.rollbackIndex]] truncates the event log
+    // back to snapshot 1: replacement rows, both tombstone batches,
+    // and the counter all physically revert, so serving HEAD must
+    // equal what v37's as-of read answered — the stale build, queried
+    // with the TRUE embeddings on the stored scale. v37 proves the
+    // snapshot is readABLE; this proves it is restorABLE as the live
+    // index (the operational difference: maintenance continues from
+    // the freed seq slot). Oracle = v37's stale-fit SQL.
+    "v39_ivf_rollback" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vrbk", d) { dir =>
+        val stale = e.filter(col("vec_id") % 11 =!= 0)
+          .withColumn("embedding",
+            when(col("vec_id") % 5 === 2,
+              transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")))
+        graft.similarity.IntKMeans.writeIndex(stale, dir, nlist = 16)
+        graft.similarity.IntKMeans.upsertIndex(
+          e.filter(col("vec_id") % 5 === 2 || col("vec_id") % 11 === 0), dir)
+        graft.similarity.IntKMeans.deleteFromIndex(
+          e.filter(col("vec_id") % 7 === 3).select("vec_id"), dir)
+        graft.similarity.IntKMeans.rollbackIndex(s, dir, 1L)
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // V40: QUANTIZER REFRESH — re-cluster a drifted index. Build on
+    // the even half, append the odd half against the FROZEN quantizer
+    // (v30's daily-crawl shape — correct, but cell occupancy now
+    // reflects the even half's geometry, not the union's), then ONE
+    // [[IntKMeans.refreshIndex]]: the deterministic Lloyd chain
+    // re-fitted over the index's own LIVE stored vectors — never
+    // re-reads the corpus, never re-quantizes (meta/scale untouched,
+    // so queries keep quantizing on the even-half grid). The served
+    // result must equal a FRESH fit over the union on that same
+    // stored scale — the state an offline rebuild would have produced,
+    // reached by an index-only rewrite. Oracle = the served SQL with
+    // the grid pinned to the even half.
+    "v40_ivf_refreshed" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vrfr", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(
+          e.filter(col("vec_id") % 2 === 0), dir, nlist = 16)
+        graft.similarity.IntKMeans.appendIndex(
+          e.filter(col("vec_id") % 2 === 1), dir)
+        graft.similarity.IntKMeans.refreshIndex(s, dir, nlist = 16)
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -664,15 +720,20 @@ object SimilarityQueries {
        |  (a, x) -> a + x)""".stripMargin
 
   /** `m` + `qv` CTEs: the corpus on the shared int8 grid as BIGINT
-    * lists (same round(x*127/maxabs) chain as v08/v09). */
-  private val qvCte =
-    """m AS (
-      |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
-      |  FROM (SELECT unnest(embedding) AS x FROM embeddings) u0),
-      |qv AS (SELECT vec_id, label,
-      |         list_transform(embedding,
-      |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
-      |       FROM embeddings, m)""".stripMargin
+    * lists (same round(x*127/maxabs) chain as v08/v09). `scalePred`
+    * restricts the rows that DEFINE the grid (v40: a refreshed index
+    * keeps the ORIGINAL build slice's stored scale). */
+  private def qvCteWith(scalePred: String) =
+    s"""m AS (
+       |  SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+       |  FROM (SELECT unnest(embedding) AS x FROM embeddings
+       |        WHERE $scalePred) u0),
+       |qv AS (SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
+       |       FROM embeddings, m)""".stripMargin
+
+  private val qvCte = qvCteWith("TRUE")
 
   /** One Lloyd assignment: nearest centroid in CTE `ctr` by integer
     * squared L2, ties to the lower cell id. `src` = the quantized
@@ -743,9 +804,12 @@ object SimilarityQueries {
   private lazy val ivfMergedSql = ivfAppendedSqlWith("a.vec_id % 5 <> 2")
 
   /** v29's oracle (and v36's): the full-corpus fit served as-is —
-    * `candFilter` restricts the candidate set for the deleted views. */
-  private def ivfServedSqlWith(candFilter: String) =
-    s"""WITH $qvCte,
+    * `candFilter` restricts the candidate set for the deleted views,
+    * `scalePred` the slice whose max-abs defines the int8 grid (v40:
+    * the refreshed index re-fits over everything but keeps the
+    * original even-half build's stored scale). */
+  private def ivfServedSqlWith(candFilter: String, scalePred: String = "TRUE") =
+    s"""WITH ${qvCteWith(scalePred)},
        |${lloydCtes(16)},
        |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
        |probes AS (SELECT q_id, qvq, cell FROM (
@@ -1282,6 +1346,12 @@ object SimilarityQueries {
     // the stale build alone, served against the true queries
     "v36_ivf_asof" -> ivfServedSql,
     "v37_ivf_asof_stale" -> ivfStaleAsOfSql,
+    // v39: rollback restores the stale build as the LIVE index —
+    // v37's SQL, served at HEAD after the truncation
+    "v39_ivf_rollback" -> ivfStaleAsOfSql,
+    // v40: refresh-after-append ≡ one fresh fit over the union, on
+    // the even-half build's stored scale
+    "v40_ivf_refreshed" -> ivfServedSqlWith("TRUE", "vec_id % 2 = 0"),
     // v38: per-cell content audit of the persisted index — occupancy,
     // id checksum and integer norm mass must equal the replayed fit's
     "v38_ivf_audit" ->

@@ -370,19 +370,119 @@ object IntKMeans {
       spark, dir)
       .repartition(col("cell"))
       .sortWithinPartitions("vec_id")
-    val tmp = s"$dir/vectors.compact"
-    vec.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    swapRewrite(spark, s"$dir/vectors", vec.write.partitionBy("cell"))
+    if (ts.isDefined) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    }
+  }
+
+  /** Write `w` to `<path>.compact`, then swap it into `path` via a
+    * backup rename (live -> .old, compact -> live, drop .old) — the
+    * live data is never deleted before its replacement lands, so a
+    * failure at any step leaves either the old or the new layout
+    * intact (PhraseSearch.swapRewrite's protocol). */
+  private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
+    val tmp = path + ".compact"
+    w.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/vectors")
-    val bak = new org.apache.hadoop.fs.Path(s"$dir/vectors.old")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(bak, true)
-    require(fs.rename(p, bak), s"compaction: cannot stash $dir/vectors")
+    require(fs.rename(p, bak), s"swap: cannot stash $path")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compaction swap failed for $dir/vectors — previous layout at $bak")
+      s"swap failed for $path — previous layout at $bak")
     fs.delete(bak, true)
-    if (ts.isDefined)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+  }
+
+  /** ROLLBACK: restore the index HEAD to snapshot `toSeq` — the undo
+    * for a bad maintenance batch (a mis-encoded model refresh
+    * upserted, a purge list that was too broad). Every batch is a
+    * seq-stamped event ([[currentSeq]]), so rollback is a TRUNCATION
+    * of the event log: physically drop vector rows written at events
+    * >= toSeq and tombstones recorded at events >= toSeq, then reset
+    * the counter. After it, serving HEAD equals what
+    * `asOf = Some(toSeq)` served before, older snapshots are
+    * untouched, and maintenance continues from toSeq — the next
+    * append reuses the vacated seq slot, which is why the dead rows
+    * must go physically, not logically. Centroids/meta are untouched
+    * (the coarse quantizer is frozen across ALL maintenance, so it
+    * was identical at every snapshot). A filter-rewrite over the
+    * index itself — never refits, never re-quantizes. Crash order:
+    * tombstones first (a crash after that serves MORE rows — the
+    * direction rollback is headed), vectors via backup-rename swap,
+    * counter last. v39's oracle proves HEAD-after-rollback ≡ the
+    * stale snapshot; IntKMeansSpec covers append-after-rollback. */
+  def rollbackIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    toSeq: Long): Unit = {
+    val cur = readSeqNo(spark, dir)
+    require(toSeq >= 1 && toSeq <= cur,
+      s"rollback target $toSeq outside [1, $cur]")
+    if (toSeq == cur) return
+    tombstones(spark, dir).foreach { t =>
+      val keep = t.filter(col("upto") < toSeq)
+      if (keep.isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      } else swapRewrite(spark, s"$dir/tombstones", keep.coalesce(1).write)
+    }
+    val vec = spark.read.parquet(s"$dir/vectors")
+      .filter(col("seq") < toSeq)
+      .select(col("vec_id"), col("q"), col("seq"), col("cell"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("vec_id")
+    swapRewrite(spark, s"$dir/vectors", vec.write.partitionBy("cell"))
+    writeSeqNo(spark, dir, toSeq)
+  }
+
+  /** REFRESH the coarse quantizer: re-fit Lloyd over the LIVE stored
+    * vectors and rewrite the index under the new cell geometry — the
+    * re-cluster a long-maintained IVF eventually needs. Appends/
+    * upserts assign against FROZEN centroids (correct for serving,
+    * but the cell occupancy skews as the corpus drifts from the
+    * bootstrap distribution: hot cells grow unbounded — v38's audit
+    * is the observability for exactly that), and refresh is the
+    * rebalance: the same deterministic integer-Lloyd chain as
+    * [[fit]] (hashed-id seeds, truncated-integer means, ties to the
+    * lower cell), but fed from the index's own stored `q` vectors —
+    * never re-reads the corpus, never re-quantizes (the stored int8
+    * grid IS the data; meta/scale are untouched, so in-flight query
+    * quantization is unaffected). Tombstones are resolved on the way
+    * in, and the output is a NEW index generation: seq 0, fresh
+    * counter, no sidecar — the same contract as [[mergeIndexes]]
+    * (history before a physical rewrite is gone by design). Swapped
+    * in via backup rename; `nlist` may differ from the original
+    * (re-tuning cell count IS a refresh use case). v40's oracle
+    * proves refresh-after-append ≡ one fresh fit over the union on
+    * the ORIGINAL stored scale. */
+  def refreshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   nlist: Int, iters: Int = 2): Unit = {
+    val ts = tombstones(spark, dir)
+    val live = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir)
+      .select(col("vec_id"), lit(null).cast("string").as("label"), col("q"))
+      .cache()
+    var (ctr, pin) = graft.util.Checkpoints.roll(seedCentroids(live, nlist), None)
+    (1 to iters).foreach { _ =>
+      val (c2, p2) = graft.util.Checkpoints.roll(update(assign(live, ctr)), pin)
+      ctr = c2; pin = p2
+    }
+    val asg = assign(live, ctr)
+      .select(col("vec_id"), col("q"), lit(0L).as("seq"), col("cell"))
+      .repartition(col("cell"))
+      .sortWithinPartitions("vec_id")
+    swapRewrite(spark, s"$dir/vectors", asg.write.partitionBy("cell"))
+    swapRewrite(spark, s"$dir/centroids", ctr.write)
+    live.unpersist(blocking = false)
+    pin.foreach(_.unpersist(blocking = false))
+    if (ts.isDefined) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    writeSeqNo(spark, dir, 1L)
   }
 
   /** Start an EMPTY shard that SHARES `fromDir`'s coarse quantizer

@@ -470,6 +470,53 @@ object PhraseSearch {
     }
   }
 
+  /** ROLLBACK: restore the index HEAD to snapshot `toSeq` — the
+    * undo for a bad maintenance batch (a corrupted re-crawl upserted,
+    * a takedown list that was too broad). Because every batch is a
+    * seq-stamped event (see [[currentSeq]]), rollback is a TRUNCATION
+    * of the event log: physically drop rows written at events
+    * >= toSeq and tombstones recorded at events >= toSeq, then reset
+    * the counter to toSeq. After it, serving HEAD equals what
+    * `asOf = Some(toSeq)` served before, every older snapshot is
+    * untouched (their rows and tombstones all predate the cut), and
+    * maintenance continues from toSeq — the next append writes at
+    * the seq slot the rolled-back batch vacated, which is exactly why
+    * the dead rows must be removed physically, not hidden. The
+    * rewrite is a filter over the index itself (never re-tokenizes);
+    * rollback to the current seq is a no-op. Crash order: tombstone
+    * sidecar first (a crash after that serves MORE rows — the
+    * direction the rollback is headed), then postings/doclen via the
+    * same backup-rename swap compaction uses, counter last.
+    * ph26's oracle proves HEAD-after-rollback ≡ the stale corpus;
+    * PhraseIndexSpec covers append-after-rollback reusing the freed
+    * seq slot. */
+  def rollbackIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    toSeq: Long): Unit = {
+    val cur = readSeqNo(spark, dir)
+    require(toSeq >= 1 && toSeq <= cur,
+      s"rollback target $toSeq outside [1, $cur]")
+    if (toSeq == cur) return
+    tombstones(spark, dir).foreach { t =>
+      val keep = t.filter(col("upto") < toSeq)
+      if (keep.isEmpty) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      } else swapRewrite(spark, s"$dir/tombstones", keep.coalesce(1).write)
+    }
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("seq") < toSeq)
+      .select(col("doc_id"), col("pos"), col("tok"), col("seq"), col("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("tok", "doc_id", "pos")
+    swapRewrite(spark, s"$dir/postings", posts.write.partitionBy("bucket"))
+    val dl = spark.read.parquet(s"$dir/doclen")
+      .filter(col("seq") < toSeq)
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    swapRewrite(spark, s"$dir/doclen", dl.write)
+    writeSeqNo(spark, dir, toSeq)
+  }
+
   /** MERGE independently built shard indexes into one serving layout —
     * the distributed 100 TB build shape: N builders each tokenize and
     * index a corpus partition in parallel (no coordination beyond a

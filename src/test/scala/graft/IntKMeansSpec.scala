@@ -274,6 +274,94 @@ class IntKMeansSpec extends SparkSpec {
       "reclaimed layout serves differently from the logical view")
   }
 
+  test("refreshIndex re-fits the quantizer over live contents (≡ fresh fit on the union)") {
+    // build on the even ids, append the odd ids against the frozen
+    // quantizer, then refresh: the re-fit must equal one fresh fit
+    // over the union. (Every blob-2 member hits the global max-abs
+    // 203 at some dim — the jitter depends only on the dim — so the
+    // even half's stored scale IS the union's and the comparison is
+    // bit-exact.)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rfr_").toString
+    IntKMeans.writeIndex(blobs.filter($"vec_id" % 2 === 0), dir, nlist = 3)
+    IntKMeans.appendIndex(blobs.filter($"vec_id" % 2 === 1), dir)
+    // a takedown lands before the refresh: it must be resolved into
+    // the rewrite (physically gone), not carried into the new
+    // generation's sidecar
+    IntKMeans.deleteFromIndex(Seq(6L).toDF("vec_id"), dir)
+    IntKMeans.refreshIndex(spark, dir, nlist = 3)
+    val qs = blobs.filter($"vec_id" === 0)
+    val served = IntKMeans.servedTopK(spark, dir, qs, k = 10, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq
+    val direct = IntKMeans.ivfTopK(blobs.filter($"vec_id" =!= 6L), qs,
+        k = 10, nlist = 3, nprobe = 1)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(served === direct,
+      "refreshed index must serve a fresh union fit bit-for-bit")
+    // a new generation: counter reset, every row at seq 0, no sidecar
+    assert(IntKMeans.currentSeq(spark, dir) === 1L)
+    assert(spark.read.parquet(s"$dir/vectors").filter($"seq" =!= 0L)
+      .count() === 0L, "refresh must re-stamp rows to seq 0")
+    assert(spark.read.parquet(s"$dir/vectors").filter($"vec_id" === 6L)
+      .count() === 0L, "tombstoned row must be resolved into the rewrite")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/tombstones")),
+      "refresh must clear the tombstone sidecar")
+    // maintenance continues on the new generation
+    IntKMeans.deleteFromIndex(Seq(3L).toDF("vec_id"), dir)
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1)
+      .filter($"vec_id" === 3L).count() === 0L,
+      "post-refresh delete must apply")
+  }
+
+  test("rollbackIndex truncates the IVF event log back to a snapshot") {
+    // event log: corrupted build (0) -> upsert vec 3 (1,2) -> delete (3)
+    val corrupted = blobs.withColumn("embedding",
+      when($"vec_id" === 3L,
+        transform($"embedding", x => x + lit(200.0f)))
+        .otherwise($"embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rbk_").toString
+    IntKMeans.writeIndex(corrupted, dir, nlist = 3)
+    val qs = blobs.filter($"vec_id" === 0)
+    def serve() =
+      IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1)
+        .orderBy("q_id", "rank").collect().toSeq
+    val s1 = IntKMeans.currentSeq(spark, dir); val r1 = serve()
+    IntKMeans.upsertIndex(blobs.filter($"vec_id" === 3L), dir)
+    val s2 = IntKMeans.currentSeq(spark, dir); val r2 = serve()
+    IntKMeans.deleteFromIndex(r2.map(_.getLong(1)).take(2).toDF("vec_id"), dir)
+    // roll the delete back: HEAD = post-upsert state; the delete's
+    // tombstone is physically gone, the upsert's (older) survives
+    IntKMeans.rollbackIndex(spark, dir, s2)
+    assert(IntKMeans.currentSeq(spark, dir) === s2)
+    assert(serve() === r2, "HEAD after rollback must equal the target snapshot")
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1,
+        asOf = Some(s1)).orderBy("q_id", "rank").collect().toSeq === r1,
+      "pre-rollback history must survive a rollback")
+    // roll the upsert back too: replacement row + its tombstone vanish
+    IntKMeans.rollbackIndex(spark, dir, s1)
+    assert(serve() === r1, "rollback to the base build diverged")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/tombstones")),
+      "rolled-back tombstones must be physically removed")
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter($"seq" >= s1).count() === 0L,
+      "rows written after the rollback target must be physically gone")
+    // maintenance continues: an append lands in the vacated seq slot
+    // (x10 the query direction so it dominates the dot-product ranking
+    // over the tiny quantized jitter values unambiguously)
+    IntKMeans.appendIndex(
+      blobs.filter($"vec_id" === 3L)
+        .withColumn("vec_id", lit(60L))
+        .withColumn("embedding", transform($"embedding", x => x * 10.0f)), dir)
+    assert(IntKMeans.servedTopK(spark, dir,
+        blobs.filter($"vec_id" === 3L), k = 1, nprobe = 1)
+      .collect().map(_.getLong(1)).toSeq === Seq(60L),
+      "append after rollback must serve the new vector")
+    intercept[IllegalArgumentException] {
+      IntKMeans.rollbackIndex(spark, dir, IntKMeans.currentSeq(spark, dir) + 1)
+    }
+  }
+
   test("mergeIndexes folds shared-quantizer shards, resolving tombstones") {
     val base = java.nio.file.Files.createTempDirectory("ivf_mrg_").toString
     val (a, b, out) = (s"$base/a", s"$base/b", s"$base/out")

@@ -494,6 +494,55 @@ class PhraseIndexSpec extends SparkSpec {
     }
   }
 
+  test("rollbackIndex truncates the event log back to a snapshot") {
+    // event log: build (0) -> upsert doc 2 (1,2) -> delete doc 4 (3)
+    val dir = freshIndex(16)
+    val s1 = PhraseSearch.currentSeq(spark, dir)
+    PhraseSearch.upsertIndex(toksV2.filter(col("doc_id") === 2L), dir)
+    val s2 = PhraseSearch.currentSeq(spark, dir)
+    PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), dir)
+    // roll the delete back: HEAD must serve the post-upsert state and
+    // the delete's tombstone must be physically gone
+    PhraseSearch.rollbackIndex(spark, dir, s2)
+    val afterUpsert = toks.filter(col("doc_id") =!= 2L)
+      .unionByName(toksV2.filter(col("doc_id") === 2L))
+    assert(PhraseSearch.currentSeq(spark, dir) === s2)
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet ===
+      PhraseSearch.phraseHits(afterUpsert, Seq("quick", "brown")).collect().toSet,
+      "HEAD after rollback must equal the target snapshot")
+    // older snapshots are untouched (rollback truncates, never damages)
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"),
+        asOf = Some(s1)).collect().toSet ===
+      PhraseSearch.phraseHits(toks, Seq("quick", "brown")).collect().toSet,
+      "pre-rollback history must survive a rollback")
+    // roll the upsert back too: the replacement rows (seq >= s1) and
+    // the upsert's tombstone both vanish — original build served at HEAD
+    PhraseSearch.rollbackIndex(spark, dir, s1)
+    assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "dog"), 5)
+      .collect().toSeq ===
+      PhraseSearch.bm25TopK(docs, Seq("quick", "dog"), 5).collect().toSeq,
+      "rollback to the base build must restore its BM25 stats exactly")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/tombstones")),
+      "rolled-back tombstones must be physically removed")
+    // maintenance continues from the freed slot: a fresh append must
+    // serve exactly like an append onto a never-rolled-back build
+    PhraseSearch.appendIndex(toksV2.filter(col("doc_id") === 6L), dir)
+    val want = toks.unionByName(toksV2.filter(col("doc_id") === 6L))
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "turtle"))
+      .collect().toSet ===
+      PhraseSearch.phraseHits(want, Seq("quick", "turtle")).collect().toSet,
+      "append after rollback must reuse the vacated seq slot cleanly")
+    // a no-op rollback (to the current seq) changes nothing
+    val before = PhraseSearch.currentSeq(spark, dir)
+    PhraseSearch.rollbackIndex(spark, dir, before)
+    assert(PhraseSearch.currentSeq(spark, dir) === before)
+    intercept[IllegalArgumentException] {
+      PhraseSearch.rollbackIndex(spark, dir, before + 1)
+    }
+  }
+
   test("index round-trips the modulus (serve reads nBuckets from meta)") {
     // different modulus than the serve-side default would break bucket
     // recomputation if it were not persisted — build at 7, serve must
