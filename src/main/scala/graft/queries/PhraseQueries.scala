@@ -363,7 +363,32 @@ object PhraseQueries {
     // Oracle = ph24's stale-corpus BM25 SQL, served at HEAD.
     "ph27_rollback_bm25" -> ((s, d) =>
       PhraseSearch.servedBm25TopK(s, phRbkIdx(s, d),
-        Seq("customer", "spark", "vector"), k = 10))
+        Seq("customer", "spark", "vector"), k = 10)),
+
+    // PH28: KWIC SNIPPETS — the presentation step a search serving
+    // path ends with: for every served phrase hit, the +/-2-token
+    // context window around the match, rendered as one string. The
+    // hits come from the index (pruned-bucket scan); the context
+    // comes from re-tokenizing ONLY the hit documents — a broadcast
+    // semi-join keeps the corpus scan result-sized (the forward-index
+    // read every KWIC/highlighter does), never corpus-sized. Window
+    // membership is a banded positions join; the window's token order
+    // is restored with one array_sort per hit, not a sort shuffle.
+    "ph28_kwic_snippets" -> ((s, d) => {
+      val hits = PhraseSearch.servedPhraseHits(s, phIdx(s, d),
+        Seq("the", "customer"))
+      val ctx = toks(s, d)
+        .join(broadcast(hits.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("c_doc"), col("pos").as("c_pos"), col("tok"))
+      hits.join(ctx, col("doc_id") === col("c_doc") &&
+          col("c_pos").between(col("pos") - 2, col("pos") + 3))
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("c_pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("snippet"))
+        .orderBy("doc_id", "pos")
+    })
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -633,6 +658,19 @@ object PhraseQueries {
     // — same stale-corpus SQL as the as-of reads, served at HEAD
     "ph26_rollback_phrase" -> staleAsOfPhraseSql,
     "ph27_rollback_bm25" -> staleAsOfBm25Sql,
+
+    // ph28: per-hit context window, token order restored inside the
+    // aggregate — same phrase-hit join as ph01 underneath
+    "ph28_kwic_snippets" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |h AS (SELECT a.doc_id, a.pos FROM tk a JOIN tk b
+         |        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |      WHERE a.tok = 'the' AND b.tok = 'customer')
+         |SELECT h.doc_id, CAST(h.pos AS INT) AS pos,
+         |  array_to_string(list(c.tok ORDER BY c.pos), ' ') AS snippet
+         |FROM h JOIN tk c ON c.doc_id = h.doc_id
+         |  AND c.pos BETWEEN h.pos - 2 AND h.pos + 3
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // ph13: bucket = the same (acc*31 + codepoint) % 1e9+7 rolling
     // hash both engines compute (see TextQueries' shingleIdsSql),

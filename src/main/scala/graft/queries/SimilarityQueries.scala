@@ -371,6 +371,36 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V41: FILTERED ANN — top-k under a metadata predicate (tenant /
+    // license / language scoping: "nearest vectors WITH label 7").
+    // The allow-list is a broadcast dimension semi-joined into the
+    // probed-cell scan BEFORE ranking, so every returned rank is a
+    // matching vector — post-filtering a plain top-k would return
+    // however many of the 10 happen to match (usually ~1 of 10 here).
+    // Oracle = the replayed fit with the predicate on the candidate
+    // set.
+    "v41_ivf_filtered" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("ivfidx", d)(dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16))
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4,
+          allowed = Some(e.filter(col("label") === 7).select("vec_id")))
+        .orderBy("q_id", "rank")
+    }),
+
+    // V42: RADIUS (range) search — every vector whose exact-integer
+    // quantized dot clears the threshold, the data-dependent-size
+    // companion to top-k (near-dup sweeps want "everything at least
+    // this close"). One pass over the compressed corpus, no rank
+    // window at all; integer dots keep it oracle-exact.
+    "v42_radius_search" -> ((s, d) => {
+      val e = emb(s, d)
+      graft.similarity.Similarity
+        .radiusSearch(e, e.filter(col("vec_id") < 5), minDot = 10000L)
+        .orderBy("q_id", "vec_id")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -1352,6 +1382,17 @@ object SimilarityQueries {
     // v40: refresh-after-append ≡ one fresh fit over the union, on
     // the even-half build's stored scale
     "v40_ivf_refreshed" -> ivfServedSqlWith("TRUE", "vec_id % 2 = 0"),
+    // v41: the allow-list pre-filter — every rank is a label-7 vector
+    "v41_ivf_filtered" -> ivfServedSqlWith("a.label = 7"),
+    // v42: threshold retrieval over the shared int8 grid — exact
+    // integer dots, scan-side predicate, no rank window
+    "v42_radius_search" ->
+      s"""WITH $qvCte,
+         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5)
+         |SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
+         |FROM qv a JOIN qq p ON a.vec_id <> p.q_id
+         |WHERE ${doti("a.q", "p.qvq")} >= 10000
+         |ORDER BY q_id, vec_id""".stripMargin,
     // v38: per-cell content audit of the persisted index — occupancy,
     // id checksum and integer norm mass must equal the replayed fit's
     "v38_ivf_audit" ->

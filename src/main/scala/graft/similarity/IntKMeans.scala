@@ -553,9 +553,19 @@ object IntKMeans {
     * instead of the latest state (see [[currentSeq]]); the coarse
     * quantizer is frozen across maintenance, so the probe set needs
     * no versioning — only the candidate rows do. */
+  /** `allowed` (optional) = FILTERED search: an allow-list dimension
+    * of vec_ids (the result of a metadata predicate — tenant, license,
+    * language, date range) semi-joined into the candidate scan BEFORE
+    * ranking, so top-k fills with k MATCHING vectors instead of
+    * post-filtering a top-k that may keep none of them (the classic
+    * filtered-ANN failure). The list is broadcast — dimension-sized,
+    * like the tombstone set; the probed-cell pruning is unchanged.
+    * v41's oracle proves the pre-filter exact against the replayed
+    * fit restricted to the predicate. */
   def servedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                  queries: DataFrame, k: Int, nprobe: Int,
-                 asOf: Option[Long] = None): DataFrame = {
+                 asOf: Option[Long] = None,
+                 allowed: Option[DataFrame] = None): DataFrame = {
     val ma = broadcast(spark.read.parquet(s"$dir/meta"))
     val ctr = broadcast(spark.read.parquet(s"$dir/centroids"))
     // query quantization spelled out verbatim in quantizeInt8's op
@@ -568,7 +578,9 @@ object IntKMeans {
       .select(col("q_id"), col("qq"))
     // tombstone anti-join sits on top of the pruned cell scan:
     // deleted vectors vanish from results without touching the files
-    val vec = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir, asOf)
+    val live = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir, asOf)
+    val vec = allowed.fold(live)(a =>
+      live.join(broadcast(a.select(col("vec_id"))), Seq("vec_id"), "left_semi"))
     rankProbed(vec, probeCells(qq, ctr, nprobe), k)
   }
 

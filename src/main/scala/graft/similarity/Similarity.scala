@@ -380,6 +380,19 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("qdot"))
   }
 
+  /** RADIUS (range) search: every corpus vector whose exact-integer
+    * quantized dot with the query clears `minDot` — the threshold
+    * companion to top-k (near-duplicate sweeps and recall-oriented
+    * retrieval want "everything at least this close", not a fixed k;
+    * the result size is data-dependent by design). Same quantized
+    * scoring kernel as [[int8TopK]], minus the per-query window: the
+    * predicate is a scan-side filter, so no rank shuffle at all —
+    * at 100 TB this is one pass over the compressed corpus with a
+    * broadcast query block and a pushed-complete selection. */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame,
+                   minDot: Long): DataFrame =
+    int8Scores(corpus, queries).filter(col("qdot") >= minDot)
+
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
     int8Scores(corpus, queries)

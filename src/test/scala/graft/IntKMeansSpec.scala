@@ -274,6 +274,28 @@ class IntKMeansSpec extends SparkSpec {
       "reclaimed layout serves differently from the logical view")
   }
 
+  test("filtered servedTopK pre-filters: every rank is an allowed vector") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_flt_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    val qs = blobs.filter($"vec_id" === 0)
+    val allowed = blobs.filter($"label" === 1).select("vec_id")
+    // nprobe = nlist: no cell approximation — isolates the filter
+    val got = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 3,
+        allowed = Some(allowed))
+      .orderBy("rank").collect()
+    assert(got.length === 5, "filtered top-k must FILL k from matching rows")
+    assert(got.forall(_.getLong(1) % 3 == 1),
+      s"non-allowed vector ranked: ${got.map(_.getLong(1)).toSeq}")
+    assert(got.map(_.getInt(2)).toSeq === (1 to 5),
+      "ranks must be contiguous over the filtered candidate set")
+    // a post-filtered plain top-k would have kept NO label-1 vector
+    // here (query 0 is blob 0; all its unfiltered neighbors are too)
+    val plain = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(plain.forall(_ % 3 == 0),
+      "fixture drifted: plain top-k should be all blob-0")
+  }
+
   test("refreshIndex re-fits the quantizer over live contents (≡ fresh fit on the union)") {
     // build on the even ids, append the odd ids against the frozen
     // quantizer, then refresh: the re-fit must equal one fresh fit
