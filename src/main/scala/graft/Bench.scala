@@ -83,8 +83,9 @@ object Bench {
       "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted",
       "v32_ivf_deleted", "v33_ivf_reclaimed", "v34_ivf_upserted",
       "v35_ivf_merged",
-      // rollback/refresh generations: ph27 shares phrbk with ph26
+      // rollback/refresh/vacuum generations: ph27 shares phrbk w/ ph26
       "ph26_rollback_phrase", "v39_ivf_rollback", "v40_ivf_refreshed",
+      "ph29_vacuumed_phrase", "v43_ivf_vacuumed",
       "st16_stream_index_parity", "st17_stream_cdc_parity",
       "st18_stream_ivf_parity")
     // targeted runs warm only what they measure — a 1-query iteration

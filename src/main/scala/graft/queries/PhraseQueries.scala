@@ -388,7 +388,20 @@ object PhraseQueries {
           transform(array_sort(collect_list(struct(col("c_pos"), col("tok")))),
             x => x.getField("tok")), " ").as("snippet"))
         .orderBy("doc_id", "pos")
-    })
+    }),
+
+    // PH29: RETENTION VACUUM — the policy between logical delete
+    // (keeps all history) and compaction (reclaims to HEAD, keeps
+    // none): physically reclaim only what no snapshot >= the
+    // watermark can see, refuse older as-of reads loudly (liveOnly
+    // checks the persisted watermark), keep younger history exact.
+    // The takedown's rows are physically gone after the vacuum here
+    // (watermark = current seq, so its tombstone is fully aged), yet
+    // serving HEAD must be indistinguishable from the logical-delete
+    // state — ph14's deleted-corpus oracle verbatim.
+    "ph29_vacuumed_phrase" -> ((s, d) =>
+      PhraseSearch.servedPhraseHits(s, phVacIdx(s, d), Seq("the", "customer"))
+        .orderBy("doc_id", "pos"))
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -469,6 +482,19 @@ object PhraseQueries {
         Tables.documents(tune(s), d).filter(col("doc_id") % 7 === 3)
           .select("doc_id"), dir)
       PhraseSearch.rollbackIndex(s, dir, 1L)
+    }
+
+  /** Shared vacuumed index (ph29): phDelIdx's build + takedown, then
+    * ONE [[PhraseSearch.vacuumIndex]] at the current seq — the
+    * takedown's tombstone is fully aged, so its rows are physically
+    * reclaimed and the sidecar cleared, with the watermark persisted. */
+  private def phVacIdx(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Q.memoIndex("phvac", d) { dir =>
+      PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64)
+      PhraseSearch.deleteFromIndex(
+        Tables.documents(tune(s), d).filter(col("doc_id") % 7 === 3)
+          .select("doc_id"), dir)
+      PhraseSearch.vacuumIndex(s, dir, PhraseSearch.currentSeq(s, dir))
     }
 
   /** Shared deleted-but-not-yet-compacted index (ph14/ph15): full
@@ -658,6 +684,9 @@ object PhraseQueries {
     // — same stale-corpus SQL as the as-of reads, served at HEAD
     "ph26_rollback_phrase" -> staleAsOfPhraseSql,
     "ph27_rollback_bm25" -> staleAsOfBm25Sql,
+
+    // ph29: vacuum-at-HEAD ≡ the logical-delete state — ph14's oracle
+    "ph29_vacuumed_phrase" -> deletedPhraseSql,
 
     // ph28: per-hit context window, token order restored inside the
     // aggregate — same phrase-hit join as ph01 underneath

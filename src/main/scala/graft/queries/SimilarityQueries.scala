@@ -401,6 +401,26 @@ object SimilarityQueries {
         .orderBy("q_id", "vec_id")
     }),
 
+    // V43: RETENTION VACUUM on the vector plane — reclaim only what
+    // no retained snapshot can see (the purge batch's rows, its
+    // tombstone fully aged at watermark = current seq), persist the
+    // watermark, refuse older as-of reads loudly. Serving HEAD must
+    // be indistinguishable from the logical-delete state — v32's
+    // oracle verbatim.
+    "v43_ivf_vacuumed" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vvac", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16)
+        graft.similarity.IntKMeans.deleteFromIndex(
+          e.filter(col("vec_id") % 5 === 2).select("vec_id"), dir)
+        graft.similarity.IntKMeans.vacuumIndex(s, dir,
+          graft.similarity.IntKMeans.currentSeq(s, dir))
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -1384,6 +1404,8 @@ object SimilarityQueries {
     "v40_ivf_refreshed" -> ivfServedSqlWith("TRUE", "vec_id % 2 = 0"),
     // v41: the allow-list pre-filter — every rank is a label-7 vector
     "v41_ivf_filtered" -> ivfServedSqlWith("a.label = 7"),
+    // v43: vacuum-at-HEAD ≡ the logical-delete state — v32's oracle
+    "v43_ivf_vacuumed" -> ivfDeletedSql,
     // v42: threshold retrieval over the shared int8 grid — exact
     // integer dots, scan-side predicate, no rank window
     "v42_radius_search" ->

@@ -182,8 +182,22 @@ object IntKMeans {
     * touches only its probed cells' files. At 100 TB this is the
     * production layout: the index is built once by a batch job and
     * the per-cell parquet directories are the unit of serve-side I/O. */
+  /** Remove history sidecars (tombstones, retention watermark) — every
+    * op that starts a NEW index generation must call this, or sidecars
+    * from a previous build in the same dir would poison the fresh
+    * layout. */
+  private def clearHistorySidecars(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("tombstones", "retention").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
   def writeIndex(corpus: DataFrame, dir: String, nlist: Int,
                  iters: Int = 2): Unit = {
+    clearHistorySidecars(corpus.sparkSession, dir)
     val (asg, ctr) = fit(corpus, nlist, iters)
     asg.select(col("vec_id"), col("q"), col("cell"))
       .withColumn("seq", lit(0L))
@@ -325,15 +339,33 @@ object IntKMeans {
     if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
   }
 
+  /** The retention watermark, if [[vacuumIndex]] has ever bounded
+    * this index's history (1-row sidecar, driver-side metadata). */
+  private def retention(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retention")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$dir/retention")
+        .head().getAs[Long]("min_snapshot"))
+    else None
+  }
+
   /** Drop tombstoned vectors from an indexed frame carrying
     * (vec_id, seq) — a broadcast anti-join (the purge list is
     * dimension-sized); a row dies iff SOME tombstone for its id
     * postdates it (seq < upto). With `asOf = Some(S)` the frame is
     * first cut to rows written before snapshot S (seq < S) and only
     * tombstones that existed at S (upto < S) apply — time travel is
-    * two extra pushed-down predicates, no second layout. */
+    * two extra pushed-down predicates, no second layout. Snapshots
+    * older than the retention watermark are REFUSED, not silently
+    * mis-served: [[vacuumIndex]] reclaimed rows they need. */
   private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
                        dir: String, asOf: Option[Long] = None): DataFrame = {
+    asOf.foreach { s =>
+      retention(spark, dir).foreach(r => require(s >= r,
+        s"snapshot $s predates the retention watermark $r (vacuumed away)"))
+    }
     val cut = asOf.map(s => df.filter(col("seq") < s)).getOrElse(df)
     tombstones(spark, dir) match {
       case Some(t) =>
@@ -372,6 +404,11 @@ object IntKMeans {
       .sortWithinPartitions("vec_id")
     swapRewrite(spark, s"$dir/vectors", vec.write.partitionBy("cell"))
     if (ts.isDefined) {
+      // tombstones were applied at HEAD: advance the retention
+      // watermark so snapshots that lost rows are refused loudly
+      // (compact ≡ [[vacuumIndex]] at the current seq)
+      spark.range(1).select(lit(readSeqNo(spark, dir)).as("min_snapshot"))
+        .write.mode("overwrite").parquet(s"$dir/retention")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
@@ -422,6 +459,8 @@ object IntKMeans {
     val cur = readSeqNo(spark, dir)
     require(toSeq >= 1 && toSeq <= cur,
       s"rollback target $toSeq outside [1, $cur]")
+    retention(spark, dir).foreach(r => require(toSeq >= r,
+      s"rollback target $toSeq predates the retention watermark $r"))
     if (toSeq == cur) return
     tombstones(spark, dir).foreach { t =>
       val keep = t.filter(col("upto") < toSeq)
@@ -437,6 +476,50 @@ object IntKMeans {
       .sortWithinPartitions("vec_id")
     swapRewrite(spark, s"$dir/vectors", vec.write.partitionBy("cell"))
     writeSeqNo(spark, dir, toSeq)
+  }
+
+  /** VACUUM: bound time travel at `retainAsOf` and physically reclaim
+    * everything no retained snapshot can see — the retention policy
+    * between [[deleteFromIndex]] (logical, keeps all history) and
+    * [[compactIndex]] (reclaims to HEAD, keeps none). A row written
+    * at seq s and killed by a tombstone at upto u is visible exactly
+    * in snapshots (s, u]; once u < retainAsOf no retained snapshot
+    * can see it, so the rewrite drops rows killed by FULLY-AGED
+    * tombstones (upto < retainAsOf) and those tombstones, recording
+    * the watermark in a 1-row `dir/retention` sidecar — written
+    * FIRST, so a crash mid-reclaim refuses the affected snapshots
+    * instead of silently mis-serving them (re-run to finish). HEAD
+    * and every as-of >= retainAsOf serve byte-identically (v43's
+    * oracle); older as-of reads and rollbacks are refused loudly.
+    * Younger tombstones stay — retained snapshots still see their
+    * rows. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  retainAsOf: Long): Unit = {
+    val cur = readSeqNo(spark, dir)
+    require(retainAsOf >= 1 && retainAsOf <= cur,
+      s"retention watermark $retainAsOf outside [1, $cur]")
+    spark.range(1).select(lit(retainAsOf).as("min_snapshot"))
+      .write.mode("overwrite").parquet(s"$dir/retention")
+    tombstones(spark, dir).foreach { t =>
+      val aged = t.filter(col("upto") < retainAsOf)
+      if (!aged.isEmpty) {
+        val ts = broadcast(aged.select(col("vec_id").as("__t_vec"),
+          col("upto").as("__t_upto")))
+        val vec = spark.read.parquet(s"$dir/vectors")
+        val kept = vec.join(ts, vec("vec_id") === col("__t_vec") &&
+            vec("seq") < col("__t_upto"), "left_anti")
+          .select(col("vec_id"), col("q"), col("seq"), col("cell"))
+          .repartition(col("cell"))
+          .sortWithinPartitions("vec_id")
+        swapRewrite(spark, s"$dir/vectors", kept.write.partitionBy("cell"))
+        val young = t.filter(col("upto") >= retainAsOf)
+        if (young.isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        } else swapRewrite(spark, s"$dir/tombstones", young.coalesce(1).write)
+      }
+    }
   }
 
   /** REFRESH the coarse quantizer: re-fit Lloyd over the LIVE stored
@@ -461,7 +544,6 @@ object IntKMeans {
     * the ORIGINAL stored scale. */
   def refreshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                    nlist: Int, iters: Int = 2): Unit = {
-    val ts = tombstones(spark, dir)
     val live = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir)
       .select(col("vec_id"), lit(null).cast("string").as("label"), col("q"))
       .cache()
@@ -478,10 +560,10 @@ object IntKMeans {
     swapRewrite(spark, s"$dir/centroids", ctr.write)
     live.unpersist(blocking = false)
     pin.foreach(_.unpersist(blocking = false))
-    if (ts.isDefined) {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+    // a refresh starts a NEW generation (seq 0, counter 1): the old
+    // generation's tombstones are resolved into the rewrite and its
+    // retention watermark is meaningless against the reset counter
+    clearHistorySidecars(spark, dir)
     writeSeqNo(spark, dir, 1L)
   }
 
@@ -495,6 +577,7 @@ object IntKMeans {
     * seqno 0. */
   def initShard(spark: org.apache.spark.sql.SparkSession,
                 fromDir: String, dir: String): Unit = {
+    clearHistorySidecars(spark, dir)
     spark.read.parquet(s"$fromDir/centroids")
       .write.mode("overwrite").parquet(s"$dir/centroids")
     spark.read.parquet(s"$fromDir/meta")
@@ -529,6 +612,7 @@ object IntKMeans {
       .head().getAs[Double]("ma"))
     require(scales.distinct.size == 1,
       s"shards disagree on the int8 scale: $scales")
+    clearHistorySidecars(spark, out)
     shards.map(d => liveOnly(spark.read.parquet(s"$d/vectors"), spark, d)
         .select(col("vec_id"), col("q"), col("cell")))
       .reduce(_.unionByName(_))

@@ -194,8 +194,23 @@ object PhraseSearch {
     * doc-level metadata BM25 needs (dl, and N/L as one aggregate over
     * it) and the universe NOT needs, so the whole §3.3 boolean/ranked
     * surface serves from the layout without touching `documents`. */
+  /** Remove history sidecars (tombstones, retention watermark) — every
+    * op that starts a NEW index generation must call this, or sidecars
+    * from a previous build in the same dir would poison the fresh
+    * layout (a stale watermark would refuse every as-of read; stale
+    * tombstones would hide resurrected doc ids). */
+  private def clearHistorySidecars(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("tombstones", "retention").foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
   def writeIndex(toks: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1)
+    clearHistorySidecars(toks.sparkSession, dir)
     val bucket = pmod(graft.text.TextOps.fingerprint(col("tok")),
       lit(nBuckets.toLong))
     toks.select(col("doc_id"), col("pos"), col("tok"))
@@ -221,6 +236,7 @@ object PhraseSearch {
   def initIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                 nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1)
+    clearHistorySidecars(spark, dir)
     spark.range(1)
       .select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -355,15 +371,33 @@ object PhraseSearch {
     if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
   }
 
+  /** The retention watermark, if [[vacuumIndex]] has ever bounded
+    * this index's history (1-row sidecar, driver-side metadata). */
+  private def retention(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/retention")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$dir/retention")
+        .head().getAs[Long]("min_snapshot"))
+    else None
+  }
+
   /** Drop tombstoned rows from an indexed frame carrying (doc_id,
     * seq) — a broadcast anti-join (the delete set is dimension-
     * sized); a row dies iff SOME tombstone for its doc postdates it
     * (seq < upto). With `asOf = Some(S)` the frame is first cut to
     * rows written before snapshot S (seq < S) and only tombstones
     * that existed at S (upto < S) apply — the whole time-travel read
-    * is two extra pushed-down predicates, no second layout. */
+    * is two extra pushed-down predicates, no second layout. Snapshots
+    * older than the retention watermark are REFUSED, not silently
+    * mis-served: [[vacuumIndex]] reclaimed rows they need. */
   private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
                        dir: String, asOf: Option[Long] = None): DataFrame = {
+    asOf.foreach { s =>
+      retention(spark, dir).foreach(r => require(s >= r,
+        s"snapshot $s predates the retention watermark $r (vacuumed away)"))
+    }
     val cut = asOf.map(s => df.filter(col("seq") < s)).getOrElse(df)
     tombstones(spark, dir) match {
       case Some(t) =>
@@ -465,6 +499,13 @@ object PhraseSearch {
       .sortWithinPartitions("doc_id")
     swapRewrite(spark, s"$dir/doclen", dl.write)
     if (ts.isDefined) {
+      // tombstones were applied at HEAD, so snapshots older than the
+      // current seq lost rows: advance the retention watermark and
+      // REFUSE those as-of reads loudly instead of serving them
+      // silently minus the reclaimed rows (same contract as
+      // [[vacuumIndex]] — compact ≡ vacuum at the current seq)
+      spark.range(1).select(lit(readSeqNo(spark, dir)).as("min_snapshot"))
+        .write.mode("overwrite").parquet(s"$dir/retention")
       val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
@@ -495,6 +536,8 @@ object PhraseSearch {
     val cur = readSeqNo(spark, dir)
     require(toSeq >= 1 && toSeq <= cur,
       s"rollback target $toSeq outside [1, $cur]")
+    retention(spark, dir).foreach(r => require(toSeq >= r,
+      s"rollback target $toSeq predates the retention watermark $r"))
     if (toSeq == cur) return
     tombstones(spark, dir).foreach { t =>
       val keep = t.filter(col("upto") < toSeq)
@@ -515,6 +558,61 @@ object PhraseSearch {
       .sortWithinPartitions("doc_id")
     swapRewrite(spark, s"$dir/doclen", dl.write)
     writeSeqNo(spark, dir, toSeq)
+  }
+
+  /** VACUUM: bound time travel at `retainAsOf` and physically reclaim
+    * everything no retained snapshot can see — the retention policy
+    * between [[deleteFromIndex]] (logical only, keeps all history)
+    * and [[compactIndex]] (reclaims to HEAD, keeps none). A row
+    * written at seq s and killed by a tombstone at upto u is visible
+    * exactly in snapshots (s, u]; once u < retainAsOf no snapshot
+    * this index still serves can see it, so the rewrite drops rows
+    * killed by a FULLY-AGED tombstone (upto < retainAsOf), drops
+    * those tombstones from the sidecar, and records the watermark in
+    * a 1-row `dir/retention` sidecar. HEAD and every as-of >=
+    * retainAsOf serve byte-identically (ph29's oracle); as-of reads
+    * and rollbacks below the watermark are REFUSED loudly (liveOnly/
+    * rollbackIndex check it) rather than silently served minus the
+    * reclaimed rows. Younger tombstones stay — their rows are still
+    * visible to retained snapshots. A filter-rewrite over the index
+    * itself, same swap protocol as compaction; vacuum at the current
+    * seq ≡ compact's reclaim with history fully dropped. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  retainAsOf: Long): Unit = {
+    val cur = readSeqNo(spark, dir)
+    require(retainAsOf >= 1 && retainAsOf <= cur,
+      s"retention watermark $retainAsOf outside [1, $cur]")
+    // watermark FIRST: a crash mid-reclaim then refuses the snapshots
+    // whose rows may be half-gone, instead of silently mis-serving
+    // them (the conservative failure — re-run vacuum to finish)
+    spark.range(1).select(lit(retainAsOf).as("min_snapshot"))
+      .write.mode("overwrite").parquet(s"$dir/retention")
+    tombstones(spark, dir).foreach { t =>
+      val aged = t.filter(col("upto") < retainAsOf)
+      if (!aged.isEmpty) {
+        val ts = broadcast(aged.select(col("doc_id").as("__t_doc"),
+          col("upto").as("__t_upto")))
+        def reclaim(df: DataFrame): DataFrame =
+          df.join(ts, df("doc_id") === col("__t_doc") &&
+            df("seq") < col("__t_upto"), "left_anti")
+        val posts = reclaim(spark.read.parquet(s"$dir/postings")
+            .select(col("doc_id"), col("pos"), col("tok"), col("seq"),
+              col("bucket")))
+          .repartition(col("bucket"))
+          .sortWithinPartitions("tok", "doc_id", "pos")
+        swapRewrite(spark, s"$dir/postings", posts.write.partitionBy("bucket"))
+        val dl = reclaim(spark.read.parquet(s"$dir/doclen"))
+          .repartitionByRange(col("doc_id"))
+          .sortWithinPartitions("doc_id")
+        swapRewrite(spark, s"$dir/doclen", dl.write)
+        val young = t.filter(col("upto") >= retainAsOf)
+        if (young.isEmpty) {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        } else swapRewrite(spark, s"$dir/tombstones", young.coalesce(1).write)
+      }
+    }
   }
 
   /** MERGE independently built shard indexes into one serving layout —
@@ -539,6 +637,7 @@ object PhraseSearch {
       .head().getAs[Int]("n_buckets"))
     require(moduli.distinct.size == 1,
       s"shards disagree on the bucket modulus: $moduli")
+    clearHistorySidecars(spark, out)
     shards.map(d => liveOnly(spark.read.parquet(s"$d/postings"), spark, d)
         .select(col("doc_id"), col("pos"), col("tok"), col("bucket")))
       .reduce(_.unionByName(_))

@@ -274,6 +274,41 @@ class IntKMeansSpec extends SparkSpec {
       "reclaimed layout serves differently from the logical view")
   }
 
+  test("vacuumIndex reclaims only below the watermark; retained snapshots stay exact") {
+    // events: build (0) -> delete vec 0 (1) -> delete vec 3 (2);
+    // vacuum at watermark 2: vec 0's tombstone is fully aged ->
+    // physically reclaimed; vec 3's (upto 2) is not -> snapshot 2
+    // must still see vec 3
+    val dir = java.nio.file.Files.createTempDirectory("ivf_vac_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    IntKMeans.deleteFromIndex(Seq(0L).toDF("vec_id"), dir)
+    val s2 = IntKMeans.currentSeq(spark, dir)
+    IntKMeans.deleteFromIndex(Seq(3L).toDF("vec_id"), dir)
+    val qs = blobs.filter($"vec_id" === 6)
+    def serve(asOf: Option[Long]) =
+      IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1, asOf = asOf)
+        .orderBy("q_id", "rank").collect().toSeq
+    val head = serve(None)
+    val at2 = serve(Some(s2))
+    IntKMeans.vacuumIndex(spark, dir, s2)
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(vecs.filter($"vec_id" === 0L).count() === 0L,
+      "fully-aged tombstone's row must be reclaimed")
+    assert(vecs.filter($"vec_id" === 3L).count() === 1L,
+      "a row the retained snapshot needs must survive the vacuum")
+    assert(serve(None) === head, "vacuum changed the HEAD serve")
+    assert(serve(Some(s2)) === at2, "retained snapshot diverged after vacuum")
+    intercept[IllegalArgumentException] { serve(Some(1L)) }
+    intercept[IllegalArgumentException] {
+      IntKMeans.rollbackIndex(spark, dir, 1L)
+    }
+    // a fresh build in the same dir resets history
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1,
+        asOf = Some(1L)).collect().map(_.getLong(1)).toSet.contains(0L),
+      "stale history sidecars leaked into a rebuilt index")
+  }
+
   test("filtered servedTopK pre-filters: every rank is an allowed vector") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_flt_").toString
     IntKMeans.writeIndex(blobs, dir, nlist = 3)

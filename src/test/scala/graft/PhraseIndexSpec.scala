@@ -543,6 +543,55 @@ class PhraseIndexSpec extends SparkSpec {
     }
   }
 
+  test("vacuumIndex reclaims only below the watermark; retained snapshots stay exact") {
+    // events: build (0) -> delete doc 4 (1) -> append doc 6 (2)
+    //   -> delete doc 6 (3); vacuum at watermark 3: doc 4's tombstone
+    // (upto 1 < 3) is fully aged -> physically reclaimed; doc 6's
+    // (upto 3) is NOT -> snapshot 3 must still see doc 6
+    val dir = freshIndex(16)
+    PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), dir)
+    PhraseSearch.appendIndex(toksV2.filter(col("doc_id") === 6L), dir)
+    val s3 = PhraseSearch.currentSeq(spark, dir)
+    PhraseSearch.deleteFromIndex(Seq(6L).toDF("doc_id"), dir)
+    val head = PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet
+    PhraseSearch.vacuumIndex(spark, dir, s3)
+    // doc 4 physically gone, doc 6 physically retained (logically dead)
+    val posts = spark.read.parquet(s"$dir/postings")
+    assert(posts.filter(col("doc_id") === 4L).count() === 0L,
+      "fully-aged tombstone's rows must be reclaimed")
+    assert(posts.filter(col("doc_id") === 6L).count() > 0L,
+      "rows a retained snapshot needs must survive the vacuum")
+    // HEAD unchanged; the retained snapshot still sees doc 6
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet === head, "vacuum changed the HEAD serve")
+    val withSix = toks.filter(col("doc_id") =!= 4L)
+      .unionByName(toksV2.filter(col("doc_id") === 6L))
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "turtle"),
+        asOf = Some(s3)).collect().toSet ===
+      PhraseSearch.phraseHits(withSix, Seq("quick", "turtle")).collect().toSet,
+      "retained snapshot diverged after vacuum")
+    // below the watermark: refused loudly, for reads AND rollbacks
+    intercept[IllegalArgumentException] {
+      PhraseSearch.servedPhraseHits(spark, dir, Seq("quick"), asOf = Some(1L))
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      PhraseSearch.rollbackIndex(spark, dir, 1L)
+    }
+    // vacuum is idempotent at the same watermark
+    PhraseSearch.vacuumIndex(spark, dir, s3)
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet === head)
+    // a fresh build in the same dir resets history: the watermark and
+    // tombstones must not leak into the new generation
+    PhraseSearch.writeIndex(toks, dir, 16)
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"),
+        asOf = Some(1L)).collect().toSet ===
+      PhraseSearch.phraseHits(toks, Seq("quick", "brown")).collect().toSet,
+      "stale history sidecars leaked into a rebuilt index")
+  }
+
   test("index round-trips the modulus (serve reads nBuckets from meta)") {
     // different modulus than the serve-side default would break bucket
     // recomputation if it were not persisted — build at 7, serve must
