@@ -87,7 +87,7 @@ object Bench {
       "ph26_rollback_phrase", "v39_ivf_rollback", "v40_ivf_refreshed",
       "ph29_vacuumed_phrase", "v43_ivf_vacuumed",
       "st16_stream_index_parity", "st17_stream_cdc_parity",
-      "st18_stream_ivf_parity")
+      "st18_stream_ivf_parity", "st19_stream_reencode_parity")
     // targeted runs warm only what they measure — a 1-query iteration
     // loop must not pay 13 index builds it never serves from
     warmups.filter(selected.contains).foreach { n =>

@@ -401,7 +401,21 @@ object PhraseQueries {
     // state — ph14's deleted-corpus oracle verbatim.
     "ph29_vacuumed_phrase" -> ((s, d) =>
       PhraseSearch.servedPhraseHits(s, phVacIdx(s, d), Seq("the", "customer"))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // PH30: FILTERED ranking — v41's allow-list pre-filter on the
+    // text plane (tenant/collection scoping: "top BM25 docs WITHIN
+    // this slice"). The filter semi-joins the candidate rows before
+    // the top-k, so all 10 slots fill with in-scope docs; the corpus
+    // stats (N, L, df) deliberately stay GLOBAL — a per-filter df
+    // would re-rank identically-matching docs differently per tenant.
+    // The oracle pins both halves: scores computed from global stats,
+    // ranking restricted to the slice.
+    "ph30_filtered_bm25" -> ((s, d) =>
+      PhraseSearch.servedBm25TopK(s, phIdx(s, d),
+        Seq("customer", "spark", "vector"), k = 10,
+        allowed = Some(Tables.documents(tune(s), d)
+          .filter(col("doc_id") % 3 === 1).select("doc_id"))))
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -687,6 +701,14 @@ object PhraseQueries {
 
     // ph29: vacuum-at-HEAD ≡ the logical-delete state — ph14's oracle
     "ph29_vacuumed_phrase" -> deletedPhraseSql,
+
+    // ph30: global stats, sliced ranking — ph04's CTEs with the
+    // allow-list applied AFTER scoring, BEFORE the top-k
+    "ph30_filtered_bm25" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
+         |FROM sc WHERE doc_id % 3 = 1 GROUP BY 1
+         |ORDER BY bm25_micro DESC, doc_id LIMIT 10""".stripMargin,
 
     // ph28: per-hit context window, token order restored inside the
     // aggregate — same phrase-hit join as ph01 underneath

@@ -934,7 +934,7 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
-  private lazy val ivfUpsertedSql = ivfUpsertSqlWith("idx")
+  private[queries] lazy val ivfUpsertedSql = ivfUpsertSqlWith("idx")
 
   /** v37 oracle: the STALE fit served as it stood at snapshot 1 —
     * the same corrupted-corpus Lloyd chain as v34's, with the

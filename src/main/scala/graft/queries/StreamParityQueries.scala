@@ -313,6 +313,53 @@ object StreamParityQueries {
       graft.similarity.IntKMeans
         .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
         .orderBy("q_id", "rank")
+    }),
+
+    // ST19: STREAMING RE-ENCODE — st17's CDC shape on the vector
+    // plane. The index starts STALE (v34's corrupted corpus: vectors
+    // ≡ 2 mod 5 mis-encoded, ≡ 0 mod 11 never encoded) and the
+    // corrected embeddings arrive as micro-batches of upserts — the
+    // embedding-model-refresh feed — each applied via
+    // IntKMeans.upsertIndex behind the batchId ledger. Upserted ids
+    // are disjoint across batches, so seq-versioned tombstones make
+    // the final visibility independent of batch order/count: the
+    // stream-converged index must serve exactly v34's single-batch
+    // upsert answer (the stale fit's frozen quantizer, corrected rows
+    // on the stored scale).
+    "st19_stream_reencode_parity" -> ((s, d) => {
+      val e = Tables.embeddings(tune(s), d)
+      val dir = Q.memoIndex("st19idx", d) { dir =>
+        val stale = e.filter(col("vec_id") % 11 =!= 0)
+          .withColumn("embedding",
+            when(col("vec_id") % 5 === 2,
+              transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")))
+        graft.similarity.IntKMeans.writeIndex(stale, dir, nlist = 16)
+        val fixes = e.filter(col("vec_id") % 5 === 2 || col("vec_id") % 11 === 0)
+        val base = freshBase("st19")
+        val inDir = stage(base,
+          (0 until 3).map(i => fixes.filter(pmod(col("vec_id"), lit(3)) === i)))
+        val src = s.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+        val applied = base.resolve("applied")
+        Files.createDirectories(applied)
+        val q = src.writeStream.outputMode("append")
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .foreachBatch { (b: Dataset[Row], batchId: Long) =>
+            val marker = applied.resolve(s"batch-$batchId")
+            if (!Files.exists(marker)) {
+              graft.similarity.IntKMeans.upsertIndex(b, dir)
+              Files.createFile(marker)
+              ()
+            }
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+        Seq("in", "ckpt", "applied").foreach(n => rmTree(base.resolve(n)))
+      }
+      graft.similarity.IntKMeans
+        .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -353,5 +400,9 @@ object StreamParityQueries {
     // the stream-built IVF must serve the bootstrap-fit +
     // frozen-assignment answer — v30's oracle on the mod-7 split
     "st18_stream_ivf_parity" ->
-      SimilarityQueries.ivfAppendedSqlWith("TRUE", "vec_id % 7 = 0"))
+      SimilarityQueries.ivfAppendedSqlWith("TRUE", "vec_id % 7 = 0"),
+
+    // the stream-converged re-encode must serve v34's single-batch
+    // upsert answer exactly — batch order/count must not matter
+    "st19_stream_reencode_parity" -> SimilarityQueries.ivfUpsertedSql)
 }

@@ -714,14 +714,26 @@ object PhraseSearch {
     * doc_id equi-join against doclen; the ordered LIMIT stays a
     * TakeOrdered. Per-doc totals sum BIGINT micro-scores, so the
     * doc-grouped sum needs no term ordering. */
+  /** `allowed` (optional) = FILTERED ranking: an allow-list dimension
+    * of doc_ids (tenant / collection / license scoping) semi-joined
+    * into the CANDIDATE rows before the top-k, so all k slots fill
+    * with matching docs — while the corpus statistics (N, L, df)
+    * deliberately stay GLOBAL, the way a search engine scopes results
+    * without re-weighting terms per filter (a per-filter df would
+    * re-rank identically-matching docs differently per tenant).
+    * ph30's oracle pins both halves of that contract. */
   def servedBm25TopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                      terms: Seq[String], k: Int = 10,
-                     asOf: Option[Long] = None): DataFrame = {
+                     asOf: Option[Long] = None,
+                     allowed: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty)
-    val tf = servedPostings(spark, dir, terms.distinct, asOf)
+    val tfAll = servedPostings(spark, dir, terms.distinct, asOf)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df comes from the UNFILTERED candidates (global stats contract)
+    val dfs = tfAll.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tf = allowed.fold(tfAll)(a =>
+      tfAll.join(broadcast(a.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
     // deletes shift the GLOBAL stats too: N/L/avgdl come from the
     // live doclen rows, df from the live tf rows — exactly what a
     // rebuild on the remaining corpus would compute (ph15's oracle);
