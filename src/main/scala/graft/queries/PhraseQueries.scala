@@ -415,7 +415,43 @@ object PhraseQueries {
       PhraseSearch.servedBm25TopK(s, phIdx(s, d),
         Seq("customer", "spark", "vector"), k = 10,
         allowed = Some(Tables.documents(tune(s), d)
-          .filter(col("doc_id") % 3 === 1).select("doc_id"))))
+          .filter(col("doc_id") % 3 === 1).select("doc_id")))),
+
+    // PH31: BATCH phrase search — a TABLE of phrases answered in ONE
+    // pass over the index (the batch-inference shape: a training-data
+    // pipeline matches thousands of patterns per corpus sweep; one
+    // scan per phrase would be corpus-thousands of scans). The phrase
+    // set becomes a broadcast terms dimension (query_id, off, tok);
+    // one pruned postings read (union of all phrase vocabularies)
+    // joins it, each match votes for an alignment start = pos - off,
+    // a start with ALL of its phrase's offsets present is a hit —
+    // count-equals-length per (query, doc, start), no per-phrase
+    // position self-joins at all (arbitrary phrase length, same one
+    // aggregate). Oracle replays the alignment votes in SQL.
+    "ph31_batch_phrase" -> ((s, d) => {
+      val phrases: Seq[(Long, Seq[String])] = Seq(
+        0L -> Seq("the", "customer"),
+        1L -> Seq("slow", "hash", "batch"),
+        2L -> Seq("window", "fast", "query"))
+      import s.implicits._
+      val terms = phrases.flatMap { case (q, ws) =>
+        ws.zipWithIndex.map { case (w, i) => (q, i.toLong, w) }
+      }.toDF("query_id", "off", "tok")
+      val lens = phrases.map { case (q, ws) => (q, ws.length.toLong) }
+        .toDF("query_id", "len")
+      val vocab = phrases.flatMap(_._2).distinct
+      PhraseSearch.servedPostings(s, phIdx(s, d), vocab)
+        .join(broadcast(terms), "tok")
+        .select(col("query_id"), col("doc_id"),
+          (col("pos") - col("off")).as("start"))
+        .groupBy(col("query_id"), col("doc_id"), col("start"))
+        .agg(count(lit(1)).as("nmatch"))
+        .join(broadcast(lens), "query_id")
+        .filter(col("nmatch") === col("len"))
+        .select(col("query_id"), col("doc_id"),
+          col("start").cast("int").as("pos"))
+        .orderBy("query_id", "doc_id", "pos")
+    })
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -701,6 +737,25 @@ object PhraseQueries {
 
     // ph29: vacuum-at-HEAD ≡ the logical-delete state — ph14's oracle
     "ph29_vacuumed_phrase" -> deletedPhraseSql,
+
+    // ph31: the alignment-vote batch matcher replayed in SQL — a
+    // (query, doc, start) with ALL its phrase offsets present is a hit
+    "ph31_batch_phrase" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |tm AS (SELECT * FROM (VALUES
+         |  (0, 0, 'the'), (0, 1, 'customer'),
+         |  (1, 0, 'slow'), (1, 1, 'hash'), (1, 2, 'batch'),
+         |  (2, 0, 'window'), (2, 1, 'fast'), (2, 2, 'query'))
+         |  v(query_id, off, tok)),
+         |n AS (SELECT query_id, count(*) AS len FROM tm GROUP BY 1)
+         |SELECT CAST(c.query_id AS BIGINT) AS query_id, c.doc_id,
+         |  CAST(c.start AS INT) AS pos
+         |FROM (SELECT t.query_id, k.doc_id, k.pos - t.off AS start
+         |      FROM tk k JOIN tm t ON k.tok = t.tok) c
+         |JOIN n ON n.query_id = c.query_id
+         |GROUP BY 1, 2, 3, n.len
+         |HAVING count(*) = n.len
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     // ph30: global stats, sliced ranking — ph04's CTEs with the
     // allow-list applied AFTER scoring, BEFORE the top-k
