@@ -532,6 +532,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("v41 filtered ANN: allow-list semi-join broadcasts, DPP cell pruning survives") {
+    // the metadata allow-list is dimension-sized; a sort-merge there
+    // would shuffle the index per filtered query, and the pre-filter
+    // must not cost the probed-cell pruning
+    val plan = executed(SparkEntry.queries("v41_ivf_filtered")(spark, sf))
+    val semi = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString.contains("LeftSemi") => j
+    }
+    assert(semi.nonEmpty, "allow-list semi-join missing or not broadcast")
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"v41 has ${smj.size} sort-merge joins")
+    val vectors = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("vectors")) => s
+    }
+    assert(vectors.exists(_.partitionFilters.nonEmpty),
+      "filtered-IVF vectors scan lost its cell partition filter — DPP regressed")
+  }
+
+  test("ph31 batch phrase: one pruned postings scan feeds every phrase") {
+    // the whole point of the batch matcher: N phrases = ONE index
+    // pass (union of vocab buckets), broadcast terms dim, one
+    // count-equals-length aggregate — not a scan per phrase
+    val plan = executed(SparkEntry.queries("ph31_batch_phrase")(spark, sf))
+    val posting = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(posting.size === 1,
+      s"batch phrase read the postings ${posting.size} times — must be once")
+    posting.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "batch postings scan lost its bucket partition filter")
+    }
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"ph31 has ${smj.size} sort-merge joins")
+  }
+
   test("v32 deleted-IVF serve keeps DPP cell pruning AND broadcast tombstones") {
     val plan = executed(SparkEntry.queries("v32_ivf_deleted")(spark, sf))
     val smj = plan.collect { case j: SortMergeJoinExec => j }
