@@ -451,7 +451,18 @@ object PhraseQueries {
         .select(col("query_id"), col("doc_id"),
           col("start").cast("int").as("pos"))
         .orderBy("query_id", "doc_id", "pos")
-    })
+    }),
+
+    // PH32: PREFIX (wildcard) search — `cust*` expansion served from
+    // the index. The bucket hash can't route a prefix, so this is the
+    // one served read that touches every bucket dir — and the reason
+    // the tok-sort invariant is maintained through build/append/
+    // compact: the pushed StringStartsWith prunes at row-group
+    // min/max granularity inside every file, so I/O tracks the
+    // prefix range's posting volume, not the index size.
+    "ph32_prefix_search" -> ((s, d) =>
+      PhraseSearch.servedPrefixDocs(s, phIdx(s, d), "cust")
+        .orderBy("doc_id", "tok"))
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -756,6 +767,12 @@ object PhraseQueries {
          |GROUP BY 1, 2, 3, n.len
          |HAVING count(*) = n.len
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // ph32: per-(doc, matched-token) frequency under the prefix
+    "ph32_prefix_search" ->
+      s"""SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |FROM (${Q.toksSql}) t WHERE tok LIKE 'cust%'
+         |GROUP BY 1, 2 ORDER BY doc_id, tok""".stripMargin,
 
     // ph30: global stats, sliced ranking — ph04's CTEs with the
     // allow-list applied AFTER scoring, BEFORE the top-k

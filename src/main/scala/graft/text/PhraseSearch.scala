@@ -442,6 +442,30 @@ object PhraseSearch {
       .select("doc_id", "pos", "tok")
   }
 
+  /** PREFIX (wildcard) search over a [[writeIndex]] layout: doc ids
+    * holding any token that starts with `prefix`, plus the matched
+    * vocabulary and its frequency — `cust*`-style expansion. A prefix
+    * cannot route to one bucket (the bucket is a hash of the FULL
+    * token), so unlike the exact-vocabulary reads this scan touches
+    * every bucket directory — but each bucket's files are tok-sorted
+    * ([[writeIndex]]/[[compactIndex]] keep that invariant), so the
+    * pushed StringStartsWith prunes at parquet row-group min/max
+    * granularity WITHIN every file: the I/O tracks the prefix range's
+    * posting volume, not the index size. The second pruning level
+    * doing the work the first one can't — the reason the sort
+    * invariant is maintained at all. */
+  def servedPrefixDocs(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       prefix: String,
+                       asOf: Option[Long] = None): DataFrame = {
+    require(prefix.nonEmpty, "empty prefix would scan the whole index")
+    liveOnly(
+      spark.read.parquet(s"$dir/postings")
+        .filter(col("tok").startsWith(prefix)),
+      spark, dir, asOf)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** [[phraseHits]] over a [[writeIndex]] layout: identical output
     * (same position-join plan), but the scan side is the pruned
     * postings instead of a full tokenize. `asOf = Some(S)` answers

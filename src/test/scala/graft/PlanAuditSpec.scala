@@ -571,6 +571,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(smj.isEmpty, s"ph31 has ${smj.size} sort-merge joins")
   }
 
+  test("ph32 prefix search pushes StartsWith into the postings scan") {
+    // no bucket routing is possible for a prefix; the whole viability
+    // of the op rests on the pushed range reaching the tok-sorted
+    // files' row-group stats
+    val plan = executed(SparkEntry.queries("ph32_prefix_search")(spark, sf))
+    val posting = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s
+    }
+    assert(posting.nonEmpty, "postings scan not found in ph32's plan")
+    assert(posting.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("StringStartsWith"))),
+      "StartsWith no longer pushes down to the parquet scan")
+  }
+
   test("v32 deleted-IVF serve keeps DPP cell pruning AND broadcast tombstones") {
     val plan = executed(SparkEntry.queries("v32_ivf_deleted")(spark, sf))
     val smj = plan.collect { case j: SortMergeJoinExec => j }
