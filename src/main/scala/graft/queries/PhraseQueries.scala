@@ -462,7 +462,23 @@ object PhraseQueries {
     // prefix range's posting volume, not the index size.
     "ph32_prefix_search" -> ((s, d) =>
       PhraseSearch.servedPrefixDocs(s, phIdx(s, d), "cust")
-        .orderBy("doc_id", "tok"))
+        .orderBy("doc_id", "tok")),
+
+    // PH33: SNAPSHOT DIFF — which docs changed between the stale
+    // build (snapshot 1) and HEAD of the upserted index, classified
+    // added/changed, computed ENTIRELY from the index (two as-of
+    // scans, position-weighted integer signatures, one full-outer
+    // join) — the reproducibility audit between two training runs'
+    // corpus views without storing either corpus. t63 diffs two
+    // CORPUS snapshots to decide maintenance; this diffs two INDEX
+    // snapshots after the fact. Truncated docs whose first 10 tokens
+    // were all they had are correctly NOT reported (their content
+    // never differed) — the signature, not the event log, decides.
+    "ph33_snapshot_diff" -> ((s, d) => {
+      val dir = phUpsIdx(s, d)
+      PhraseSearch.snapshotDiff(s, dir, 1L, PhraseSearch.currentSeq(s, dir))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -767,6 +783,28 @@ object PhraseQueries {
          |GROUP BY 1, 2, 3, n.len
          |HAVING count(*) = n.len
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // ph33: both snapshots' signatures replayed from the corpus texts
+    // (stale = truncated/missing view, current = full view)
+    "ph33_snapshot_diff" -> {
+      def sigSql(tk: String) =
+        s"""SELECT doc_id, CAST(sum(
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(string_split(tok,''),
+           |      c -> CAST(ascii(c) AS BIGINT))),
+           |    (a, x) -> (a * 31 + x) % 1000000007) * (pos + 1)
+           |  ) AS BIGINT) AS s
+           |FROM ($tk) GROUP BY 1""".stripMargin
+      s"""WITH sf AS (${sigSql(staleToksSql)}),
+         |st AS (${sigSql(Q.toksSql)})
+         |SELECT coalesce(sf.doc_id, st.doc_id) AS doc_id,
+         |  CASE WHEN sf.s IS NULL THEN 'added'
+         |       WHEN st.s IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change
+         |FROM sf FULL OUTER JOIN st ON st.doc_id = sf.doc_id
+         |WHERE sf.s IS NULL OR st.s IS NULL OR sf.s <> st.s
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // ph32: per-(doc, matched-token) frequency under the prefix
     "ph32_prefix_search" ->

@@ -442,6 +442,37 @@ object PhraseSearch {
       .select("doc_id", "pos", "tok")
   }
 
+  /** SNAPSHOT DIFF: which documents changed between two index
+    * snapshots, classified added/removed/changed — the introspection
+    * a reproducibility audit runs ("what differs between the corpus
+    * views of run X and run Y") without storing either corpus. Each
+    * snapshot's per-doc content signature is an order/partition-free
+    * integer aggregate over its postings (sum of token fingerprint ×
+    * (pos+1) — position-weighted so reorderings change it); two
+    * as-of scans and one full-outer join on a doc-level frame. The
+    * signatures stay far below 2^63 for realistic doc lengths
+    * (fingerprint < 1e9, so ~1e6 tokens per doc before wrap), which
+    * keeps the cross-engine arithmetic exact — ph33's oracle replays
+    * both signatures from the corpus texts. */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   fromSeq: Long, toSeq: Long): DataFrame = {
+    def sig(asOf: Long) =
+      liveOnly(spark.read.parquet(s"$dir/postings"), spark, dir, Some(asOf))
+        .groupBy(col("doc_id"))
+        .agg(sum(graft.text.TextOps.fingerprint(col("tok")) *
+          (col("pos") + lit(1L))).as("sig"))
+    sig(fromSeq).select(col("doc_id"), col("sig").as("__from"))
+      .join(sig(toSeq).select(col("doc_id"), col("sig").as("__to")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("__from").isNull, "added")
+          .when(col("__to").isNull, "removed")
+          .when(col("__from") =!= col("__to"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(col("doc_id"), col("change"))
+  }
+
   /** PREFIX (wildcard) search over a [[writeIndex]] layout: doc ids
     * holding any token that starts with `prefix`, plus the matched
     * vocabulary and its frequency — `cust*`-style expansion. A prefix
