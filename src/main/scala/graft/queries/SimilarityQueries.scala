@@ -421,6 +421,31 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V44: SNAPSHOT DIFF on the vector plane — which vectors changed
+    // between the stale build (snapshot 1) and HEAD of the upserted
+    // index (v34's layout), classified added/changed from the index
+    // alone: position-weighted integer signatures of the stored int8
+    // components, two as-of scans, one full-outer join. The mirror of
+    // ph33 — together they audit what a model/corpus refresh actually
+    // touched on both retrieval planes.
+    "v44_ivf_snapshot_diff" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vups", d) { dir =>
+        val stale = e.filter(col("vec_id") % 11 =!= 0)
+          .withColumn("embedding",
+            when(col("vec_id") % 5 === 2,
+              transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")))
+        graft.similarity.IntKMeans.writeIndex(stale, dir, nlist = 16)
+        graft.similarity.IntKMeans.upsertIndex(
+          e.filter(col("vec_id") % 5 === 2 || col("vec_id") % 11 === 0), dir)
+      }
+      graft.similarity.IntKMeans
+        .snapshotDiff(s, dir, 1L,
+          graft.similarity.IntKMeans.currentSeq(s, dir))
+        .orderBy("vec_id")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -1406,6 +1431,42 @@ object SimilarityQueries {
     "v41_ivf_filtered" -> ivfServedSqlWith("a.label = 7"),
     // v43: vacuum-at-HEAD ≡ the logical-delete state — v32's oracle
     "v43_ivf_vacuumed" -> ivfDeletedSql,
+    // v44: both snapshots' quantized vectors replayed from the corpus
+    // (stale = negated/missing view on the stale scale; current = the
+    // upsert resolved on the SAME stored scale)
+    "v44_ivf_snapshot_diff" -> {
+      val quant = "list_transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT))"
+      def sig(src: String) =
+        s"""SELECT vec_id, CAST(list_reduce(
+           |  list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(list_zip(q, generate_series(1, len(q))),
+           |      p -> p[1] * p[2])),
+           |  (a, x) -> a + x) AS BIGINT) AS s FROM $src""".stripMargin
+      s"""WITH se AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 5 = 2
+         |      THEN list_transform(embedding, x -> -x)
+         |      ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 11 <> 0),
+         |m AS (SELECT max(abs(CAST(x AS DOUBLE))) AS ma
+         |      FROM (SELECT unnest(embedding) AS x FROM se) u0),
+         |qs AS (SELECT vec_id, $quant AS q FROM se, m),
+         |ub AS (SELECT vec_id, $quant AS q FROM embeddings, m
+         |       WHERE vec_id % 5 = 2 OR vec_id % 11 = 0),
+         |cur AS (SELECT * FROM qs
+         |          WHERE NOT (vec_id % 5 = 2 OR vec_id % 11 = 0)
+         |        UNION ALL SELECT * FROM ub),
+         |f AS (${sig("qs")}),
+         |t AS (${sig("cur")})
+         |SELECT coalesce(f.vec_id, t.vec_id) AS vec_id,
+         |  CASE WHEN f.s IS NULL THEN 'added'
+         |       WHEN t.s IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change
+         |FROM f FULL OUTER JOIN t ON t.vec_id = f.vec_id
+         |WHERE f.s IS NULL OR t.s IS NULL OR f.s <> t.s
+         |ORDER BY vec_id""".stripMargin
+    },
     // v42: threshold retrieval over the shared int8 grid — exact
     // integer dots, scan-side predicate, no rank window
     "v42_radius_search" ->

@@ -567,6 +567,38 @@ object IntKMeans {
     writeSeqNo(spark, dir, 1L)
   }
 
+  /** SNAPSHOT DIFF: which vectors changed between two index
+    * snapshots, classified added/removed/changed — the vector-plane
+    * mirror of [[graft.text.PhraseSearch.snapshotDiff]] (the
+    * reproducibility audit between two training runs' index views,
+    * computed from the index alone). Each snapshot's per-vector
+    * signature is a position-weighted integer aggregate over the
+    * stored int8 components (sum of q_i × (i+1) — sign flips and
+    * reorderings change it; |sig| < 127·d² stays trivially exact in
+    * the double-backed integer arithmetic). Two as-of scans of the
+    * cell files, one full-outer join on vec_id. v44's oracle replays
+    * both snapshots' quantized vectors from the corpus. */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   fromSeq: Long, toSeq: Long): DataFrame = {
+    def sig(asOf: Long) =
+      liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir, Some(asOf))
+        .select(col("vec_id"),
+          aggregate(zip_with(col("q"),
+              sequence(lit(1), size(col("q"))).cast("array<double>"),
+              (x, i) => x * i),
+            lit(0.0d), (a, x) => a + x).cast("long").as("sig"))
+    sig(fromSeq).select(col("vec_id"), col("sig").as("__from"))
+      .join(sig(toSeq).select(col("vec_id"), col("sig").as("__to")),
+        Seq("vec_id"), "full_outer")
+      .withColumn("change",
+        when(col("__from").isNull, "added")
+          .when(col("__to").isNull, "removed")
+          .when(col("__from") =!= col("__to"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(col("vec_id"), col("change"))
+  }
+
   /** Start an EMPTY shard that SHARES `fromDir`'s coarse quantizer
     * and int8 scale: the distributed IVF build fits the quantizer
     * ONCE (a [[writeIndex]] on one partition or a sample), then every
