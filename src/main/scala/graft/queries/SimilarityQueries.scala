@@ -446,6 +446,22 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // V45: SERVED TWO-STAGE (Matryoshka) — v17's nested-prefix
+    // retrieval shape running against the persisted IVF layout:
+    // probed cells -> truncated-dot candidates (first 16 of 64
+    // components, 4x fewer multiplies per scanned row) -> full-dot
+    // re-rank of 50. All-integer, so unlike the float v15/v17 forms
+    // this serving pipeline is oracle-EXACT end to end.
+    "v45_ivf_two_stage" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("ivfidx", d)(dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16))
+      graft.similarity.IntKMeans
+        .servedTwoStageTopK(s, dir, e.filter(col("vec_id") < 5),
+          k = 10, kCand = 50, prefixDim = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -1431,6 +1447,32 @@ object SimilarityQueries {
     "v41_ivf_filtered" -> ivfServedSqlWith("a.label = 7"),
     // v43: vacuum-at-HEAD ≡ the logical-delete state — v32's oracle
     "v43_ivf_vacuumed" -> ivfDeletedSql,
+    // v45: the served two-stage pipeline replayed — truncated-dot
+    // candidate rank in the probed cells, full-dot re-rank of 50
+    "v45_ivf_two_stage" ->
+      s"""WITH $qvCte,
+         |${lloydCtes(16)},
+         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
+         |probes AS (SELECT q_id, qvq, cell FROM (
+         |    SELECT qq.q_id, qq.qvq, c.cell,
+         |      row_number() OVER (PARTITION BY qq.q_id
+         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+         |d0 AS (SELECT p.q_id, a.vec_id, a.q, p.qvq,
+         |         ${doti("(a.q[1:16])", "(p.qvq[1:16])")} AS pdot
+         |       FROM af a JOIN probes p
+         |         ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |cand AS (SELECT q_id, vec_id, q, qvq FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY pdot DESC, vec_id) AS crank FROM d0) c0
+         |  WHERE crank <= 50),
+         |r AS (SELECT q_id, vec_id, ${doti("q", "qvq")} AS qdot,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY ${doti("q", "qvq")} DESC, vec_id) AS INT) AS rank
+         |      FROM cand)
+         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
     // v44: both snapshots' quantized vectors replayed from the corpus
     // (stale = negated/missing view on the stale scale; current = the
     // upsert resolved on the SAME stored scale)

@@ -700,6 +700,45 @@ object IntKMeans {
     rankProbed(vec, probeCells(qq, ctr, nprobe), k)
   }
 
+  /** SERVED TWO-STAGE (Matryoshka-shaped) top-k from a [[writeIndex]]
+    * layout: stage 1 ranks the probed cells' candidates by the
+    * TRUNCATED integer dot (first `prefixDim` components — the
+    * nested-prefix property Matryoshka embeddings train for) down to
+    * `kCand`; stage 2 re-ranks only those by the FULL dot. The
+    * candidate rows are already in hand from the cell scan, so stage
+    * 2 is a window over |queries|·kCand rows with zero extra I/O —
+    * the win is arithmetic (d/prefixDim fewer multiplies per scanned
+    * candidate; a prefix-sliced column layout would turn it into an
+    * I/O win too). All-integer scoring keeps both stages
+    * deterministic: v45's oracle replays the exact pipeline. */
+  def servedTwoStageTopK(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, queries: DataFrame, k: Int,
+                         kCand: Int, prefixDim: Int, nprobe: Int,
+                         asOf: Option[Long] = None): DataFrame = {
+    require(kCand >= k, s"re-rank pool $kCand smaller than k=$k")
+    val ma = broadcast(spark.read.parquet(s"$dir/meta"))
+    val ctr = broadcast(spark.read.parquet(s"$dir/centroids"))
+    val qq = queries
+      .select(col("vec_id").as("q_id"), col("embedding"))
+      .crossJoin(ma)
+      .withColumn("qq", transform(col("embedding"),
+        x => round(x.cast("double") * 127.0d / col("ma"))))
+      .select(col("q_id"), col("qq"))
+    val vec = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir, asOf)
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("pdot").desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+    vec.join(broadcast(probeCells(qq, ctr, nprobe)), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("pdot",
+        ldot(slice(col("q"), 1, prefixDim), slice(col("qq"), 1, prefixDim)))
+      .withColumn("crank", row_number().over(wc)).filter(col("crank") <= kCand)
+      .withColumn("qdot", ldot(col("q"), col("qq")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+  }
+
   /** v05 surface: closed-form linear probe — identity-covariance LDA
     * on the int8 grid. Per-label integer prototypes p_c (truncated
     * mean, the Lloyd update grouped by label), discriminant
