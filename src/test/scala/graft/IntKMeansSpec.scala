@@ -309,6 +309,30 @@ class IntKMeansSpec extends SparkSpec {
       "stale history sidecars leaked into a rebuilt index")
   }
 
+  test("IVF compaction with tombstones advances the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cwm_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    IntKMeans.deleteFromIndex(Seq(0L).toDF("vec_id"), dir)
+    val cur = IntKMeans.currentSeq(spark, dir)
+    IntKMeans.compactIndex(spark, dir)
+    val qs = blobs.filter($"vec_id" === 6)
+    intercept[IllegalArgumentException] {
+      IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 1, asOf = Some(1L))
+        .collect()
+    }
+    intercept[IllegalArgumentException] { IntKMeans.rollbackIndex(spark, dir, 1L) }
+    // the current snapshot and HEAD still serve, reclaimed
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1,
+        asOf = Some(cur)).filter($"vec_id" === 0L).count() === 0L)
+    // tombstone-free compaction stays a pure re-layout (no watermark)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_cwm2_").toString
+    IntKMeans.writeIndex(blobs, dir2, nlist = 3)
+    IntKMeans.compactIndex(spark, dir2)
+    assert(IntKMeans.servedTopK(spark, dir2, qs, k = 5, nprobe = 1,
+        asOf = Some(1L)).collect().length === 5,
+      "tombstone-free compaction must not bound time travel")
+  }
+
   test("filtered servedTopK pre-filters: every rank is an allowed vector") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_flt_").toString
     IntKMeans.writeIndex(blobs, dir, nlist = 3)

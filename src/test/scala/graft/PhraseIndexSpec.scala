@@ -592,6 +592,56 @@ class PhraseIndexSpec extends SparkSpec {
       "stale history sidecars leaked into a rebuilt index")
   }
 
+  test("compaction with tombstones advances the watermark; crashed vacuum recovers") {
+    // compact ≡ vacuum at the current seq: snapshots that lost rows
+    // to the reclaim must REFUSE loudly afterwards, and so must
+    // rollbacks into them
+    val dir = freshIndex(16)
+    PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), dir)
+    val cur = PhraseSearch.currentSeq(spark, dir)
+    PhraseSearch.compactIndex(spark, dir)
+    intercept[IllegalArgumentException] {
+      PhraseSearch.servedPhraseHits(spark, dir, Seq("quick"), asOf = Some(1L))
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      PhraseSearch.rollbackIndex(spark, dir, 1L)
+    }
+    // HEAD and the current snapshot still serve
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"),
+        asOf = Some(cur)).collect().toSet ===
+      PhraseSearch.phraseHits(toks.filter(col("doc_id") =!= 4L),
+        Seq("quick", "brown")).collect().toSet)
+    // a compaction with NO tombstones is a pure re-layout: no
+    // watermark, history intact
+    val dir2 = freshIndex(16)
+    PhraseSearch.compactIndex(spark, dir2)
+    assert(PhraseSearch.servedPhraseHits(spark, dir2, Seq("quick", "brown"),
+        asOf = Some(1L)).collect().toSet ===
+      PhraseSearch.phraseHits(toks, Seq("quick", "brown")).collect().toSet,
+      "tombstone-free compaction must not bound time travel")
+    // crashed vacuum: the watermark landed but the reclaim did not
+    // (vacuum writes it FIRST by design). Old reads refuse, HEAD is
+    // correct, and re-running the vacuum completes the reclaim.
+    val dir3 = freshIndex(16)
+    PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), dir3)
+    val cur3 = PhraseSearch.currentSeq(spark, dir3)
+    spark.range(1).select(lit(cur3).as("min_snapshot"))
+      .write.mode("overwrite").parquet(s"$dir3/retention")
+    intercept[IllegalArgumentException] {
+      PhraseSearch.servedPhraseHits(spark, dir3, Seq("quick"), asOf = Some(1L))
+        .collect()
+    }
+    val headHits = PhraseSearch
+      .servedPhraseHits(spark, dir3, Seq("quick", "brown")).collect().toSet
+    PhraseSearch.vacuumIndex(spark, dir3, cur3)
+    assert(spark.read.parquet(s"$dir3/postings")
+      .filter(col("doc_id") === 4L).count() === 0L,
+      "re-run vacuum must finish the interrupted reclaim")
+    assert(PhraseSearch.servedPhraseHits(spark, dir3, Seq("quick", "brown"))
+      .collect().toSet === headHits)
+  }
+
   test("index round-trips the modulus (serve reads nBuckets from meta)") {
     // different modulus than the serve-side default would break bucket
     // recomputation if it were not persisted — build at 7, serve must
