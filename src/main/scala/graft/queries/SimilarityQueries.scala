@@ -462,6 +462,33 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V46: recall@10 of the served two-stage pipeline (v45) against
+    // the exact int8 ranking (v08) — the eval a retrieval team runs
+    // before shipping any approximation, closing the loop on the
+    // serving plane the way v18 closed it on the binary-Hamming
+    // plane. Both rankings are integer-deterministic, so the overlap
+    // counts are cross-engine exact.
+    "v46_two_stage_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+      val dir = Q.memoIndex("ivfidx", d)(dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16))
+      val ex = graft.similarity.Similarity.int8TopK(e, qs, 10)
+        .select("q_id", "vec_id")
+      val ts = graft.similarity.IntKMeans
+        .servedTwoStageTopK(s, dir, qs, k = 10, kCand = 50,
+          prefixDim = 16, nprobe = 4)
+        .select("q_id", "vec_id")
+      val ov = ex.join(ts, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      qs.select(col("vec_id").as("q_id"))
+        .join(ov, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("(coalesce(n_overlap, 0) * 1000000) div 10").as("recall_ppm"))
+        .orderBy("q_id")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -1472,6 +1499,43 @@ object SimilarityQueries {
          |      FROM cand)
          |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin,
+
+    // v46: both rankings replayed on the shared int8 grid (exact
+    // all-pairs vs probed-cell two-stage), overlap per query
+    "v46_two_stage_recall" ->
+      s"""WITH $qvCte,
+         |${lloydCtes(16)},
+         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
+         |probes AS (SELECT q_id, qvq, cell FROM (
+         |    SELECT qq.q_id, qq.qvq, c.cell,
+         |      row_number() OVER (PARTITION BY qq.q_id
+         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+         |d0 AS (SELECT p.q_id, a.vec_id, a.q, p.qvq,
+         |         ${doti("(a.q[1:16])", "(p.qvq[1:16])")} AS pdot
+         |       FROM af a JOIN probes p
+         |         ON a.cell = p.cell AND a.vec_id <> p.q_id),
+         |cand AS (SELECT q_id, vec_id, q, qvq FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY pdot DESC, vec_id) AS crank FROM d0) c0
+         |  WHERE crank <= 50),
+         |ts AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${doti("q", "qvq")} DESC, vec_id) AS rank
+         |    FROM cand) t1 WHERE rank <= 10),
+         |exd AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
+         |        FROM qv a JOIN qq p ON a.vec_id <> p.q_id),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY qdot DESC, vec_id) AS rank FROM exd) e1
+         |  WHERE rank <= 10),
+         |ov AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM ex JOIN ts ON ts.q_id = ex.q_id AND ts.vec_id = ex.vec_id
+         |       GROUP BY 1)
+         |SELECT qq.q_id,
+         |  coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |  (coalesce(ov.n_overlap, 0) * 1000000) // 10 AS recall_ppm
+         |FROM qq LEFT JOIN ov USING (q_id) ORDER BY qq.q_id""".stripMargin,
 
     // v44: both snapshots' quantized vectors replayed from the corpus
     // (stale = negated/missing view on the stale scale; current = the
