@@ -478,7 +478,21 @@ object PhraseQueries {
       val dir = phUpsIdx(s, d)
       PhraseSearch.snapshotDiff(s, dir, 1L, PhraseSearch.currentSeq(s, dir))
         .orderBy("doc_id")
-    })
+    }),
+
+    // PH34: BATCH BM25 — ph31's one-pass batch shape on the RANKED
+    // surface: a table of term-set queries scored in one pruned
+    // postings read (union vocabulary), one global df/N/L, a
+    // broadcast (query_id, tok) fan-out, and one rank window for all
+    // per-query top-10s. The relevance-labeling shape: a training-
+    // data pipeline scores thousands of topic queries per corpus
+    // sweep, and per-query TakeOrdereds can't share the scan.
+    "ph34_batch_bm25" -> ((s, d) =>
+      PhraseSearch.servedBatchBm25TopK(s, phIdx(s, d), Seq(
+          0L -> Seq("customer", "spark", "vector"),
+          1L -> Seq("window", "batch"),
+          2L -> Seq("slow", "hash", "table")), k = 10)
+        .orderBy("query_id", "rank"))
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -805,6 +819,39 @@ object PhraseQueries {
          |WHERE sf.s IS NULL OR st.s IS NULL OR sf.s <> st.s
          |ORDER BY doc_id""".stripMargin
     },
+
+    // ph34: the batch scoring replayed — one tf/df/N/L set, the
+    // (query, tok) fan-out, per-(doc,term) micro-scores rounded then
+    // summed per (query, doc), ranked per query
+    "ph34_batch_bm25" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |tm AS (SELECT * FROM (VALUES
+         |  (0, 'customer'), (0, 'spark'), (0, 'vector'),
+         |  (1, 'window'), (1, 'batch'),
+         |  (2, 'slow'), (2, 'hash'), (2, 'table')) v(query_id, tok)),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tk GROUP BY 1),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+         |       WHERE tok IN (SELECT tok FROM tm) GROUP BY 1, 2),
+         |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(dl) AS BIGINT) AS l FROM dl),
+         |sc AS (SELECT tm.query_id, tf.doc_id,
+         |    CAST(round(
+         |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+         |      * ((88.0 * tf * l) / (40.0 * tf * l + 12.0 * l + 36.0 * dl.dl * n))
+         |      * 1000000, 0) AS BIGINT) AS sc
+         |  FROM tf JOIN tm ON tm.tok = tf.tok
+         |  JOIN dfs ON dfs.tok = tf.tok
+         |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot),
+         |g AS (SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
+         |      FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, bm25_micro,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY bm25_micro DESC, doc_id) AS INT) AS rank
+         |      FROM g)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, bm25_micro
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // ph32: per-(doc, matched-token) frequency under the prefix
     "ph32_prefix_search" ->

@@ -810,4 +810,52 @@ object PhraseSearch {
       .orderBy(col("bm25_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BATCH BM25: a TABLE of term-set queries ranked in ONE pass over
+    * the index — [[servedBm25TopK]]'s scoring arithmetic verbatim
+    * (integer micro-scores, global N/L/df), but the union of all
+    * queries' vocabularies is read once (one pruned postings scan)
+    * and a broadcast (query_id, tok) dimension fans the tf rows out
+    * to their queries. df stays a per-TOKEN property, so one df table
+    * serves every query. The per-query top-k is a rank window over
+    * the scored (query, doc) pairs — the one shape where a window
+    * beats N TakeOrdereds, because the N=1 ordered-limit trick can't
+    * share the scan. ph34's oracle replays every step. */
+  def servedBatchBm25TopK(spark: org.apache.spark.sql.SparkSession,
+                          dir: String,
+                          termSets: Seq[(Long, Seq[String])],
+                          k: Int = 10,
+                          asOf: Option[Long] = None): DataFrame = {
+    require(termSets.nonEmpty && termSets.forall(_._2.nonEmpty))
+    import spark.implicits._
+    val terms = termSets
+      .flatMap { case (q, ws) => ws.distinct.map(w => (q, w)) }
+      .toDF("query_id", "tok")
+    val vocab = termSets.flatMap(_._2).distinct
+    val tf = servedPostings(spark, dir, vocab, asOf)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dl = liveOnly(spark.read.parquet(s"$dir/doclen"), spark, dir, asOf)
+    val tot = broadcast(dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l")))
+    val idf = (lit(2) * (col("n") - col("df")) + lit(1)).cast("double") /
+      (lit(2) * col("df") + lit(1)).cast("double")
+    val tfc = (lit(88.0) * col("tf") * col("l")) /
+      (lit(40.0) * col("tf") * col("l") + lit(12.0) * col("l") +
+        lit(36.0) * col("dl") * col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25_micro").desc, col("doc_id"))
+    tf.join(broadcast(terms), "tok")
+      .join(broadcast(dfs), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(tot)
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfc * lit(1000000)).cast("long").as("sc"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("sc")).as("bm25_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("bm25_micro"))
+  }
 }
