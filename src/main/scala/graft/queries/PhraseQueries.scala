@@ -492,7 +492,24 @@ object PhraseQueries {
           0L -> Seq("customer", "spark", "vector"),
           1L -> Seq("window", "batch"),
           2L -> Seq("slow", "hash", "table")), k = 10)
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+
+    // PH35: FACETED search — the facet-panel data layer every search
+    // UI ships next to its results: the boolean query's doc set
+    // (served from the index) joined to the dimension columns and
+    // counted per (lang, source). The hit set is result-sized, so the
+    // metadata join is a broadcast semi on the documents scan — the
+    // corpus is never re-scanned for the counts, and the facet agg is
+    // map-side partial over the hit docs.
+    "ph35_faceted_search" -> ((s, d) => {
+      val hits = PhraseSearch.servedSearch(s, phIdx(s, d),
+        """spark AND (window OR NOT batch)""")
+      Tables.documents(tune(s), d)
+        .join(broadcast(hits.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "source")
+    })
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -819,6 +836,12 @@ object PhraseQueries {
          |WHERE sf.s IS NULL OR st.s IS NULL OR sf.s <> st.s
          |ORDER BY doc_id""".stripMargin
     },
+
+    // ph35: ph02's boolean hit set, faceted over the dim columns
+    "ph35_faceted_search" ->
+      s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents WHERE doc_id IN ($booleanSql)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // ph34: the batch scoring replayed — one tf/df/N/L set, the
     // (query, tok) fan-out, per-(doc,term) micro-scores rounded then
