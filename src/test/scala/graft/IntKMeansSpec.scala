@@ -309,6 +309,59 @@ class IntKMeansSpec extends SparkSpec {
       "stale history sidecars leaked into a rebuilt index")
   }
 
+  test("randomized IVF lifecycle: every recorded snapshot replays exactly (seeded)") {
+    // capture-replay property: after ANY interleaving of
+    // append/delete/upsert, serving `asOf = s` must reproduce what
+    // serve(None) answered when the counter stood at s — for every s
+    // in the run's history, after the index has moved on.
+    val rnd = new scala.util.Random(7)
+    def genVec(id: Long) = Array.tabulate(8)(d =>
+      ((id * 13 + d * 7 + rnd.nextInt(5)) % 100).toFloat)
+    for (trial <- 1 to 2) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ivf_prop${trial}_").toString
+      var nextId = 100L
+      def freshId() = { val i = nextId; nextId += 1; i }
+      var live = (1 to 20).map(_ => freshId()).toSet
+      IntKMeans.writeIndex(
+        live.toSeq.map(i => (i, genVec(i), 0)).toDF("vec_id", "embedding", "label"),
+        dir, nlist = 3)
+      val qs = Seq((0L, genVec(0L), 0)).toDF("vec_id", "embedding", "label")
+      def serve(asOf: Option[Long]) =
+        IntKMeans.servedTopK(spark, dir, qs, k = 30, nprobe = 3, asOf = asOf)
+          .orderBy("q_id", "rank").collect().toSeq
+      val snaps = scala.collection.mutable.Buffer(
+        IntKMeans.currentSeq(spark, dir) -> serve(None))
+      (1 to 5).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 =>
+            val ids = (1 to 1 + rnd.nextInt(3)).map(_ => freshId())
+            IntKMeans.appendIndex(
+              ids.map(i => (i, genVec(i), 0)).toDF("vec_id", "embedding", "label"), dir)
+            live = live ++ ids
+          case 1 =>
+            val id = live.toSeq(rnd.nextInt(live.size))
+            IntKMeans.deleteFromIndex(Seq(id).toDF("vec_id"), dir)
+            live = live - id
+          case 2 =>
+            val id = if (rnd.nextBoolean()) live.toSeq(rnd.nextInt(live.size))
+            else freshId()
+            IntKMeans.upsertIndex(
+              Seq((id, genVec(id), 0)).toDF("vec_id", "embedding", "label"), dir)
+            live = live + id
+        }
+        snaps += IntKMeans.currentSeq(spark, dir) -> serve(None)
+      }
+      snaps.foreach { case (s, want) =>
+        assert(serve(Some(s)) === want,
+          s"trial $trial: snapshot $s no longer replays after later events")
+      }
+      IntKMeans.compactIndex(spark, dir)
+      assert(serve(None) === snaps.last._2,
+        s"trial $trial: post-compaction HEAD diverged")
+    }
+  }
+
   test("IVF compaction with tombstones advances the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_cwm_").toString
     IntKMeans.writeIndex(blobs, dir, nlist = 3)

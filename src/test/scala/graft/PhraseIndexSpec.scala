@@ -642,6 +642,78 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSet === headHits)
   }
 
+  test("randomized lifecycle: every recorded snapshot replays exactly (seeded)") {
+    // property: under ANY interleaving of append/delete/upsert, each
+    // snapshot id recorded after an event serves exactly the corpus
+    // state of that moment — phrase hits, the boolean NOT-universe,
+    // and BM25's global stats. Seeded RNG keeps the trials
+    // reproducible; the in-memory doc map is the executable spec.
+    val vocabWords = Vector("quick", "brown", "fox", "dog", "lazy",
+      "turtle", "jumps", "sleeps")
+    val rnd = new scala.util.Random(42)
+    def genText() =
+      Seq.fill(5 + rnd.nextInt(8))(vocabWords(rnd.nextInt(vocabWords.size)))
+        .mkString(" ")
+    for (trial <- 1 to 3) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"phrase_prop${trial}_").toString
+      var nextId = 1L
+      def freshId() = { val i = nextId; nextId += 1; i }
+      var state = Map((1 to 5).map(_ => freshId() -> genText()): _*)
+      def toksOf(m: Map[Long, String]) = m.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      PhraseSearch.writeIndex(toksOf(state), dir, nBuckets = 8)
+      val snaps = scala.collection.mutable.Buffer(
+        PhraseSearch.currentSeq(spark, dir) -> state)
+      (1 to 6).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => // append a batch of NEW docs (contract: disjoint ids)
+            val batch = Map((1 to 1 + rnd.nextInt(2))
+              .map(_ => freshId() -> genText()): _*)
+            PhraseSearch.appendIndex(toksOf(batch), dir)
+            state = state ++ batch
+          case 1 => // delete an existing id (or a missing one — no-op)
+            val id = if (rnd.nextBoolean() && state.nonEmpty)
+              state.keys.toSeq(rnd.nextInt(state.size))
+            else 999L + rnd.nextInt(5)
+            PhraseSearch.deleteFromIndex(Seq(id).toDF("doc_id"), dir)
+            state = state - id
+          case 2 => // upsert: changed existing + possibly brand-new
+            val id = if (state.nonEmpty)
+              state.keys.toSeq(rnd.nextInt(state.size)) else freshId()
+            val batch = Map(id -> genText())
+            PhraseSearch.upsertIndex(toksOf(batch), dir)
+            state = state ++ batch
+        }
+        snaps += PhraseSearch.currentSeq(spark, dir) -> state
+      }
+      snaps.foreach { case (s, st) =>
+        val want = toksOf(st)
+        assert(PhraseSearch.servedPhraseHits(spark, dir,
+            Seq("quick", "brown"), asOf = Some(s)).collect().toSet ===
+          PhraseSearch.phraseHits(want, Seq("quick", "brown"))
+            .collect().toSet, s"trial $trial snapshot $s: phrase diverged")
+        assert(PhraseSearch.servedSearch(spark, dir, "quick AND NOT dog",
+            asOf = Some(s)).collect().toSet ===
+          PhraseSearch.search("quick AND NOT dog", want,
+            want.select("doc_id").distinct()).collect().toSet,
+          s"trial $trial snapshot $s: boolean diverged")
+        assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "fox"),
+            5, asOf = Some(s)).collect().toSeq ===
+          PhraseSearch.bm25TopK(st.toSeq.toDF("doc_id", "text"),
+            Seq("quick", "fox"), 5).collect().toSeq,
+          s"trial $trial snapshot $s: BM25 stats diverged")
+      }
+      // physical reclaim converges to the last state
+      PhraseSearch.compactIndex(spark, dir)
+      assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+        .collect().toSet ===
+        PhraseSearch.phraseHits(toksOf(state), Seq("quick", "brown"))
+          .collect().toSet, s"trial $trial: post-compaction HEAD diverged")
+    }
+  }
+
   test("index round-trips the modulus (serve reads nBuckets from meta)") {
     // different modulus than the serve-side default would break bucket
     // recomputation if it were not persisted — build at 7, serve must
