@@ -509,7 +509,16 @@ object PhraseQueries {
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "source")
-    })
+    }),
+
+    // PH36: PENDING-RECLAIM backlog — the ops metric behind the
+    // compaction/vacuum schedule: which doc ids are logically deleted
+    // but still physically present (tombstoned, not yet reclaimed),
+    // and at which event each takedown landed. One sidecar read; the
+    // oracle knows the set because the scenario defines it (phDelIdx
+    // tombstones docs ≡ 3 mod 7 at event 1, none reclaimed yet).
+    "ph36_pending_deletes" -> ((s, d) =>
+      PhraseSearch.pendingDeletes(s, phDelIdx(s, d)).orderBy("doc_id"))
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -836,6 +845,11 @@ object PhraseQueries {
          |WHERE sf.s IS NULL OR st.s IS NULL OR sf.s <> st.s
          |ORDER BY doc_id""".stripMargin
     },
+
+    // ph36: the scenario's takedown set — docs ≡ 3 mod 7, event 1
+    "ph36_pending_deletes" ->
+      """SELECT DISTINCT doc_id, CAST(1 AS BIGINT) AS upto
+        |FROM documents WHERE doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,
 
     // ph35: ph02's boolean hit set, faceted over the dim columns
     "ph35_faceted_search" ->

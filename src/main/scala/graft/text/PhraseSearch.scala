@@ -811,6 +811,20 @@ object PhraseSearch {
       .limit(k)
   }
 
+  /** PENDING-RECLAIM backlog: tombstoned doc ids not yet physically
+    * reclaimed, with the event (`upto`) each takedown landed at — the
+    * observability behind a compaction/vacuum schedule (how much dead
+    * weight serving anti-joins carry). One dimension-sized sidecar
+    * read; empty frame if no deletes are outstanding. */
+  def pendingDeletes(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame =
+    tombstones(spark, dir)
+      .map(_.select(col("doc_id"), col("upto")).distinct())
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("doc_id", "upto")
+      }
+
   /** BATCH BM25: a TABLE of term-set queries ranked in ONE pass over
     * the index — [[servedBm25TopK]]'s scoring arithmetic verbatim
     * (integer micro-scores, global N/L/df), but the union of all
