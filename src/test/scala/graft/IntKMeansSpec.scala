@@ -309,6 +309,27 @@ class IntKMeansSpec extends SparkSpec {
       "stale history sidecars leaked into a rebuilt index")
   }
 
+  test("IVF snapshotDiff classifies added/removed/changed, skips no-op re-encodes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_sd_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    val s1 = IntKMeans.currentSeq(spark, dir)
+    IntKMeans.deleteFromIndex(Seq(4L).toDF("vec_id"), dir)
+    // a real re-encode (scaled vector -> different stored q)
+    IntKMeans.upsertIndex(blobs.filter($"vec_id" === 7L)
+      .withColumn("embedding", transform($"embedding", x => -x)), dir)
+    // an identical re-encode: same embedding, same stored scale ->
+    // same q -> signature equal -> must NOT be reported
+    IntKMeans.upsertIndex(blobs.filter($"vec_id" === 10L), dir)
+    IntKMeans.appendIndex(blobs.filter($"vec_id" === 3L)
+      .withColumn("vec_id", lit(60L)), dir)
+    val head = IntKMeans.currentSeq(spark, dir)
+    val got = IntKMeans.snapshotDiff(spark, dir, s1, head)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(4L -> "removed", 7L -> "changed", 60L -> "added"),
+      s"diff misclassified: $got — vec 10's identical re-encode must NOT appear")
+    assert(IntKMeans.snapshotDiff(spark, dir, head, head).isEmpty)
+  }
+
   test("randomized IVF lifecycle: every recorded snapshot replays exactly (seeded)") {
     // capture-replay property: after ANY interleaving of
     // append/delete/upsert, serving `asOf = s` must reproduce what

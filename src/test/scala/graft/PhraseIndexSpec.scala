@@ -642,6 +642,30 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSet === headHits)
   }
 
+  test("snapshotDiff classifies added/removed/changed and ignores no-op rewrites") {
+    // events: build (0) -> delete doc 4 (1) -> upsert doc 2 changed
+    // (2,3) -> upsert doc 5 with IDENTICAL content (4,5) -> append
+    // doc 6 (6). Diff snapshot 1 (the base build) vs HEAD.
+    val dir = freshIndex(16)
+    val s1 = PhraseSearch.currentSeq(spark, dir)
+    PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), dir)
+    PhraseSearch.upsertIndex(toksV2.filter(col("doc_id") === 2L), dir)
+    // same tokens re-written under new seqs: content signature equal
+    PhraseSearch.upsertIndex(toks.filter(col("doc_id") === 5L), dir)
+    PhraseSearch.appendIndex(toksV2.filter(col("doc_id") === 6L), dir)
+    val head = PhraseSearch.currentSeq(spark, dir)
+    val got = PhraseSearch.snapshotDiff(spark, dir, s1, head)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(4L -> "removed", 2L -> "changed", 6L -> "added"),
+      s"diff misclassified: $got — doc 5's identical rewrite must NOT appear")
+    // a self-diff is empty
+    assert(PhraseSearch.snapshotDiff(spark, dir, head, head).isEmpty)
+    // direction matters: reversing the endpoints flips add/remove
+    val rev = PhraseSearch.snapshotDiff(spark, dir, head, s1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rev(4L) === "added" && rev(6L) === "removed")
+  }
+
   test("randomized lifecycle: every recorded snapshot replays exactly (seeded)") {
     // property: under ANY interleaving of append/delete/upsert, each
     // snapshot id recorded after an event serves exactly the corpus
