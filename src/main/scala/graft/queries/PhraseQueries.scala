@@ -176,7 +176,7 @@ object PhraseQueries {
     // as an outlier n_postings row).
     "ph13_index_audit" -> ((s, d) => {
       val dir = phIdx(s, d)
-      tune(s).read.parquet(s"$dir/postings")
+      PhraseSearch.rawPostings(tune(s), dir)
         .groupBy(col("bucket").cast("long").as("bucket"))
         .agg(count(lit(1)).as("n_postings"),
           countDistinct(col("tok")).as("n_terms"),
@@ -827,13 +827,18 @@ object PhraseQueries {
     // ph33: both snapshots' signatures replayed from the corpus texts
     // (stale = truncated/missing view, current = full view)
     "ph33_snapshot_diff" -> {
+      // per-term mod P then a final mod P, with the LCG position mix
+      // (PhraseSearch.snapshotDiff's hardened signature, mirrored
+      // op-for-op: all terms positive, so % agrees across engines)
       def sigSql(tk: String) =
         s"""SELECT doc_id, CAST(sum(
-           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  (list_reduce(list_prepend(CAST(0 AS BIGINT),
            |    list_transform(string_split(tok,''),
            |      c -> CAST(ascii(c) AS BIGINT))),
-           |    (a, x) -> (a * 31 + x) % 1000000007) * (pos + 1)
-           |  ) AS BIGINT) AS s
+           |    (a, x) -> (a * 31 + x) % 1000000007)
+           |   * (((CAST(pos AS BIGINT) + 1) * 1103515245 + 12345)
+           |      % 2147483648 + 1)
+           |  ) % 1000000007) AS BIGINT) % 1000000007 AS s
            |FROM ($tk) GROUP BY 1""".stripMargin
       s"""WITH sf AS (${sigSql(staleToksSql)}),
          |st AS (${sigSql(Q.toksSql)})

@@ -306,7 +306,7 @@ object SimilarityQueries {
       val e = emb(s, d)
       val dir = Q.memoIndex("ivfidx", d)(dir =>
         graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16))
-      tune(s).read.parquet(s"$dir/vectors")
+      graft.similarity.IntKMeans.rawVectors(tune(s), dir)
         .groupBy(col("cell").cast("long").as("cell"))
         .agg(count(lit(1)).as("n_vectors"),
           sum(col("vec_id")).as("id_sum"),
@@ -1543,11 +1543,14 @@ object SimilarityQueries {
     "v44_ivf_snapshot_diff" -> {
       val quant = "list_transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT))"
+      // LCG position weights in [1, 2^20] (IntKMeans.snapshotDiff's
+      // hardened signature, mirrored op-for-op)
       def sig(src: String) =
         s"""SELECT vec_id, CAST(list_reduce(
            |  list_prepend(CAST(0 AS BIGINT),
            |    list_transform(list_zip(q, generate_series(1, len(q))),
-           |      p -> p[1] * p[2])),
+           |      p -> p[1] * ((CAST(p[2] AS BIGINT) * 1103515245 + 12345)
+           |                   % 1048576 + 1))),
            |  (a, x) -> a + x) AS BIGINT) AS s FROM $src""".stripMargin
       s"""WITH se AS (
          |  SELECT vec_id,

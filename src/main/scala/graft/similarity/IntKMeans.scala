@@ -177,58 +177,96 @@ object IntKMeans {
   }
 
   /** Build-side of the IVF serve split: persist the fitted index —
-    * quantized vectors PARTITIONED BY CELL, the centroid table, and
-    * the quantization scale — so serving never refits and a query
-    * touches only its probed cells' files. At 100 TB this is the
-    * production layout: the index is built once by a batch job and
-    * the per-cell parquet directories are the unit of serve-side I/O. */
-  /** Remove history sidecars (tombstones, retention watermark) — every
-    * op that starts a NEW index generation must call this, or sidecars
-    * from a previous build in the same dir would poison the fresh
-    * layout. */
-  private def clearHistorySidecars(spark: org.apache.spark.sql.SparkSession,
-                                   dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq("tombstones", "retention").foreach { n =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
-      p.getFileSystem(conf).delete(p, true)
-    }
-  }
+    * quantized vectors PARTITIONED BY CELL (segment dirs
+    * `dir/vectors/seg-V/cell=C/...`), the centroid table, and the
+    * quantization scale — so serving never refits and a query touches
+    * only its probed cells' files. At 100 TB this is the production
+    * layout: the index is built once by a batch job and the per-cell
+    * parquet directories are the unit of serve-side I/O. Live
+    * segments, the batch-sequence counter, the retention watermark
+    * and the int8 scale are named by a versioned manifest
+    * ([[graft.index.Manifest]]): every maintenance op stages new
+    * segment dirs and publishes them in ONE atomic manifest commit,
+    * and the writer lease enforces the single-writer contract. */
+  private val VECTORS = "vectors"
+  private val CENTROIDS = "centroids"
+  private val TOMBSTONES = "tombstones"
+  private type SparkSession = org.apache.spark.sql.SparkSession
+  private val Manifest = graft.index.Manifest
 
   def writeIndex(corpus: DataFrame, dir: String, nlist: Int,
                  iters: Int = 2): Unit = {
-    clearHistorySidecars(corpus.sparkSession, dir)
-    val (asg, ctr) = fit(corpus, nlist, iters)
-    asg.select(col("vec_id"), col("q"), col("cell"))
-      .withColumn("seq", lit(0L))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
-    ctr.write.mode("overwrite").parquet(s"$dir/centroids")
-    // the corpus max-abs that defined the int8 grid (mirror of
-    // Similarity.quantizeInt8's scale): queries must be quantized on
-    // the SAME scale at serve time or dot products are meaningless
-    corpus.agg(max(array_max(transform(col("embedding"),
-        x => abs(x.cast("double"))))).as("ma"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    writeSeqNo(corpus.sparkSession, dir, 1L)
+    val spark = corpus.sparkSession
+    Manifest.withLease(spark, dir) {
+      val (asg, ctr) = fit(corpus, nlist, iters)
+      // the corpus max-abs that defined the int8 grid (mirror of
+      // Similarity.quantizeInt8's scale): queries must be quantized on
+      // the SAME scale at serve time or dot products are meaningless.
+      // Double.toString round-trips exactly, so the manifest carries
+      // the bit-identical scale the fit used.
+      val ma = corpus.agg(max(array_max(transform(col("embedding"),
+          x => abs(x.cast("double"))))).as("ma"))
+        .head().getAs[Double]("ma")
+      val ver = Manifest.latest(spark, dir).map(_.version).getOrElse(0L) + 1
+      val m = graft.index.Manifest(
+        version = ver, nextSeq = 1L, retention = None,
+        scalars = Map("ma" -> ma.toString),
+        segments = Map(
+          VECTORS -> Vector(s"$VECTORS/seg-$ver"),
+          CENTROIDS -> Vector(s"$CENTROIDS/seg-$ver"),
+          TOMBSTONES -> Vector.empty))
+      asg.select(col("vec_id"), col("q"), col("cell"))
+        .withColumn("seq", lit(0L))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/$VECTORS/seg-$ver")
+      ctr.write.mode("overwrite").parquet(s"$dir/$CENTROIDS/seg-$ver")
+      Manifest.commit(spark, dir, m)
+      Manifest.gc(spark, dir, m)
+    }
   }
 
   // ---- batch sequence numbers: the same versioning the phrase index
-  // carries (PhraseSearch's seqno sidecar) — every batch of vector
-  // rows is stamped with the seq it was written under (base build =
-  // 0, each append = the then-current counter) and a tombstone is
-  // (vec_id, upto): it kills only rows with seq < upto, so an
-  // upsert's re-encoded replacement row (written AT upto) survives
-  // its own id's tombstone. CONTRACT: appends/deletes/upserts on one
-  // index run sequentially (appendIndex's existing contract).
+  // carries — every batch of vector rows is stamped with the seq it
+  // was written under (base build = 0, each append = the then-current
+  // counter) and a tombstone is (vec_id, upto): it kills only rows
+  // with seq < upto, so an upsert's re-encoded replacement row
+  // (written AT upto) survives its own id's tombstone. The counter
+  // lives in the manifest, committed atomically with the segment
+  // list; the single-writer contract is enforced by the lease.
 
-  private def writeSeqNo(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, next: Long): Unit =
-    spark.range(1).select(lit(next).as("next_seq"))
-      .write.mode("overwrite").parquet(s"$dir/seqno")
+  private def vectorsOf(spark: SparkSession, dir: String,
+                        m: graft.index.Manifest): DataFrame =
+    Manifest.readComponent(spark, dir, m, VECTORS)
+      .getOrElse(throw new IllegalStateException(
+        s"index at $dir has no vector segments (empty shard, nothing appended)"))
 
-  private def readSeqNo(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Long =
-    spark.read.parquet(s"$dir/seqno").head().getAs[Long]("next_seq")
+  private def centroidsOf(spark: SparkSession, dir: String,
+                          m: graft.index.Manifest): DataFrame =
+    Manifest.readComponent(spark, dir, m, CENTROIDS)
+      .getOrElse(throw new IllegalStateException(
+        s"index at $dir has no centroids — not an IVF layout"))
+
+  private def tombstonesOf(spark: SparkSession, dir: String,
+                           m: graft.index.Manifest): Option[DataFrame] =
+    Manifest.readComponent(spark, dir, m, TOMBSTONES)
+
+  /** Quantize `embedding` rows onto the STORED int8 grid — verbatim
+    * quantizeInt8 op order, with the manifest's scale inlined as a
+    * literal (one driver-side metadata read, no broadcast join). */
+  private def quantizeOnStored(df: DataFrame, ma: Double): DataFrame =
+    df.withColumn("q", transform(col("embedding"),
+      x => round(x.cast("double") * 127.0d / lit(ma))))
+
+  /** True iff the just-written segment dir holds any data (empty
+    * micro-batches must not put schemaless segments in the manifest). */
+  private def segHasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n != "_SUCCESS" && !n.startsWith(".") && !n.startsWith("_")
+    }
+  }
 
   /** Incremental maintenance (daily-crawl shape): append a NEW batch
     * of vectors to an existing [[writeIndex]] layout WITHOUT refitting
@@ -238,23 +276,39 @@ object IntKMeans {
     * must live on one grid) and assigned to the nearest STORED
     * centroid with fit's exact assignment rule (integer squared L2,
     * ties to the lower cell — the same map-side-combinable
-    * struct-min), then appended as new files inside the same per-cell
-    * directories, so serve-side partition pruning is unchanged.
-    * Centroids deliberately do NOT move: a serving IVF keeps its
-    * coarse quantizer frozen between rebuilds (moving cells would
-    * silently re-home existing vectors' files). v30's oracle proves
-    * the append bit-equal to the same assignment done at build time.
+    * struct-min), then staged as a new segment and published by the
+    * manifest commit, so serve-side partition pruning is unchanged
+    * and a concurrent reader sees the old snapshot or the new one,
+    * never a torn mix. Centroids deliberately do NOT move: a serving
+    * IVF keeps its coarse quantizer frozen between rebuilds (moving
+    * cells would silently re-home existing vectors' files). v30's
+    * oracle proves the append bit-equal to the same assignment done
+    * at build time.
     *
     * CONTRACT: batch vec_ids must be disjoint from indexed ones. */
   def appendIndex(newCorpus: DataFrame, dir: String): Unit = {
     val spark = newCorpus.sparkSession
-    val ma = broadcast(spark.read.parquet(s"$dir/meta"))
-    val ctr = broadcast(spark.read.parquet(s"$dir/centroids"))
-    val seq = readSeqNo(spark, dir)
-    val qv = newCorpus.select(col("vec_id"), col("embedding"))
-      .crossJoin(ma)
-      .withColumn("q", transform(col("embedding"),
-        x => round(x.cast("double") * 127.0d / col("ma"))))
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val vSeg = m.nextSeg(VECTORS)
+      appendSeg(spark, dir, m, newCorpus, m.nextSeq, vSeg)
+      var m2 = m.copy(version = m.version + 1, nextSeq = m.nextSeq + 1)
+      if (segHasData(spark, s"$dir/$vSeg")) m2 = m2.withSegAdded(VECTORS, vSeg)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
+    }
+  }
+
+  /** Quantize + frozen-centroid assign `newCorpus` and write it as
+    * vector segment `vSeg` stamped with `seq` (shared by append and
+    * upsert). */
+  private def appendSeg(spark: SparkSession, dir: String,
+                        m: graft.index.Manifest, newCorpus: DataFrame,
+                        seq: Long, vSeg: String): Unit = {
+    val ctr = broadcast(centroidsOf(spark, dir, m))
+    val qv = quantizeOnStored(
+        newCorpus.select(col("vec_id"), col("embedding")),
+        m.scalar("ma").toDouble)
       .select(col("vec_id"), col("q"))
     qv.crossJoin(ctr)
       .withColumn("dist", sqDist(col("q"), col("c")))
@@ -263,60 +317,78 @@ object IntKMeans {
         first(col("q")).as("q"))
       .select(col("vec_id"), col("q"), lit(seq).as("seq"),
         col("m.cell").as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
-    writeSeqNo(spark, dir, seq + 1)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
   }
 
   /** UPSERT (the re-encode shape: an embedding-model refresh changed
     * some already-indexed vectors, plus possibly brand-new ids):
-    * tombstone the batch's vec_ids at the current sequence number,
-    * then append the re-encoded vectors under the next one — the
-    * tombstone (vec_id, upto = S) kills every older version (seq < S)
-    * while the replacement rows (seq = S+1) survive it, so the swap is
-    * atomic at read time and no cell file is rewritten. The new
-    * embedding is quantized on the STORED scale and assigned to the
-    * frozen coarse quantizer (appendIndex's rule) — it may land in a
-    * DIFFERENT cell than the stale version, which is exactly why the
-    * stale row must die by version, not by rewrite. Upserting an id
-    * the index never held degenerates to a plain append. v34's oracle
-    * proves a stale-then-upserted index indistinguishable from the
-    * frozen-quantizer assignment of the corrected corpus; IntKMeans-
-    * Spec covers the round-trip and upsert-then-compact. */
+    * tombstone the batch's vec_ids at the current sequence number S,
+    * then add the re-encoded vectors at S+1 — the tombstone
+    * (vec_id, upto = S) kills every older version (seq < S) while the
+    * replacement rows (seq = S+1) survive it. Both the tombstone
+    * segment and the replacement segment land in ONE manifest commit,
+    * so the upsert is atomic even across its two logical events. The
+    * new embedding is quantized on the STORED scale and assigned to
+    * the frozen coarse quantizer (appendIndex's rule) — it may land
+    * in a DIFFERENT cell than the stale version, which is exactly why
+    * the stale row must die by version, not by rewrite. Upserting an
+    * id the index never held degenerates to a plain append. v34's
+    * oracle proves a stale-then-upserted index indistinguishable from
+    * the frozen-quantizer assignment of the corrected corpus. */
   def upsertIndex(newCorpus: DataFrame, dir: String): Unit = {
-    deleteFromIndex(newCorpus.select(col("vec_id")).distinct(), dir)
-    appendIndex(newCorpus, dir)
+    val spark = newCorpus.sparkSession
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val tSeg = m.nextSeg(TOMBSTONES)
+      val vSeg = m.nextSeg(VECTORS)
+      newCorpus.select(col("vec_id")).distinct()
+        .withColumn("upto", lit(m.nextSeq))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$tSeg")
+      appendSeg(spark, dir, m, newCorpus, m.nextSeq + 1, vSeg)
+      var m2 = m.copy(version = m.version + 1, nextSeq = m.nextSeq + 2)
+      if (segHasData(spark, s"$dir/$tSeg")) m2 = m2.withSegAdded(TOMBSTONES, tSeg)
+      if (segHasData(spark, s"$dir/$vSeg")) m2 = m2.withSegAdded(VECTORS, vSeg)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
+    }
   }
 
   /** Logical deletion (the fourth maintenance op): record vec ids in
-    * a tombstone sidecar (`dir/tombstones`) — the per-cell vector
-    * files are untouched, so a delete batch costs one tiny write no
-    * matter the index size (the Lucene/log-structured delete model; a
-    * purge list in a 100 TB embedding store must not rewrite cells).
-    * [[servedTopK]] anti-joins the broadcast tombstone set, so
-    * deleted vectors stop appearing in results immediately; the
-    * frozen coarse quantizer (centroids) deliberately does NOT refit
-    * — exactly as [[appendIndex]] never moves it — so deletion is a
-    * candidate-set change, not a re-clustering ([[compactIndex]]
-    * physically reclaims the rows and clears the sidecar). Deleting
-    * an id twice, or an id not in the index, is a no-op.
+    * a tombstone segment — the per-cell vector files are untouched,
+    * so a delete batch costs one tiny write no matter the index size
+    * (the Lucene/log-structured delete model; a purge list in a
+    * 100 TB embedding store must not rewrite cells). [[servedTopK]]
+    * anti-joins the broadcast tombstone set, so deleted vectors stop
+    * appearing in results immediately; the frozen coarse quantizer
+    * (centroids) deliberately does NOT refit — exactly as
+    * [[appendIndex]] never moves it — so deletion is a candidate-set
+    * change, not a re-clustering ([[compactIndex]] physically
+    * reclaims the rows). Deleting an id twice, or an id not in the
+    * index, is a no-op.
     *
     * Each tombstone is (vec_id, upto = the current sequence number):
     * it kills only rows written BEFORE it, which is what lets
     * [[upsertIndex]] tombstone and re-add a vector in one step, and
     * means a delete never affects appends that come after it. */
   def deleteFromIndex(vecIds: DataFrame, dir: String): Unit = {
-    val upto = readSeqNo(vecIds.sparkSession, dir)
-    vecIds.select(col("vec_id")).distinct()
-      .withColumn("upto", lit(upto))
-      // dimension-sized purge list: one file per delete batch
-      .coalesce(1)
-      .write.mode("append").parquet(s"$dir/tombstones")
-    // a delete is a versioned event like an append: advancing the
-    // counter gives every maintenance batch a distinct sequence slot,
-    // which is what makes the as-of snapshot reads well-defined
-    // (snapshot S excludes tombstones with upto >= S — they had not
-    // happened yet at S)
-    writeSeqNo(vecIds.sparkSession, dir, upto + 1)
+    val spark = vecIds.sparkSession
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val tSeg = m.nextSeg(TOMBSTONES)
+      vecIds.select(col("vec_id")).distinct()
+        .withColumn("upto", lit(m.nextSeq))
+        // dimension-sized purge list: one file per delete batch
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$tSeg")
+      // a delete is a versioned event like an append: advancing the
+      // counter gives every maintenance batch a distinct sequence
+      // slot, which is what makes as-of snapshot reads well-defined
+      var m2 = m.copy(version = m.version + 1, nextSeq = m.nextSeq + 1)
+      if (segHasData(spark, s"$dir/$tSeg")) m2 = m2.withSegAdded(TOMBSTONES, tSeg)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
+    }
   }
 
   /** The index's current sequence number — the snapshot id
@@ -327,29 +399,14 @@ object IntKMeans {
     * earlier names the exact historical state the index had then —
     * the same reproducibility contract as the phrase plane's
     * [[graft.text.PhraseSearch.currentSeq]]. */
-  def currentSeq(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    readSeqNo(spark, dir)
+  def currentSeq(spark: SparkSession, dir: String): Long =
+    Manifest.load(spark, dir).nextSeq
 
-  /** The tombstone set, if any deletes have been recorded (driver-side
-    * existence probe — index metadata, like the scale read). */
-  private def tombstones(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
-  }
-
-  /** The retention watermark, if [[vacuumIndex]] has ever bounded
-    * this index's history (1-row sidecar, driver-side metadata). */
-  private def retention(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/retention")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      Some(spark.read.parquet(s"$dir/retention")
-        .head().getAs[Long]("min_snapshot"))
-    else None
-  }
+  /** Raw stored vectors across all live segments — the integrity-
+    * audit / introspection read (v38), NOT a serving path (no
+    * tombstone or as-of resolution; use [[servedTopK]] for answers). */
+  def rawVectors(spark: SparkSession, dir: String): DataFrame =
+    vectorsOf(spark, dir, Manifest.load(spark, dir))
 
   /** Drop tombstoned vectors from an indexed frame carrying
     * (vec_id, seq) — a broadcast anti-join (the purge list is
@@ -360,14 +417,15 @@ object IntKMeans {
     * two extra pushed-down predicates, no second layout. Snapshots
     * older than the retention watermark are REFUSED, not silently
     * mis-served: [[vacuumIndex]] reclaimed rows they need. */
-  private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                       dir: String, asOf: Option[Long] = None): DataFrame = {
+  private def liveOnly(df: DataFrame, spark: SparkSession, dir: String,
+                       m: graft.index.Manifest,
+                       asOf: Option[Long] = None): DataFrame = {
     asOf.foreach { s =>
-      retention(spark, dir).foreach(r => require(s >= r,
+      m.retention.foreach(r => require(s >= r,
         s"snapshot $s predates the retention watermark $r (vacuumed away)"))
     }
     val cut = asOf.map(s => df.filter(col("seq") < s)).getOrElse(df)
-    tombstones(spark, dir) match {
+    tombstonesOf(spark, dir, m) match {
       case Some(t) =>
         val vis = asOf.map(s => t.filter(col("upto") < s)).getOrElse(t)
         val ts = broadcast(vis.select(col("vec_id").as("__t_vec"),
@@ -379,62 +437,42 @@ object IntKMeans {
   }
 
   /** Compaction (the third maintenance op after build/append): each
-    * [[appendIndex]] batch adds one file set per cell directory, so a
-    * daily-append index accumulates small files. Rewrite the vectors
-    * back to one sorted (by vec_id) file set per cell — a pure
-    * shuffle-by-cell over the index itself (centroids/meta are tiny
-    * and untouched), swapped in via a backup rename (live -> .old,
-    * compact -> live, drop .old — the live data is never deleted
-    * before its replacement is in place). Tombstoned vectors are
-    * physically dropped during the rewrite and the tombstone sidecar
-    * cleared (crash-safe in any order: stale tombstones over absent
-    * rows are a serve-side no-op). Serve results are unchanged (v31's
-    * oracle row + IntKMeansSpec assert parity and the file-count
-    * drop). */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val ts = tombstones(spark, dir)
-    // `seq` survives the rewrite: liveOnly resolves it here, and
-    // post-compaction deletes/upserts (`seq < upto`) still need every
-    // row versioned (the exact bug the phrase plane's ph16 caught)
-    val vec = liveOnly(
-      spark.read.parquet(s"$dir/vectors")
-        .select(col("vec_id"), col("q"), col("seq"), col("cell")),
-      spark, dir)
-      .repartition(col("cell"))
-      .sortWithinPartitions("vec_id")
-    swapRewrite(spark, s"$dir/vectors", vec.write.partitionBy("cell"))
-    if (ts.isDefined) {
-      // tombstones were applied at HEAD: advance the retention
-      // watermark so snapshots that lost rows are refused loudly
-      // (compact ≡ [[vacuumIndex]] at the current seq)
-      spark.range(1).select(lit(readSeqNo(spark, dir)).as("min_snapshot"))
-        .write.mode("overwrite").parquet(s"$dir/retention")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    * [[appendIndex]] batch adds one segment, so a daily-append index
+    * accumulates small files. Rewrite the vectors back to ONE sorted
+    * (by vec_id) segment — a pure shuffle-by-cell over the index
+    * itself (centroids/scale are tiny and untouched). Tombstoned
+    * vectors are physically dropped during the rewrite; because that
+    * destroys rows historical snapshots still need, the SAME manifest
+    * commit that swaps the segment in advances the retention
+    * watermark to the current seq — atomic by construction, so no
+    * crash ordering can serve a historical snapshot minus its
+    * reclaimed rows (the r14 ADVICE gap: the old layout rewrote the
+    * vectors before writing the watermark). Serve results are
+    * unchanged (v31's oracle row + IntKMeansSpec assert parity and
+    * the file-count drop). */
+  def compactIndex(spark: SparkSession, dir: String): Unit =
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val hadTombstones = m.segs(TOMBSTONES).nonEmpty
+      // `seq` survives the rewrite: liveOnly resolves it here, and
+      // post-compaction deletes/upserts (`seq < upto`) still need
+      // every row versioned (the exact bug the phrase plane's ph16
+      // caught)
+      val vSeg = m.nextSeg(VECTORS)
+      liveOnly(
+        vectorsOf(spark, dir, m)
+          .select(col("vec_id"), col("q"), col("seq"), col("cell")),
+        spark, dir, m)
+        .repartition(col("cell"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
+      val m2 = m.copy(version = m.version + 1,
+          retention = if (hadTombstones) Some(m.nextSeq) else m.retention)
+        .withSegsReplaced(VECTORS, Vector(vSeg))
+        .withSegsReplaced(TOMBSTONES, Vector.empty)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
     }
-  }
-
-  /** Write `w` to `<path>.compact`, then swap it into `path` via a
-    * backup rename (live -> .old, compact -> live, drop .old) — the
-    * live data is never deleted before its replacement lands, so a
-    * failure at any step leaves either the old or the new layout
-    * intact (PhraseSearch.swapRewrite's protocol). */
-  private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
-                          path: String,
-                          w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
-    val tmp = path + ".compact"
-    w.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + ".old")
-    fs.delete(bak, true)
-    require(fs.rename(p, bak), s"swap: cannot stash $path")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"swap failed for $path — previous layout at $bak")
-    fs.delete(bak, true)
-  }
 
   /** ROLLBACK: restore the index HEAD to snapshot `toSeq` — the undo
     * for a bad maintenance batch (a mis-encoded model refresh
@@ -446,37 +484,45 @@ object IntKMeans {
     * `asOf = Some(toSeq)` served before, older snapshots are
     * untouched, and maintenance continues from toSeq — the next
     * append reuses the vacated seq slot, which is why the dead rows
-    * must go physically, not logically. Centroids/meta are untouched
+    * must go physically, not logically. Centroids/scale are untouched
     * (the coarse quantizer is frozen across ALL maintenance, so it
     * was identical at every snapshot). A filter-rewrite over the
-    * index itself — never refits, never re-quantizes. Crash order:
-    * tombstones first (a crash after that serves MORE rows — the
-    * direction rollback is headed), vectors via backup-rename swap,
-    * counter last. v39's oracle proves HEAD-after-rollback ≡ the
+    * index itself — never refits, never re-quantizes; truncated
+    * segment, surviving tombstones and the reset counter land in ONE
+    * manifest commit. v39's oracle proves HEAD-after-rollback ≡ the
     * stale snapshot; IntKMeansSpec covers append-after-rollback. */
-  def rollbackIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    toSeq: Long): Unit = {
-    val cur = readSeqNo(spark, dir)
-    require(toSeq >= 1 && toSeq <= cur,
-      s"rollback target $toSeq outside [1, $cur]")
-    retention(spark, dir).foreach(r => require(toSeq >= r,
-      s"rollback target $toSeq predates the retention watermark $r"))
-    if (toSeq == cur) return
-    tombstones(spark, dir).foreach { t =>
-      val keep = t.filter(col("upto") < toSeq)
-      if (keep.isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      } else swapRewrite(spark, s"$dir/tombstones", keep.coalesce(1).write)
+  def rollbackIndex(spark: SparkSession, dir: String, toSeq: Long): Unit =
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val cur = m.nextSeq
+      require(toSeq >= 1 && toSeq <= cur,
+        s"rollback target $toSeq outside [1, $cur]")
+      m.retention.foreach(r => require(toSeq >= r,
+        s"rollback target $toSeq predates the retention watermark $r"))
+      if (toSeq == cur) ()
+      else {
+        val vSeg = m.nextSeg(VECTORS)
+        val tSeg = m.nextSeg(TOMBSTONES)
+        vectorsOf(spark, dir, m)
+          .filter(col("seq") < toSeq)
+          .select(col("vec_id"), col("q"), col("seq"), col("cell"))
+          .repartition(col("cell"))
+          .sortWithinPartitions("vec_id")
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
+        var m2 = m.copy(version = m.version + 1, nextSeq = toSeq)
+          .withSegsReplaced(VECTORS, Vector(vSeg))
+          .withSegsReplaced(TOMBSTONES, Vector.empty)
+        tombstonesOf(spark, dir, m).foreach { t =>
+          val keep = t.filter(col("upto") < toSeq)
+          if (!keep.isEmpty) {
+            keep.coalesce(1).write.mode("overwrite").parquet(s"$dir/$tSeg")
+            m2 = m2.withSegsReplaced(TOMBSTONES, Vector(tSeg))
+          }
+        }
+        Manifest.commit(spark, dir, m2)
+        Manifest.gc(spark, dir, m2)
+      }
     }
-    val vec = spark.read.parquet(s"$dir/vectors")
-      .filter(col("seq") < toSeq)
-      .select(col("vec_id"), col("q"), col("seq"), col("cell"))
-      .repartition(col("cell"))
-      .sortWithinPartitions("vec_id")
-    swapRewrite(spark, s"$dir/vectors", vec.write.partitionBy("cell"))
-    writeSeqNo(spark, dir, toSeq)
-  }
 
   /** VACUUM: bound time travel at `retainAsOf` and physically reclaim
     * everything no retained snapshot can see — the retention policy
@@ -485,42 +531,52 @@ object IntKMeans {
     * at seq s and killed by a tombstone at upto u is visible exactly
     * in snapshots (s, u]; once u < retainAsOf no retained snapshot
     * can see it, so the rewrite drops rows killed by FULLY-AGED
-    * tombstones (upto < retainAsOf) and those tombstones, recording
-    * the watermark in a 1-row `dir/retention` sidecar — written
-    * FIRST, so a crash mid-reclaim refuses the affected snapshots
-    * instead of silently mis-serving them (re-run to finish). HEAD
-    * and every as-of >= retainAsOf serve byte-identically (v43's
-    * oracle); older as-of reads and rollbacks are refused loudly.
-    * Younger tombstones stay — retained snapshots still see their
-    * rows. */
-  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  retainAsOf: Long): Unit = {
-    val cur = readSeqNo(spark, dir)
-    require(retainAsOf >= 1 && retainAsOf <= cur,
-      s"retention watermark $retainAsOf outside [1, $cur]")
-    spark.range(1).select(lit(retainAsOf).as("min_snapshot"))
-      .write.mode("overwrite").parquet(s"$dir/retention")
-    tombstones(spark, dir).foreach { t =>
-      val aged = t.filter(col("upto") < retainAsOf)
-      if (!aged.isEmpty) {
-        val ts = broadcast(aged.select(col("vec_id").as("__t_vec"),
-          col("upto").as("__t_upto")))
-        val vec = spark.read.parquet(s"$dir/vectors")
-        val kept = vec.join(ts, vec("vec_id") === col("__t_vec") &&
-            vec("seq") < col("__t_upto"), "left_anti")
-          .select(col("vec_id"), col("q"), col("seq"), col("cell"))
-          .repartition(col("cell"))
-          .sortWithinPartitions("vec_id")
-        swapRewrite(spark, s"$dir/vectors", kept.write.partitionBy("cell"))
-        val young = t.filter(col("upto") >= retainAsOf)
-        if (young.isEmpty) {
-          val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(p, true)
-        } else swapRewrite(spark, s"$dir/tombstones", young.coalesce(1).write)
+    * tombstones (upto < retainAsOf) and those tombstones, advancing
+    * the watermark in the SAME manifest commit — a crash can never
+    * leave reclaimed rows behind a watermark that still admits their
+    * snapshots. HEAD and every as-of >= retainAsOf serve
+    * byte-identically (v43's oracle); older as-of reads and rollbacks
+    * are refused loudly. The watermark is MONOTONIC: a vacuum below
+    * the current watermark is refused — rows behind it are already
+    * gone, so moving it backward would re-admit as-of reads whose
+    * rows were reclaimed (the r14 ADVICE gap). Younger tombstones
+    * stay — retained snapshots still see their rows. */
+  def vacuumIndex(spark: SparkSession, dir: String, retainAsOf: Long): Unit =
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val cur = m.nextSeq
+      require(retainAsOf >= 1 && retainAsOf <= cur,
+        s"retention watermark $retainAsOf outside [1, $cur]")
+      m.retention.foreach(r => require(retainAsOf >= r,
+        s"retention watermark would move BACKWARD: $retainAsOf < current $r " +
+          "(rows behind the current watermark are already reclaimed)"))
+      var m2 = m.copy(version = m.version + 1, retention = Some(retainAsOf))
+      tombstonesOf(spark, dir, m).foreach { t =>
+        val aged = t.filter(col("upto") < retainAsOf)
+        if (!aged.isEmpty) {
+          val ts = broadcast(aged.select(col("vec_id").as("__t_vec"),
+            col("upto").as("__t_upto")))
+          val vSeg = m.nextSeg(VECTORS)
+          val tSeg = m.nextSeg(TOMBSTONES)
+          val vec = vectorsOf(spark, dir, m)
+          vec.join(ts, vec("vec_id") === col("__t_vec") &&
+              vec("seq") < col("__t_upto"), "left_anti")
+            .select(col("vec_id"), col("q"), col("seq"), col("cell"))
+            .repartition(col("cell"))
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
+          m2 = m2.withSegsReplaced(VECTORS, Vector(vSeg))
+            .withSegsReplaced(TOMBSTONES, Vector.empty)
+          val young = t.filter(col("upto") >= retainAsOf)
+          if (!young.isEmpty) {
+            young.coalesce(1).write.mode("overwrite").parquet(s"$dir/$tSeg")
+            m2 = m2.withSegsReplaced(TOMBSTONES, Vector(tSeg))
+          }
+        }
       }
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
     }
-  }
 
   /** REFRESH the coarse quantizer: re-fit Lloyd over the LIVE stored
     * vectors and rewrite the index under the new cell geometry — the
@@ -533,39 +589,47 @@ object IntKMeans {
     * [[fit]] (hashed-id seeds, truncated-integer means, ties to the
     * lower cell), but fed from the index's own stored `q` vectors —
     * never re-reads the corpus, never re-quantizes (the stored int8
-    * grid IS the data; meta/scale are untouched, so in-flight query
-    * quantization is unaffected). Tombstones are resolved on the way
-    * in, and the output is a NEW index generation: seq 0, fresh
-    * counter, no sidecar — the same contract as [[mergeIndexes]]
-    * (history before a physical rewrite is gone by design). Swapped
-    * in via backup rename; `nlist` may differ from the original
-    * (re-tuning cell count IS a refresh use case). v40's oracle
-    * proves refresh-after-append ≡ one fresh fit over the union on
-    * the ORIGINAL stored scale. */
-  def refreshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   nlist: Int, iters: Int = 2): Unit = {
-    val live = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir)
-      .select(col("vec_id"), lit(null).cast("string").as("label"), col("q"))
-      .cache()
-    var (ctr, pin) = graft.util.Checkpoints.roll(seedCentroids(live, nlist), None)
-    (1 to iters).foreach { _ =>
-      val (c2, p2) = graft.util.Checkpoints.roll(update(assign(live, ctr)), pin)
-      ctr = c2; pin = p2
+    * grid IS the data; the manifest's scale is carried over, so
+    * in-flight query quantization is unaffected). Tombstones are
+    * resolved on the way in, and the output is a NEW index
+    * generation: seq 0, counter 1, no tombstones, no watermark. The
+    * new vectors, new centroids, cleared tombstones and reset counter
+    * all land in ONE manifest commit — the r14 crash window (old
+    * tombstones applying to new seq-0 rows between the vector swap
+    * and the sidecar clear) is gone by construction. `nlist` may
+    * differ from the original (re-tuning cell count IS a refresh use
+    * case). v40's oracle proves refresh-after-append ≡ one fresh fit
+    * over the union on the ORIGINAL stored scale. */
+  def refreshIndex(spark: SparkSession, dir: String, nlist: Int,
+                   iters: Int = 2): Unit =
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val live = liveOnly(vectorsOf(spark, dir, m), spark, dir, m)
+        .select(col("vec_id"), lit(null).cast("string").as("label"), col("q"))
+        .cache()
+      var (ctr, pin) =
+        graft.util.Checkpoints.roll(seedCentroids(live, nlist), None)
+      (1 to iters).foreach { _ =>
+        val (c2, p2) = graft.util.Checkpoints.roll(update(assign(live, ctr)), pin)
+        ctr = c2; pin = p2
+      }
+      val vSeg = m.nextSeg(VECTORS)
+      val cSeg = m.nextSeg(CENTROIDS)
+      assign(live, ctr)
+        .select(col("vec_id"), col("q"), lit(0L).as("seq"), col("cell"))
+        .repartition(col("cell"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
+      ctr.write.mode("overwrite").parquet(s"$dir/$cSeg")
+      live.unpersist(blocking = false)
+      pin.foreach(_.unpersist(blocking = false))
+      val m2 = m.copy(version = m.version + 1, nextSeq = 1L, retention = None)
+        .withSegsReplaced(VECTORS, Vector(vSeg))
+        .withSegsReplaced(CENTROIDS, Vector(cSeg))
+        .withSegsReplaced(TOMBSTONES, Vector.empty)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
     }
-    val asg = assign(live, ctr)
-      .select(col("vec_id"), col("q"), lit(0L).as("seq"), col("cell"))
-      .repartition(col("cell"))
-      .sortWithinPartitions("vec_id")
-    swapRewrite(spark, s"$dir/vectors", asg.write.partitionBy("cell"))
-    swapRewrite(spark, s"$dir/centroids", ctr.write)
-    live.unpersist(blocking = false)
-    pin.foreach(_.unpersist(blocking = false))
-    // a refresh starts a NEW generation (seq 0, counter 1): the old
-    // generation's tombstones are resolved into the rewrite and its
-    // retention watermark is meaningless against the reset counter
-    clearHistorySidecars(spark, dir)
-    writeSeqNo(spark, dir, 1L)
-  }
 
   /** SNAPSHOT DIFF: which vectors changed between two index
     * snapshots, classified added/removed/changed — the vector-plane
@@ -573,19 +637,26 @@ object IntKMeans {
     * reproducibility audit between two training runs' index views,
     * computed from the index alone). Each snapshot's per-vector
     * signature is a position-weighted integer aggregate over the
-    * stored int8 components (sum of q_i × (i+1) — sign flips and
-    * reorderings change it; |sig| < 127·d² stays trivially exact in
-    * the double-backed integer arithmetic). Two as-of scans of the
-    * cell files, one full-outer join on vec_id. v44's oracle replays
-    * both snapshots' quantized vectors from the corpus. */
-  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+    * stored int8 components: sum of q_i × w_i with w_i an LCG mix of
+    * the position in [1, 2^20] — sign flips and reorderings change
+    * it, and the PSEUDO-RANDOM weights (not the raw i+1 the r14 form
+    * used) break structured cancellations like q=[2,0] vs [0,1] or a
+    * negation whose linear weighting sums to 0; residual accidental
+    * collisions are ~2^-20·d, fine for an audit and noted here by
+    * design. |sig| ≤ 127·2^20·d stays exact in the double-backed
+    * integer arithmetic to d ~ 6×10^7. Two as-of scans of the cell
+    * files, one full-outer join on vec_id. v44's oracle replays both
+    * snapshots' quantized vectors from the corpus. */
+  def snapshotDiff(spark: SparkSession, dir: String,
                    fromSeq: Long, toSeq: Long): DataFrame = {
+    val m = Manifest.load(spark, dir)
+    val ws = transform(sequence(lit(1L), size(col("q")).cast("long")),
+      i => (pmod(i * lit(1103515245L) + lit(12345L), lit(1048576L)) + lit(1L))
+        .cast("double"))
     def sig(asOf: Long) =
-      liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir, Some(asOf))
+      liveOnly(vectorsOf(spark, dir, m), spark, dir, m, Some(asOf))
         .select(col("vec_id"),
-          aggregate(zip_with(col("q"),
-              sequence(lit(1), size(col("q"))).cast("array<double>"),
-              (x, i) => x * i),
+          aggregate(zip_with(col("q"), ws, (x, w) => x * w),
             lit(0.0d), (a, x) => a + x).cast("long").as("sig"))
     sig(fromSeq).select(col("vec_id"), col("sig").as("__from"))
       .join(sig(toSeq).select(col("vec_id"), col("sig").as("__to")),
@@ -605,16 +676,23 @@ object IntKMeans {
     * builder [[initShard]]s against it and [[appendIndex]]es its own
     * corpus partition — frozen-centroid assignment keeps all shards
     * on one geometry, which is what makes [[mergeIndexes]] a pure
-    * layout fold. Copies centroids + meta (tiny frames), no vectors,
-    * seqno 0. */
-  def initShard(spark: org.apache.spark.sql.SparkSession,
-                fromDir: String, dir: String): Unit = {
-    clearHistorySidecars(spark, dir)
-    spark.read.parquet(s"$fromDir/centroids")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    spark.read.parquet(s"$fromDir/meta")
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    writeSeqNo(spark, dir, 0L)
+    * layout fold. Copies the centroid segment (a tiny frame) and the
+    * scale scalar, no vectors, counter 0. */
+  def initShard(spark: SparkSession, fromDir: String, dir: String): Unit = {
+    val from = Manifest.load(spark, fromDir)
+    Manifest.withLease(spark, dir) {
+      val ver = Manifest.latest(spark, dir).map(_.version).getOrElse(0L) + 1
+      val cSeg = s"$CENTROIDS/seg-$ver"
+      centroidsOf(spark, fromDir, from)
+        .write.mode("overwrite").parquet(s"$dir/$cSeg")
+      val m = graft.index.Manifest(
+        version = ver, nextSeq = 0L, retention = None,
+        scalars = Map("ma" -> from.scalar("ma")),
+        segments = Map(VECTORS -> Vector.empty, CENTROIDS -> Vector(cSeg),
+          TOMBSTONES -> Vector.empty))
+      Manifest.commit(spark, dir, m)
+      Manifest.gc(spark, dir, m)
+    }
   }
 
   /** MERGE shard indexes that share one coarse quantizer into a
@@ -625,37 +703,46 @@ object IntKMeans {
     * cell contents, resolving each shard's tombstones during the
     * rewrite. Never re-fits, never re-quantizes: a union +
     * shuffle-by-cell over the shards' vectors. The output starts
-    * clean (seq 0, fresh seqno, no sidecar) and serves exactly like a
-    * single index whose batches were appended sequentially (v35's
+    * clean (seq 0, counter 1, no tombstones) and serves exactly like
+    * a single index whose batches were appended sequentially (v35's
     * oracle).
     *
     * CONTRACT: live vec_id sets are disjoint; the shared quantizer is
     * REQUIRED here — shards with different centroids or scales are a
     * geometry mismatch, not a mergeable layout. */
-  def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
-                   shards: Seq[String], out: String): Unit = {
+  def mergeIndexes(spark: SparkSession, shards: Seq[String],
+                   out: String): Unit = {
     require(shards.nonEmpty)
-    val ctrs = shards.map(d => spark.read.parquet(s"$d/centroids"))
+    val sms = shards.map(d => (d, Manifest.load(spark, d)))
+    val ctrs = sms.map { case (d, sm) => centroidsOf(spark, d, sm) }
     ctrs.tail.foreach { c =>
       require(c.exceptAll(ctrs.head).isEmpty && ctrs.head.exceptAll(c).isEmpty,
         "shards disagree on the coarse quantizer (centroids differ)")
     }
-    val scales = shards.map(d => spark.read.parquet(s"$d/meta")
-      .head().getAs[Double]("ma"))
+    val scales = sms.map(_._2.scalar("ma"))
     require(scales.distinct.size == 1,
       s"shards disagree on the int8 scale: $scales")
-    clearHistorySidecars(spark, out)
-    shards.map(d => liveOnly(spark.read.parquet(s"$d/vectors"), spark, d)
-        .select(col("vec_id"), col("q"), col("cell")))
-      .reduce(_.unionByName(_))
-      .withColumn("seq", lit(0L))
-      .repartition(col("cell"))
-      .sortWithinPartitions("vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/vectors")
-    ctrs.head.write.mode("overwrite").parquet(s"$out/centroids")
-    spark.read.parquet(s"${shards.head}/meta")
-      .write.mode("overwrite").parquet(s"$out/meta")
-    writeSeqNo(spark, out, 1L)
+    Manifest.withLease(spark, out) {
+      val ver = Manifest.latest(spark, out).map(_.version).getOrElse(0L) + 1
+      val vSeg = s"$VECTORS/seg-$ver"
+      val cSeg = s"$CENTROIDS/seg-$ver"
+      sms.map { case (d, sm) =>
+          liveOnly(vectorsOf(spark, d, sm), spark, d, sm)
+            .select(col("vec_id"), col("q"), col("cell")) }
+        .reduce(_.unionByName(_))
+        .withColumn("seq", lit(0L))
+        .repartition(col("cell"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/$vSeg")
+      ctrs.head.write.mode("overwrite").parquet(s"$out/$cSeg")
+      val m = graft.index.Manifest(
+        version = ver, nextSeq = 1L, retention = None,
+        scalars = Map("ma" -> scales.head),
+        segments = Map(VECTORS -> Vector(vSeg), CENTROIDS -> Vector(cSeg),
+          TOMBSTONES -> Vector.empty))
+      Manifest.commit(spark, out, m)
+      Manifest.gc(spark, out, m)
+    }
   }
 
   /** Serve-side IVF top-k from a [[writeIndex]] layout: quantize the
@@ -668,7 +755,9 @@ object IntKMeans {
     * deterministic fit. `asOf = Some(S)` answers from snapshot S
     * instead of the latest state (see [[currentSeq]]); the coarse
     * quantizer is frozen across maintenance, so the probe set needs
-    * no versioning — only the candidate rows do. */
+    * no versioning — only the candidate rows do. One manifest resolve
+    * per query: every read serves the SAME snapshot even if
+    * maintenance commits mid-query. */
   /** `allowed` (optional) = FILTERED search: an allow-list dimension
     * of vec_ids (the result of a metadata predicate — tenant, license,
     * language, date range) semi-joined into the candidate scan BEFORE
@@ -678,23 +767,18 @@ object IntKMeans {
     * like the tombstone set; the probed-cell pruning is unchanged.
     * v41's oracle proves the pre-filter exact against the replayed
     * fit restricted to the predicate. */
-  def servedTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 queries: DataFrame, k: Int, nprobe: Int,
-                 asOf: Option[Long] = None,
+  def servedTopK(spark: SparkSession, dir: String, queries: DataFrame,
+                 k: Int, nprobe: Int, asOf: Option[Long] = None,
                  allowed: Option[DataFrame] = None): DataFrame = {
-    val ma = broadcast(spark.read.parquet(s"$dir/meta"))
-    val ctr = broadcast(spark.read.parquet(s"$dir/centroids"))
-    // query quantization spelled out verbatim in quantizeInt8's op
-    // order, on the STORED corpus scale
-    val qq = queries
-      .select(col("vec_id").as("q_id"), col("embedding"))
-      .crossJoin(ma)
-      .withColumn("qq", transform(col("embedding"),
-        x => round(x.cast("double") * 127.0d / col("ma"))))
-      .select(col("q_id"), col("qq"))
+    val m = Manifest.load(spark, dir)
+    val ctr = broadcast(centroidsOf(spark, dir, m))
+    val qq = quantizeOnStored(
+        queries.select(col("vec_id").as("q_id"), col("embedding")),
+        m.scalar("ma").toDouble)
+      .select(col("q_id"), col("q").as("qq"))
     // tombstone anti-join sits on top of the pruned cell scan:
     // deleted vectors vanish from results without touching the files
-    val live = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir, asOf)
+    val live = liveOnly(vectorsOf(spark, dir, m), spark, dir, m, asOf)
     val vec = allowed.fold(live)(a =>
       live.join(broadcast(a.select(col("vec_id"))), Seq("vec_id"), "left_semi"))
     rankProbed(vec, probeCells(qq, ctr, nprobe), k)
@@ -711,20 +795,18 @@ object IntKMeans {
     * candidate; a prefix-sliced column layout would turn it into an
     * I/O win too). All-integer scoring keeps both stages
     * deterministic: v45's oracle replays the exact pipeline. */
-  def servedTwoStageTopK(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, queries: DataFrame, k: Int,
-                         kCand: Int, prefixDim: Int, nprobe: Int,
+  def servedTwoStageTopK(spark: SparkSession, dir: String,
+                         queries: DataFrame, k: Int, kCand: Int,
+                         prefixDim: Int, nprobe: Int,
                          asOf: Option[Long] = None): DataFrame = {
     require(kCand >= k, s"re-rank pool $kCand smaller than k=$k")
-    val ma = broadcast(spark.read.parquet(s"$dir/meta"))
-    val ctr = broadcast(spark.read.parquet(s"$dir/centroids"))
-    val qq = queries
-      .select(col("vec_id").as("q_id"), col("embedding"))
-      .crossJoin(ma)
-      .withColumn("qq", transform(col("embedding"),
-        x => round(x.cast("double") * 127.0d / col("ma"))))
-      .select(col("q_id"), col("qq"))
-    val vec = liveOnly(spark.read.parquet(s"$dir/vectors"), spark, dir, asOf)
+    val m = Manifest.load(spark, dir)
+    val ctr = broadcast(centroidsOf(spark, dir, m))
+    val qq = quantizeOnStored(
+        queries.select(col("vec_id").as("q_id"), col("embedding")),
+        m.scalar("ma").toDouble)
+      .select(col("q_id"), col("q").as("qq"))
+    val vec = liveOnly(vectorsOf(spark, dir, m), spark, dir, m, asOf)
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("pdot").desc, col("vec_id"))
     val w = Window.partitionBy(col("q_id"))

@@ -182,65 +182,98 @@ object PhraseSearch {
     * corpus-wide tokenize per query. This is the production layout:
     * tokenize ONCE in a batch build, serve from pruned bucket dirs.
     *
-    * Layout: `dir/postings/bucket=B/...` (bucket = RollingHash(tok)
-    * mod nBuckets — the driver can recompute it for any query word,
-    * so pruning is STATIC partition elimination, no runtime subquery)
-    * and `dir/meta` (nBuckets; serve must band with the same modulus).
-    * Rows within each bucket are sorted by (tok, doc_id, pos): parquet
-    * row-group min/max stats on `tok` then skip non-matching row
-    * groups inside a bucket, the second pruning level.
-    *
-    * `dir/doclen` (doc_id, dl) carries per-doc token counts — the
-    * doc-level metadata BM25 needs (dl, and N/L as one aggregate over
-    * it) and the universe NOT needs, so the whole §3.3 boolean/ranked
-    * surface serves from the layout without touching `documents`. */
-  /** Remove history sidecars (tombstones, retention watermark) — every
-    * op that starts a NEW index generation must call this, or sidecars
-    * from a previous build in the same dir would poison the fresh
-    * layout (a stale watermark would refuse every as-of read; stale
-    * tombstones would hide resurrected doc ids). */
-  private def clearHistorySidecars(spark: org.apache.spark.sql.SparkSession,
-                                   dir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq("tombstones", "retention").foreach { n =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
-      p.getFileSystem(conf).delete(p, true)
+    * Layout: segment dirs `dir/postings/seg-V/bucket=B/...` (bucket =
+    * RollingHash(tok) mod nBuckets — the driver can recompute it for
+    * any query word, so pruning is STATIC partition elimination, no
+    * runtime subquery), `dir/doclen/seg-V` (doc_id, dl — the
+    * doc-level metadata BM25 needs and the universe NOT needs, so the
+    * whole §3.3 boolean/ranked surface serves without touching
+    * `documents`), and `dir/manifest/v*.manifest` naming the live
+    * segments, the batch-sequence counter, the retention watermark
+    * and the bucket modulus (see [[graft.index.Manifest]] — every
+    * maintenance op stages new segments and publishes them in ONE
+    * atomic manifest commit). Rows within each postings file are
+    * sorted by (tok, doc_id, pos): parquet row-group min/max stats on
+    * `tok` skip non-matching row groups inside a bucket, the second
+    * pruning level. */
+  private val POSTINGS = "postings"
+  private val DOCLEN = "doclen"
+  private val TOMBSTONES = "tombstones"
+  private type SparkSession = org.apache.spark.sql.SparkSession
+  private val Manifest = graft.index.Manifest
+
+  private def postingsSegDf(toks: DataFrame, seq: Long,
+                            nBuckets: Int): DataFrame = {
+    val bucket = pmod(graft.text.TextOps.fingerprint(col("tok")),
+      lit(nBuckets.toLong))
+    toks.select(col("doc_id"), col("pos"), col("tok"))
+      .withColumn("seq", lit(seq))
+      .withColumn("bucket", bucket)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("tok", "doc_id", "pos")
+  }
+
+  private def doclenSegDf(toks: DataFrame, seq: Long): DataFrame =
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .withColumn("seq", lit(seq))
+
+  /** True iff the just-written segment dir holds any data (an empty
+    * micro-batch writes only a _SUCCESS marker — such a segment must
+    * not enter the manifest, or later multi-segment reads would see a
+    * schemaless root). */
+  private def segHasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n != "_SUCCESS" && !n.startsWith(".") && !n.startsWith("_")
     }
   }
 
   def writeIndex(toks: DataFrame, dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1)
-    clearHistorySidecars(toks.sparkSession, dir)
-    val bucket = pmod(graft.text.TextOps.fingerprint(col("tok")),
-      lit(nBuckets.toLong))
-    toks.select(col("doc_id"), col("pos"), col("tok"))
-      .withColumn("seq", lit(0L))
-      .withColumn("bucket", bucket)
-      .repartition(col("bucket"))
-      .sortWithinPartitions("tok", "doc_id", "pos")
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .withColumn("seq", lit(0L))
-      .write.mode("overwrite").parquet(s"$dir/doclen")
-    toks.sparkSession.range(1)
-      .select(lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    writeSeqNo(toks.sparkSession, dir, 1L)
+    val spark = toks.sparkSession
+    Manifest.withLease(spark, dir) {
+      // a fresh build over a previously-used dir starts a NEW
+      // generation: the new manifest references only the new
+      // segments, so stale tombstones/retention from the old one are
+      // dead on commit (and their files gc'd below)
+      val ver = Manifest.latest(spark, dir).map(_.version).getOrElse(0L) + 1
+      val m = graft.index.Manifest(
+        version = ver, nextSeq = 1L, retention = None,
+        scalars = Map("n_buckets" -> nBuckets.toString),
+        segments = Map(
+          POSTINGS -> Vector(s"$POSTINGS/seg-$ver"),
+          DOCLEN -> Vector(s"$DOCLEN/seg-$ver"),
+          TOMBSTONES -> Vector.empty))
+      postingsSegDf(toks, 0L, nBuckets)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/$POSTINGS/seg-$ver")
+      doclenSegDf(toks, 0L)
+        .write.mode("overwrite").parquet(s"$dir/$DOCLEN/seg-$ver")
+      Manifest.commit(spark, dir, m)
+      Manifest.gc(spark, dir, m)
+    }
   }
 
-  /** Create an EMPTY index: persist the bucket modulus only, so a
-    * purely incremental ingest (st16: Structured Streaming micro-
-    * batches, each calling [[appendIndex]]) can build the whole index
-    * without a batch bootstrap. Postings/doclen dirs appear with the
-    * first append. */
-  def initIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                nBuckets: Int = 64): Unit = {
+  /** Create an EMPTY index: commit a manifest carrying the bucket
+    * modulus and no segments, so a purely incremental ingest (st16:
+    * Structured Streaming micro-batches, each calling
+    * [[appendIndex]]) can build the whole index without a batch
+    * bootstrap. Postings/doclen segments appear with the first
+    * append. */
+  def initIndex(spark: SparkSession, dir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1)
-    clearHistorySidecars(spark, dir)
-    spark.range(1)
-      .select(lit(nBuckets).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
-    writeSeqNo(spark, dir, 0L)
+    Manifest.withLease(spark, dir) {
+      val ver = Manifest.latest(spark, dir).map(_.version).getOrElse(0L) + 1
+      val m = graft.index.Manifest(
+        version = ver, nextSeq = 0L, retention = None,
+        scalars = Map("n_buckets" -> nBuckets.toString),
+        segments = Map(POSTINGS -> Vector.empty, DOCLEN -> Vector.empty,
+          TOMBSTONES -> Vector.empty))
+      Manifest.commit(spark, dir, m)
+      Manifest.gc(spark, dir, m)
+    }
   }
 
   // ---- batch sequence numbers (the versioning that makes UPSERT
@@ -250,104 +283,137 @@ object PhraseSearch {
   // seq < upto, so an upsert's replacement rows (written AT upto)
   // survive their own doc's tombstone. This is the Lucene/LSM delete
   // model: nothing is rewritten, visibility is resolved at read time,
-  // compaction makes it physical. The counter is a 1-row sidecar
-  // (`dir/seqno`) — a driver-side metadata read/write per append,
-  // same class as the meta/scale reads.
-  // CONTRACT: appends/deletes on one index run sequentially (the same
-  // contract appendIndex always had; st16's micro-batches are).
+  // compaction makes it physical. The counter lives in the manifest
+  // (one driver-side metadata read per op, committed atomically with
+  // the segment list). The single-writer contract appendIndex always
+  // documented is now ENFORCED by the manifest's writer lease.
 
-  private def writeSeqNo(spark: org.apache.spark.sql.SparkSession,
-                         dir: String, next: Long): Unit =
-    spark.range(1).select(lit(next).as("next_seq"))
-      .write.mode("overwrite").parquet(s"$dir/seqno")
+  private def postingsOf(spark: SparkSession, dir: String,
+                         m: graft.index.Manifest): DataFrame =
+    Manifest.readComponent(spark, dir, m, POSTINGS)
+      .getOrElse(throw new IllegalStateException(
+        s"index at $dir has no postings segments (empty init, nothing appended)"))
 
-  private def readSeqNo(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Long =
-    spark.read.parquet(s"$dir/seqno").head().getAs[Long]("next_seq")
+  private def doclenOf(spark: SparkSession, dir: String,
+                       m: graft.index.Manifest): DataFrame =
+    Manifest.readComponent(spark, dir, m, DOCLEN)
+      .getOrElse(throw new IllegalStateException(
+        s"index at $dir has no doclen segments (empty init, nothing appended)"))
+
+  private def tombstonesOf(spark: SparkSession, dir: String,
+                           m: graft.index.Manifest): Option[DataFrame] =
+    Manifest.readComponent(spark, dir, m, TOMBSTONES)
 
   /** Incremental maintenance (the daily-crawl shape): append a NEW
     * batch's postings/doc-lengths to an existing [[writeIndex]] layout
     * without rebuilding — the Spark-native analogue of the reference's
     * job-ledger skip-processed pattern (scannerutil.py:136-146, which
     * re-ingests only unprocessed videos). The batch is bucketed with
-    * the STORED modulus, so it lands as new files inside the same
-    * bucket directories and serve-side pruning is unchanged; each new
-    * file is itself (tok, doc_id, pos)-sorted, so row-group stats
-    * prune within it exactly as they do in the base build.
+    * the STORED modulus, so serve-side pruning is unchanged; the new
+    * segment is itself (tok, doc_id, pos)-sorted, so row-group stats
+    * prune within it exactly as they do in the base build. The
+    * segment becomes visible only at the manifest commit — a reader
+    * concurrent with the append sees the old snapshot or the new one,
+    * never a torn mix.
     *
     * CONTRACT: batch doc_ids must be disjoint from already-indexed
     * ones (append batches are new documents, not updates) — ph10's
     * oracle proves full-rebuild ≡ build-half + append-half under it. */
   def appendIndex(newToks: DataFrame, dir: String): Unit = {
     val spark = newToks.sparkSession
-    val nBuckets = spark.read.parquet(s"$dir/meta")
-      .head().getAs[Int]("n_buckets")
-    val seq = readSeqNo(spark, dir)
-    val bucket = pmod(graft.text.TextOps.fingerprint(col("tok")),
-      lit(nBuckets.toLong))
-    newToks.select(col("doc_id"), col("pos"), col("tok"))
-      .withColumn("seq", lit(seq))
-      .withColumn("bucket", bucket)
-      .repartition(col("bucket"))
-      .sortWithinPartitions("tok", "doc_id", "pos")
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
-    newToks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .withColumn("seq", lit(seq))
-      .write.mode("append").parquet(s"$dir/doclen")
-    writeSeqNo(spark, dir, seq + 1)
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val nBuckets = m.scalar("n_buckets").toInt
+      val pSeg = m.nextSeg(POSTINGS)
+      val dSeg = m.nextSeg(DOCLEN)
+      postingsSegDf(newToks, m.nextSeq, nBuckets)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/$pSeg")
+      doclenSegDf(newToks, m.nextSeq)
+        .write.mode("overwrite").parquet(s"$dir/$dSeg")
+      var m2 = m.copy(version = m.version + 1, nextSeq = m.nextSeq + 1)
+      if (segHasData(spark, s"$dir/$pSeg")) m2 = m2.withSegAdded(POSTINGS, pSeg)
+      if (segHasData(spark, s"$dir/$dSeg")) m2 = m2.withSegAdded(DOCLEN, dSeg)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
+    }
   }
 
   /** UPSERT (the re-crawl shape: a batch of documents whose content
     * CHANGED since they were indexed, plus possibly brand-new ones):
-    * tombstone the batch's doc ids at the current sequence number,
-    * then append the new token rows under the next one — the
-    * tombstone (doc_id, upto = S) kills every older version
-    * (seq < S) while the replacement rows (seq = S+1) survive it, so
-    * the swap is atomic at read time and nothing is rewritten.
+    * tombstone the batch's doc ids at the current sequence number S,
+    * then add the new token rows at S+1 — the tombstone
+    * (doc_id, upto = S) kills every older version (seq < S) while the
+    * replacement rows (seq = S+1) survive it. Both the tombstone
+    * segment and the replacement segments land in ONE manifest
+    * commit, so the upsert is atomic even across its two logical
+    * events — no reader can see the delete without the replacement.
     * Upserting a doc the index never held degenerates to a plain
     * append (the tombstone kills nothing). ph17/ph18's oracles prove
     * a stale-then-upserted index indistinguishable from one built on
-    * the corrected corpus — positions, BM25 stats and all — and
-    * PhraseIndexSpec covers the upsert round-trip, upsert-then-
-    * compact (the stale version physically reclaimed, the replacement
-    * surviving its own doc's tombstone) and the degenerate append. */
+    * the corrected corpus — positions, BM25 stats and all. */
   def upsertIndex(newToks: DataFrame, dir: String): Unit = {
-    deleteFromIndex(newToks.select(col("doc_id")).distinct(), dir)
-    appendIndex(newToks, dir)
+    val spark = newToks.sparkSession
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val nBuckets = m.scalar("n_buckets").toInt
+      val tSeg = m.nextSeg(TOMBSTONES)
+      val pSeg = m.nextSeg(POSTINGS)
+      val dSeg = m.nextSeg(DOCLEN)
+      newToks.select(col("doc_id")).distinct()
+        .withColumn("upto", lit(m.nextSeq))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$tSeg")
+      postingsSegDf(newToks, m.nextSeq + 1, nBuckets)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/$pSeg")
+      doclenSegDf(newToks, m.nextSeq + 1)
+        .write.mode("overwrite").parquet(s"$dir/$dSeg")
+      var m2 = m.copy(version = m.version + 1, nextSeq = m.nextSeq + 2)
+      if (segHasData(spark, s"$dir/$tSeg")) m2 = m2.withSegAdded(TOMBSTONES, tSeg)
+      if (segHasData(spark, s"$dir/$pSeg")) m2 = m2.withSegAdded(POSTINGS, pSeg)
+      if (segHasData(spark, s"$dir/$dSeg")) m2 = m2.withSegAdded(DOCLEN, dSeg)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
+    }
   }
 
   /** Logical deletion (the fourth maintenance op after build/append/
-    * compact): record the doc ids in a tombstone sidecar
-    * (`dir/tombstones`) — the postings/doclen files are untouched, so
-    * a delete batch costs one tiny write no matter how large the
-    * index is (the Lucene/log-structured delete model; the reference
-    * deletes videos by row, cascading to their captions —
-    * models.py's Video FK graph — and a takedown/purge in a 100 TB
-    * corpus must not rewrite the corpus). Serve paths anti-join the
-    * broadcast tombstone set, so deletes are visible immediately;
-    * [[compactIndex]] physically reclaims them and clears the
-    * sidecar. Delete batches accumulate across calls; re-deleting an
-    * id or deleting an unindexed id is a no-op at serve time (anti-
-    * join semantics).
+    * compact): record the doc ids in a tombstone segment — the
+    * postings/doclen files are untouched, so a delete batch costs one
+    * tiny write no matter how large the index is (the Lucene/
+    * log-structured delete model; the reference deletes videos by
+    * row, cascading to their captions — models.py's Video FK graph —
+    * and a takedown/purge in a 100 TB corpus must not rewrite the
+    * corpus). Serve paths anti-join the broadcast tombstone set, so
+    * deletes are visible immediately; [[compactIndex]] physically
+    * reclaims them. Delete batches accumulate across calls;
+    * re-deleting an id or deleting an unindexed id is a no-op at
+    * serve time (anti-join semantics).
     *
     * Each tombstone is (doc_id, upto = the current sequence number):
     * it kills only rows written BEFORE it (seq < upto), which is what
     * lets [[upsertIndex]] tombstone and re-add a doc in one step, and
     * means a delete never affects appends that come after it. */
   def deleteFromIndex(docIds: DataFrame, dir: String): Unit = {
-    val upto = readSeqNo(docIds.sparkSession, dir)
-    docIds.select(col("doc_id")).distinct()
-      .withColumn("upto", lit(upto))
-      // a delete batch is dimension-sized (takedowns, purge lists) —
-      // one file per batch, not one per shuffle partition
-      .coalesce(1)
-      .write.mode("append").parquet(s"$dir/tombstones")
-    // a delete is a versioned event like an append: advancing the
-    // counter gives every maintenance batch a distinct sequence slot,
-    // which is what makes the as-of snapshot reads well-defined
-    // (snapshot S excludes tombstones with upto >= S — they had not
-    // happened yet at S)
-    writeSeqNo(docIds.sparkSession, dir, upto + 1)
+    val spark = docIds.sparkSession
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val tSeg = m.nextSeg(TOMBSTONES)
+      docIds.select(col("doc_id")).distinct()
+        .withColumn("upto", lit(m.nextSeq))
+        // a delete batch is dimension-sized (takedowns, purge lists) —
+        // one file per batch, not one per shuffle partition
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$tSeg")
+      // a delete is a versioned event like an append: advancing the
+      // counter gives every maintenance batch a distinct sequence
+      // slot, which is what makes as-of snapshot reads well-defined
+      // (snapshot S excludes tombstones with upto >= S — they had not
+      // happened yet at S)
+      var m2 = m.copy(version = m.version + 1, nextSeq = m.nextSeq + 1)
+      if (segHasData(spark, s"$dir/$tSeg")) m2 = m2.withSegAdded(TOMBSTONES, tSeg)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
+    }
   }
 
   /** The index's current sequence number — the snapshot id the
@@ -358,30 +424,18 @@ object PhraseSearch {
     * earlier names the exact historical state the index had then —
     * the reproducibility hook a training-data pipeline needs
     * ("rebuild the corpus view that produced run X"). */
-  def currentSeq(spark: org.apache.spark.sql.SparkSession, dir: String): Long =
-    readSeqNo(spark, dir)
+  def currentSeq(spark: SparkSession, dir: String): Long =
+    Manifest.load(spark, dir).nextSeq
 
-  /** The tombstone set, if any deletes have been recorded. The
-    * existence probe is one driver-side FS call — index metadata,
-    * like the meta read that makes bucket pruning static. */
-  private def tombstones(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(s"$dir/tombstones")) else None
-  }
+  /** Raw postings across all live segments — the integrity-audit /
+    * introspection read (ph13), NOT a serving path (no tombstone or
+    * as-of resolution; use [[servedPostings]] for answers). */
+  def rawPostings(spark: SparkSession, dir: String): DataFrame =
+    postingsOf(spark, dir, Manifest.load(spark, dir))
 
-  /** The retention watermark, if [[vacuumIndex]] has ever bounded
-    * this index's history (1-row sidecar, driver-side metadata). */
-  private def retention(spark: org.apache.spark.sql.SparkSession,
-                        dir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/retention")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      Some(spark.read.parquet(s"$dir/retention")
-        .head().getAs[Long]("min_snapshot"))
-    else None
-  }
+  /** Raw doclen sidecar across all live segments (see [[rawPostings]]). */
+  def rawDoclen(spark: SparkSession, dir: String): DataFrame =
+    doclenOf(spark, dir, Manifest.load(spark, dir))
 
   /** Drop tombstoned rows from an indexed frame carrying (doc_id,
     * seq) — a broadcast anti-join (the delete set is dimension-
@@ -392,14 +446,15 @@ object PhraseSearch {
     * is two extra pushed-down predicates, no second layout. Snapshots
     * older than the retention watermark are REFUSED, not silently
     * mis-served: [[vacuumIndex]] reclaimed rows they need. */
-  private def liveOnly(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                       dir: String, asOf: Option[Long] = None): DataFrame = {
+  private def liveOnly(df: DataFrame, spark: SparkSession, dir: String,
+                       m: graft.index.Manifest,
+                       asOf: Option[Long] = None): DataFrame = {
     asOf.foreach { s =>
-      retention(spark, dir).foreach(r => require(s >= r,
+      m.retention.foreach(r => require(s >= r,
         s"snapshot $s predates the retention watermark $r (vacuumed away)"))
     }
     val cut = asOf.map(s => df.filter(col("seq") < s)).getOrElse(df)
-    tombstones(spark, dir) match {
+    tombstonesOf(spark, dir, m) match {
       case Some(t) =>
         val vis = asOf.map(s => t.filter(col("upto") < s)).getOrElse(t)
         val ts = broadcast(vis.select(col("doc_id").as("__t_doc"),
@@ -426,19 +481,23 @@ object PhraseSearch {
     * PhraseIndexSpec) and the `tok IN (...)` residual pushes down to
     * parquet row-group stats. At 100 TB a 3-word phrase touches
     * ~3/nBuckets of the index, not the corpus. */
-  def servedPostings(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     vocab: Seq[String],
+  def servedPostings(spark: SparkSession, dir: String, vocab: Seq[String],
                      asOf: Option[Long] = None): DataFrame = {
     require(vocab.nonEmpty)
-    // 1-row index metadata, not data — reading it on the driver is
-    // what makes the bucket pruning static
-    val nBuckets = spark.read.parquet(s"$dir/meta")
-      .head().getAs[Int]("n_buckets")
+    val m = Manifest.load(spark, dir)
+    servedPostingsWith(spark, dir, m, vocab, asOf)
+  }
+
+  private def servedPostingsWith(spark: SparkSession, dir: String,
+                                 m: graft.index.Manifest,
+                                 vocab: Seq[String],
+                                 asOf: Option[Long]): DataFrame = {
+    val nBuckets = m.scalar("n_buckets").toInt
     val bks = vocab.map(bucketOf(_, nBuckets)).distinct
     liveOnly(
-      spark.read.parquet(s"$dir/postings")
+      postingsOf(spark, dir, m)
         .filter(col("bucket").isin(bks: _*) && col("tok").isin(vocab: _*)),
-      spark, dir, asOf)
+      spark, dir, m, asOf)
       .select("doc_id", "pos", "tok")
   }
 
@@ -447,20 +506,32 @@ object PhraseSearch {
     * a reproducibility audit runs ("what differs between the corpus
     * views of run X and run Y") without storing either corpus. Each
     * snapshot's per-doc content signature is an order/partition-free
-    * integer aggregate over its postings (sum of token fingerprint ×
-    * (pos+1) — position-weighted so reorderings change it); two
-    * as-of scans and one full-outer join on a doc-level frame. The
-    * signatures stay far below 2^63 for realistic doc lengths
-    * (fingerprint < 1e9, so ~1e6 tokens per doc before wrap), which
-    * keeps the cross-engine arithmetic exact — ph33's oracle replays
-    * both signatures from the corpus texts. */
-  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, dir: String,
+    * integer aggregate over its postings: sum over tokens of
+    * (fingerprint(tok) × w(pos)) mod P, finally mod P again, with
+    * P = 1e9+7 and w(pos) an LCG mix of the position in [1, 2^31].
+    * Position-weighting makes reorderings change the signature; the
+    * LCG mix (not the raw pos+1 weight) breaks STRUCTURED
+    * cancellations — swapped tokens or sign-patterned edits whose
+    * linear weights would cancel; the per-term mod keeps every term
+    * below 2^30, so the int64 per-doc sum is exact to ~8×10^9 tokens
+    * per doc (the r14 unreduced form wrapped at ~1.3×10^5) and the
+    * final mod makes the signature well-defined at ANY length.
+    * Residual accidental collisions are ~1/P per doc pair — fine for
+    * an audit, noted here by design. Two as-of scans and one
+    * full-outer join on a doc-level frame; ph33's oracle replays both
+    * signatures from the corpus texts. */
+  def snapshotDiff(spark: SparkSession, dir: String,
                    fromSeq: Long, toSeq: Long): DataFrame = {
+    val m = Manifest.load(spark, dir)
+    val P = 1000000007L
+    val w = pmod((col("pos").cast("long") + lit(1L)) * lit(1103515245L) +
+      lit(12345L), lit(2147483648L)) + lit(1L)
     def sig(asOf: Long) =
-      liveOnly(spark.read.parquet(s"$dir/postings"), spark, dir, Some(asOf))
+      liveOnly(postingsOf(spark, dir, m), spark, dir, m, Some(asOf))
         .groupBy(col("doc_id"))
-        .agg(sum(graft.text.TextOps.fingerprint(col("tok")) *
-          (col("pos") + lit(1L))).as("sig"))
+        .agg(pmod(sum(pmod(
+          graft.text.TextOps.fingerprint(col("tok")) * w, lit(P))), lit(P))
+          .as("sig"))
     sig(fromSeq).select(col("doc_id"), col("sig").as("__from"))
       .join(sig(toSeq).select(col("doc_id"), col("sig").as("__to")),
         Seq("doc_id"), "full_outer")
@@ -485,14 +556,13 @@ object PhraseSearch {
     * posting volume, not the index size. The second pruning level
     * doing the work the first one can't — the reason the sort
     * invariant is maintained at all. */
-  def servedPrefixDocs(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       prefix: String,
+  def servedPrefixDocs(spark: SparkSession, dir: String, prefix: String,
                        asOf: Option[Long] = None): DataFrame = {
     require(prefix.nonEmpty, "empty prefix would scan the whole index")
+    val m = Manifest.load(spark, dir)
     liveOnly(
-      spark.read.parquet(s"$dir/postings")
-        .filter(col("tok").startsWith(prefix)),
-      spark, dir, asOf)
+      postingsOf(spark, dir, m).filter(col("tok").startsWith(prefix)),
+      spark, dir, m, asOf)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
   }
@@ -502,69 +572,69 @@ object PhraseSearch {
     * postings instead of a full tokenize. `asOf = Some(S)` answers
     * from snapshot S instead of the latest state (see
     * [[currentSeq]]). */
-  def servedPhraseHits(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       phrase: Seq[String],
+  def servedPhraseHits(spark: SparkSession, dir: String, phrase: Seq[String],
                        asOf: Option[Long] = None): DataFrame =
     phraseHits(servedPostings(spark, dir, phrase.distinct, asOf), phrase)
 
   /** [[proximityHits]] over a [[writeIndex]] layout. */
-  def servedProximityHits(spark: org.apache.spark.sql.SparkSession,
-                          dir: String, a: String, b: String, k: Int,
+  def servedProximityHits(spark: SparkSession, dir: String,
+                          a: String, b: String, k: Int,
                           asOf: Option[Long] = None): DataFrame =
     proximityHits(servedPostings(spark, dir, Seq(a, b).distinct, asOf), a, b, k)
 
   /** Compaction (the third maintenance op after build/append): each
-    * [[appendIndex]] batch adds one file set per bucket, so a
-    * long-running daily-append index accumulates small files and
-    * loses the global (tok, doc_id, pos) order within a bucket —
-    * row-group `tok` stats still prune per file, but over ever more
-    * files. Compaction rewrites the postings back to one sorted file
-    * set per bucket (and the doclen sidecar to one file set),
-    * restoring build-fresh layout without re-tokenizing anything:
-    * it is a pure shuffle-by-bucket + sort over the index itself.
-    * The swap is write-to-sibling + FileSystem rename (works on HDFS
-    * and local; an object-store deployment would swap a manifest
-    * instead). Serve results are unchanged — ph11's oracle row and
+    * [[appendIndex]] batch adds one segment per op, so a long-running
+    * daily-append index accumulates small files and loses the global
+    * (tok, doc_id, pos) order within a bucket — row-group `tok` stats
+    * still prune per file, but over ever more files. Compaction
+    * rewrites the postings back to ONE sorted segment (and the doclen
+    * sidecar to one), restoring build-fresh layout without
+    * re-tokenizing anything: a pure shuffle-by-bucket + sort over the
+    * index itself. Tombstoned docs are physically reclaimed during
+    * the rewrite; because the reclaim destroys rows that historical
+    * snapshots still need, the SAME manifest commit that swaps the
+    * segments in also advances the retention watermark to the current
+    * seq — atomic by construction, so no crash ordering can serve a
+    * historical snapshot minus its reclaimed rows (the r14 ADVICE
+    * gap: the old layout wrote the rewrite before the watermark).
+    * Serve results are unchanged — ph11's oracle row and
     * PhraseIndexSpec assert exact parity and the file-count drop. */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    // physical reclaim: tombstoned docs are dropped from both
-    // sidecars during the rewrite, then the tombstone set is cleared.
-    // Crash-safe in any order: if the JVM dies before the clear, the
-    // stale tombstones name docs no longer present — the serve-side
-    // anti-join is a no-op, and the next compaction clears them.
-    val ts = tombstones(spark, dir)
-    // `seq` must survive the rewrite: liveOnly resolves it here, and
-    // post-compaction deletes (`seq < upto`) and upserts still need
-    // every row versioned — dropping it would leave mixed schemas
-    // once the next appendIndex writes seq-stamped files.
-    val posts = liveOnly(
-      spark.read.parquet(s"$dir/postings")
-        .select(col("doc_id"), col("pos"), col("tok"), col("seq"),
-          col("bucket")),
-      spark, dir)
-      .repartition(col("bucket"))
-      .sortWithinPartitions("tok", "doc_id", "pos")
-    swapRewrite(spark, s"$dir/postings",
-      posts.write.partitionBy("bucket"))
-    // range-partition + sort by doc_id (NOT coalesce(1) — doclen is
-    // one row per document, corpus-sized at 100 TB): bounded file
-    // count per compaction with doc_id min/max stats per file
-    val dl = liveOnly(spark.read.parquet(s"$dir/doclen"), spark, dir)
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-    swapRewrite(spark, s"$dir/doclen", dl.write)
-    if (ts.isDefined) {
-      // tombstones were applied at HEAD, so snapshots older than the
-      // current seq lost rows: advance the retention watermark and
-      // REFUSE those as-of reads loudly instead of serving them
-      // silently minus the reclaimed rows (same contract as
-      // [[vacuumIndex]] — compact ≡ vacuum at the current seq)
-      spark.range(1).select(lit(readSeqNo(spark, dir)).as("min_snapshot"))
-        .write.mode("overwrite").parquet(s"$dir/retention")
-      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  def compactIndex(spark: SparkSession, dir: String): Unit =
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val hadTombstones = m.segs(TOMBSTONES).nonEmpty
+      // `seq` must survive the rewrite: liveOnly resolves it here, and
+      // post-compaction deletes (`seq < upto`) and upserts still need
+      // every row versioned.
+      val pSeg = m.nextSeg(POSTINGS)
+      val dSeg = m.nextSeg(DOCLEN)
+      liveOnly(
+        postingsOf(spark, dir, m)
+          .select(col("doc_id"), col("pos"), col("tok"), col("seq"),
+            col("bucket")),
+        spark, dir, m)
+        .repartition(col("bucket"))
+        .sortWithinPartitions("tok", "doc_id", "pos")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/$pSeg")
+      // range-partition + sort by doc_id (NOT coalesce(1) — doclen is
+      // one row per document, corpus-sized at 100 TB): bounded file
+      // count per compaction with doc_id min/max stats per file
+      liveOnly(doclenOf(spark, dir, m), spark, dir, m)
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$dir/$dSeg")
+      val m2 = m.copy(version = m.version + 1,
+          // tombstones were applied at HEAD, so snapshots older than
+          // the current seq lost rows: the watermark advances IN THE
+          // SAME COMMIT and those as-of reads are refused loudly
+          // (compact ≡ [[vacuumIndex]] at the current seq)
+          retention = if (hadTombstones) Some(m.nextSeq) else m.retention)
+        .withSegsReplaced(POSTINGS, Vector(pSeg))
+        .withSegsReplaced(DOCLEN, Vector(dSeg))
+        .withSegsReplaced(TOMBSTONES, Vector.empty)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
     }
-  }
 
   /** ROLLBACK: restore the index HEAD to snapshot `toSeq` — the
     * undo for a bad maintenance batch (a corrupted re-crawl upserted,
@@ -579,40 +649,53 @@ object PhraseSearch {
     * the seq slot the rolled-back batch vacated, which is exactly why
     * the dead rows must be removed physically, not hidden. The
     * rewrite is a filter over the index itself (never re-tokenizes);
-    * rollback to the current seq is a no-op. Crash order: tombstone
-    * sidecar first (a crash after that serves MORE rows — the
-    * direction the rollback is headed), then postings/doclen via the
-    * same backup-rename swap compaction uses, counter last.
-    * ph26's oracle proves HEAD-after-rollback ≡ the stale corpus;
-    * PhraseIndexSpec covers append-after-rollback reusing the freed
-    * seq slot. */
-  def rollbackIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    toSeq: Long): Unit = {
-    val cur = readSeqNo(spark, dir)
-    require(toSeq >= 1 && toSeq <= cur,
-      s"rollback target $toSeq outside [1, $cur]")
-    retention(spark, dir).foreach(r => require(toSeq >= r,
-      s"rollback target $toSeq predates the retention watermark $r"))
-    if (toSeq == cur) return
-    tombstones(spark, dir).foreach { t =>
-      val keep = t.filter(col("upto") < toSeq)
-      if (keep.isEmpty) {
-        val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      } else swapRewrite(spark, s"$dir/tombstones", keep.coalesce(1).write)
+    * rollback to the current seq is a no-op. Truncated segments,
+    * surviving tombstones and the reset counter land in ONE manifest
+    * commit — no crash ordering to argue about. ph26's oracle proves
+    * HEAD-after-rollback ≡ the stale corpus; PhraseIndexSpec covers
+    * append-after-rollback reusing the freed seq slot. */
+  def rollbackIndex(spark: SparkSession, dir: String, toSeq: Long): Unit =
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val cur = m.nextSeq
+      require(toSeq >= 1 && toSeq <= cur,
+        s"rollback target $toSeq outside [1, $cur]")
+      m.retention.foreach(r => require(toSeq >= r,
+        s"rollback target $toSeq predates the retention watermark $r"))
+      if (toSeq == cur) ()
+      else rollbackTo(spark, dir, m, toSeq)
     }
-    val posts = spark.read.parquet(s"$dir/postings")
-      .filter(col("seq") < toSeq)
-      .select(col("doc_id"), col("pos"), col("tok"), col("seq"), col("bucket"))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("tok", "doc_id", "pos")
-    swapRewrite(spark, s"$dir/postings", posts.write.partitionBy("bucket"))
-    val dl = spark.read.parquet(s"$dir/doclen")
-      .filter(col("seq") < toSeq)
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-    swapRewrite(spark, s"$dir/doclen", dl.write)
-    writeSeqNo(spark, dir, toSeq)
+
+  private def rollbackTo(spark: SparkSession, dir: String,
+                         m: graft.index.Manifest, toSeq: Long): Unit = {
+      val pSeg = m.nextSeg(POSTINGS)
+      val dSeg = m.nextSeg(DOCLEN)
+      val tSeg = m.nextSeg(TOMBSTONES)
+      postingsOf(spark, dir, m)
+        .filter(col("seq") < toSeq)
+        .select(col("doc_id"), col("pos"), col("tok"), col("seq"),
+          col("bucket"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("tok", "doc_id", "pos")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/$pSeg")
+      doclenOf(spark, dir, m)
+        .filter(col("seq") < toSeq)
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$dir/$dSeg")
+      var m2 = m.copy(version = m.version + 1, nextSeq = toSeq)
+        .withSegsReplaced(POSTINGS, Vector(pSeg))
+        .withSegsReplaced(DOCLEN, Vector(dSeg))
+        .withSegsReplaced(TOMBSTONES, Vector.empty)
+      tombstonesOf(spark, dir, m).foreach { t =>
+        val keep = t.filter(col("upto") < toSeq)
+        if (!keep.isEmpty) {
+          keep.coalesce(1).write.mode("overwrite").parquet(s"$dir/$tSeg")
+          m2 = m2.withSegsReplaced(TOMBSTONES, Vector(tSeg))
+        }
+      }
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
   }
 
   /** VACUUM: bound time travel at `retainAsOf` and physically reclaim
@@ -623,52 +706,63 @@ object PhraseSearch {
     * exactly in snapshots (s, u]; once u < retainAsOf no snapshot
     * this index still serves can see it, so the rewrite drops rows
     * killed by a FULLY-AGED tombstone (upto < retainAsOf), drops
-    * those tombstones from the sidecar, and records the watermark in
-    * a 1-row `dir/retention` sidecar. HEAD and every as-of >=
-    * retainAsOf serve byte-identically (ph29's oracle); as-of reads
-    * and rollbacks below the watermark are REFUSED loudly (liveOnly/
-    * rollbackIndex check it) rather than silently served minus the
-    * reclaimed rows. Younger tombstones stay — their rows are still
-    * visible to retained snapshots. A filter-rewrite over the index
-    * itself, same swap protocol as compaction; vacuum at the current
-    * seq ≡ compact's reclaim with history fully dropped. */
-  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  retainAsOf: Long): Unit = {
-    val cur = readSeqNo(spark, dir)
-    require(retainAsOf >= 1 && retainAsOf <= cur,
-      s"retention watermark $retainAsOf outside [1, $cur]")
-    // watermark FIRST: a crash mid-reclaim then refuses the snapshots
-    // whose rows may be half-gone, instead of silently mis-serving
-    // them (the conservative failure — re-run vacuum to finish)
-    spark.range(1).select(lit(retainAsOf).as("min_snapshot"))
-      .write.mode("overwrite").parquet(s"$dir/retention")
-    tombstones(spark, dir).foreach { t =>
-      val aged = t.filter(col("upto") < retainAsOf)
-      if (!aged.isEmpty) {
-        val ts = broadcast(aged.select(col("doc_id").as("__t_doc"),
-          col("upto").as("__t_upto")))
-        def reclaim(df: DataFrame): DataFrame =
-          df.join(ts, df("doc_id") === col("__t_doc") &&
-            df("seq") < col("__t_upto"), "left_anti")
-        val posts = reclaim(spark.read.parquet(s"$dir/postings")
-            .select(col("doc_id"), col("pos"), col("tok"), col("seq"),
-              col("bucket")))
-          .repartition(col("bucket"))
-          .sortWithinPartitions("tok", "doc_id", "pos")
-        swapRewrite(spark, s"$dir/postings", posts.write.partitionBy("bucket"))
-        val dl = reclaim(spark.read.parquet(s"$dir/doclen"))
-          .repartitionByRange(col("doc_id"))
-          .sortWithinPartitions("doc_id")
-        swapRewrite(spark, s"$dir/doclen", dl.write)
-        val young = t.filter(col("upto") >= retainAsOf)
-        if (young.isEmpty) {
-          val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(p, true)
-        } else swapRewrite(spark, s"$dir/tombstones", young.coalesce(1).write)
+    * those tombstones, and advances the watermark — all in ONE
+    * manifest commit, so a crash can never leave reclaimed rows
+    * behind a watermark that still admits their snapshots. HEAD and
+    * every as-of >= retainAsOf serve byte-identically (ph29's
+    * oracle); as-of reads and rollbacks below the watermark are
+    * REFUSED loudly (liveOnly/rollbackIndex check it). The watermark
+    * is MONOTONIC: a vacuum below the current watermark is refused —
+    * rows behind it are already gone, so moving it backward would
+    * re-admit as-of reads whose rows were reclaimed (the r14 ADVICE
+    * gap). Younger tombstones stay — their rows are still visible to
+    * retained snapshots. Vacuum at the current seq ≡ compact's
+    * reclaim with history fully dropped. */
+  def vacuumIndex(spark: SparkSession, dir: String, retainAsOf: Long): Unit =
+    Manifest.withLease(spark, dir) {
+      val m = Manifest.load(spark, dir)
+      val cur = m.nextSeq
+      require(retainAsOf >= 1 && retainAsOf <= cur,
+        s"retention watermark $retainAsOf outside [1, $cur]")
+      m.retention.foreach(r => require(retainAsOf >= r,
+        s"retention watermark would move BACKWARD: $retainAsOf < current $r " +
+          "(rows behind the current watermark are already reclaimed)"))
+      var m2 = m.copy(version = m.version + 1, retention = Some(retainAsOf))
+      tombstonesOf(spark, dir, m).foreach { t =>
+        val aged = t.filter(col("upto") < retainAsOf)
+        if (!aged.isEmpty) {
+          val ts = broadcast(aged.select(col("doc_id").as("__t_doc"),
+            col("upto").as("__t_upto")))
+          def reclaim(df: DataFrame): DataFrame =
+            df.join(ts, df("doc_id") === col("__t_doc") &&
+              df("seq") < col("__t_upto"), "left_anti")
+          val pSeg = m.nextSeg(POSTINGS)
+          val dSeg = m.nextSeg(DOCLEN)
+          val tSeg = m.nextSeg(TOMBSTONES)
+          reclaim(postingsOf(spark, dir, m)
+              .select(col("doc_id"), col("pos"), col("tok"), col("seq"),
+                col("bucket")))
+            .repartition(col("bucket"))
+            .sortWithinPartitions("tok", "doc_id", "pos")
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$dir/$pSeg")
+          reclaim(doclenOf(spark, dir, m))
+            .repartitionByRange(col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(s"$dir/$dSeg")
+          m2 = m2.withSegsReplaced(POSTINGS, Vector(pSeg))
+            .withSegsReplaced(DOCLEN, Vector(dSeg))
+            .withSegsReplaced(TOMBSTONES, Vector.empty)
+          val young = t.filter(col("upto") >= retainAsOf)
+          if (!young.isEmpty) {
+            young.coalesce(1).write.mode("overwrite").parquet(s"$dir/$tSeg")
+            m2 = m2.withSegsReplaced(TOMBSTONES, Vector(tSeg))
+          }
+        }
       }
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
     }
-  }
 
   /** MERGE independently built shard indexes into one serving layout —
     * the distributed 100 TB build shape: N builders each tokenize and
@@ -679,59 +773,48 @@ object PhraseSearch {
     * the shards' postings (and a range-partition over their doclens).
     * Each shard's tombstones are resolved DURING the merge (its
     * deleted rows simply don't survive into the output), so the
-    * merged index starts clean: seq re-stamped to 0, fresh seqno,
-    * no tombstone sidecar — indistinguishable from a fresh build on
-    * the union of the shards' live corpora (ph21's oracle).
+    * merged index starts clean: seq re-stamped to 0, counter 1, no
+    * tombstones — indistinguishable from a fresh build on the union
+    * of the shards' live corpora (ph21's oracle).
     *
     * CONTRACT: shards share the bucket modulus (required here) and
     * their live doc sets are disjoint (same rule as [[appendIndex]]). */
-  def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
-                   shards: Seq[String], out: String): Unit = {
+  def mergeIndexes(spark: SparkSession, shards: Seq[String],
+                   out: String): Unit = {
     require(shards.nonEmpty)
-    val moduli = shards.map(d => spark.read.parquet(s"$d/meta")
-      .head().getAs[Int]("n_buckets"))
+    val sms = shards.map(d => (d, Manifest.load(spark, d)))
+    val moduli = sms.map(_._2.scalar("n_buckets").toInt)
     require(moduli.distinct.size == 1,
       s"shards disagree on the bucket modulus: $moduli")
-    clearHistorySidecars(spark, out)
-    shards.map(d => liveOnly(spark.read.parquet(s"$d/postings"), spark, d)
-        .select(col("doc_id"), col("pos"), col("tok"), col("bucket")))
-      .reduce(_.unionByName(_))
-      .withColumn("seq", lit(0L))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("tok", "doc_id", "pos")
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$out/postings")
-    shards.map(d => liveOnly(spark.read.parquet(s"$d/doclen"), spark, d)
-        .select(col("doc_id"), col("dl")))
-      .reduce(_.unionByName(_))
-      .withColumn("seq", lit(0L))
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$out/doclen")
-    spark.range(1).select(lit(moduli.head).as("n_buckets"))
-      .write.mode("overwrite").parquet(s"$out/meta")
-    writeSeqNo(spark, out, 1L)
-  }
-
-  /** Write `w` to `<path>.compact`, then swap it into `path` via a
-    * backup rename (live -> .old, compact -> live, drop .old) — the
-    * live data is never deleted before its replacement is in place,
-    * so a failure at any step leaves either the old or the new layout
-    * intact (a crash between the renames leaves `.old` for manual
-    * recovery). */
-  private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
-                          path: String,
-                          w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
-    val tmp = path + ".compact"
-    w.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val bak = new org.apache.hadoop.fs.Path(path + ".old")
-    fs.delete(bak, true)
-    require(fs.rename(p, bak), s"compaction: cannot stash $path")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
-      s"compaction swap failed for $path — previous layout at $bak")
-    fs.delete(bak, true)
+    Manifest.withLease(spark, out) {
+      val ver = Manifest.latest(spark, out).map(_.version).getOrElse(0L) + 1
+      val m = graft.index.Manifest(
+        version = ver, nextSeq = 1L, retention = None,
+        scalars = Map("n_buckets" -> moduli.head.toString),
+        segments = Map(
+          POSTINGS -> Vector(s"$POSTINGS/seg-$ver"),
+          DOCLEN -> Vector(s"$DOCLEN/seg-$ver"),
+          TOMBSTONES -> Vector.empty))
+      sms.map { case (d, sm) =>
+          liveOnly(postingsOf(spark, d, sm), spark, d, sm)
+            .select(col("doc_id"), col("pos"), col("tok"), col("bucket")) }
+        .reduce(_.unionByName(_))
+        .withColumn("seq", lit(0L))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("tok", "doc_id", "pos")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$out/$POSTINGS/seg-$ver")
+      sms.map { case (d, sm) =>
+          liveOnly(doclenOf(spark, d, sm), spark, d, sm)
+            .select(col("doc_id"), col("dl")) }
+        .reduce(_.unionByName(_))
+        .withColumn("seq", lit(0L))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$out/$DOCLEN/seg-$ver")
+      Manifest.commit(spark, out, m)
+      Manifest.gc(spark, out, m)
+    }
   }
 
   /** All words a boolean query touches (its served vocabulary). */
@@ -747,15 +830,17 @@ object PhraseSearch {
     * buckets and the NOT-universe from the doc-length sidecar — no
     * corpus tokenize, no `documents` scan. A query over V distinct
     * words reads ≤ V of nBuckets index partitions plus the doc-level
-    * metadata table. */
-  def servedSearch(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   query: String, asOf: Option[Long] = None): DataFrame = {
+    * metadata table. One manifest resolve per query: both reads serve
+    * the SAME snapshot even if maintenance commits mid-query. */
+  def servedSearch(spark: SparkSession, dir: String, query: String,
+                   asOf: Option[Long] = None): DataFrame = {
     val q = parse(query)
-    val posts = servedPostings(spark, dir, vocabOf(q).distinct, asOf)
+    val m = Manifest.load(spark, dir)
+    val posts = servedPostingsWith(spark, dir, m, vocabOf(q).distinct, asOf)
     // the NOT-universe must shrink with deletes too, or NOT-only
     // queries would resurrect tombstoned docs
-    val universe = liveOnly(
-      spark.read.parquet(s"$dir/doclen"), spark, dir, asOf).select("doc_id")
+    val universe =
+      liveOnly(doclenOf(spark, dir, m), spark, dir, m, asOf).select("doc_id")
     eval(q, posts, universe)
   }
 
@@ -777,12 +862,12 @@ object PhraseSearch {
     * without re-weighting terms per filter (a per-filter df would
     * re-rank identically-matching docs differently per tenant).
     * ph30's oracle pins both halves of that contract. */
-  def servedBm25TopK(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     terms: Seq[String], k: Int = 10,
-                     asOf: Option[Long] = None,
+  def servedBm25TopK(spark: SparkSession, dir: String, terms: Seq[String],
+                     k: Int = 10, asOf: Option[Long] = None,
                      allowed: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty)
-    val tfAll = servedPostings(spark, dir, terms.distinct, asOf)
+    val m = Manifest.load(spark, dir)
+    val tfAll = servedPostingsWith(spark, dir, m, terms.distinct, asOf)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // df comes from the UNFILTERED candidates (global stats contract)
@@ -793,7 +878,7 @@ object PhraseSearch {
     // live doclen rows, df from the live tf rows — exactly what a
     // rebuild on the remaining corpus would compute (ph15's oracle);
     // an as-of read scores with the SNAPSHOT's stats (ph24's oracle)
-    val dl = liveOnly(spark.read.parquet(s"$dir/doclen"), spark, dir, asOf)
+    val dl = liveOnly(doclenOf(spark, dir, m), spark, dir, m, asOf)
     val tot = broadcast(dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l")))
     val idf = (lit(2) * (col("n") - col("df")) + lit(1)).cast("double") /
       (lit(2) * col("df") + lit(1)).cast("double")
@@ -816,9 +901,8 @@ object PhraseSearch {
     * observability behind a compaction/vacuum schedule (how much dead
     * weight serving anti-joins carry). One dimension-sized sidecar
     * read; empty frame if no deletes are outstanding. */
-  def pendingDeletes(spark: org.apache.spark.sql.SparkSession,
-                     dir: String): DataFrame =
-    tombstones(spark, dir)
+  def pendingDeletes(spark: SparkSession, dir: String): DataFrame =
+    tombstonesOf(spark, dir, Manifest.load(spark, dir))
       .map(_.select(col("doc_id"), col("upto")).distinct())
       .getOrElse {
         import spark.implicits._
@@ -835,22 +919,21 @@ object PhraseSearch {
     * the scored (query, doc) pairs — the one shape where a window
     * beats N TakeOrdereds, because the N=1 ordered-limit trick can't
     * share the scan. ph34's oracle replays every step. */
-  def servedBatchBm25TopK(spark: org.apache.spark.sql.SparkSession,
-                          dir: String,
-                          termSets: Seq[(Long, Seq[String])],
-                          k: Int = 10,
+  def servedBatchBm25TopK(spark: SparkSession, dir: String,
+                          termSets: Seq[(Long, Seq[String])], k: Int = 10,
                           asOf: Option[Long] = None): DataFrame = {
     require(termSets.nonEmpty && termSets.forall(_._2.nonEmpty))
     import spark.implicits._
+    val m = Manifest.load(spark, dir)
     val terms = termSets
       .flatMap { case (q, ws) => ws.distinct.map(w => (q, w)) }
       .toDF("query_id", "tok")
     val vocab = termSets.flatMap(_._2).distinct
-    val tf = servedPostings(spark, dir, vocab, asOf)
+    val tf = servedPostingsWith(spark, dir, m, vocab, asOf)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val dl = liveOnly(spark.read.parquet(s"$dir/doclen"), spark, dir, asOf)
+    val dl = liveOnly(doclenOf(spark, dir, m), spark, dir, m, asOf)
     val tot = broadcast(dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l")))
     val idf = (lit(2) * (col("n") - col("df")) + lit(1)).cast("double") /
       (lit(2) * col("df") + lit(1)).cast("double")

@@ -100,7 +100,7 @@ class IntKMeansSpec extends SparkSpec {
     // appended vector must sit in the cell its (frozen-centroid)
     // assignment picks: serving a blob-pure query with nprobe=1 must
     // return only cluster-mates from BOTH halves
-    val vec = spark.read.parquet(s"$dir/vectors")
+    val vec = IntKMeans.rawVectors(spark, dir)
     assert(vec.count() === 60L)
     assert(vec.select("vec_id").distinct().count() === 60L)
     val top = IntKMeans.servedTopK(spark, dir, blobs.filter($"vec_id" === 0),
@@ -164,10 +164,9 @@ class IntKMeansSpec extends SparkSpec {
     assert(logical.map(_.getInt(2)).sorted === (1 to logical.size).toArray)
     // physical reclaim
     IntKMeans.compactIndex(spark, dir)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "tombstones")),
-      "compaction left the tombstone sidecar in place")
-    assert(spark.read.parquet(s"$dir/vectors")
+    assert(graft.index.Manifest.load(spark, dir).segs("tombstones").isEmpty,
+      "compaction left tombstone segments in the manifest")
+    assert(IntKMeans.rawVectors(spark, dir)
       .filter(col("vec_id").isin(dead.toSeq: _*)).count() === 0L,
       "tombstoned vectors survived compaction")
     assert(IntKMeans.servedTopK(spark, dir, qs, k = 10, nprobe = 1)
@@ -213,11 +212,11 @@ class IntKMeansSpec extends SparkSpec {
     assert(fixed.map(_.getLong(1)).contains(3L),
       "re-encoded vector not served from its new cell")
     // both versions physically present until compaction, one served
-    assert(spark.read.parquet(s"$dir/vectors")
+    assert(IntKMeans.rawVectors(spark, dir)
       .filter($"vec_id" === 3L).count() === 2L)
     IntKMeans.compactIndex(spark, dir)
     // …then only the replacement survives and serving is unchanged
-    assert(spark.read.parquet(s"$dir/vectors")
+    assert(IntKMeans.rawVectors(spark, dir)
       .filter($"vec_id" === 3L).count() === 1L,
       "compaction must reclaim exactly the stale version")
     assert(IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1)
@@ -291,7 +290,7 @@ class IntKMeansSpec extends SparkSpec {
     val head = serve(None)
     val at2 = serve(Some(s2))
     IntKMeans.vacuumIndex(spark, dir, s2)
-    val vecs = spark.read.parquet(s"$dir/vectors")
+    val vecs = IntKMeans.rawVectors(spark, dir)
     assert(vecs.filter($"vec_id" === 0L).count() === 0L,
       "fully-aged tombstone's row must be reclaimed")
     assert(vecs.filter($"vec_id" === 3L).count() === 1L,
@@ -454,13 +453,12 @@ class IntKMeansSpec extends SparkSpec {
       "refreshed index must serve a fresh union fit bit-for-bit")
     // a new generation: counter reset, every row at seq 0, no sidecar
     assert(IntKMeans.currentSeq(spark, dir) === 1L)
-    assert(spark.read.parquet(s"$dir/vectors").filter($"seq" =!= 0L)
+    assert(IntKMeans.rawVectors(spark, dir).filter($"seq" =!= 0L)
       .count() === 0L, "refresh must re-stamp rows to seq 0")
-    assert(spark.read.parquet(s"$dir/vectors").filter($"vec_id" === 6L)
+    assert(IntKMeans.rawVectors(spark, dir).filter($"vec_id" === 6L)
       .count() === 0L, "tombstoned row must be resolved into the rewrite")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/tombstones")),
-      "refresh must clear the tombstone sidecar")
+    assert(graft.index.Manifest.load(spark, dir).segs("tombstones").isEmpty,
+      "refresh must clear the tombstones")
     // maintenance continues on the new generation
     IntKMeans.deleteFromIndex(Seq(3L).toDF("vec_id"), dir)
     assert(IntKMeans.servedTopK(spark, dir, qs, k = 20, nprobe = 1)
@@ -495,10 +493,9 @@ class IntKMeansSpec extends SparkSpec {
     // roll the upsert back too: replacement row + its tombstone vanish
     IntKMeans.rollbackIndex(spark, dir, s1)
     assert(serve() === r1, "rollback to the base build diverged")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/tombstones")),
+    assert(graft.index.Manifest.load(spark, dir).segs("tombstones").isEmpty,
       "rolled-back tombstones must be physically removed")
-    assert(spark.read.parquet(s"$dir/vectors")
+    assert(IntKMeans.rawVectors(spark, dir)
       .filter($"seq" >= s1).count() === 0L,
       "rows written after the rollback target must be physically gone")
     // maintenance continues: an append lands in the vacated seq slot
@@ -539,9 +536,8 @@ class IntKMeansSpec extends SparkSpec {
         .orderBy("q_id", "rank").collect().toSeq,
       "merged shards diverge from the sequentially maintained index")
     // merged layout starts clean and physically resolved
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(out, "tombstones")))
-    assert(spark.read.parquet(s"$out/vectors")
+    assert(graft.index.Manifest.load(spark, out).segs("tombstones").isEmpty)
+    assert(IntKMeans.rawVectors(spark, out)
       .filter(col("vec_id").isin(6L, 9L)).count() === 0L,
       "shard tombstones not resolved during merge")
     // post-merge maintenance still works

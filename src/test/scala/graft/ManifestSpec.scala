@@ -1,0 +1,166 @@
+package graft
+
+import graft.index.Manifest
+import graft.text.PhraseSearch
+import org.apache.spark.sql.functions._
+
+/** The transactional spine of both index planes: a maintenance op
+  * stages however many segment directories it likes, but NOTHING is
+  * live until the single manifest rename commits — so a crash at any
+  * earlier point leaves the previous snapshot fully intact (data,
+  * tombstones, counter, watermark), and a reader never sees a
+  * half-swapped layout. Plus the writer lease that turns the
+  * single-writer contract from a doc comment into a loud failure. */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox"),
+    (2L, "the quick brown cat"),
+    (3L, "a slow green turtle"),
+    (4L, "quick brown quick brown")
+  ).toDF("doc_id", "text")
+
+  private lazy val toks = docs.select(col("doc_id"),
+    posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("serialize/deserialize round-trips every field") {
+    val m = Manifest(version = 7L, nextSeq = 42L, retention = Some(5L),
+      scalars = Map("n_buckets" -> "64", "ma" -> "203.0"),
+      segments = Map(
+        "postings" -> Vector("postings/seg-1", "postings/seg-3"),
+        "doclen" -> Vector("doclen/seg-1"),
+        "tombstones" -> Vector.empty))
+    assert(Manifest.deserialize(Manifest.serialize(m)) === m)
+    val noRet = m.copy(retention = None)
+    assert(Manifest.deserialize(Manifest.serialize(noRet)) === noRet)
+  }
+
+  test("readers resolve the highest committed version; tmp files are invisible") {
+    val dir = freshDir("mf_ver_")
+    PhraseSearch.writeIndex(toks, dir, nBuckets = 8)
+    val v1 = Manifest.load(spark, dir)
+    PhraseSearch.appendIndex(
+      Seq((9L, 0, "zebra")).toDF("doc_id", "pos", "tok"), dir)
+    val v2 = Manifest.load(spark, dir)
+    assert(v2.version === v1.version + 1 && v2.nextSeq === v1.nextSeq + 1)
+    // a half-written manifest (writer died mid-serialize) never resolves
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest/v999.manifest.tmp"),
+      "version=999\n".getBytes)
+    assert(Manifest.load(spark, dir) === v2)
+  }
+
+  test("commit refuses a version that already exists (optimistic check)") {
+    val dir = freshDir("mf_dup_")
+    PhraseSearch.writeIndex(toks, dir, nBuckets = 8)
+    val m = Manifest.load(spark, dir)
+    intercept[IllegalArgumentException] {
+      Manifest.commit(spark, dir, m) // same version again
+    }
+    assert(Manifest.load(spark, dir) === m, "failed commit must change nothing")
+  }
+
+  test("crash injection: a compaction killed before its commit changes nothing observable") {
+    val dir = freshDir("mf_crash_")
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 8)
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") % 2 === 1), dir)
+    PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), dir)
+    val m = Manifest.load(spark, dir)
+    val headBefore = PhraseSearch
+      .servedPhraseHits(spark, dir, Seq("quick", "brown")).collect().toSet
+    val asOf1 = PhraseSearch.servedPhraseHits(spark, dir, Seq("quick"),
+      asOf = Some(1L)).collect().toSet
+    // replay compactIndex's segment writes EXACTLY, then "crash" —
+    // no manifest commit. The staged consolidated segment sits on
+    // disk next to the live ones.
+    PhraseSearch.rawPostings(spark, dir)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/${m.nextSeg("postings")}")
+    PhraseSearch.rawDoclen(spark, dir)
+      .write.mode("overwrite").parquet(s"$dir/${m.nextSeg("doclen")}")
+    // every read — HEAD, history, counter, pending deletes — still
+    // serves the OLD snapshot
+    assert(Manifest.load(spark, dir) === m)
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet === headBefore)
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick"),
+      asOf = Some(1L)).collect().toSet === asOf1)
+    assert(!PhraseSearch.pendingDeletes(spark, dir).isEmpty,
+      "the crashed compaction must not have cleared the tombstones")
+    // recovery is just running the op again: its gc sweeps the
+    // orphaned staged segments, and the commit lands atomically
+    PhraseSearch.compactIndex(spark, dir)
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet === headBefore)
+    assert(PhraseSearch.pendingDeletes(spark, dir).isEmpty)
+    val live = Manifest.load(spark, dir).segs("postings").toSet
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .map(st => s"postings/${st.getPath.getName}").toSet
+    assert(onDisk === live,
+      s"gc left orphaned segments: ${onDisk.diff(live)}")
+  }
+
+  test("writer lease: a second concurrent writer fails loudly; breakLease recovers") {
+    val dir = freshDir("mf_lease_")
+    PhraseSearch.writeIndex(toks, dir, nBuckets = 8)
+    val before = Manifest.load(spark, dir)
+    // a writer crashed holding the lease: maintenance must refuse
+    // instead of silently interleaving with the (presumed-alive) op
+    Manifest.withLease(spark, dir) {
+      val e = intercept[IllegalStateException] {
+        PhraseSearch.deleteFromIndex(Seq(1L).toDF("doc_id"), dir)
+      }
+      assert(e.getMessage.contains("lease"), s"wrong failure: ${e.getMessage}")
+    }
+    // withLease released it on exit — maintenance proceeds
+    PhraseSearch.deleteFromIndex(Seq(1L).toDF("doc_id"), dir)
+    assert(Manifest.load(spark, dir).version === before.version + 1)
+    // a crashed writer's stale lease is broken explicitly, never raced
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest/LEASE"), Array.empty[Byte])
+    intercept[IllegalStateException] {
+      PhraseSearch.deleteFromIndex(Seq(2L).toDF("doc_id"), dir)
+    }
+    Manifest.breakLease(spark, dir)
+    PhraseSearch.deleteFromIndex(Seq(2L).toDF("doc_id"), dir)
+    assert(PhraseSearch.pendingDeletes(spark, dir).count() === 2L)
+  }
+
+  test("the lease is released when the op body throws") {
+    val dir = freshDir("mf_lease2_")
+    PhraseSearch.writeIndex(toks, dir, nBuckets = 8)
+    intercept[IllegalArgumentException] {
+      PhraseSearch.vacuumIndex(spark, dir, 99L) // outside [1, cur]
+    }
+    // the failed op must not leave the index locked
+    PhraseSearch.deleteFromIndex(Seq(1L).toDF("doc_id"), dir)
+    assert(PhraseSearch.pendingDeletes(spark, dir).count() === 1L)
+  }
+
+  test("gc keeps only the latest manifest and its referenced segments") {
+    val dir = freshDir("mf_gc_")
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 8)
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") % 2 === 1), dir)
+    PhraseSearch.compactIndex(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/manifest"))
+      .map(_.getPath.getName).filter(_.endsWith(".manifest"))
+    assert(manifests.length === 1,
+      s"old manifest versions not gc'd: ${manifests.toSeq}")
+    val m = Manifest.load(spark, dir)
+    Seq("postings", "doclen").foreach { comp =>
+      val segs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$comp"))
+        .map(st => s"$comp/${st.getPath.getName}").toSet
+      assert(segs === m.segs(comp).toSet,
+        s"$comp holds segments the manifest does not reference: $segs")
+    }
+  }
+}

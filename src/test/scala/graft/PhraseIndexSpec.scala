@@ -252,14 +252,13 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSet
     PhraseSearch.compactIndex(spark, dir)
     // sidecar cleared
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "tombstones")),
-      "compaction left the tombstone sidecar in place")
+    assert(PhraseSearch.pendingDeletes(spark, dir).isEmpty,
+      "compaction left tombstone segments in the manifest")
     // rows physically gone from both sidecars (raw reads, no filter)
-    assert(spark.read.parquet(s"$dir/postings")
+    assert(PhraseSearch.rawPostings(spark, dir)
       .filter(col("doc_id").isin(2L, 4L)).count() === 0L,
       "tombstoned postings survived compaction")
-    assert(spark.read.parquet(s"$dir/doclen")
+    assert(PhraseSearch.rawDoclen(spark, dir)
       .filter(col("doc_id").isin(2L, 4L)).count() === 0L,
       "tombstoned doclen rows survived compaction")
     // reclaimed layout serves the same results as the logical view
@@ -302,7 +301,7 @@ class PhraseIndexSpec extends SparkSpec {
       PhraseSearch.bm25TopK(liveDocs, Seq("quick", "dog"), 5).collect().toSeq)
     // and the reclaim converges too
     PhraseSearch.compactIndex(spark, dir)
-    assert(spark.read.parquet(s"$dir/postings")
+    assert(PhraseSearch.rawPostings(spark, dir)
       .filter(col("doc_id").isin(2L, 4L)).count() === 0L)
   }
 
@@ -348,14 +347,14 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSeq
     PhraseSearch.compactIndex(spark, dir)
     // the stale doc-2 rows (old vocabulary) are physically gone…
-    assert(spark.read.parquet(s"$dir/postings")
+    assert(PhraseSearch.rawPostings(spark, dir)
       .filter(col("doc_id") === 2L && col("tok") === "brown").count() === 0L,
       "stale doc-2 postings survived compaction")
     // …while the replacement rows survived their own doc's tombstone
-    assert(spark.read.parquet(s"$dir/postings")
+    assert(PhraseSearch.rawPostings(spark, dir)
       .filter(col("doc_id") === 2L && col("tok") === "cat").count() > 0L,
       "replacement doc-2 postings were reclaimed along with the stale ones")
-    assert(spark.read.parquet(s"$dir/doclen")
+    assert(PhraseSearch.rawDoclen(spark, dir)
       .filter(col("doc_id") === 2L).count() === 1L,
       "doclen must hold exactly the replacement row for an upserted doc")
     assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "cat"), 6)
@@ -391,9 +390,9 @@ class PhraseIndexSpec extends SparkSpec {
     // compaction converges the physical layout: the removed doc and
     // the stale version of the changed doc are both reclaimed
     PhraseSearch.compactIndex(spark, dir)
-    assert(spark.read.parquet(s"$dir/postings")
+    assert(PhraseSearch.rawPostings(spark, dir)
       .filter(col("doc_id") === 4L).count() === 0L, "removed doc survived")
-    assert(spark.read.parquet(s"$dir/postings")
+    assert(PhraseSearch.rawPostings(spark, dir)
       .filter(col("doc_id") === 2L && col("tok") === "brown").count() === 0L,
       "stale version of the changed doc survived")
     assert(PhraseSearch.servedBm25TopK(spark, dir, Seq("quick", "cat"), 6)
@@ -472,9 +471,8 @@ class PhraseIndexSpec extends SparkSpec {
       "merged BM25 stats diverged from the live union")
     // the merged layout starts clean: no tombstones, rows physically
     // absent, and later maintenance (delete) works against it
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(out, "tombstones")))
-    assert(spark.read.parquet(s"$out/postings")
+    assert(PhraseSearch.pendingDeletes(spark, out).isEmpty)
+    assert(PhraseSearch.rawPostings(spark, out)
       .filter(col("doc_id").isin(2L, 5L)).count() === 0L,
       "shard tombstones not resolved during merge")
     PhraseSearch.deleteFromIndex(Seq(1L).toDF("doc_id"), out)
@@ -523,8 +521,7 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSeq ===
       PhraseSearch.bm25TopK(docs, Seq("quick", "dog"), 5).collect().toSeq,
       "rollback to the base build must restore its BM25 stats exactly")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/tombstones")),
+    assert(PhraseSearch.pendingDeletes(spark, dir).isEmpty,
       "rolled-back tombstones must be physically removed")
     // maintenance continues from the freed slot: a fresh append must
     // serve exactly like an append onto a never-rolled-back build
@@ -557,7 +554,7 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSet
     PhraseSearch.vacuumIndex(spark, dir, s3)
     // doc 4 physically gone, doc 6 physically retained (logically dead)
-    val posts = spark.read.parquet(s"$dir/postings")
+    val posts = PhraseSearch.rawPostings(spark, dir)
     assert(posts.filter(col("doc_id") === 4L).count() === 0L,
       "fully-aged tombstone's rows must be reclaimed")
     assert(posts.filter(col("doc_id") === 6L).count() > 0L,
@@ -620,26 +617,39 @@ class PhraseIndexSpec extends SparkSpec {
         asOf = Some(1L)).collect().toSet ===
       PhraseSearch.phraseHits(toks, Seq("quick", "brown")).collect().toSet,
       "tombstone-free compaction must not bound time travel")
-    // crashed vacuum: the watermark landed but the reclaim did not
-    // (vacuum writes it FIRST by design). Old reads refuse, HEAD is
-    // correct, and re-running the vacuum completes the reclaim.
+    // crashed vacuum under the manifest protocol: a writer that died
+    // AFTER staging its rewritten segments but BEFORE the manifest
+    // commit has changed NOTHING observable — the old snapshot (rows,
+    // tombstones, watermark) serves intact, historical reads
+    // included; re-running the vacuum completes the reclaim.
     val dir3 = freshIndex(16)
     PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), dir3)
     val cur3 = PhraseSearch.currentSeq(spark, dir3)
-    spark.range(1).select(lit(cur3).as("min_snapshot"))
-      .write.mode("overwrite").parquet(s"$dir3/retention")
-    intercept[IllegalArgumentException] {
-      PhraseSearch.servedPhraseHits(spark, dir3, Seq("quick"), asOf = Some(1L))
-        .collect()
-    }
     val headHits = PhraseSearch
       .servedPhraseHits(spark, dir3, Seq("quick", "brown")).collect().toSet
+    // simulate the crash: orphan staged segment + half-written manifest
+    PhraseSearch.rawPostings(spark, dir3).limit(1)
+      .write.mode("overwrite").parquet(s"$dir3/postings/seg-999")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir3/manifest/v999.manifest.tmp"),
+      "version=999\n".getBytes)
+    assert(PhraseSearch.servedPhraseHits(spark, dir3, Seq("quick", "brown"))
+      .collect().toSet === headHits,
+      "uncommitted staged state must be invisible to serves")
+    assert(PhraseSearch.servedPhraseHits(spark, dir3, Seq("quick", "brown"),
+        asOf = Some(1L)).collect().toSet ===
+      PhraseSearch.phraseHits(toks, Seq("quick", "brown")).collect().toSet,
+      "a crashed vacuum must not bound time travel (nothing committed)")
     PhraseSearch.vacuumIndex(spark, dir3, cur3)
-    assert(spark.read.parquet(s"$dir3/postings")
+    assert(PhraseSearch.rawPostings(spark, dir3)
       .filter(col("doc_id") === 4L).count() === 0L,
-      "re-run vacuum must finish the interrupted reclaim")
+      "re-run vacuum must finish the reclaim")
     assert(PhraseSearch.servedPhraseHits(spark, dir3, Seq("quick", "brown"))
       .collect().toSet === headHits)
+    // the watermark is MONOTONIC: vacuuming below it is refused
+    intercept[IllegalArgumentException] {
+      PhraseSearch.vacuumIndex(spark, dir3, cur3 - 1)
+    }
   }
 
   test("snapshotDiff classifies added/removed/changed and ignores no-op rewrites") {
