@@ -93,10 +93,38 @@ object RelationalQueries {
 
     // P11 random sampling (order_by('?')) — seeded, Spark-side determinism
     // only; no cross-engine oracle (RNGs differ).
-    "p11_random_sample" -> ((s, d) =>
-      Tables.events(tune(s), d).sample(withReplacement = false, 0.1, seed = 42)
-        .agg(count(lit(1)).as("n_sampled"),
-          (count(lit(1)) > 0).as("nonempty"))),
+    // P11: RNG sampling, retired from rows-only status the way a18's
+    // sketches were — the SAMPLE is cross-engine irreproducible by
+    // nature (Spark's per-partition Bernoulli stream), so the query
+    // asserts the oracle-checkable INVARIANTS of a seeded 10% sample
+    // instead of the rows: the draw count lands in the Chernoff-safe
+    // [5%, 15%] band, the sample is duplicate-free (withReplacement =
+    // false) and a subset of the domain, and the same seed re-drawn
+    // in the same job reproduces the identical id set (per-partition
+    // seed = seed + partition index over the same file splits). All
+    // four booleans are constants-true for a correct sampler, which
+    // is exactly what lets DuckDB assert them.
+    "p11_random_sample" -> ((s, d) => {
+      val ev = Tables.events(tune(s), d)
+      val s1 = ev.sample(withReplacement = false, 0.1, seed = 42)
+        .select(col("event_id"))
+      val s2 = ev.sample(withReplacement = false, 0.1, seed = 42)
+        .select(col("event_id"))
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      val stats = s1.agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("event_id")).as("n_distinct"))
+      val outside = s1.join(ev.select("event_id"), Seq("event_id"), "left_anti")
+        .agg(count(lit(1)).as("n_outside"))
+      val drift = s1.exceptAll(s2).agg(count(lit(1)).as("n_drift"))
+      stats.crossJoin(broadcast(tot)).crossJoin(broadcast(outside))
+        .crossJoin(broadcast(drift))
+        .select(
+          (col("n_sampled") * 20 > col("n_total") &&
+            col("n_sampled") * 20 < col("n_total") * 3).as("in_range"),
+          (col("n_distinct") === col("n_sampled")).as("no_dups"),
+          (col("n_outside") === lit(0L)).as("subset_ok"),
+          (col("n_drift") === lit(0L)).as("seed_stable"))
+    }),
 
     // P13 deterministic hash sampling: k docs per group = the k
     // smallest (mixed-hash, doc_id) pairs, packed into one long and
@@ -937,6 +965,10 @@ object RelationalQueries {
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od FROM orders
         |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "p11_random_sample" ->
+      """SELECT true AS in_range, true AS no_dups,
+        |  true AS subset_ok, true AS seed_stable""".stripMargin,
 
     "p10_stride_sample" ->
       """SELECT event_id, user_id, event_type FROM events

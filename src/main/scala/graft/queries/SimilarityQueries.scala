@@ -489,6 +489,47 @@ object SimilarityQueries {
         .orderBy("q_id")
     }),
 
+    // X7: CROSS-PLANE TAKEDOWN — one purge list applied to BOTH
+    // retrieval planes under one orchestrated call
+    // (graft.index.CrossPlane.takedown: per-plane atomic manifest
+    // commits, saga compensation if the second plane fails), then
+    // BOTH planes served plus the cross-plane consistency audit —
+    // three arms in one frame. The oracle replays the phrase hits AND
+    // the IVF serve from the reduced corpus (ids ≡ 2 mod 5 gone on
+    // both), and the mismatch arm contributes ZERO rows: if either
+    // plane missed the takedown, its serve rows AND the audit rows
+    // would both hash-mismatch. The reference gets this cascade from
+    // Postgres FKs (models.py:33-53, Video -> captions/faces); two
+    // file-backed indexes need the driver.
+    "x07_cross_plane_takedown" -> ((s, d) => {
+      val e = emb(s, d)
+      val base = Q.memoIndex("xpl", d) { dir =>
+        val ph = s"$dir/phrase"; val iv = s"$dir/ivf"
+        graft.text.PhraseSearch.writeIndex(Q.toks(s, d), ph, nBuckets = 64)
+        graft.similarity.IntKMeans.writeIndex(e, iv, nlist = 16)
+        val ids = Tables.documents(tune(s), d).select(col("doc_id").as("id"))
+          .unionByName(e.select(col("vec_id").as("id")))
+          .filter(col("id") % 5 === 2).distinct()
+        graft.index.CrossPlane.takedown(s, ph, iv, ids)
+      }
+      val ph = graft.text.PhraseSearch
+        .servedPhraseHits(s, s"$base/phrase", Seq("the", "customer"))
+        .select(lit("phrase").as("plane"), lit(0L).as("q_id"),
+          col("doc_id").as("id"), col("pos").cast("long").as("rank"),
+          lit(0L).as("val"))
+      val iv = graft.similarity.IntKMeans
+        .servedTopK(s, s"$base/ivf", e.filter(col("vec_id") < 5),
+          k = 10, nprobe = 4)
+        .select(lit("ivf").as("plane"), col("q_id"), col("vec_id").as("id"),
+          col("rank").cast("long").as("rank"), col("qdot").as("val"))
+      val mm = graft.index.CrossPlane
+        .pendingMismatch(s, s"$base/phrase", s"$base/ivf")
+        .select(lit("mismatch").as("plane"), lit(0L).as("q_id"), col("id"),
+          lit(0L).as("rank"), lit(0L).as("val"))
+      ph.unionByName(iv).unionByName(mm)
+        .orderBy("plane", "q_id", "id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -1540,6 +1581,45 @@ object SimilarityQueries {
     // v44: both snapshots' quantized vectors replayed from the corpus
     // (stale = negated/missing view on the stale scale; current = the
     // upsert resolved on the SAME stored scale)
+    // x07: both planes replayed from the reduced corpus (ids ≡ 2
+    // mod 5 taken down everywhere): the phrase arm is ph01's
+    // position join over the surviving token table, the ivf arm is
+    // v32's frozen-quantizer serve with the candidate filter — and
+    // the mismatch arm is the empty set by construction (the oracle
+    // simply contributes no 'mismatch' rows; any half-applied
+    // takedown in the Spark result hash-fails against it)
+    "x07_cross_plane_takedown" ->
+      s"""WITH $qvCte,
+         |${lloydCtes(16)},
+         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
+         |probes AS (SELECT q_id, qvq, cell FROM (
+         |    SELECT qq.q_id, qq.qvq, c.cell,
+         |      row_number() OVER (PARTITION BY qq.q_id
+         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+         |dv AS (SELECT p.q_id, a.vec_id, ${doti("a.q", "p.qvq")} AS qdot
+         |      FROM af a JOIN probes p
+         |        ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |      WHERE a.vec_id % 5 <> 2),
+         |rv AS (SELECT q_id, vec_id, qdot,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+         |      FROM dv),
+         |tk AS (SELECT * FROM (${Q.toksSql}) t0 WHERE doc_id % 5 <> 2),
+         |ph AS (SELECT a.doc_id AS id, CAST(a.pos AS BIGINT) AS rank
+         |       FROM tk a JOIN tk b
+         |         ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       WHERE a.tok = 'the' AND b.tok = 'customer')
+         |SELECT plane, q_id, id, rank, val FROM (
+         |  SELECT 'ivf' AS plane, q_id, CAST(vec_id AS BIGINT) AS id,
+         |    CAST(rank AS BIGINT) AS rank, qdot AS val
+         |  FROM rv WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT 'phrase' AS plane, CAST(0 AS BIGINT) AS q_id, id, rank,
+         |    CAST(0 AS BIGINT) AS val
+         |  FROM ph) u
+         |ORDER BY plane, q_id, id, rank""".stripMargin,
+
     "v44_ivf_snapshot_diff" -> {
       val quant = "list_transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT))"

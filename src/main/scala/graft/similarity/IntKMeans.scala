@@ -402,6 +402,21 @@ object IntKMeans {
   def currentSeq(spark: SparkSession, dir: String): Long =
     Manifest.load(spark, dir).nextSeq
 
+  /** PENDING-RECLAIM backlog: tombstoned vec ids not yet physically
+    * reclaimed, with the event (`upto`) each purge landed at — the
+    * IVF mirror of the phrase plane's ph36 observability, and the
+    * input the cross-plane consistency audit
+    * ([[graft.index.CrossPlane.pendingMismatch]]) compares across
+    * planes. One dimension-sized sidecar read; empty frame if no
+    * deletes are outstanding. */
+  def pendingDeletes(spark: SparkSession, dir: String): DataFrame =
+    tombstonesOf(spark, dir, Manifest.load(spark, dir))
+      .map(_.select(col("vec_id"), col("upto")).distinct())
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("vec_id", "upto")
+      }
+
   /** Raw stored vectors across all live segments — the integrity-
     * audit / introspection read (v38), NOT a serving path (no
     * tombstone or as-of resolution; use [[servedTopK]] for answers). */

@@ -199,6 +199,7 @@ object PhraseSearch {
   private val POSTINGS = "postings"
   private val DOCLEN = "doclen"
   private val TOMBSTONES = "tombstones"
+  private val LEXICON = "lexicon"
   private type SparkSession = org.apache.spark.sql.SparkSession
   private val Manifest = graft.index.Manifest
 
@@ -216,6 +217,28 @@ object PhraseSearch {
   private def doclenSegDf(toks: DataFrame, seq: Long): DataFrame =
     toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
       .withColumn("seq", lit(seq))
+
+  /** LEXICON segment: the distinct vocabulary with each token's bucket,
+    * RANGE-partitioned and sorted by `tok` — so a prefix query's
+    * vocabulary expansion is a contiguous range scan over a
+    * vocab-sized sidecar (parquet min/max file + row-group stats on
+    * `tok` prune it), the sorted-lexicon idea behind the reference's
+    * caption index (app/esper/captions.py:13-30). INVARIANT: the live
+    * lexicon is a SUPERSET of the live postings' vocabulary (appends
+    * add their batch's tokens; rewrites rebuild it from the rows they
+    * keep; stale upsert vocabulary may linger until a rewrite) — a
+    * superset is harmless because the prefix serve semi-joins it into
+    * the postings, where dead tokens match nothing. `bucket` is
+    * stored as INT to match the partition-column type the postings
+    * scan infers, so the serve-side (bucket, tok) join needs no cast
+    * between the DPP key and the partition column. */
+  private def lexiconSegDf(vocabSrc: DataFrame, nBuckets: Int): DataFrame =
+    vocabSrc.select(col("tok")).distinct()
+      .withColumn("bucket",
+        pmod(graft.text.TextOps.fingerprint(col("tok")),
+          lit(nBuckets.toLong)).cast("int"))
+      .repartitionByRange(col("tok"))
+      .sortWithinPartitions("tok")
 
   /** True iff the just-written segment dir holds any data (an empty
     * micro-batch writes only a _SUCCESS marker — such a segment must
@@ -245,12 +268,15 @@ object PhraseSearch {
         segments = Map(
           POSTINGS -> Vector(s"$POSTINGS/seg-$ver"),
           DOCLEN -> Vector(s"$DOCLEN/seg-$ver"),
+          LEXICON -> Vector(s"$LEXICON/seg-$ver"),
           TOMBSTONES -> Vector.empty))
       postingsSegDf(toks, 0L, nBuckets)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$dir/$POSTINGS/seg-$ver")
       doclenSegDf(toks, 0L)
         .write.mode("overwrite").parquet(s"$dir/$DOCLEN/seg-$ver")
+      lexiconSegDf(toks, nBuckets)
+        .write.mode("overwrite").parquet(s"$dir/$LEXICON/seg-$ver")
       Manifest.commit(spark, dir, m)
       Manifest.gc(spark, dir, m)
     }
@@ -270,7 +296,7 @@ object PhraseSearch {
         version = ver, nextSeq = 0L, retention = None,
         scalars = Map("n_buckets" -> nBuckets.toString),
         segments = Map(POSTINGS -> Vector.empty, DOCLEN -> Vector.empty,
-          TOMBSTONES -> Vector.empty))
+          LEXICON -> Vector.empty, TOMBSTONES -> Vector.empty))
       Manifest.commit(spark, dir, m)
       Manifest.gc(spark, dir, m)
     }
@@ -326,13 +352,17 @@ object PhraseSearch {
       val nBuckets = m.scalar("n_buckets").toInt
       val pSeg = m.nextSeg(POSTINGS)
       val dSeg = m.nextSeg(DOCLEN)
+      val lSeg = m.nextSeg(LEXICON)
       postingsSegDf(newToks, m.nextSeq, nBuckets)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/$pSeg")
       doclenSegDf(newToks, m.nextSeq)
         .write.mode("overwrite").parquet(s"$dir/$dSeg")
+      lexiconSegDf(newToks, nBuckets)
+        .write.mode("overwrite").parquet(s"$dir/$lSeg")
       var m2 = m.copy(version = m.version + 1, nextSeq = m.nextSeq + 1)
       if (segHasData(spark, s"$dir/$pSeg")) m2 = m2.withSegAdded(POSTINGS, pSeg)
       if (segHasData(spark, s"$dir/$dSeg")) m2 = m2.withSegAdded(DOCLEN, dSeg)
+      if (segHasData(spark, s"$dir/$lSeg")) m2 = m2.withSegAdded(LEXICON, lSeg)
       Manifest.commit(spark, dir, m2)
       Manifest.gc(spark, dir, m2)
     }
@@ -359,6 +389,7 @@ object PhraseSearch {
       val tSeg = m.nextSeg(TOMBSTONES)
       val pSeg = m.nextSeg(POSTINGS)
       val dSeg = m.nextSeg(DOCLEN)
+      val lSeg = m.nextSeg(LEXICON)
       newToks.select(col("doc_id")).distinct()
         .withColumn("upto", lit(m.nextSeq))
         .coalesce(1)
@@ -367,10 +398,13 @@ object PhraseSearch {
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/$pSeg")
       doclenSegDf(newToks, m.nextSeq + 1)
         .write.mode("overwrite").parquet(s"$dir/$dSeg")
+      lexiconSegDf(newToks, nBuckets)
+        .write.mode("overwrite").parquet(s"$dir/$lSeg")
       var m2 = m.copy(version = m.version + 1, nextSeq = m.nextSeq + 2)
       if (segHasData(spark, s"$dir/$tSeg")) m2 = m2.withSegAdded(TOMBSTONES, tSeg)
       if (segHasData(spark, s"$dir/$pSeg")) m2 = m2.withSegAdded(POSTINGS, pSeg)
       if (segHasData(spark, s"$dir/$dSeg")) m2 = m2.withSegAdded(DOCLEN, dSeg)
+      if (segHasData(spark, s"$dir/$lSeg")) m2 = m2.withSegAdded(LEXICON, lSeg)
       Manifest.commit(spark, dir, m2)
       Manifest.gc(spark, dir, m2)
     }
@@ -547,22 +581,34 @@ object PhraseSearch {
   /** PREFIX (wildcard) search over a [[writeIndex]] layout: doc ids
     * holding any token that starts with `prefix`, plus the matched
     * vocabulary and its frequency — `cust*`-style expansion. A prefix
-    * cannot route to one bucket (the bucket is a hash of the FULL
-    * token), so unlike the exact-vocabulary reads this scan touches
-    * every bucket directory — but each bucket's files are tok-sorted
-    * ([[writeIndex]]/[[compactIndex]] keep that invariant), so the
-    * pushed StringStartsWith prunes at parquet row-group min/max
-    * granularity WITHIN every file: the I/O tracks the prefix range's
-    * posting volume, not the index size. The second pruning level
-    * doing the work the first one can't — the reason the sort
-    * invariant is maintained at all. */
+    * cannot route STATICALLY to one bucket (the bucket is a hash of
+    * the FULL token), so the expansion goes through the LEXICON
+    * sidecar: a range scan of the tok-sorted vocabulary table (file +
+    * row-group min/max stats prune it to the prefix range) yields the
+    * matched (bucket, tok) dimension, and a broadcast semi-join fans
+    * it into the postings — dynamic partition pruning then drops
+    * every bucket directory holding none of the matched tokens, the
+    * same DPP shape the IVF plane's probed-cell scan uses. The pushed
+    * StringStartsWith residual keeps the second, row-group-level
+    * pruning inside the surviving buckets (the tok-sort invariant
+    * every rewrite maintains). I/O therefore tracks the prefix
+    * range's vocabulary + posting volume, not the index size — the
+    * r14 layout read all 64 bucket dirs (4.0x at 100x corpus,
+    * STRESS10X); this is the sorted-lexicon fix
+    * (app/esper/captions.py:13-30). */
   def servedPrefixDocs(spark: SparkSession, dir: String, prefix: String,
                        asOf: Option[Long] = None): DataFrame = {
     require(prefix.nonEmpty, "empty prefix would scan the whole index")
     val m = Manifest.load(spark, dir)
-    liveOnly(
-      postingsOf(spark, dir, m).filter(col("tok").startsWith(prefix)),
-      spark, dir, m, asOf)
+    val posts = postingsOf(spark, dir, m).filter(col("tok").startsWith(prefix))
+    val pruned = Manifest.readComponent(spark, dir, m, LEXICON) match {
+      case Some(lex) =>
+        val matched = lex.filter(col("tok").startsWith(prefix))
+          .select(col("bucket"), col("tok")).distinct()
+        posts.join(broadcast(matched), Seq("bucket", "tok"), "left_semi")
+      case None => posts // pre-lexicon index (empty init): full fallback
+    }
+    liveOnly(pruned, spark, dir, m, asOf)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
   }
@@ -623,6 +669,14 @@ object PhraseSearch {
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(s"$dir/$dSeg")
+      // the lexicon converges to the kept vocabulary (stale upsert
+      // tokens and reclaimed docs' exclusive tokens drop out): ONE
+      // distinct over the just-written consolidated segment
+      val lSeg = m.nextSeg(LEXICON)
+      spark.read.parquet(s"$dir/$pSeg").select(col("tok"), col("bucket"))
+        .distinct()
+        .repartitionByRange(col("tok")).sortWithinPartitions("tok")
+        .write.mode("overwrite").parquet(s"$dir/$lSeg")
       val m2 = m.copy(version = m.version + 1,
           // tombstones were applied at HEAD, so snapshots older than
           // the current seq lost rows: the watermark advances IN THE
@@ -631,6 +685,7 @@ object PhraseSearch {
           retention = if (hadTombstones) Some(m.nextSeq) else m.retention)
         .withSegsReplaced(POSTINGS, Vector(pSeg))
         .withSegsReplaced(DOCLEN, Vector(dSeg))
+        .withSegsReplaced(LEXICON, Vector(lSeg))
         .withSegsReplaced(TOMBSTONES, Vector.empty)
       Manifest.commit(spark, dir, m2)
       Manifest.gc(spark, dir, m2)
@@ -683,9 +738,15 @@ object PhraseSearch {
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(s"$dir/$dSeg")
+      val lSeg = m.nextSeg(LEXICON)
+      spark.read.parquet(s"$dir/$pSeg").select(col("tok"), col("bucket"))
+        .distinct()
+        .repartitionByRange(col("tok")).sortWithinPartitions("tok")
+        .write.mode("overwrite").parquet(s"$dir/$lSeg")
       var m2 = m.copy(version = m.version + 1, nextSeq = toSeq)
         .withSegsReplaced(POSTINGS, Vector(pSeg))
         .withSegsReplaced(DOCLEN, Vector(dSeg))
+        .withSegsReplaced(LEXICON, Vector(lSeg))
         .withSegsReplaced(TOMBSTONES, Vector.empty)
       tombstonesOf(spark, dir, m).foreach { t =>
         val keep = t.filter(col("upto") < toSeq)
@@ -750,8 +811,14 @@ object PhraseSearch {
             .repartitionByRange(col("doc_id"))
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite").parquet(s"$dir/$dSeg")
+          val lSeg = m.nextSeg(LEXICON)
+          spark.read.parquet(s"$dir/$pSeg").select(col("tok"), col("bucket"))
+            .distinct()
+            .repartitionByRange(col("tok")).sortWithinPartitions("tok")
+            .write.mode("overwrite").parquet(s"$dir/$lSeg")
           m2 = m2.withSegsReplaced(POSTINGS, Vector(pSeg))
             .withSegsReplaced(DOCLEN, Vector(dSeg))
+            .withSegsReplaced(LEXICON, Vector(lSeg))
             .withSegsReplaced(TOMBSTONES, Vector.empty)
           val young = t.filter(col("upto") >= retainAsOf)
           if (!young.isEmpty) {
@@ -794,6 +861,7 @@ object PhraseSearch {
         segments = Map(
           POSTINGS -> Vector(s"$POSTINGS/seg-$ver"),
           DOCLEN -> Vector(s"$DOCLEN/seg-$ver"),
+          LEXICON -> Vector(s"$LEXICON/seg-$ver"),
           TOMBSTONES -> Vector.empty))
       sms.map { case (d, sm) =>
           liveOnly(postingsOf(spark, d, sm), spark, d, sm)
@@ -812,6 +880,10 @@ object PhraseSearch {
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(s"$out/$DOCLEN/seg-$ver")
+      spark.read.parquet(s"$out/$POSTINGS/seg-$ver")
+        .select(col("tok"), col("bucket")).distinct()
+        .repartitionByRange(col("tok")).sortWithinPartitions("tok")
+        .write.mode("overwrite").parquet(s"$out/$LEXICON/seg-$ver")
       Manifest.commit(spark, out, m)
       Manifest.gc(spark, out, m)
     }

@@ -571,10 +571,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(smj.isEmpty, s"ph31 has ${smj.size} sort-merge joins")
   }
 
-  test("ph32 prefix search pushes StartsWith into the postings scan") {
-    // no bucket routing is possible for a prefix; the whole viability
-    // of the op rests on the pushed range reaching the tok-sorted
-    // files' row-group stats
+  test("ph32 prefix search: lexicon range scan + DPP bucket pruning + pushed StartsWith") {
+    // no STATIC bucket routing is possible for a prefix; viability
+    // rests on three layers — the tok-sorted lexicon resolves the
+    // matched vocabulary as a range scan, its broadcast semi-join
+    // DPP-prunes the postings to the matched tokens' buckets, and the
+    // pushed range reaches the tok-sorted files' row-group stats
     val plan = executed(SparkEntry.queries("ph32_prefix_search")(spark, sf))
     val posting = plan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
@@ -584,6 +586,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(posting.exists(_.metadata.get("PushedFilters")
         .exists(_.contains("StringStartsWith"))),
       "StartsWith no longer pushes down to the parquet scan")
+    assert(posting.exists(_.partitionFilters.exists(
+        _.toString.contains("dynamicpruning"))),
+      "postings scan lost its DPP bucket filter — every bucket dir would be read")
+    // the lexicon scan lives inside the DPP subquery / reused
+    // broadcast, which plain collect does not traverse
+    val lexicon = plan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lexicon")) => s
+    }
+    assert(lexicon.nonEmpty, "lexicon scan not found in ph32's plan")
+    assert(lexicon.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("StringStartsWith"))),
+      "the lexicon's prefix range is not pushed to its sorted files")
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"ph32 has ${smj.size} sort-merge joins")
   }
 
   test("v32 deleted-IVF serve keeps DPP cell pruning AND broadcast tombstones") {

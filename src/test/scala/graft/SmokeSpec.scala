@@ -12,14 +12,15 @@ class SmokeSpec extends SparkSpec {
   test("every query key has an oracle or is deliberately rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // keep the rows-only list explicit so additions AND removals are
-    // conscious choices. Only one genuinely engine-internal query
-    // remains: Spark's RNG (p11). a18 graduated in r12 — it emits
-    // error-bound booleans (HLL within 15% of exact, percentile rank
-    // interval containment) that DuckDB can verify exactly. Every
-    // float-cosine query mirrors the native double folds bit-exactly,
-    // and the fitted pipelines (v05 probe, v07 IVF, v12 clusters) run
-    // on the integer Lloyd plane (IntKMeans), oracle-checked.
-    assert(noOracle === Set("p11_random_sample"))
+    // conscious choices. EMPTY since r15: p11 graduated the way a18
+    // did in r12 — the RNG draw itself is engine-internal, so the
+    // query emits the sampler's oracle-checkable invariants (Chernoff
+    // count band, duplicate-freedom, domain subset, seed stability)
+    // as booleans DuckDB asserts exactly. Every float-cosine query
+    // mirrors the native double folds bit-exactly, and the fitted
+    // pipelines (v05 probe, v07 IVF, v12 clusters) run on the integer
+    // Lloyd plane (IntKMeans), oracle-checked.
+    assert(noOracle === Set.empty[String])
   }
 
   test("all queries execute at sf0.001") {
