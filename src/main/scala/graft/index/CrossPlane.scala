@@ -62,6 +62,35 @@ object CrossPlane {
       graft.similarity.IntKMeans.currentSeq(spark, ivfDir))
   }
 
+  /** RE-CRAWL / RE-ENCODE across both planes — the other FK-cascade
+    * shape: a batch of documents whose content changed re-enters as
+    * `newToks` (their re-tokenized text, keyed doc_id) AND as
+    * `newCorpus` (their re-encoded embeddings, keyed vec_id), and
+    * both planes upsert it as one logical event. CONTRACT: the two
+    * frames describe the same id batch (the shared-id corpus
+    * contract [[takedown]] relies on). Same saga as takedown: each
+    * plane's upsert is atomic (tombstone + replacement in ONE
+    * manifest commit), and an IVF-side failure rolls the phrase
+    * plane back to its pre-event snapshot, so the caller never sees
+    * text updated but embeddings stale. */
+  def reencode(spark: SparkSession, phraseDir: String, ivfDir: String,
+               newToks: DataFrame, newCorpus: DataFrame): TakedownEvent = {
+    val phraseBefore = graft.text.PhraseSearch.currentSeq(spark, phraseDir)
+    graft.text.PhraseSearch.upsertIndex(newToks, phraseDir)
+    try
+      graft.similarity.IntKMeans.upsertIndex(newCorpus, ivfDir)
+    catch { case e: Throwable =>
+      graft.text.PhraseSearch.rollbackIndex(spark, phraseDir, phraseBefore)
+      throw new IllegalStateException(
+        s"cross-plane re-encode failed on the IVF plane at $ivfDir; " +
+          s"the phrase plane at $phraseDir was rolled back to snapshot " +
+          s"$phraseBefore — both planes are unchanged", e)
+    }
+    TakedownEvent(
+      graft.text.PhraseSearch.currentSeq(spark, phraseDir),
+      graft.similarity.IntKMeans.currentSeq(spark, ivfDir))
+  }
+
   /** CONSISTENCY AUDIT: ids whose pending-takedown status DISAGREES
     * between the planes — tombstoned on one and not the other, the
     * signature of a half-applied cross-plane event (a crash between

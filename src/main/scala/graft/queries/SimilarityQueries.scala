@@ -530,6 +530,53 @@ object SimilarityQueries {
         .orderBy("plane", "q_id", "id", "rank")
     }),
 
+    // X8: CROSS-PLANE RE-ENCODE — the other FK-cascade shape: one
+    // re-crawl batch (changed text + re-encoded embeddings for the
+    // SAME ids, plus brand-new ids) applied to both stale planes by
+    // graft.index.CrossPlane.reencode (per-plane atomic upserts, saga
+    // compensation), then both planes served plus the consistency
+    // audit. The stale scenarios are ph17's and v34's verbatim, so
+    // the oracle arms are their proven replays: the phrase plane
+    // converges to the full corpus, the IVF plane to the stale-fit
+    // frozen-quantizer assignment of the corrected corpus.
+    "x08_cross_plane_reencode" -> ((s, d) => {
+      val e = emb(s, d)
+      val base = Q.memoIndex("xpl2", d) { dir =>
+        val ph = s"$dir/phrase"; val iv = s"$dir/ivf"
+        val t = Q.toks(s, d)
+        val changed = col("doc_id") % 5 === 2
+        val missing = col("doc_id") % 11 === 0
+        graft.text.PhraseSearch.writeIndex(
+          t.filter(!missing && (!changed || col("pos") < 10)), ph,
+          nBuckets = 64)
+        val stale = e.filter(col("vec_id") % 11 =!= 0)
+          .withColumn("embedding",
+            when(col("vec_id") % 5 === 2,
+              transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")))
+        graft.similarity.IntKMeans.writeIndex(stale, iv, nlist = 16)
+        graft.index.CrossPlane.reencode(s, ph, iv,
+          t.filter(changed || missing),
+          e.filter(col("vec_id") % 5 === 2 || col("vec_id") % 11 === 0))
+      }
+      val ph = graft.text.PhraseSearch
+        .servedPhraseHits(s, s"$base/phrase", Seq("the", "customer"))
+        .select(lit("phrase").as("plane"), lit(0L).as("q_id"),
+          col("doc_id").as("id"), col("pos").cast("long").as("rank"),
+          lit(0L).as("val"))
+      val iv = graft.similarity.IntKMeans
+        .servedTopK(s, s"$base/ivf", e.filter(col("vec_id") < 5),
+          k = 10, nprobe = 4)
+        .select(lit("ivf").as("plane"), col("q_id"), col("vec_id").as("id"),
+          col("rank").cast("long").as("rank"), col("qdot").as("val"))
+      val mm = graft.index.CrossPlane
+        .pendingMismatch(s, s"$base/phrase", s"$base/ivf")
+        .select(lit("mismatch").as("plane"), lit(0L).as("q_id"), col("id"),
+          lit(0L).as("rank"), lit(0L).as("val"))
+      ph.unionByName(iv).unionByName(mm)
+        .orderBy("plane", "q_id", "id", "rank")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -1614,6 +1661,25 @@ object SimilarityQueries {
          |  SELECT 'ivf' AS plane, q_id, CAST(vec_id AS BIGINT) AS id,
          |    CAST(rank AS BIGINT) AS rank, qdot AS val
          |  FROM rv WHERE rank <= 10
+         |  UNION ALL
+         |  SELECT 'phrase' AS plane, CAST(0 AS BIGINT) AS q_id, id, rank,
+         |    CAST(0 AS BIGINT) AS val
+         |  FROM ph) u
+         |ORDER BY plane, q_id, id, rank""".stripMargin,
+
+    // x08: phrase arm = the full corpus (the re-crawl converges it),
+    // ivf arm = v34's stale-fit + upsert-resolution replay verbatim
+    // (wrapped as a derived table), mismatch arm = zero rows
+    "x08_cross_plane_reencode" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |iv AS (SELECT * FROM (${ivfUpsertSqlWith("idx")}) t9),
+         |ph AS (SELECT a.doc_id AS id, CAST(a.pos AS BIGINT) AS rank
+         |       FROM tk a JOIN tk b
+         |         ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       WHERE a.tok = 'the' AND b.tok = 'customer')
+         |SELECT plane, q_id, id, rank, val FROM (
+         |  SELECT 'ivf' AS plane, q_id, CAST(vec_id AS BIGINT) AS id,
+         |    CAST(rank AS BIGINT) AS rank, qdot AS val FROM iv
          |  UNION ALL
          |  SELECT 'phrase' AS plane, CAST(0 AS BIGINT) AS q_id, id, rank,
          |    CAST(0 AS BIGINT) AS val

@@ -68,6 +68,37 @@ class CrossPlaneSpec extends SparkSpec {
     assert(CrossPlane.pendingMismatch(spark, ph, iv).isEmpty)
   }
 
+  test("reencode cascades one re-crawl batch to both planes; saga on failure") {
+    val (ph, iv) = freshPair()
+    // doc 2 re-enters with new text AND a re-encoded (negated) vector
+    val newToks = Seq((2L, 0, "sleepy"), (2L, 1, "cat")).toDF("doc_id", "pos", "tok")
+    val newVecs = embs.filter($"vec_id" === 2L)
+      .withColumn("embedding", transform($"embedding", x => -x))
+      .select(col("vec_id"), col("embedding"))
+    CrossPlane.reencode(spark, ph, iv, newToks, newVecs)
+    assert(PhraseSearch.servedSearch(spark, ph, "sleepy")
+      .as[Long].collect().toSet === Set(2L), "re-crawled text not served")
+    assert(!PhraseSearch.servedSearch(spark, ph, "quick")
+      .as[Long].collect().toSet.contains(2L), "stale text still served")
+    assert(CrossPlane.pendingMismatch(spark, ph, iv).isEmpty,
+      "a re-encode applied to both planes must audit clean")
+    // saga: the next batch fails on the IVF side — phrase rolls back
+    val phSeq = PhraseSearch.currentSeq(spark, ph)
+    intercept[IllegalStateException] {
+      Manifest.withLease(spark, iv) {
+        CrossPlane.reencode(spark, ph, iv,
+          Seq((3L, 0, "rewritten")).toDF("doc_id", "pos", "tok"),
+          embs.filter($"vec_id" === 3L).select("vec_id", "embedding"))
+      }
+    }
+    Manifest.breakLease(spark, iv)
+    assert(PhraseSearch.currentSeq(spark, ph) === phSeq,
+      "phrase counter moved despite the compensation")
+    assert(PhraseSearch.servedSearch(spark, ph, "rewritten")
+      .as[Long].collect().isEmpty, "compensated upsert still visible")
+    assert(CrossPlane.pendingMismatch(spark, ph, iv).isEmpty)
+  }
+
   test("saga: a failure on the IVF plane rolls the phrase plane back (both unchanged)") {
     val (ph, iv) = freshPair()
     val phSeq = PhraseSearch.currentSeq(spark, ph)
