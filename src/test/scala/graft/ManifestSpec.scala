@@ -106,6 +106,40 @@ class ManifestSpec extends SparkSpec {
       s"gc left orphaned segments: ${onDisk.diff(live)}")
   }
 
+  test("crash injection (IVF plane): a refresh killed before its commit changes nothing") {
+    import graft.similarity.IntKMeans
+    val embs = (1L to 20L).map { id =>
+      (id, Array.tabulate(8)(d => ((id * 7 + d * 13) % 7 - 3).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = freshDir("mf_ivfcrash_")
+    IntKMeans.writeIndex(embs, dir, nlist = 2)
+    IntKMeans.deleteFromIndex(Seq(3L).toDF("vec_id"), dir)
+    val m = Manifest.load(spark, dir)
+    val qs = embs.filter(col("vec_id") === 1)
+    val before = IntKMeans.servedTopK(spark, dir, qs, k = 10, nprobe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    // a refresh stages new vectors + new centroids, then dies before
+    // its commit: the r14 layout had a real crash window here (old
+    // tombstones applying to new seq-0 rows); under the manifest the
+    // staged generation is simply invisible
+    IntKMeans.rawVectors(spark, dir).limit(1)
+      .write.mode("overwrite").parquet(s"$dir/${m.nextSeg("vectors")}")
+    spark.range(1).select(lit(0L).as("cell"), lit(Array(0.0d)).as("c"))
+      .write.mode("overwrite").parquet(s"$dir/${m.nextSeg("centroids")}")
+    assert(Manifest.load(spark, dir) === m)
+    assert(IntKMeans.servedTopK(spark, dir, qs, k = 10, nprobe = 2)
+      .orderBy("q_id", "rank").collect().toSeq === before,
+      "uncommitted staged generation must be invisible to serves")
+    assert(!IntKMeans.pendingDeletes(spark, dir).isEmpty,
+      "the crashed refresh must not have cleared the tombstones")
+    // the re-run commits atomically; its gc sweeps the orphans
+    IntKMeans.refreshIndex(spark, dir, nlist = 2)
+    assert(IntKMeans.currentSeq(spark, dir) === 1L)
+    assert(IntKMeans.rawVectors(spark, dir)
+      .filter(col("vec_id") === 3L).count() === 0L,
+      "refresh must resolve the tombstone into the rewrite")
+  }
+
   test("writer lease: a second concurrent writer fails loudly; breakLease recovers") {
     val dir = freshDir("mf_lease_")
     PhraseSearch.writeIndex(toks, dir, nBuckets = 8)

@@ -172,6 +172,32 @@ class PhraseIndexSpec extends SparkSpec {
     finally walk.close()
   }
 
+  test("multi-segment serves keep per-branch bucket pruning (append before compact)") {
+    // between an append and the next compaction the manifest lists >1
+    // postings segment and the read is a Union of per-segment scans —
+    // EVERY branch must keep its static bucket partition filter, or
+    // appends would silently degrade serving to full-index reads
+    val dir = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 16)
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") % 2 === 1), dir)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      served.collect()
+      val scans = served.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("postings")) => s }
+      assert(scans.size >= 2, "expected one scan per live postings segment")
+      scans.foreach { sc =>
+        assert(sc.partitionFilters.nonEmpty,
+          "a segment's scan lost its bucket partition filter")
+        assert(sc.selectedPartitions.partitionCount <= 2,
+          s"a segment scan read ${sc.selectedPartitions.partitionCount} bucket dirs for 2 words")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("appendIndex to buckets absent from the base build still serves (new partition dirs)") {
     // base = docs 1-2 only; the appended docs carry vocabulary whose
     // hash buckets may not exist yet as directories — partition
