@@ -40,6 +40,10 @@ object Verify {
     // and count a failure instead of skipping.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
+      // coalesce(1) is CONTRACT TOOLING, not a serving shape: the
+      // driver's hash-compare wants one file per query and the dump
+      // runs at sf0.01 — a production export of an sf-scale result
+      // would keep its partitioning (see CaptionExport/ExportSink)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -190,6 +190,22 @@ object Manifest {
     else Some(paths.map(spark.read.parquet(_)).reduce(_.unionByName(_)))
   }
 
+  /** The live snapshot as a QUERYABLE one-row-per-component frame:
+    * (component, n_segments, version, next_seq, retention) — the
+    * observability surface behind a compaction schedule (segment
+    * counts growing = time to compact) and the reproducibility
+    * ledger (version/next_seq/watermark of the snapshot a run read).
+    * Driver-side metadata only; ph37/v47's oracles pin the protocol's
+    * version and sequence accounting as constants. */
+  def describe(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = load(spark, indexDir)
+    import spark.implicits._
+    m.segments.toSeq.sortBy(_._1)
+      .map { case (c, ss) =>
+        (c, ss.size.toLong, m.version, m.nextSeq, m.retention) }
+      .toDF("component", "n_segments", "version", "next_seq", "retention")
+  }
+
   // ---------------- writer lease ------------------------------------
 
   /** Run `body` holding the index's writer lease — the single-writer

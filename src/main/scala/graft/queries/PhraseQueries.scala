@@ -464,6 +464,18 @@ object PhraseQueries {
       PhraseSearch.servedPrefixDocs(s, phIdx(s, d), "cust")
         .orderBy("doc_id", "tok")),
 
+    // PH37: the MANIFEST as a query surface — one row per index
+    // component with its live segment count and the snapshot's
+    // version / sequence counter / retention watermark. The
+    // observability a maintenance scheduler reads (segment counts
+    // growing = compact soon), and an oracle row that pins the commit
+    // protocol's accounting itself: a fresh build must be exactly
+    // manifest v1, next_seq 1, one segment per data component, no
+    // tombstones, no watermark — any drift in the protocol's
+    // numbering hash-fails here before it confuses a lifecycle op.
+    "ph37_index_manifest" -> ((s, d) =>
+      graft.index.Manifest.describe(s, phIdx(s, d)).orderBy("component")),
+
     // PH33: SNAPSHOT DIFF — which docs changed between the stale
     // build (snapshot 1) and HEAD of the upserted index, classified
     // added/changed, computed ENTIRELY from the index (two as-of
@@ -850,6 +862,17 @@ object PhraseQueries {
          |WHERE sf.s IS NULL OR st.s IS NULL OR sf.s <> st.s
          |ORDER BY doc_id""".stripMargin
     },
+
+    // ph37: the fresh build's manifest is a protocol CONSTANT
+    "ph37_index_manifest" ->
+      """SELECT * FROM (VALUES
+        |  ('doclen', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('lexicon', 1, 1, 1, NULL),
+        |  ('postings', 1, 1, 1, NULL),
+        |  ('tombstones', 0, 1, 1, NULL)
+        |) v(component, n_segments, version, next_seq, retention)
+        |ORDER BY component""".stripMargin,
 
     // ph36: the scenario's takedown set — docs ≡ 3 mod 7, event 1
     "ph36_pending_deletes" ->

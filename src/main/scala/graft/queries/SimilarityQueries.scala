@@ -577,6 +577,27 @@ object SimilarityQueries {
         .orderBy("plane", "q_id", "id", "rank")
     }),
 
+    // V47: the IVF manifest as a query surface (ph37's vector-plane
+    // mirror) over the STALE-THEN-UPSERTED index — pins the protocol
+    // accounting across a maintenance history: build commits v1, the
+    // upsert's single atomic commit is v2 and consumes TWO sequence
+    // slots (tombstone event + replacement event, next_seq 3), the
+    // vectors hold two segments until compaction, the tombstone one.
+    "v47_ivf_manifest" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("vups", d) { dir =>
+        val stale = e.filter(col("vec_id") % 11 =!= 0)
+          .withColumn("embedding",
+            when(col("vec_id") % 5 === 2,
+              transform(col("embedding"), x => -x))
+              .otherwise(col("embedding")))
+        graft.similarity.IntKMeans.writeIndex(stale, dir, nlist = 16)
+        graft.similarity.IntKMeans.upsertIndex(
+          e.filter(col("vec_id") % 5 === 2 || col("vec_id") % 11 === 0), dir)
+      }
+      graft.index.Manifest.describe(s, dir).orderBy("component")
+    }),
+
     // V8: int8 scalar-quantized ANN top-k — the bandwidth/memory scale
     // path for a 100 TB embedding store. Quantized dot products are
     // exact integers, so (unlike the float v-queries) this one IS
@@ -1685,6 +1706,16 @@ object SimilarityQueries {
          |    CAST(0 AS BIGINT) AS val
          |  FROM ph) u
          |ORDER BY plane, q_id, id, rank""".stripMargin,
+
+    // v47: the post-upsert manifest is a protocol constant
+    "v47_ivf_manifest" ->
+      """SELECT * FROM (VALUES
+        |  ('centroids', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |   CAST(3 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  ('tombstones', 1, 2, 3, NULL),
+        |  ('vectors', 2, 2, 3, NULL)
+        |) v(component, n_segments, version, next_seq, retention)
+        |ORDER BY component""".stripMargin,
 
     "v44_ivf_snapshot_diff" -> {
       val quant = "list_transform(embedding, x -> " +
