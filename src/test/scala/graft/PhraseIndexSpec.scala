@@ -198,6 +198,50 @@ class PhraseIndexSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("prefix serve stays exact through the whole maintenance lifecycle") {
+    // the lexicon is maintained by every op (appends add vocabulary,
+    // rewrites rebuild it from kept rows, upserts may leave stale
+    // SUPERSET entries until a rewrite) — the serve must stay exact
+    // through all of it, as-of reads included
+    def expect(t: org.apache.spark.sql.DataFrame, prefix: String) =
+      t.filter(col("tok").startsWith(prefix))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("phrase_pfx_").toString
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 16)
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") % 2 === 1), dir)
+    assert(PhraseSearch.servedPrefixDocs(spark, dir, "qu").collect().toSet ===
+      expect(toks, "qu"), "prefix after append diverged")
+    val s2 = PhraseSearch.currentSeq(spark, dir)
+    // upsert doc 2: its old vocabulary (quick/brown/...) lingers in
+    // the lexicon as a harmless superset; the postings decide
+    PhraseSearch.upsertIndex(toksV2.filter(col("doc_id") === 2L), dir)
+    val afterUpsert = toks.filter(col("doc_id") =!= 2L)
+      .unionByName(toksV2.filter(col("doc_id") === 2L))
+    assert(PhraseSearch.servedPrefixDocs(spark, dir, "qu").collect().toSet ===
+      expect(afterUpsert, "qu"), "prefix after upsert diverged")
+    assert(PhraseSearch.servedPrefixDocs(spark, dir, "sle").collect().toSet ===
+      expect(afterUpsert, "sle"), "prefix over upsert-added vocab diverged")
+    // as-of: the CURRENT lexicon expands the vocabulary, the as-of
+    // postings cut decides — snapshot s2 must not see doc 2's rewrite
+    assert(PhraseSearch.servedPrefixDocs(spark, dir, "qu", asOf = Some(s2))
+      .collect().toSet === expect(toks, "qu"), "as-of prefix diverged")
+    PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), dir)
+    val afterDelete = afterUpsert.filter(col("doc_id") =!= 4L)
+    assert(PhraseSearch.servedPrefixDocs(spark, dir, "qu").collect().toSet ===
+      expect(afterDelete, "qu"), "prefix after delete diverged")
+    // compaction converges the lexicon to the live vocabulary
+    PhraseSearch.compactIndex(spark, dir)
+    assert(PhraseSearch.servedPrefixDocs(spark, dir, "qu").collect().toSet ===
+      expect(afterDelete, "qu"), "prefix after compaction diverged")
+    val lex = spark.read.parquet(
+      s"$dir/${graft.index.Manifest.load(spark, dir).segs("lexicon").head}")
+    assert(lex.filter(col("tok") === "sleeps").count() === 0L,
+      "compaction must drop vocabulary no live row holds from the lexicon")
+    assert(lex.filter(col("tok") === "sleepy").count() === 1L,
+      "the upserted doc's vocabulary must survive compaction")
+  }
+
   test("appendIndex to buckets absent from the base build still serves (new partition dirs)") {
     // base = docs 1-2 only; the appended docs carry vocabulary whose
     // hash buckets may not exist yet as directories — partition
