@@ -144,34 +144,70 @@ object Manifest {
       s"manifest commit rename lost the race for version ${m.version} at $indexDir")
   }
 
-  /** Garbage-collect everything the latest manifest no longer
-    * references: segment dirs dropped by a compaction/rollback/
-    * vacuum/refresh, dead `.tmp` files, and manifest versions older
-    * than `keep`. Runs AFTER the commit — a crash between commit and
-    * gc leaves unreferenced orphans (harmless; the next gc sweeps
-    * them), never a referenced file missing. NOTE: an immediate gc
-    * assumes no reader is still mid-scan on the previous snapshot
-    * (true for this engine's sequential harness); a long-lived
-    * deployment would defer deletion by a reader-grace period, as
-    * Delta's VACUUM does — the commit protocol above doesn't change. */
+  /** Garbage-collect everything no RETAINED manifest references:
+    * segment dirs dropped by a compaction/rollback/vacuum/refresh,
+    * dead `.tmp` files, and expired manifest versions. Runs AFTER the
+    * commit — a crash between commit and gc leaves unreferenced
+    * orphans (harmless; the next gc sweeps them), never a referenced
+    * file missing.
+    *
+    * READER GRACE: `spark.graft.index.gcRetainVersions` (default 0)
+    * keeps that many PRIOR manifest versions and every segment they
+    * reference, so a reader that resolved an older snapshot keeps
+    * reading through concurrent maintenance — the Delta-VACUUM-style
+    * retention window, expressed in commits rather than wall time
+    * (this engine's reads are single-job: surviving K commits is the
+    * meaningful unit). 0 = immediate reclaim, right for a sequential
+    * harness; a serving deployment sets it to cover its longest
+    * query. The commit protocol is unchanged either way. */
   def gc(spark: SparkSession, indexDir: String, keep: Manifest): Unit = {
+    val retain = spark.conf
+      .get("spark.graft.index.gcRetainVersions", "0").toInt
     val fs = fsOf(spark, indexDir)
-    val live: Set[String] = keep.segments.values.flatten.toSet
-    keep.segments.keys.foreach { component =>
+    val mdir = manifestDir(indexDir)
+    val cutoff = keep.version - retain
+    val kept: Seq[Manifest] = keep +: fs.listStatus(mdir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case VerFile(v) if v.toLong >= cutoff && v.toLong < keep.version =>
+          val in = fs.open(st.getPath)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                    finally in.close()
+          Some(deserialize(txt))
+        case _ => None
+      })
+    val live: Set[String] =
+      kept.flatMap(_.segments.values.flatten).toSet
+    kept.flatMap(_.segments.keys).distinct.foreach { component =>
       val root = new Path(s"$indexDir/$component")
       if (fs.exists(root)) fs.listStatus(root).foreach { st =>
         val rel = s"$component/${st.getPath.getName}"
         if (!live.contains(rel)) fs.delete(st.getPath, true)
       }
     }
-    val mdir = manifestDir(indexDir)
     fs.listStatus(mdir).foreach { st =>
       st.getPath.getName match {
-        case VerFile(v) if v.toLong < keep.version => fs.delete(st.getPath, false)
-        case n if n.endsWith(".manifest.tmp")      => fs.delete(st.getPath, false)
-        case _                                     => ()
+        case VerFile(v) if v.toLong < cutoff  => fs.delete(st.getPath, false)
+        case n if n.endsWith(".manifest.tmp") => fs.delete(st.getPath, false)
+        case _                                => ()
       }
     }
+  }
+
+  /** Resolve a SPECIFIC committed version (a reader pinned to the
+    * snapshot it started on — meaningful under a nonzero
+    * gcRetainVersions grace window). Throws if that version has been
+    * gc'd away. */
+  def loadVersion(spark: SparkSession, indexDir: String,
+                  version: Long): Manifest = {
+    val fs = fsOf(spark, indexDir)
+    val p = new Path(manifestDir(indexDir), s"v$version.manifest")
+    require(fs.exists(p),
+      s"manifest version $version at $indexDir is gone (gc'd past the " +
+        "retention window, or never committed)")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    deserialize(txt)
   }
 
   /** Read a component's live segments. A single segment (the common,

@@ -197,6 +197,11 @@ object StreamParityQueries {
                 b.select(col("doc_id"),
                   posexplode(split(col("text"), " ")).as(Seq("pos", "tok"))),
                 dir)
+              // the LSM trigger a long-running ingest needs: amortized
+              // one rewrite per maxSegments appends, invisible to
+              // serves (ph01's oracle stays the gate) — threshold 2
+              // so three micro-batches actually exercise it
+              graft.text.PhraseSearch.autoCompact(s, dir, maxSegments = 2)
               Files.createFile(marker)
               ()
             }

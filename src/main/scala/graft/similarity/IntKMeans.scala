@@ -489,6 +489,18 @@ object IntKMeans {
       Manifest.gc(spark, dir, m2)
     }
 
+  /** Auto-compaction policy: compact iff the manifest lists more than
+    * `maxSegments` vector segments (the phrase plane's
+    * [[graft.text.PhraseSearch.autoCompact]], mirrored — see its note
+    * on why segment count is the serve-side cost driver). Returns
+    * whether it compacted. */
+  def autoCompact(spark: SparkSession, dir: String,
+                  maxSegments: Int = 8): Boolean = {
+    require(maxSegments >= 1)
+    val n = Manifest.load(spark, dir).segs(VECTORS).size
+    if (n > maxSegments) { compactIndex(spark, dir); true } else false
+  }
+
   /** ROLLBACK: restore the index HEAD to snapshot `toSeq` — the undo
     * for a bad maintenance batch (a mis-encoded model refresh
     * upserted, a purge list that was too broad). Every batch is a

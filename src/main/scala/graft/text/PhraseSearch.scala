@@ -691,6 +691,22 @@ object PhraseSearch {
       Manifest.gc(spark, dir, m2)
     }
 
+  /** Auto-compaction policy: compact iff the manifest lists more than
+    * `maxSegments` postings segments — the scheduler knob that keeps
+    * long-running append/upsert streams from accumulating unbounded
+    * union branches and small files (each maintenance op adds one
+    * segment; every serve unions the live ones, so segment count IS
+    * the serve-side cost driver [[graft.index.Manifest.describe]]
+    * exposes). Returns whether it compacted. A streaming ingest calls
+    * it after each batch: amortized one rewrite per `maxSegments`
+    * appends, the classic LSM trigger. */
+  def autoCompact(spark: SparkSession, dir: String,
+                  maxSegments: Int = 8): Boolean = {
+    require(maxSegments >= 1)
+    val n = Manifest.load(spark, dir).segs(POSTINGS).size
+    if (n > maxSegments) { compactIndex(spark, dir); true } else false
+  }
+
   /** ROLLBACK: restore the index HEAD to snapshot `toSeq` — the
     * undo for a bad maintenance batch (a corrupted re-crawl upserted,
     * a takedown list that was too broad). Because every batch is a

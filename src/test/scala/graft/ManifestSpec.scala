@@ -177,6 +177,63 @@ class ManifestSpec extends SparkSpec {
     assert(PhraseSearch.pendingDeletes(spark, dir).count() === 1L)
   }
 
+  test("gcRetainVersions keeps a reader-grace window of prior snapshots") {
+    val dir = freshDir("mf_grace_")
+    spark.conf.set("spark.graft.index.gcRetainVersions", "1")
+    try {
+      PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 8)
+      PhraseSearch.appendIndex(toks.filter(col("doc_id") % 2 === 1), dir)
+      val pinned = Manifest.load(spark, dir) // a reader starts here (v2)
+      PhraseSearch.compactIndex(spark, dir)  // commits v3, drops v2's segs
+      // within the grace window: the pinned snapshot's manifest AND
+      // every segment it references are still on disk
+      assert(Manifest.loadVersion(spark, dir, pinned.version) === pinned)
+      pinned.segments.values.flatten.foreach { seg =>
+        assert(spark.read.parquet(s"$dir/$seg").count() > 0L,
+          s"grace window violated: $seg reclaimed under a live reader")
+      }
+      // new readers resolve the compacted head as usual
+      assert(Manifest.load(spark, dir).segs("postings").size === 1)
+      // the NEXT commit expires the pinned version (one-version grace)
+      PhraseSearch.deleteFromIndex(Seq(1L).toDF("doc_id"), dir)
+      intercept[IllegalArgumentException] {
+        Manifest.loadVersion(spark, dir, pinned.version)
+      }
+    } finally spark.conf.unset("spark.graft.index.gcRetainVersions")
+  }
+
+  test("autoCompact triggers on segment count, on both planes") {
+    val dir = freshDir("mf_auto_")
+    PhraseSearch.writeIndex(toks.filter(col("doc_id") === 1L), dir, 8)
+    (2L to 4L).foreach(i =>
+      PhraseSearch.appendIndex(toks.filter(col("doc_id") === i), dir))
+    // 4 segments, threshold 4: below/at threshold is a no-op
+    assert(!PhraseSearch.autoCompact(spark, dir, maxSegments = 4))
+    assert(Manifest.load(spark, dir).segs("postings").size === 4)
+    // one more append crosses it
+    val extra = toks.filter(col("doc_id") === 1L).withColumn("doc_id", lit(9L))
+    PhraseSearch.appendIndex(extra, dir)
+    assert(PhraseSearch.autoCompact(spark, dir, maxSegments = 4))
+    assert(Manifest.load(spark, dir).segs("postings").size === 1)
+    assert(PhraseSearch.servedPhraseHits(spark, dir, Seq("quick", "brown"))
+      .collect().toSet ===
+      PhraseSearch.phraseHits(toks.unionByName(extra), Seq("quick", "brown"))
+        .collect().toSet)
+    // IVF mirror
+    import graft.similarity.IntKMeans
+    val embs = (1L to 20L).map { id =>
+      (id, Array.tabulate(8)(d => ((id * 7 + d * 13) % 7 - 3).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val vd = freshDir("mf_auto_v_")
+    IntKMeans.writeIndex(embs.filter($"vec_id" <= 10), vd, nlist = 2)
+    IntKMeans.appendIndex(embs.filter($"vec_id" > 10), vd)
+    assert(!IntKMeans.autoCompact(spark, vd, maxSegments = 2))
+    IntKMeans.appendIndex(
+      embs.filter($"vec_id" === 1L).withColumn("vec_id", lit(21L)), vd)
+    assert(IntKMeans.autoCompact(spark, vd, maxSegments = 2))
+    assert(Manifest.load(spark, vd).segs("vectors").size === 1)
+  }
+
   test("gc keeps only the latest manifest and its referenced segments") {
     val dir = freshDir("mf_gc_")
     PhraseSearch.writeIndex(toks.filter(col("doc_id") % 2 === 0), dir, 8)
