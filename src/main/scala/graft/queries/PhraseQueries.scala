@@ -476,6 +476,28 @@ object PhraseQueries {
     "ph37_index_manifest" -> ((s, d) =>
       graft.index.Manifest.describe(s, phIdx(s, d)).orderBy("component")),
 
+    // PH38: WILDCARD PHRASE — phrase matching where a slot is a
+    // prefix pattern ("the cust*"), served from the index: the exact
+    // slot reads its statically pruned bucket, the starred slot goes
+    // through the lexicon (range scan -> DPP -> pushed StartsWith),
+    // and the position fold is ph01's left-semi join. The caption
+    // feature the reference's SORTED lexicon exists for
+    // (captions.py:13-30), now with positions.
+    "ph38_wildcard_phrase" -> ((s, d) =>
+      PhraseSearch.servedWildcardPhraseHits(s, phIdx(s, d),
+          Seq("the", "cust*"))
+        .orderBy("doc_id", "pos")),
+
+    // PH39: WILDCARD terms in the boolean LANGUAGE — `cust* AND NOT
+    // spark` served from the index: starred terms route through the
+    // lexicon (ph32/ph38's pruning), exact terms keep their static
+    // buckets, and the evaluator's semi/anti joins are unchanged.
+    // With ph38 this closes §3.3's wildcard story: prefix expansion,
+    // wildcard phrases, and wildcard boolean all serve pruned.
+    "ph39_wildcard_boolean" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phIdx(s, d), "cust* AND NOT spark")
+        .orderBy("doc_id")),
+
     // PH33: SNAPSHOT DIFF — which docs changed between the stale
     // build (snapshot 1) and HEAD of the upserted index, classified
     // added/changed, computed ENTIRELY from the index (two as-of
@@ -873,6 +895,22 @@ object PhraseQueries {
         |  ('tombstones', 0, 1, 1, NULL)
         |) v(component, n_segments, version, next_seq, retention)
         |ORDER BY component""".stripMargin,
+
+    // ph38: exact slot + LIKE-prefix slot at adjacent positions
+    "ph38_wildcard_phrase" ->
+      s"""WITH tk AS (${Q.toksSql})
+         |SELECT a.doc_id, CAST(a.pos AS INT) AS pos
+         |FROM tk a JOIN tk b
+         |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |WHERE a.tok = 'the' AND b.tok LIKE 'cust%'
+         |ORDER BY 1, 2""".stripMargin,
+
+    // ph39: LIKE-prefix containment minus the excluded exact term
+    "ph39_wildcard_boolean" ->
+      s"""WITH tk AS (${Q.toksSql})
+         |SELECT DISTINCT doc_id FROM tk WHERE tok LIKE 'cust%'
+         |  AND doc_id NOT IN (SELECT doc_id FROM tk WHERE tok = 'spark')
+         |ORDER BY doc_id""".stripMargin,
 
     // ph36: the scenario's takedown set — docs ≡ 3 mod 7, event 1
     "ph36_pending_deletes" ->

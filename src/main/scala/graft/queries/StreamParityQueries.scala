@@ -307,6 +307,10 @@ object StreamParityQueries {
             val marker = applied.resolve(s"batch-$batchId")
             if (!Files.exists(marker)) {
               graft.similarity.IntKMeans.appendIndex(b, dir)
+              // the IVF mirror of st16's LSM trigger: six appended
+              // batches, so a threshold of 3 compacts mid-stream and
+              // the parity oracle proves it invisible
+              graft.similarity.IntKMeans.autoCompact(s, dir, maxSegments = 3)
               Files.createFile(marker)
               ()
             }

@@ -39,6 +39,33 @@ object PhraseSearch {
   def docsWithPhrase(toks: DataFrame, phrase: Seq[String]): DataFrame =
     phraseHits(toks, phrase).select("doc_id").distinct()
 
+  /** Query-language slot semantics: a trailing `*` (on a 2+ char
+    * word) makes the slot a PREFIX pattern; anything else matches
+    * exactly. The star is query syntax, not corpus syntax — corpus
+    * tokens are matched verbatim by exact slots. */
+  private def slotFilter(w: String): Column =
+    if (w.endsWith("*") && w.length > 1) col("tok").startsWith(w.dropRight(1))
+    else col("tok") === w
+
+  /** [[phraseHits]] generalized to wildcard slots (`Seq("the",
+    * "cust*")`): same left-semi position fold, each slot filtered by
+    * [[slotFilter]]. A doc position holds exactly one token, so each
+    * slot contributes at most one row per start even when a prefix
+    * matches many vocabulary words — no de-dup needed. Exact-only
+    * patterns take the equality path and behave as [[phraseHits]]. */
+  def patternHits(toks: DataFrame, pattern: Seq[String]): DataFrame = {
+    require(pattern.nonEmpty)
+    pattern.foreach(w => require(w != "*",
+      "a bare * slot would match every token"))
+    val first = toks.filter(slotFilter(pattern.head))
+      .select(col("doc_id"), col("pos"))
+    pattern.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      val nxt = toks.filter(slotFilter(w))
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+      acc.join(nxt, Seq("doc_id", "pos"), "left_semi")
+    }
+  }
+
   /** NEAR operator: (doc_id, p_a, p_b) occurrence pairs of `a` and
     * `b` within `k` token positions — the proximity query a caption /
     * document search layer adds on top of exact phrases. The position
@@ -158,7 +185,7 @@ object PhraseSearch {
   /** Compile a boolean query to the matching doc-id set.
     * `universe` = all doc ids (needed for NOT). */
   def eval(q: Q, toks: DataFrame, universe: DataFrame): DataFrame = q match {
-    case Phrase(ws) => docsWithPhrase(toks, ws)
+    case Phrase(ws) => patternHits(toks, ws).select("doc_id").distinct()
     case And(l, r) =>
       eval(l, toks, universe).join(eval(r, toks, universe), Seq("doc_id"), "left_semi")
     case Or(l, r) =>
@@ -622,6 +649,64 @@ object PhraseSearch {
                        asOf: Option[Long] = None): DataFrame =
     phraseHits(servedPostings(spark, dir, phrase.distinct, asOf), phrase)
 
+  /** WILDCARD PHRASE over a [[writeIndex]] layout: phrase matching
+    * where any slot may be a prefix pattern (`Seq("the", "cust*")`
+    * matches "the customer", "the custom", ...) — the wildcard form
+    * the reference's sorted caption lexicon exists to serve
+    * (app/esper/captions.py:13-30). Exact slots read their statically
+    * pruned vocabulary buckets ([[servedPostings]]'s path); starred
+    * slots share ONE postings scan pruned the prefix way (lexicon
+    * range scan → broadcast semi-join → DPP bucket pruning + pushed
+    * StartsWith, [[servedPrefixDocs]]'s three layers). Slot i's hits
+    * shift to (doc_id, pos − i) and the fold is the same left-semi
+    * position-join as [[phraseHits]] — a doc position holds exactly
+    * one token, so each slot contributes at most one row per start
+    * and no de-dup is needed even when a slot's prefix matches many
+    * vocabulary words. */
+  def servedWildcardPhraseHits(spark: SparkSession, dir: String,
+                               pattern: Seq[String],
+                               asOf: Option[Long] = None): DataFrame = {
+    val m = Manifest.load(spark, dir)
+    patternHits(prunedPatternPostings(spark, dir, m, pattern, asOf), pattern)
+  }
+
+  /** One postings scan per vocabulary KIND for a wildcard-capable
+    * word set: exact words read their statically pruned buckets,
+    * prefixes share one lexicon-routed scan. Exact words a prefix
+    * already covers are dropped from the exact scan so no physical
+    * row enters the union twice. */
+  private def prunedPatternPostings(spark: SparkSession, dir: String,
+                                    m: graft.index.Manifest,
+                                    words: Seq[String],
+                                    asOf: Option[Long]): DataFrame = {
+    require(words.nonEmpty)
+    words.foreach(w => require(w != "*",
+      "a bare * slot would scan the whole index"))
+    val prefixes = words.filter(w => w.endsWith("*") && w.length > 1)
+      .map(_.dropRight(1)).distinct
+    val exactVocab = words.filter(w => !(w.endsWith("*") && w.length > 1))
+      .distinct
+      .filterNot(w => prefixes.exists(w.startsWith))
+    val scans = Seq(
+      if (exactVocab.nonEmpty)
+        Some(servedPostingsWith(spark, dir, m, exactVocab, asOf))
+      else None,
+      if (prefixes.nonEmpty) {
+        val pred = prefixes.map(p => col("tok").startsWith(p)).reduce(_ || _)
+        val posts = postingsOf(spark, dir, m).filter(pred)
+        val pruned = Manifest.readComponent(spark, dir, m, LEXICON) match {
+          case Some(lex) =>
+            val matched = lex.filter(pred)
+              .select(col("bucket"), col("tok")).distinct()
+            posts.join(broadcast(matched), Seq("bucket", "tok"), "left_semi")
+          case None => posts
+        }
+        Some(liveOnly(pruned, spark, dir, m, asOf)
+          .select("doc_id", "pos", "tok"))
+      } else None).flatten
+    scans.reduce(_.unionByName(_))
+  }
+
   /** [[proximityHits]] over a [[writeIndex]] layout. */
   def servedProximityHits(spark: SparkSession, dir: String,
                           a: String, b: String, k: Int,
@@ -924,7 +1009,9 @@ object PhraseSearch {
                    asOf: Option[Long] = None): DataFrame = {
     val q = parse(query)
     val m = Manifest.load(spark, dir)
-    val posts = servedPostingsWith(spark, dir, m, vocabOf(q).distinct, asOf)
+    // wildcard-capable vocabulary pruning: exact words keep their
+    // static bucket filters, `cust*` terms route through the lexicon
+    val posts = prunedPatternPostings(spark, dir, m, vocabOf(q).distinct, asOf)
     // the NOT-universe must shrink with deletes too, or NOT-only
     // queries would resurrect tombstoned docs
     val universe =

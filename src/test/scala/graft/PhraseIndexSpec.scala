@@ -79,7 +79,11 @@ class PhraseIndexSpec extends SparkSpec {
     val dir = freshIndex(16)
     val universe = docs.select("doc_id")
     for (q <- Seq("""fox AND dog""", """"quick brown" OR turtle""",
-                  """the AND NOT (cat OR turtle)""")) {
+                  """the AND NOT (cat OR turtle)""",
+                  // wildcard terms: starred words are prefix patterns
+                  // in the query language, in phrases included
+                  """qui* AND NOT tur*""", """"qui* bro*" OR zebra""",
+                  """NOT sl*""")) {
       val direct = PhraseSearch.search(q, toks, universe).collect().toSet
       val served = PhraseSearch.servedSearch(spark, dir, q).collect().toSet
       assert(served === direct, s"boolean query [$q] diverged")
@@ -240,6 +244,45 @@ class PhraseIndexSpec extends SparkSpec {
       "compaction must drop vocabulary no live row holds from the lexicon")
     assert(lex.filter(col("tok") === "sleepy").count() === 1L,
       "the upserted doc's vocabulary must survive compaction")
+  }
+
+  test("wildcard phrase serves exactly (exact/star slots, multi-star, maintenance)") {
+    // the in-process spec: slot i matches token at pos+i, starred
+    // slots by prefix — computed straight off the token table
+    def expect(t: org.apache.spark.sql.DataFrame,
+               pattern: Seq[String]): Set[org.apache.spark.sql.Row] = {
+      def slot(i: Int) = {
+        val w = pattern(i)
+        val f = if (w.endsWith("*")) col("tok").startsWith(w.dropRight(1))
+                else col("tok") === w
+        t.filter(f).select(col("doc_id"), (col("pos") - i).as("pos"))
+      }
+      (1 until pattern.length).foldLeft(slot(0)) { (acc, i) =>
+        acc.join(slot(i), Seq("doc_id", "pos"), "left_semi")
+      }.collect().toSet
+    }
+    val dir = freshIndex(16)
+    for (pat <- Seq(Seq("qui*"), Seq("the", "qui*"), Seq("qu*", "br*"),
+                    Seq("quick", "brown", "f*"), Seq("t*", "quick")))
+      assert(PhraseSearch.servedWildcardPhraseHits(spark, dir, pat)
+        .collect().toSet === expect(toks, pat), s"pattern $pat diverged")
+    // absent prefix matches nothing; bare star refuses
+    assert(PhraseSearch.servedWildcardPhraseHits(spark, dir, Seq("zeb*", "the"))
+      .isEmpty)
+    intercept[IllegalArgumentException] {
+      PhraseSearch.servedWildcardPhraseHits(spark, dir, Seq("the", "*"))
+    }
+    // maintenance: upsert changes the match set; as-of restores it
+    val s1 = PhraseSearch.currentSeq(spark, dir)
+    PhraseSearch.upsertIndex(toksV2.filter(col("doc_id") === 2L), dir)
+    val afterUpsert = toks.filter(col("doc_id") =!= 2L)
+      .unionByName(toksV2.filter(col("doc_id") === 2L))
+    assert(PhraseSearch.servedWildcardPhraseHits(spark, dir, Seq("the", "qui*"))
+      .collect().toSet === expect(afterUpsert, Seq("the", "qui*")),
+      "wildcard phrase after upsert diverged")
+    assert(PhraseSearch.servedWildcardPhraseHits(spark, dir,
+        Seq("the", "qui*"), asOf = Some(s1)).collect().toSet ===
+      expect(toks, Seq("the", "qui*")), "as-of wildcard phrase diverged")
   }
 
   test("appendIndex to buckets absent from the base build still serves (new partition dirs)") {
