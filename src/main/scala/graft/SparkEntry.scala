@@ -18,6 +18,7 @@ object SparkEntry {
       TextQueries.queries ++ SimilarityQueries.queries ++
       SourceQueries.queries ++ PhraseQueries.queries ++
       ExtraQueries.queries ++ EsperTvQueries.queries ++
+      EsperCatalogQueries.queries ++
       StreamParityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,5 +28,6 @@ object SparkEntry {
       TextQueries.oracle ++ SimilarityQueries.oracle ++
       SourceQueries.oracle ++ PhraseQueries.oracle ++
       ExtraQueries.oracle ++ EsperTvQueries.oracle ++
+      EsperCatalogQueries.oracle ++
       StreamParityQueries.oracle
 }

@@ -1,0 +1,491 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.IntervalOps
+import graft.sources.Tables
+import Q._
+
+/** The reference UI's named-query catalog, re-expressed as end-to-end
+  * compositions over the driver tables (round-16 VERDICT ask #1):
+  * every building block here — coalesce, overlap joins, correlated
+  * counts, set difference, strides, boolean caption search, exact
+  * cosine KNN — is individually green elsewhere in the corpus; these
+  * rows prove they compose the way the reference's UI queries compose
+  * them (app/esper/queries/other_queries.py:4-554, all_faces.py,
+  * panels_sql.py).
+  *
+  * Entity mapping (consistent with e01-e05): video := events.user_id,
+  * identity tracks := click/view event types with probability :=
+  * fractional cents of `value` (e03's integer-exact convention),
+  * shots := coalesced 'error' intervals, faces/bboxes := Q.boxes
+  * (lineitem-derived), face embeddings := the embeddings table.
+  * e06/e10 wrap starts into ONE HOUR (% 3600) instead of Q.ev's day:
+  * shot-vs-track overlap density at day wrap is ~0 at test scale and
+  * the reference's shot/identity overlaps are dense by construction.
+  *
+  * Scale notes are per query; the common shape — coalesce (one
+  * window per key), overlap semi-joins (equi on the video key first,
+  * band residual second), broadcast dimension joins, TakeOrdered
+  * limits — is the §2 operators' already-audited 100 TB form.
+  */
+object EsperCatalogQueries {
+
+  /** Hour-wrapped interval track with the e03 probability cents:
+    * (user_id, event_type, s, e, k). */
+  private def evHour(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(tune(s), d)
+    val sec = tsSec(raw) % 3600
+    raw.select(col("user_id"), col("event_type"),
+      sec.as("s"), (sec + floor(col("value")).cast("long") + 1).as("e"),
+      (round(col("value") * 100).cast("long") % 100).as("k"))
+  }
+
+  /** SQL mirror of [[evHour]]. */
+  private def evHourSql(typ: String = null): String = {
+    val w = if (typ == null) "" else s" WHERE event_type = '$typ'"
+    """SELECT user_id, event_type,
+      |  (epoch_ns(ts)//1000000000) % 3600 AS s,
+      |  (epoch_ns(ts)//1000000000) % 3600 + CAST(floor(value) AS BIGINT) + 1 AS e,
+      |  CAST(round(value*100,0) AS BIGINT) % 100 AS k
+      |FROM events""".stripMargin + w
+  }
+
+  private val C = IntervalOps.Cols("user_id", "s", "e")
+
+  /** Derived face-attribute star (the Face/HairColor/HairLength/
+    * FaceIdentity/FaceGender tables of the reference schema), all
+    * deterministic functions of lineitem so both engines agree:
+    * face_id = frame*10+box (l_linenumber <= 7, so the composite is
+    * collision-free), gender = box parity, hair color/length =
+    * part/supplier key residues, identity = the part's brand with
+    * probability = supplier-key cents. */
+  private def faces(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(tune(s), d).select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("face_id"),
+      col("l_orderkey").as("frame_id"), col("l_linenumber").as("box_id"),
+      col("l_partkey"), col("l_suppkey"))
+
+  private val facesSql =
+    """SELECT l_orderkey*10 + l_linenumber AS face_id,
+      |  l_orderkey AS frame_id, l_linenumber AS box_id,
+      |  l_partkey, l_suppkey
+      |FROM lineitem""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+
+    // E6: "Two identities" (other_queries.py:73-88) — shots where BOTH
+    // identities appear above the probability threshold (set
+    // intersection through shots), returning every identity sighting
+    // inside the qualifying shots. Composition: coalesce -> two
+    // overlap LEFT-SEMI joins (the EXISTS arms; equi on video first,
+    // so the band residual never crosses videos) -> overlap join back
+    // to the track rows. At scale each semi-join is one shuffle on
+    // the video key; the candidate shot set only shrinks.
+    "e06_two_identities" -> ((s, d) => {
+      val ev = evHour(s, d)
+      val shots = IntervalOps.coalesce(
+        ev.filter(col("event_type") === "error").select("user_id", "s", "e"), C)
+      // the identity track is re-keyed (id_uid) because shots and idt
+      // share the one events scan — explicit-condition self-joins on
+      // the same attribute would be ambiguous
+      val idt = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("id_uid"), col("event_type").as("identity"),
+          col("s").as("id_s"), col("e").as("id_e"), col("k"))
+      def withId(sh: DataFrame, name: String): DataFrame =
+        sh.join(idt.filter(col("identity") === name && col("k") > 70),
+          sh("user_id") === col("id_uid") &&
+            col("id_s") < sh("e") && col("id_e") > sh("s"), "left_semi")
+      val both = withId(withId(shots, "click"), "view")
+      both.join(idt,
+          both("user_id") === col("id_uid") &&
+            col("id_s") < both("e") && col("id_e") > both("s"))
+        .select(both("user_id").as("video_id"),
+          both("s").as("shot_s"), both("e").as("shot_e"),
+          col("identity"), col("id_s"), col("id_e"), col("k").as("prob_c"))
+        .orderBy("video_id", "shot_s", "shot_e", "identity", "id_s", "id_e",
+          "prob_c")
+    }),
+
+    // E7: "Frames with two women" (other_queries.py:162-171) — the
+    // correlated-count composition: faces filtered by gender and the
+    // commercial flag, frames having EXACTLY 2 of them, then the
+    // reference's [:1000:10] stride over the qualifying frames, then
+    // back to the face rows. The stride's global row_number runs over
+    // the already-aggregated frame list (dimension-sized by
+    // construction — it IS a top-1000 sample), not the face table.
+    "e07_two_women_frames" -> ((s, d) => {
+      val f = boxes(s, d)
+        .withColumn("gender",
+          when(col("box_id") % 2 === 0, "F").otherwise("M"))
+        .withColumn("in_commercial", col("frame_id") % 7 === 0)
+      val fq = f.filter(col("gender") === "F" && !col("in_commercial"))
+      val frames = fq.groupBy("frame_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2)
+        .withColumn("rn", row_number().over(Window.orderBy("frame_id")))
+        .filter(col("rn") % 10 === 1 && col("rn") <= 1000)
+        .select("frame_id")
+      fq.join(frames, Seq("frame_id"), "left_semi")
+        .select("frame_id", "box_id", "x1", "x2", "y1", "y2")
+        .orderBy("frame_id", "box_id")
+    }),
+
+    // E8: "White hair, not bald" (all_faces.py:36-45) — strided sample
+    // of one attribute table, set-DIFFERENCE against another, join
+    // back to faces. The reference strides the white-hair ids
+    // ([0:1000000:1000]) BEFORE subtracting the bald set; the
+    // difference is an anti-join (broadcast at dimension size).
+    "e08_white_hair_not_bald" -> ((s, d) => {
+      val fc = faces(s, d)
+      val whiteStrided = fc.filter(col("l_partkey") % 5 === 0)
+        .select("face_id")
+        .withColumn("rn", row_number().over(Window.orderBy("face_id")))
+        .filter(col("rn") % 100 === 1)
+        .select("face_id")
+      val bald = fc.filter(col("l_suppkey") % 11 === 0).select("face_id")
+      val keep = whiteStrided.join(bald, Seq("face_id"), "left_anti")
+      val b = boxes(s, d)
+      b.join(keep, (b("frame_id") * 10 + b("box_id")) === keep("face_id"),
+          "left_semi")
+        .orderBy("frame_id", "box_id")
+    }),
+
+    // E9: "Sunday morning news shows" + "Fox News videos"
+    // (other_queries.py:146-159) — date-part + channel filters rolled
+    // up per video. Day-of-week/hour come from INTEGER epoch math
+    // ((days+4)%7: epoch day 0 was a Thursday, index 4 in a
+    // Sunday=0 week) rather than engine date functions, so the row is
+    // immune to the engines' differing dow conventions (f03 pins
+    // those) AND to the events.ts dtype drift Q.tsSec absorbs.
+    "e09_sunday_morning_shows" -> ((s, d) => {
+      val raw = Tables.events(tune(s), d)
+      val sec = tsSec(raw)
+      raw.select(col("user_id"), sec.as("sec"))
+        .filter((expr("sec div 86400") + 4) % 7 === 0 &&
+          expr("(sec % 86400) div 3600").between(6, 11) &&
+          col("user_id") % 5 === 3)
+        .groupBy(col("user_id").as("video_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("sec")).as("first_s"), max(col("sec")).as("last_s"))
+        .orderBy("video_id")
+    }),
+
+    // E10: "Segments about <topic>" + polarity ordering
+    // (other_queries.py:100-144) — coalesced view-track segments
+    // carrying an integer polarity payload (sum of value-cents over
+    // member events, averaged as milli via integer div — exact in
+    // both engines), kept iff they overlap a click event whose props
+    // thing_key lands in the topic bucket (the M2M things filter),
+    // ordered most-positive-first like "Positive segments".
+    "e10_topic_segments" -> ((s, d) => {
+      val ev = evHour(s, d)
+      val segs = IntervalOps.coalesce(
+        ev.filter(col("event_type") === "view")
+          .select("user_id", "s", "e", "k"),
+        C, payloadAggs = Seq(sum(col("k")).as("pol_c"),
+          count(lit(1)).as("n")))
+      val raw = Tables.events(tune(s), d)
+      val sec = tsSec(raw) % 3600
+      val things = raw.filter(col("event_type") === "click")
+        .select(col("user_id").as("th_uid"), sec.as("th_s"),
+          (sec + floor(col("value")).cast("long") + 1).as("th_e"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+            .as("thing_key"))
+        .filter(col("thing_key") % 10 === 7)
+      segs.join(things,
+          segs("user_id") === col("th_uid") &&
+            col("th_s") < segs("e") && col("th_e") > segs("s"), "left_semi")
+        .select(col("user_id").as("video_id"), col("s"), col("e"), col("n"),
+          expr("pol_c * 1000 div n").as("polarity_milli"))
+        .orderBy(col("polarity_milli").desc, col("video_id"), col("s"))
+    }),
+
+    // E11: "Panels (SQL)" (panels_sql.py:13-41) — faces tall enough
+    // (bbox height >= 0.25) outside commercials, frames with EXACTLY
+    // 3 of them whose tops align within 0.05 (the reference loops
+    // faces per frame checking |y1_i - y1_0| <= 0.05; max-min <= 0.05
+    // is the same predicate computed as ONE aggregate instead of a
+    // driver loop). Returns the qualifying faces.
+    "e11_panels" -> ((s, d) => {
+      val f = boxes(s, d)
+        .filter(col("y2") - col("y1") >= 0.25 && col("frame_id") % 7 =!= 0)
+      val fr = f.groupBy("frame_id")
+        .agg(count(lit(1)).as("c"), (max(col("y1")) - min(col("y1"))).as("sp"))
+        .filter(col("c") === 3 && col("sp") <= 0.05)
+        .select("frame_id")
+      f.join(fr, Seq("frame_id"), "left_semi")
+        .select("frame_id", "box_id", "x1", "x2", "y1", "y2")
+        .orderBy("frame_id", "box_id")
+    }),
+
+    // E12: "Identity and gender" (other_queries.py:4-12) — the
+    // identity table filtered by name + probability, joined to the
+    // gender table, grouped. identity := the face's part brand,
+    // probability := supplier-key cents (>= 0.90).
+    "e12_identity_gender" -> ((s, d) => {
+      val fc = faces(s, d)
+      val ident = fc.join(
+          broadcast(Tables.part(tune(s), d)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === "Brand#1" && col("l_suppkey") % 100 >= 90)
+        .select("face_id")
+      fc.select(col("face_id"),
+          when(col("box_id") % 2 === 0, "F").otherwise("M").as("gender"))
+        .join(ident, Seq("face_id"), "left_semi")
+        .groupBy("gender").agg(count(lit(1)).as("n_faces"))
+        .orderBy("gender")
+    }),
+
+    // E13: "Caption search" (other_queries.py:246-266) — the boolean
+    // caption query ('SEAN SPICER & [RESIGN]' shape: spark AND
+    // merge*) through the query-language evaluator, then each
+    // matching posting converted to a frame range with the per-video
+    // fps dimension (convert_time: (t-7)*fps .. (t+1)*fps), first 100
+    // in deterministic posting order (the reference shuffles; a
+    // hash-compared row needs an order). Composition: parser/eval ->
+    // wildcard pattern hits -> broadcast dim join -> TakeOrdered.
+    "e13_caption_search" -> ((s, d) => {
+      import graft.text.PhraseSearch
+      val tk = toks(s, d)
+      val docs = Tables.documents(tune(s), d)
+      val matched = PhraseSearch.search("spark AND merge*", tk,
+        docs.select("doc_id"))
+      val hits = PhraseSearch.patternHits(tk, Seq("merge*"))
+        .join(matched, Seq("doc_id"), "left_semi")
+      val fps = docs.select(col("doc_id"),
+        (lit(24) + col("doc_id") % 6).as("fps"))
+      hits.join(broadcast(fps), "doc_id")
+        .select(col("doc_id"), col("pos"),
+          ((col("pos") - 7) * col("fps")).as("min_frame"),
+          ((col("pos") + 1) * col("fps")).as("max_frame"))
+        .orderBy("doc_id", "pos")
+        .limit(100)
+        .select("doc_id", "min_frame", "max_frame")
+    }),
+
+    // E14: "Face search" (other_queries.py:269-276) — KNN to a target
+    // embedding under a distance ceiling (1 - cos <= 0.8), strided
+    // ([::3]; the reference uses [::10] on a larger corpus), output
+    // kept in similarity order (custom_order_by_id). Exact cosine on
+    // the v01 plane: defined-order fold expressions, bit-identical in
+    // DuckDB's list_reduce.
+    "e14_face_search" -> ((s, d) => {
+      import graft.functions.Fns
+      val e = Tables.embeddings(tune(s), d)
+      val q = broadcast(e.filter(col("vec_id") === 7)
+        .select(col("embedding").as("q_emb"),
+          Fns.l2norm(col("embedding")).as("q_norm")))
+      e.filter(col("vec_id") =!= 7)
+        .withColumn("__norm", Fns.l2norm(col("embedding")))
+        .crossJoin(q)
+        .withColumn("cos", Fns.dot(col("embedding"), col("q_emb")) /
+          (col("__norm") * col("q_norm")))
+        .filter(lit(1.0) - col("cos") <= 0.8)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+        .filter((col("rank") - 1) % 3 === 0)
+        .select(col("vec_id"), col("rank"), round(col("cos"), 6).as("cos6"))
+        .orderBy("rank")
+    }),
+
+    // E15: "Groups of faces by distance threshold"
+    // (other_queries.py:279-316) — the similarity histogram: every
+    // corpus face bucketed by cosine DISTANCE to the target in 0.05
+    // increments, per-bucket population plus the top-5 most-similar
+    // members as the displayed sample (the reference random-samples
+    // per bucket; rank-by-similarity is the deterministic stand-in).
+    "e15_face_distance_groups" -> ((s, d) => {
+      import graft.functions.Fns
+      val e = Tables.embeddings(tune(s), d)
+      val q = broadcast(e.filter(col("vec_id") === 7)
+        .select(col("embedding").as("q_emb"),
+          Fns.l2norm(col("embedding")).as("q_norm")))
+      val w = Window.partitionBy(col("bucket"))
+      e.filter(col("vec_id") =!= 7)
+        .withColumn("__norm", Fns.l2norm(col("embedding")))
+        .crossJoin(q)
+        .withColumn("cos", Fns.dot(col("embedding"), col("q_emb")) /
+          (col("__norm") * col("q_norm")))
+        .withColumn("bucket",
+          floor((lit(1.0) - col("cos")) / 0.05).cast("int"))
+        .withColumn("rnk",
+          row_number().over(w.orderBy(col("cos").desc, col("vec_id"))))
+        .withColumn("n_in_bucket", count(lit(1)).over(w))
+        .filter(col("rnk") <= 5)
+        .select((col("bucket") * 5).as("dist_lo_centi"), col("n_in_bucket"),
+          col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos6"))
+        .orderBy("dist_lo_centi", "rnk")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // Oracles
+  // ------------------------------------------------------------------
+
+  private def idtSql =
+    s"""SELECT user_id, event_type AS identity, s AS id_s, e AS id_e, k
+       |FROM (${evHourSql()}) h WHERE event_type IN ('click','view')""".stripMargin
+
+  /** coalesceSql over the hour-wrapped track (same island pattern as
+    * Q.coalesceSql, which is keyed to evSql's column names). */
+  private def coalesceHourSql(src: String, extraAggs: String = ""): String =
+    s"""SELECT user_id, min(s) AS s, max(e) AS e$extraAggs FROM (
+       |  SELECT *, CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp FROM (
+       |    SELECT *, CASE WHEN runmax IS NULL OR s > runmax THEN 1 ELSE 0 END AS isnew FROM (
+       |      SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+       |      FROM ($src) iv) m) g) gg
+       |GROUP BY user_id, grp""".stripMargin
+
+  private val vecSumsq =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |  list_transform(EMB, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |  (a, x) -> a + x)""".stripMargin
+  private def sumsq(e: String) = vecSumsq.replace("EMB", e)
+  private def dotOf(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+       |  (a, x) -> a + x)""".stripMargin
+
+  /** Shared e14/e15 scoring CTE: exact cosine of every non-target
+    * vector to vec 7 (v01's arithmetic verbatim). */
+  private val simSql =
+    s"""t AS (SELECT embedding AS q_emb, sqrt(${sumsq("embedding")}) AS qn
+       |      FROM embeddings WHERE vec_id = 7),
+       |c AS (SELECT vec_id, embedding, sqrt(${sumsq("embedding")}) AS nrm
+       |      FROM embeddings),
+       |sim AS (SELECT c.vec_id,
+       |          ${dotOf("c.embedding", "t.q_emb")} / (c.nrm * t.qn) AS cos
+       |        FROM c, t WHERE c.vec_id <> 7)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "e06_two_identities" ->
+      s"""WITH sh AS (${coalesceHourSql(
+           s"SELECT user_id, s, e FROM (${evHourSql("error")}) er")}),
+         |idt AS ($idtSql),
+         |b2 AS (
+         |  SELECT sh.user_id, sh.s, sh.e FROM sh
+         |  WHERE EXISTS (SELECT 1 FROM idt WHERE idt.user_id = sh.user_id
+         |    AND idt.identity = 'click' AND idt.k > 70
+         |    AND idt.id_s < sh.e AND idt.id_e > sh.s)
+         |  AND EXISTS (SELECT 1 FROM idt WHERE idt.user_id = sh.user_id
+         |    AND idt.identity = 'view' AND idt.k > 70
+         |    AND idt.id_s < sh.e AND idt.id_e > sh.s))
+         |SELECT b.user_id AS video_id, b.s AS shot_s, b.e AS shot_e,
+         |  i.identity, i.id_s, i.id_e, i.k AS prob_c
+         |FROM b2 b JOIN idt i ON i.user_id = b.user_id
+         |  AND i.id_s < b.e AND i.id_e > b.s
+         |ORDER BY 1, 2, 3, 4, 5, 6, 7""".stripMargin,
+
+    "e07_two_women_frames" ->
+      s"""WITH f AS (SELECT *,
+         |    CASE WHEN box_id % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+         |    frame_id % 7 = 0 AS in_commercial FROM ($boxesSql) b),
+         |fq AS (SELECT * FROM f WHERE gender = 'F' AND NOT in_commercial),
+         |fr AS (SELECT frame_id FROM fq GROUP BY 1 HAVING count(*) = 2),
+         |st AS (SELECT frame_id, row_number() OVER (ORDER BY frame_id) AS rn
+         |       FROM fr)
+         |SELECT fq.frame_id, fq.box_id, fq.x1, fq.x2, fq.y1, fq.y2
+         |FROM fq JOIN st ON st.frame_id = fq.frame_id
+         |WHERE st.rn % 10 = 1 AND st.rn <= 1000
+         |ORDER BY 1, 2""".stripMargin,
+
+    "e08_white_hair_not_bald" ->
+      s"""WITH face AS ($facesSql),
+         |white AS (SELECT face_id,
+         |    row_number() OVER (ORDER BY face_id) AS rn
+         |  FROM face WHERE l_partkey % 5 = 0),
+         |ws AS (SELECT face_id FROM white WHERE rn % 100 = 1),
+         |bald AS (SELECT face_id FROM face WHERE l_suppkey % 11 = 0),
+         |keep AS (SELECT ws.face_id FROM ws
+         |  WHERE NOT EXISTS (SELECT 1 FROM bald WHERE bald.face_id = ws.face_id))
+         |SELECT b.frame_id, b.box_id, b.x1, b.x2, b.y1, b.y2
+         |FROM ($boxesSql) b
+         |JOIN keep k ON k.face_id = b.frame_id*10 + b.box_id
+         |ORDER BY 1, 2""".stripMargin,
+
+    "e09_sunday_morning_shows" ->
+      """SELECT user_id AS video_id, count(*) AS n_events,
+        |  min(sec) AS first_s, max(sec) AS last_s
+        |FROM (SELECT user_id, epoch_ns(ts)//1000000000 AS sec FROM events) t
+        |WHERE (sec // 86400 + 4) % 7 = 0
+        |  AND (sec % 86400) // 3600 BETWEEN 6 AND 11
+        |  AND user_id % 5 = 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e10_topic_segments" ->
+      s"""WITH sg AS (${coalesceHourSql(
+           s"SELECT user_id, s, e, k FROM (${evHourSql("view")}) vw",
+           ", CAST(sum(k) AS BIGINT) AS pol_c, count(*) AS n")}),
+         |th AS (SELECT user_id,
+         |    (epoch_ns(ts)//1000000000) % 3600 AS th_s,
+         |    (epoch_ns(ts)//1000000000) % 3600
+         |      + CAST(floor(value) AS BIGINT) + 1 AS th_e,
+         |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS thing_key
+         |  FROM events WHERE event_type = 'click')
+         |SELECT sg.user_id AS video_id, sg.s, sg.e, sg.n,
+         |  (sg.pol_c * 1000) // sg.n AS polarity_milli
+         |FROM sg WHERE EXISTS (SELECT 1 FROM th WHERE th.user_id = sg.user_id
+         |  AND th.thing_key % 10 = 7 AND th.th_s < sg.e AND th.th_e > sg.s)
+         |ORDER BY polarity_milli DESC, video_id, s""".stripMargin,
+
+    "e11_panels" ->
+      s"""WITH f AS (SELECT * FROM ($boxesSql) b
+         |  WHERE y2 - y1 >= 0.25 AND frame_id % 7 != 0),
+         |fr AS (SELECT frame_id FROM f GROUP BY 1
+         |       HAVING count(*) = 3 AND max(y1) - min(y1) <= 0.05)
+         |SELECT f.frame_id, f.box_id, f.x1, f.x2, f.y1, f.y2
+         |FROM f JOIN fr ON fr.frame_id = f.frame_id
+         |ORDER BY 1, 2""".stripMargin,
+
+    "e12_identity_gender" ->
+      s"""WITH face AS ($facesSql),
+         |sel AS (SELECT face.face_id FROM face
+         |  JOIN part p ON p.p_partkey = face.l_partkey
+         |  WHERE p.p_brand = 'Brand#1' AND face.l_suppkey % 100 >= 90)
+         |SELECT CASE WHEN box_id % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+         |  count(*) AS n_faces
+         |FROM face WHERE face_id IN (SELECT face_id FROM sel)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e13_caption_search" ->
+      s"""WITH tk AS ($toksSql),
+         |d1 AS (SELECT DISTINCT doc_id FROM tk WHERE tok = 'spark'),
+         |d2 AS (SELECT DISTINCT doc_id FROM tk WHERE tok LIKE 'merge%'),
+         |hits AS (SELECT tk.doc_id, tk.pos FROM tk
+         |  WHERE tok LIKE 'merge%'
+         |    AND doc_id IN (SELECT doc_id FROM d1)
+         |    AND doc_id IN (SELECT doc_id FROM d2)),
+         |fps AS (SELECT doc_id, 24 + doc_id % 6 AS fps FROM documents)
+         |SELECT h.doc_id, (h.pos - 7) * f.fps AS min_frame,
+         |  (h.pos + 1) * f.fps AS max_frame
+         |FROM hits h JOIN fps f ON f.doc_id = h.doc_id
+         |ORDER BY h.doc_id, h.pos LIMIT 100""".stripMargin,
+
+    "e14_face_search" ->
+      s"""WITH $simSql,
+         |r AS (SELECT vec_id, cos,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |  FROM sim WHERE 1.0 - cos <= 0.8)
+         |SELECT vec_id, rank, round(cos, 6) AS cos6
+         |FROM r WHERE (rank - 1) % 3 = 0 ORDER BY rank""".stripMargin,
+
+    "e15_face_distance_groups" ->
+      s"""WITH $simSql,
+         |b AS (SELECT vec_id, cos,
+         |    CAST(floor((1.0 - cos) / 0.05) AS INT) AS bucket FROM sim),
+         |r AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY bucket
+         |      ORDER BY cos DESC, vec_id) AS INT) AS rnk,
+         |    count(*) OVER (PARTITION BY bucket) AS n_in_bucket FROM b)
+         |SELECT bucket * 5 AS dist_lo_centi,
+         |  CAST(n_in_bucket AS BIGINT) AS n_in_bucket, vec_id, rnk,
+         |  round(cos, 6) AS cos6
+         |FROM r WHERE rnk <= 5 ORDER BY 1, 4""".stripMargin
+  )
+}
