@@ -498,6 +498,31 @@ object PhraseQueries {
       PhraseSearch.servedSearch(s, phIdx(s, d), "cust* AND NOT spark")
         .orderBy("doc_id")),
 
+    // PH40: NEAR/k as a LANGUAGE construct (r15 VERDICT miss #1) —
+    // `(scan NEAR/6 merg*) AND NOT "slow table"` served from the
+    // index: the proximity operator composes with wildcards, AND/NOT
+    // and phrases inside ONE query string, the surface the
+    // reference's caption language exposes (captions.py:99-103,
+    // `HURRICANE & IRMA :: 30`). The wildcard NEAR operand routes
+    // through the lexicon like ph39; the proximity join itself is the
+    // ph05/ph07 banding (each side posts to ±1 width-k buckets — one
+    // equi key per within-k pair, never a per-doc cross product).
+    "ph40_near_language" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phIdx(s, d),
+          "(scan NEAR/6 merg*) AND NOT \"slow table\"")
+        .orderBy("doc_id")),
+
+    // PH41: count-threshold factor + the reference operator
+    // spellings — `spark{3} & (merg* | "slow scan")`: docs mentioning
+    // spark at least 3 times (a per-doc posting count, grouped before
+    // the boolean joins) intersected with a wildcard-or-phrase
+    // disjunction, all in the short `&`/`|` forms the reference
+    // queries use ('SEAN SPICER & [RESIGN]').
+    "ph41_count_threshold" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phIdx(s, d),
+          "spark{3} & (merg* | \"slow scan\")")
+        .orderBy("doc_id")),
+
     // PH33: SNAPSHOT DIFF — which docs changed between the stale
     // build (snapshot 1) and HEAD of the upserted index, classified
     // added/changed, computed ENTIRELY from the index (two as-of
@@ -910,6 +935,35 @@ object PhraseQueries {
       s"""WITH tk AS (${Q.toksSql})
          |SELECT DISTINCT doc_id FROM tk WHERE tok LIKE 'cust%'
          |  AND doc_id NOT IN (SELECT doc_id FROM tk WHERE tok = 'spark')
+         |ORDER BY doc_id""".stripMargin,
+
+    // ph40: proximity pair exists (plain |Δ| join — the oracle need
+    // not band) minus the adjacent-phrase docs
+    "ph40_near_language" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |near AS (SELECT DISTINCT a.doc_id FROM tk a JOIN tk b
+         |  ON b.doc_id = a.doc_id
+         |  WHERE a.tok = 'scan' AND b.tok LIKE 'merg%'
+         |    AND abs(a.pos - b.pos) <= 6),
+         |ex AS (SELECT DISTINCT a.doc_id FROM tk a JOIN tk b
+         |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.tok = 'slow' AND b.tok = 'table')
+         |SELECT doc_id FROM near
+         |WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+         |ORDER BY doc_id""".stripMargin,
+
+    // ph41: per-doc count threshold AND (prefix OR adjacent phrase)
+    "ph41_count_threshold" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |c3 AS (SELECT doc_id FROM tk WHERE tok = 'spark'
+         |       GROUP BY 1 HAVING count(*) >= 3),
+         |alt AS (SELECT DISTINCT doc_id FROM tk WHERE tok LIKE 'merg%'
+         |  UNION
+         |  SELECT DISTINCT a.doc_id FROM tk a JOIN tk b
+         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.tok = 'slow' AND b.tok = 'scan')
+         |SELECT doc_id FROM c3
+         |WHERE doc_id IN (SELECT doc_id FROM alt)
          |ORDER BY doc_id""".stripMargin,
 
     // ph36: the scenario's takedown set — docs ≡ 3 mod 7, event 1

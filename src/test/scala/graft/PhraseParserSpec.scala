@@ -29,22 +29,36 @@ class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
     ws <- Gen.listOfN(n, word)
   } yield Phrase(ws)
 
+  private val near: Gen[Q] = for {
+    Phrase(a) <- phrase; Phrase(b) <- phrase; k <- Gen.choose(1, 20)
+  } yield Near(a, b, k)
+
+  private val minCount: Gen[Q] = for {
+    Phrase(ws) <- phrase; n <- Gen.choose(1, 5)
+  } yield MinCount(ws, n)
+
   private def tree(depth: Int): Gen[Q] =
     if (depth <= 0) phrase
     else Gen.frequency(
       3 -> phrase,
+      1 -> near,
+      1 -> minCount,
       2 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield And(l, r)),
       2 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield Or(l, r)),
       1 -> tree(depth - 1).map(Not(_)))
 
+  private def renderLeaf(ws: Seq[String]): String =
+    if (ws.size == 1) ws.head else "\"" + ws.mkString(" ") + "\""
+
   /** Fully parenthesized rendering — structure-preserving by
     * construction, so parse(render(q)) must equal q exactly. */
   private def render(q: Q): String = q match {
-    case Phrase(ws) if ws.size == 1 => ws.head
-    case Phrase(ws)                 => "\"" + ws.mkString(" ") + "\""
-    case And(l, r)                  => s"(${render(l)} AND ${render(r)})"
-    case Or(l, r)                   => s"(${render(l)} OR ${render(r)})"
-    case Not(x)                     => s"(NOT ${render(x)})"
+    case Phrase(ws)       => renderLeaf(ws)
+    case Near(a, b, k)    => s"(${renderLeaf(a)} NEAR/$k ${renderLeaf(b)})"
+    case MinCount(ws, n)  => s"${renderLeaf(ws)}{$n}"
+    case And(l, r)        => s"(${render(l)} AND ${render(r)})"
+    case Or(l, r)         => s"(${render(l)} OR ${render(r)})"
+    case Not(x)           => s"(NOT ${render(x)})"
   }
 
   test("parse is a left inverse of fully-parenthesized rendering (500 random ASTs)") {
@@ -76,5 +90,43 @@ class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(parse("(dog)") === Phrase(Seq("dog")))
     assert(parse("""("slow scan" OR cat)""") ===
       Or(Phrase(Seq("slow", "scan")), Phrase(Seq("cat"))))
+  }
+
+  test("NEAR/k is a proximity construct between leaves, tighter than AND") {
+    assert(parse("(a NEAR/5 b) AND NOT c") ===
+      And(Near(Seq("a"), Seq("b"), 5), Not(Phrase(Seq("c")))))
+    // no parens needed: NEAR binds tighter than AND
+    assert(parse("a NEAR/5 b AND c") ===
+      And(Near(Seq("a"), Seq("b"), 5), Phrase(Seq("c"))))
+    // phrase + wildcard operands; case-insensitive keyword
+    assert(parse("\"slow scan\" near/3 merg*") ===
+      Near(Seq("slow", "scan"), Seq("merg*"), 3))
+    // boolean operands have no positions to be near — rejected
+    intercept[IllegalArgumentException](parse("(a AND b) NEAR/5 c"))
+    intercept[IllegalArgumentException](parse("a NEAR/5 (b OR c)"))
+  }
+
+  test("count threshold {n} wraps a leaf; dangling/invalid forms rejected") {
+    assert(parse("spark{3}") === MinCount(Seq("spark"), 3))
+    assert(parse("\"slow scan\"{2} OR x") ===
+      Or(MinCount(Seq("slow", "scan"), 2), Phrase(Seq("x"))))
+    intercept[IllegalArgumentException](parse("{3}"))
+    intercept[IllegalArgumentException](parse("a AND {3}"))
+  }
+
+  test("& and | are the reference spellings of AND and OR") {
+    assert(parse("a & b | c") ===
+      Or(And(Phrase(Seq("a")), Phrase(Seq("b"))), Phrase(Seq("c"))))
+    assert(parse("spark{3} & (merg* | \"slow scan\")") ===
+      And(MinCount(Seq("spark"), 3),
+        Or(Phrase(Seq("merg*")), Phrase(Seq("slow", "scan")))))
+  }
+
+  test("trailing \\* escapes the wildcard star (exact literal-star token)") {
+    assert(PhraseSearch.slotPrefix("merg*") === Some("merg"))
+    assert(PhraseSearch.slotPrefix("merg\\*") === None)
+    assert(PhraseSearch.slotExact("merg\\*") === "merg*")
+    assert(PhraseSearch.slotPrefix("*") === None) // bare star: not a prefix
+    assert(PhraseSearch.slotExact("plain") === "plain")
   }
 }
