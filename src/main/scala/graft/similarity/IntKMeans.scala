@@ -423,6 +423,24 @@ object IntKMeans {
   def rawVectors(spark: SparkSession, dir: String): DataFrame =
     vectorsOf(spark, dir, Manifest.load(spark, dir))
 
+  /** Vec ids the index SERVES at HEAD (tombstones applied) — the
+    * liveness probe behind the cross-plane audit's "has the other
+    * plane actually applied this takedown" question. Column-pruned
+    * (vec_id, seq) scan + the broadcast tombstone anti-join; empty
+    * frame for an empty index (a fully-taken-down plane serves
+    * nothing — that IS its live set). */
+  def liveIds(spark: SparkSession, dir: String): DataFrame = {
+    val m = Manifest.load(spark, dir)
+    Manifest.readComponent(spark, dir, m, VECTORS) match {
+      case Some(v) =>
+        liveOnly(v.select("vec_id", "seq"), spark, dir, m)
+          .select("vec_id").distinct()
+      case None =>
+        import spark.implicits._
+        Seq.empty[Long].toDF("vec_id")
+    }
+  }
+
   /** Drop tombstoned vectors from an indexed frame carrying
     * (vec_id, seq) — a broadcast anti-join (the purge list is
     * dimension-sized); a row dies iff SOME tombstone for its id
@@ -481,9 +499,15 @@ object IntKMeans {
         .repartition(col("cell"))
         .sortWithinPartitions("vec_id")
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
+      // a fully-tombstoned index rewrites to ZERO rows (_SUCCESS-only
+      // dir): publish an EMPTY component, never a schemaless segment —
+      // readComponent's None handling keeps the index un-bricked and a
+      // later append revives it (ADVICE r15 #1; append/upsert/delete
+      // always guarded this, the rewrites did not)
       val m2 = m.copy(version = m.version + 1,
           retention = if (hadTombstones) Some(m.nextSeq) else m.retention)
-        .withSegsReplaced(VECTORS, Vector(vSeg))
+        .withSegsReplaced(VECTORS,
+          if (segHasData(spark, s"$dir/$vSeg")) Vector(vSeg) else Vector.empty)
         .withSegsReplaced(TOMBSTONES, Vector.empty)
       Manifest.commit(spark, dir, m2)
       Manifest.gc(spark, dir, m2)
@@ -536,8 +560,12 @@ object IntKMeans {
           .repartition(col("cell"))
           .sortWithinPartitions("vec_id")
           .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
+        // rollback to before the first surviving row rewrites to zero
+        // rows — same empty-component guard as compactIndex
         var m2 = m.copy(version = m.version + 1, nextSeq = toSeq)
-          .withSegsReplaced(VECTORS, Vector(vSeg))
+          .withSegsReplaced(VECTORS,
+            if (segHasData(spark, s"$dir/$vSeg")) Vector(vSeg)
+            else Vector.empty)
           .withSegsReplaced(TOMBSTONES, Vector.empty)
         tombstonesOf(spark, dir, m).foreach { t =>
           val keep = t.filter(col("upto") < toSeq)
@@ -592,7 +620,10 @@ object IntKMeans {
             .repartition(col("cell"))
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
-          m2 = m2.withSegsReplaced(VECTORS, Vector(vSeg))
+          // all rows aged out -> empty component, not a schemaless dir
+          m2 = m2.withSegsReplaced(VECTORS,
+              if (segHasData(spark, s"$dir/$vSeg")) Vector(vSeg)
+              else Vector.empty)
             .withSegsReplaced(TOMBSTONES, Vector.empty)
           val young = t.filter(col("upto") >= retainAsOf)
           if (!young.isEmpty) {
@@ -634,6 +665,11 @@ object IntKMeans {
       val live = liveOnly(vectorsOf(spark, dir, m), spark, dir, m)
         .select(col("vec_id"), lit(null).cast("string").as("label"), col("q"))
         .cache()
+      // a refit over zero live rows is meaningless — refuse loudly
+      // BEFORE any write (old snapshot intact), rather than committing
+      // empty vector+centroid components a serve could not use
+      require(!live.isEmpty,
+        "refresh over an empty index (all rows tombstoned) — nothing to refit")
       var (ctr, pin) =
         graft.util.Checkpoints.roll(seedCentroids(live, nlist), None)
       (1 to iters).foreach { _ =>

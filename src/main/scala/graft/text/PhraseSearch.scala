@@ -839,21 +839,30 @@ object PhraseSearch {
         .write.mode("overwrite").parquet(s"$dir/$dSeg")
       // the lexicon converges to the kept vocabulary (stale upsert
       // tokens and reclaimed docs' exclusive tokens drop out): ONE
-      // distinct over the just-written consolidated segment
+      // distinct over the just-written consolidated segment. A
+      // fully-tombstoned index rewrites to ZERO rows — then every
+      // component publishes EMPTY (never a schemaless _SUCCESS-only
+      // segment; ADVICE r15 #1): the op completes, reads fail with
+      // readComponent's loud empty-index path, and an append revives
+      // the index.
+      val compacted = segHasData(spark, s"$dir/$pSeg")
       val lSeg = m.nextSeg(LEXICON)
-      spark.read.parquet(s"$dir/$pSeg").select(col("tok"), col("bucket"))
-        .distinct()
-        .repartitionByRange(col("tok")).sortWithinPartitions("tok")
-        .write.mode("overwrite").parquet(s"$dir/$lSeg")
+      if (compacted)
+        spark.read.parquet(s"$dir/$pSeg").select(col("tok"), col("bucket"))
+          .distinct()
+          .repartitionByRange(col("tok")).sortWithinPartitions("tok")
+          .write.mode("overwrite").parquet(s"$dir/$lSeg")
+      def seg(s: String): Vector[String] =
+        if (compacted) Vector(s) else Vector.empty
       val m2 = m.copy(version = m.version + 1,
           // tombstones were applied at HEAD, so snapshots older than
           // the current seq lost rows: the watermark advances IN THE
           // SAME COMMIT and those as-of reads are refused loudly
           // (compact ≡ [[vacuumIndex]] at the current seq)
           retention = if (hadTombstones) Some(m.nextSeq) else m.retention)
-        .withSegsReplaced(POSTINGS, Vector(pSeg))
-        .withSegsReplaced(DOCLEN, Vector(dSeg))
-        .withSegsReplaced(LEXICON, Vector(lSeg))
+        .withSegsReplaced(POSTINGS, seg(pSeg))
+        .withSegsReplaced(DOCLEN, seg(dSeg))
+        .withSegsReplaced(LEXICON, seg(lSeg))
         .withSegsReplaced(TOMBSTONES, Vector.empty)
       Manifest.commit(spark, dir, m2)
       Manifest.gc(spark, dir, m2)
@@ -922,15 +931,21 @@ object PhraseSearch {
         .repartitionByRange(col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").parquet(s"$dir/$dSeg")
+      // rollback to before the first surviving batch truncates to
+      // zero rows — same empty-component guard as compactIndex
+      val kept = segHasData(spark, s"$dir/$pSeg")
       val lSeg = m.nextSeg(LEXICON)
-      spark.read.parquet(s"$dir/$pSeg").select(col("tok"), col("bucket"))
-        .distinct()
-        .repartitionByRange(col("tok")).sortWithinPartitions("tok")
-        .write.mode("overwrite").parquet(s"$dir/$lSeg")
+      if (kept)
+        spark.read.parquet(s"$dir/$pSeg").select(col("tok"), col("bucket"))
+          .distinct()
+          .repartitionByRange(col("tok")).sortWithinPartitions("tok")
+          .write.mode("overwrite").parquet(s"$dir/$lSeg")
+      def seg(s: String): Vector[String] =
+        if (kept) Vector(s) else Vector.empty
       var m2 = m.copy(version = m.version + 1, nextSeq = toSeq)
-        .withSegsReplaced(POSTINGS, Vector(pSeg))
-        .withSegsReplaced(DOCLEN, Vector(dSeg))
-        .withSegsReplaced(LEXICON, Vector(lSeg))
+        .withSegsReplaced(POSTINGS, seg(pSeg))
+        .withSegsReplaced(DOCLEN, seg(dSeg))
+        .withSegsReplaced(LEXICON, seg(lSeg))
         .withSegsReplaced(TOMBSTONES, Vector.empty)
       tombstonesOf(spark, dir, m).foreach { t =>
         val keep = t.filter(col("upto") < toSeq)
@@ -995,14 +1010,19 @@ object PhraseSearch {
             .repartitionByRange(col("doc_id"))
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite").parquet(s"$dir/$dSeg")
+          // all rows aged out -> empty components (guard as compact)
+          val kept = segHasData(spark, s"$dir/$pSeg")
           val lSeg = m.nextSeg(LEXICON)
-          spark.read.parquet(s"$dir/$pSeg").select(col("tok"), col("bucket"))
-            .distinct()
-            .repartitionByRange(col("tok")).sortWithinPartitions("tok")
-            .write.mode("overwrite").parquet(s"$dir/$lSeg")
-          m2 = m2.withSegsReplaced(POSTINGS, Vector(pSeg))
-            .withSegsReplaced(DOCLEN, Vector(dSeg))
-            .withSegsReplaced(LEXICON, Vector(lSeg))
+          if (kept)
+            spark.read.parquet(s"$dir/$pSeg").select(col("tok"), col("bucket"))
+              .distinct()
+              .repartitionByRange(col("tok")).sortWithinPartitions("tok")
+              .write.mode("overwrite").parquet(s"$dir/$lSeg")
+          def seg(s: String): Vector[String] =
+            if (kept) Vector(s) else Vector.empty
+          m2 = m2.withSegsReplaced(POSTINGS, seg(pSeg))
+            .withSegsReplaced(DOCLEN, seg(dSeg))
+            .withSegsReplaced(LEXICON, seg(lSeg))
             .withSegsReplaced(TOMBSTONES, Vector.empty)
           val young = t.filter(col("upto") >= retainAsOf)
           if (!young.isEmpty) {
@@ -1168,6 +1188,21 @@ object PhraseSearch {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("doc_id", "upto")
       }
+
+  /** Doc ids the index SERVES at HEAD (tombstones applied) — the
+    * liveness probe behind the cross-plane audit (the IVF plane's
+    * [[graft.similarity.IntKMeans.liveIds]] twin). One
+    * dimension-sized doclen sidecar read; empty frame for an empty
+    * index. */
+  def liveDocIds(spark: SparkSession, dir: String): DataFrame = {
+    val m = Manifest.load(spark, dir)
+    Manifest.readComponent(spark, dir, m, DOCLEN) match {
+      case Some(d) => liveOnly(d, spark, dir, m).select("doc_id").distinct()
+      case None =>
+        import spark.implicits._
+        Seq.empty[Long].toDF("doc_id")
+    }
+  }
 
   /** BATCH BM25: a TABLE of term-set queries ranked in ONE pass over
     * the index — [[servedBm25TopK]]'s scoring arithmetic verbatim

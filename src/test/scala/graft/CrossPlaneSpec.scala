@@ -57,6 +57,28 @@ class CrossPlaneSpec extends SparkSpec {
       "a takedown applied to both planes must audit clean")
   }
 
+  test("asymmetric reclaim does not false-positive the audit (ADVICE r15 #2)") {
+    val (ph, iv) = freshPair()
+    CrossPlane.takedown(spark, ph, iv, Seq(2L).toDF("id"))
+    // one plane reclaims (its tombstone leaves the pending set), the
+    // other still pends the same takedown — the r15 pending-set diff
+    // reported id 2 as ivf_only here even though both planes applied
+    PhraseSearch.compactIndex(spark, ph)
+    assert(CrossPlane.pendingMismatch(spark, ph, iv).isEmpty,
+      "applied-on-both takedown reported as divergence after one-plane reclaim")
+    // and the reverse asymmetry
+    IntKMeans.compactIndex(spark, iv)
+    val (ph2, iv2) = freshPair()
+    CrossPlane.takedown(spark, ph2, iv2, Seq(2L).toDF("id"))
+    IntKMeans.compactIndex(spark, iv2)
+    assert(CrossPlane.pendingMismatch(spark, ph2, iv2).isEmpty)
+    // a still-served divergence is REAL and still reported: take down
+    // id 4 on the phrase plane only — the IVF plane serves it
+    PhraseSearch.deleteFromIndex(Seq(4L).toDF("doc_id"), ph2)
+    assert(CrossPlane.pendingMismatch(spark, ph2, iv2)
+      .as[(Long, String)].collect().toSet === Set((4L, "phrase_only")))
+  }
+
   test("the audit catches a takedown that reached only one plane") {
     val (ph, iv) = freshPair()
     PhraseSearch.deleteFromIndex(Seq(3L).toDF("doc_id"), ph)

@@ -593,4 +593,30 @@ class IntKMeansSpec extends SparkSpec {
       assert(margin > 0, s"vec $id has non-positive margin $margin")
     }
   }
+
+  test("compacting a fully-tombstoned index publishes empty components; append revives it") {
+    // ADVICE r15 #1: the rewrite ops used to commit a _SUCCESS-only
+    // segment when every row was tombstoned — every later read died
+    // with 'Unable to infer schema' (bricked until rebuild). The
+    // guard publishes an EMPTY component instead: the op completes,
+    // reads fail on the LOUD empty-index path, appends revive.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    IntKMeans.deleteFromIndex(blobs.select("vec_id"), dir)
+    IntKMeans.compactIndex(spark, dir) // must complete, not brick
+    val m = graft.index.Manifest.load(spark, dir)
+    assert(m.segs("vectors").isEmpty, "empty rewrite published a segment")
+    assert(m.segs("tombstones").isEmpty)
+    val e = intercept[IllegalStateException] {
+      IntKMeans.servedTopK(spark, dir, blobs.filter($"vec_id" === 0),
+        k = 3, nprobe = 1).collect()
+    }
+    assert(e.getMessage.contains("no vector segments"),
+      s"wrong failure mode: ${e.getMessage}")
+    // vacuum over the already-empty index is a no-op commit, not a crash
+    IntKMeans.appendIndex(blobs.filter($"vec_id" < 9), dir)
+    val revived = IntKMeans.servedTopK(spark, dir,
+      blobs.filter($"vec_id" === 0), k = 2, nprobe = 1).collect()
+    assert(revived.nonEmpty, "append after empty-compact did not revive")
+  }
 }

@@ -871,4 +871,29 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSet
     assert(served === direct)
   }
+
+  test("compacting a fully-tombstoned index publishes empty components; append revives it") {
+    // ADVICE r15 #1 (phrase twin): the empty rewrite used to fail
+    // pre-commit on the lexicon re-read — loud, but the op could
+    // never complete. Now it commits EMPTY components: reads fail on
+    // the loud empty-index path and an append revives the index.
+    val dir = freshIndex(16)
+    PhraseSearch.deleteFromIndex(toks.select("doc_id").distinct(), dir)
+    PhraseSearch.compactIndex(spark, dir) // must complete
+    val m = graft.index.Manifest.load(spark, dir)
+    for (c <- Seq("postings", "doclen", "lexicon", "tombstones"))
+      assert(m.segs(c).isEmpty, s"empty rewrite left $c segments")
+    val e = intercept[IllegalStateException] {
+      PhraseSearch.servedPhraseHits(spark, dir, Seq("quick")).collect()
+    }
+    assert(e.getMessage.contains("no postings segments"),
+      s"wrong failure mode: ${e.getMessage}")
+    PhraseSearch.appendIndex(toks.filter(col("doc_id") <= 2), dir)
+    val revived = PhraseSearch.servedPhraseHits(spark, dir, Seq("quick"))
+      .collect().toSet
+    assert(revived ===
+      PhraseSearch.phraseHits(toks.filter(col("doc_id") <= 2), Seq("quick"))
+        .collect().toSet,
+      "append after empty-compact did not revive the index")
+  }
 }
