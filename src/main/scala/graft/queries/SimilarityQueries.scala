@@ -107,6 +107,31 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // V48: SERVED IVF-PQ (r15 VERDICT miss #3 closed) — the
+    // compressed rank tier wired INTO the served index: addPqCodes
+    // stores v11's codes cell-partitioned next to the vectors
+    // (codebook = sub-vectors of stored rows with vec_id < 16, on the
+    // STORED grid), and the serve is the three-stage production
+    // pipeline — coarse probe (4 of 16 cells, DPP-pruned), PQ-ADC
+    // candidate rank to kCand = 30 over the code rows only, exact
+    // stored-dot re-rank of those 30 to the final 10. All-integer
+    // end to end; the oracle replays cells, codebook, encoding, ADC,
+    // pool cut and re-rank. IntKMeansSpec separately pins full-probe
+    // ADC ≡ in-process v11 and the append fresh-tail/rewrite-drop
+    // lifecycle.
+    "v48_ivf_pq_served" -> ((s, d) => {
+      val e = emb(s, d)
+      val dir = Q.memoIndex("ivfpq", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16)
+        graft.similarity.IntKMeans.addPqCodes(s, dir, m = 8, subDim = 8,
+          nCodes = 16)
+      }
+      graft.similarity.IntKMeans
+        .servedPqTopK(s, dir, e.filter(col("vec_id") < 5), k = 10,
+          kCand = 30, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     // V30: INCREMENTAL IVF maintenance — fit + write the index on
     // half the corpus (even vec_ids), appendIndex the other half as a
     // new batch (quantized on the STORED scale, assigned to the
@@ -1543,6 +1568,59 @@ object SimilarityQueries {
     // v29: the served IVF returns exactly what v07 returns (same
     // deterministic fit, persisted then re-read) — same oracle.
     "v29_ivf_served" -> ivfServedSql,
+
+    // v48: the IVF-PQ serve replayed stage by stage — the Lloyd cells
+    // (v29's CTEs), v11's codebook/encoding on the stored grid, the
+    // per-query ADC tables, the probed-cell candidate cut at 30, and
+    // the exact-dot re-rank to 10. The fresh tail is empty (the tier
+    // was built at HEAD with no later appends).
+    "v48_ivf_pq_served" ->
+      s"""WITH $qvCte,
+         |${lloydCtes(16)},
+         |sub AS (SELECT vec_id, ms, q[ms*8+1 : ms*8+8] AS sv
+         |        FROM qv, unnest(generate_series(0, 7)) AS g(ms)),
+         |cent AS (SELECT ms AS c_ms, vec_id AS code, sv AS cv
+         |         FROM sub WHERE vec_id < 16),
+         |enc0 AS (SELECT s.vec_id, s.ms, c.code,
+         |           ${l2i("s.sv", "c.cv")} AS d2
+         |         FROM sub s JOIN cent c ON c.c_ms = s.ms),
+         |enc AS (SELECT vec_id, ms, code FROM (
+         |          SELECT vec_id, ms, code,
+         |            row_number() OVER (PARTITION BY vec_id, ms
+         |              ORDER BY d2, code) AS rn
+         |          FROM enc0) z WHERE rn = 1),
+         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
+         |probes AS (SELECT q_id, qvq, cell FROM (
+         |    SELECT qq.q_id, qq.qvq, c.cell,
+         |      row_number() OVER (PARTITION BY qq.q_id
+         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
+         |qsub AS (SELECT q_id, ms, qvq[ms*8+1 : ms*8+8] AS qsv
+         |         FROM qq, unnest(generate_series(0, 7)) AS g(ms)),
+         |dtab AS (SELECT s.q_id, s.ms AS d_ms, c.code AS d_code,
+         |           ${l2i("s.qsv", "c.cv")} AS qd2
+         |         FROM qsub s JOIN cent c ON c.c_ms = s.ms),
+         |adc AS (SELECT p.q_id, a.vec_id, CAST(sum(d.qd2) AS BIGINT) AS adist
+         |        FROM af a
+         |        JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+         |        JOIN enc e ON e.vec_id = a.vec_id
+         |        JOIN dtab d ON d.q_id = p.q_id AND d.d_ms = e.ms
+         |          AND d.d_code = e.code
+         |        GROUP BY 1, 2),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY adist, vec_id) AS crn
+         |    FROM adc) z2 WHERE crn <= 30),
+         |d2f AS (SELECT c.q_id, c.vec_id, ${doti("a.q", "qq.qvq")} AS qdot
+         |        FROM cand c JOIN qv a ON a.vec_id = c.vec_id
+         |        JOIN qq ON qq.q_id = c.q_id),
+         |r AS (SELECT q_id, vec_id, qdot,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+         |      FROM d2f)
+         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
 
     // v30/v31: incremental maintenance — the quantization scale AND
     // the Lloyd fit come from the BUILD half (even vec_ids) only; the

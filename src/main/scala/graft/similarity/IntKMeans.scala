@@ -191,6 +191,10 @@ object IntKMeans {
   private val VECTORS = "vectors"
   private val CENTROIDS = "centroids"
   private val TOMBSTONES = "tombstones"
+  // optional compressed rank tier (IVF-PQ, [[addPqCodes]])
+  private val PQCODES = "pqcodes"
+  private val PQBOOK = "pqcodebook"
+  private val PqScalars = Seq("pq_m", "pq_subdim", "pq_codes", "pq_as_of")
   private type SparkSession = org.apache.spark.sql.SparkSession
   private val Manifest = graft.index.Manifest
 
@@ -504,11 +508,11 @@ object IntKMeans {
       // readComponent's None handling keeps the index un-bricked and a
       // later append revives it (ADVICE r15 #1; append/upsert/delete
       // always guarded this, the rewrites did not)
-      val m2 = m.copy(version = m.version + 1,
+      val m2 = withoutPqTier(m.copy(version = m.version + 1,
           retention = if (hadTombstones) Some(m.nextSeq) else m.retention)
         .withSegsReplaced(VECTORS,
           if (segHasData(spark, s"$dir/$vSeg")) Vector(vSeg) else Vector.empty)
-        .withSegsReplaced(TOMBSTONES, Vector.empty)
+        .withSegsReplaced(TOMBSTONES, Vector.empty))
       Manifest.commit(spark, dir, m2)
       Manifest.gc(spark, dir, m2)
     }
@@ -562,11 +566,11 @@ object IntKMeans {
           .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
         // rollback to before the first surviving row rewrites to zero
         // rows — same empty-component guard as compactIndex
-        var m2 = m.copy(version = m.version + 1, nextSeq = toSeq)
+        var m2 = withoutPqTier(m.copy(version = m.version + 1, nextSeq = toSeq)
           .withSegsReplaced(VECTORS,
             if (segHasData(spark, s"$dir/$vSeg")) Vector(vSeg)
             else Vector.empty)
-          .withSegsReplaced(TOMBSTONES, Vector.empty)
+          .withSegsReplaced(TOMBSTONES, Vector.empty))
         tombstonesOf(spark, dir, m).foreach { t =>
           val keep = t.filter(col("upto") < toSeq)
           if (!keep.isEmpty) {
@@ -621,10 +625,10 @@ object IntKMeans {
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$vSeg")
           // all rows aged out -> empty component, not a schemaless dir
-          m2 = m2.withSegsReplaced(VECTORS,
+          m2 = withoutPqTier(m2.withSegsReplaced(VECTORS,
               if (segHasData(spark, s"$dir/$vSeg")) Vector(vSeg)
               else Vector.empty)
-            .withSegsReplaced(TOMBSTONES, Vector.empty)
+            .withSegsReplaced(TOMBSTONES, Vector.empty))
           val young = t.filter(col("upto") >= retainAsOf)
           if (!young.isEmpty) {
             young.coalesce(1).write.mode("overwrite").parquet(s"$dir/$tSeg")
@@ -686,10 +690,11 @@ object IntKMeans {
       ctr.write.mode("overwrite").parquet(s"$dir/$cSeg")
       live.unpersist(blocking = false)
       pin.foreach(_.unpersist(blocking = false))
-      val m2 = m.copy(version = m.version + 1, nextSeq = 1L, retention = None)
-        .withSegsReplaced(VECTORS, Vector(vSeg))
-        .withSegsReplaced(CENTROIDS, Vector(cSeg))
-        .withSegsReplaced(TOMBSTONES, Vector.empty)
+      val m2 = withoutPqTier(
+        m.copy(version = m.version + 1, nextSeq = 1L, retention = None)
+          .withSegsReplaced(VECTORS, Vector(vSeg))
+          .withSegsReplaced(CENTROIDS, Vector(cSeg))
+          .withSegsReplaced(TOMBSTONES, Vector.empty))
       Manifest.commit(spark, dir, m2)
       Manifest.gc(spark, dir, m2)
     }
@@ -882,6 +887,202 @@ object IntKMeans {
       .withColumn("qdot", ldot(col("q"), col("qq")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+  }
+
+  // ---------------- IVF-PQ: the compressed rank tier -----------------
+
+  private def requirePqTier(dir: String, m: graft.index.Manifest): Unit =
+    if (m.segs(PQCODES).isEmpty)
+      throw new IllegalStateException(
+        s"index at $dir has no PQ tier — run addPqCodes (rewrite ops " +
+          "drop a stale tier; rebuild after compact/vacuum/rollback/refresh)")
+
+  private def pqCodesOf(spark: SparkSession, dir: String,
+                        m: graft.index.Manifest): DataFrame =
+    Manifest.readComponent(spark, dir, m, PQCODES)
+      .getOrElse(throw new IllegalStateException(
+        s"index at $dir has no PQ tier — run addPqCodes (rewrite ops " +
+          "drop a stale tier; rebuild after compact/vacuum/rollback/refresh)"))
+
+  private def pqBookOf(spark: SparkSession, dir: String,
+                       m: graft.index.Manifest): DataFrame =
+    Manifest.readComponent(spark, dir, m, PQBOOK)
+      .getOrElse(throw new IllegalStateException(
+        s"index at $dir has no PQ codebook — run addPqCodes"))
+
+  /** Drop the PQ tier from a manifest about to be committed by a
+    * REWRITE op (compact/vacuum/rollback/refresh): those ops destroy
+    * or renumber the rows the codes were derived from, so the tier is
+    * invalid and serving it would be silently wrong — the manifest
+    * drops it atomically with the rewrite and [[servedPqTopK]] fails
+    * loudly until [[addPqCodes]] rebuilds it. Logical maintenance
+    * (append/delete/upsert) needs no drop: tombstones anti-join the
+    * seq-stamped code rows exactly as they do vector rows, and rows
+    * newer than the tier's build snapshot serve through the exact
+    * fresh tail. */
+  private def withoutPqTier(m: graft.index.Manifest): graft.index.Manifest =
+    if (m.segs(PQCODES).isEmpty && m.segs(PQBOOK).isEmpty) m
+    else m.withSegsReplaced(PQCODES, Vector.empty)
+      .withSegsReplaced(PQBOOK, Vector.empty)
+      .copy(scalars = m.scalars -- PqScalars)
+
+  /** BUILD the PQ rank tier over a [[writeIndex]] layout — IVF-PQ,
+    * the production 100 TB serving shape (Jégou et al. 2011; the
+    * r15 VERDICT miss #3): every live vector's stored int8 grid row
+    * splits into `m` subspaces of `subDim` dims, encodes as the
+    * L2-nearest codebook entry per subspace (v11's arithmetic on the
+    * STORED grid — codebook = sub-vectors of the live rows with
+    * vec_id < nCodes, deterministic and replayable), and the codes
+    * land as a cell-partitioned component next to the vectors — the
+    * serve-side scan reads m smallint-class codes per candidate
+    * instead of the full vector, the memory/IO argument for PQ at
+    * corpus scale. The codebook (m·nCodes rows) is a broadcast
+    * dimension. Codes rows carry (seq, cell) from their vector rows,
+    * so tombstones and DPP cell pruning apply to the tier unchanged;
+    * `pq_as_of` records the build snapshot so rows appended later
+    * serve through [[servedPqTopK]]'s exact fresh tail until the next
+    * rebuild (the LSM tier-refresh shape). One manifest commit
+    * publishes codes + codebook + scalars atomically. */
+  def addPqCodes(spark: SparkSession, dir: String, m: Int, subDim: Int,
+                 nCodes: Int): Unit = {
+    require(m >= 1 && subDim >= 1 && nCodes >= 1)
+    Manifest.withLease(spark, dir) {
+      val man = Manifest.load(spark, dir)
+      val live = liveOnly(vectorsOf(spark, dir, man), spark, dir, man)
+        .select(col("vec_id"), col("q"), col("seq"), col("cell"))
+      def subspaces(df: DataFrame): DataFrame =
+        df.withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
+          .select(col("vec_id"),
+            col("ms"), expr(s"slice(q, ms * $subDim + 1, $subDim)").as("sv"))
+      val sub = subspaces(live)
+      val centDf = sub.filter(col("vec_id") < nCodes)
+        .select(col("ms"), col("vec_id").as("code"), col("sv").as("cv"))
+      val cent = broadcast(centDf
+        .select(col("ms").as("c_ms"), col("code"), col("cv")))
+      val enc = sub.join(cent, col("ms") === col("c_ms"))
+        .withColumn("d2", sqDist(col("sv"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("ms"))
+            .orderBy(col("d2"), col("code"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("ms"), col("code")))),
+          s => s.getField("code")).as("pqc"))
+      val pSeg = man.nextSeg(PQCODES)
+      val bSeg = man.nextSeg(PQBOOK)
+      live.select("vec_id", "seq", "cell").join(enc, "vec_id")
+        .repartition(col("cell"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/$pSeg")
+      centDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/$bSeg")
+      val m2 = man.copy(version = man.version + 1,
+          scalars = man.scalars ++ Map(
+            "pq_m" -> m.toString, "pq_subdim" -> subDim.toString,
+            "pq_codes" -> nCodes.toString,
+            "pq_as_of" -> man.nextSeq.toString))
+        .withSegsReplaced(PQCODES, Vector(pSeg))
+        .withSegsReplaced(PQBOOK, Vector(bSeg))
+      Manifest.commit(spark, dir, m2)
+      Manifest.gc(spark, dir, m2)
+    }
+  }
+
+  /** Stage-1 ADC candidates: (q_id, vec_id, adist) over the probed
+    * cells' live code rows — asymmetric distance = sum over subspaces
+    * of the query-subvector-to-code squared L2, from a broadcast
+    * per-query distance table (|queries|·m·nCodes rows). The codes
+    * scan is DPP-pruned by the broadcast probe set exactly like the
+    * vectors scan. */
+  private def pqAdc(spark: SparkSession, dir: String,
+                    man: graft.index.Manifest, qq: DataFrame,
+                    probes: DataFrame, asOf: Option[Long]): DataFrame = {
+    val m = man.scalar("pq_m").toInt
+    val subDim = man.scalar("pq_subdim").toInt
+    val book = broadcast(pqBookOf(spark, dir, man))
+    val dtab = broadcast(
+      qq.withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
+        .select(col("q_id"), col("ms"),
+          expr(s"slice(qq, ms * $subDim + 1, $subDim)").as("qsv"))
+        .join(book, "ms")
+        .select(col("q_id"), col("ms"), col("code"),
+          sqDist(col("qsv"), col("cv")).as("qd2")))
+    liveOnly(pqCodesOf(spark, dir, man), spark, dir, man, asOf)
+      .join(broadcast(probes.select("q_id", "cell")), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        posexplode(col("pqc")).as(Seq("ms", "code")))
+      .join(dtab, Seq("q_id", "ms", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adist"))
+  }
+
+  /** SERVED IVF-PQ top-k — coarse probe → PQ-ADC candidate rank →
+    * exact re-rank, the three-stage production serve: stage 1 reads
+    * ONLY the probed cells' code rows (m codes per candidate, the
+    * compressed tier), keeps `kCand` per query by ADC distance;
+    * stage 2 re-ranks those by the exact stored-grid dot — the
+    * full-vector read is |queries|·kCand rows, never the cell
+    * population. Rows newer than the tier's build snapshot
+    * (seq >= pq_as_of: appends/upserts since [[addPqCodes]]) have no
+    * codes yet, so they enter the candidate pool EXACTLY (the fresh
+    * tail) — serving stays correct between tier rebuilds, the LSM
+    * shape. Deletes kill code rows via the same seq-stamped
+    * tombstone anti-join as vectors. All-integer scoring end to end:
+    * v48's oracle replays every stage. */
+  def servedPqTopK(spark: SparkSession, dir: String, queries: DataFrame,
+                   k: Int, kCand: Int, nprobe: Int,
+                   asOf: Option[Long] = None): DataFrame = {
+    require(kCand >= k, s"re-rank pool $kCand smaller than k=$k")
+    val man = Manifest.load(spark, dir)
+    requirePqTier(dir, man)
+    val pqAsOf = man.scalar("pq_as_of").toLong
+    val ctr = broadcast(centroidsOf(spark, dir, man))
+    val qq = quantizeOnStored(
+        queries.select(col("vec_id").as("q_id"), col("embedding")),
+        man.scalar("ma").toDouble)
+      .select(col("q_id"), col("q").as("qq"))
+    val probes = probeCells(qq, ctr, nprobe)
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val cand = pqAdc(spark, dir, man, qq, probes, asOf)
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= kCand)
+      .select("q_id", "vec_id")
+    val live = liveOnly(vectorsOf(spark, dir, man), spark, dir, man, asOf)
+    val fresh = live.filter(col("seq") >= pqAsOf)
+      .join(broadcast(probes.select("q_id", "cell")), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+    cand.unionByName(fresh)
+      .join(live.select(col("vec_id"), col("q")), "vec_id")
+      .join(broadcast(qq), "q_id")
+      .withColumn("qdot", ldot(col("q"), col("qq")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("qdot"))
+  }
+
+  /** Stage-1-only serve (the pure compressed ranking, no re-rank):
+    * with every cell probed and no maintenance since the tier build,
+    * this is bit-identical to the in-process [[Similarity.pqTopK]] on
+    * the same corpus — the parity IntKMeansSpec pins. */
+  def servedPqAdcTopK(spark: SparkSession, dir: String, queries: DataFrame,
+                      k: Int, nprobe: Int,
+                      asOf: Option[Long] = None): DataFrame = {
+    val man = Manifest.load(spark, dir)
+    requirePqTier(dir, man)
+    val ctr = broadcast(centroidsOf(spark, dir, man))
+    val qq = quantizeOnStored(
+        queries.select(col("vec_id").as("q_id"), col("embedding")),
+        man.scalar("ma").toDouble)
+      .select(col("q_id"), col("q").as("qq"))
+    val probes = probeCells(qq, ctr, nprobe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    pqAdc(spark, dir, man, qq, probes, asOf)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("adist"))
   }
 
   /** v05 surface: closed-form linear probe — identity-covariance LDA

@@ -594,6 +594,68 @@ class IntKMeansSpec extends SparkSpec {
     }
   }
 
+  test("served PQ-ADC at full probe is bit-identical to in-process pqTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    IntKMeans.addPqCodes(spark, dir, m = 4, subDim = 2, nCodes = 8)
+    val qs = blobs.filter($"vec_id" < 2)
+    val direct = graft.similarity.Similarity
+      .pqTopK(blobs, qs, m = 4, subDim = 2, codes = 8, k = 5)
+      .collect().toSet
+    val served = IntKMeans.servedPqAdcTopK(spark, dir, qs, k = 5, nprobe = 3)
+      .collect().toSet
+    assert(served === direct,
+      "compressed tier diverged from the in-process PQ ranking")
+  }
+
+  test("served IVF-PQ re-rank at full pool equals the exact served top-k; fresh tail covers appends") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    IntKMeans.addPqCodes(spark, dir, m = 4, subDim = 2, nCodes = 8)
+    val qs = blobs.filter($"vec_id" < 2)
+    // kCand = corpus: stage 2 sees every candidate, so the final
+    // ranking must equal the exact serve bit-for-bit
+    val exact = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 3)
+      .collect().toSet
+    assert(IntKMeans.servedPqTopK(spark, dir, qs, k = 5, kCand = 60,
+      nprobe = 3).collect().toSet === exact)
+    // rows appended AFTER the tier build have no codes — they must
+    // still serve (exactly) through the fresh tail. Clones of query
+    // 0's embedding maximize its dot, so they MUST enter its top-k.
+    val q0emb = blobs.filter($"vec_id" === 0L)
+      .select("embedding").as[Array[Float]].head()
+      .map(_ * 20f) // scaled clones: dot with q0 dominates every tie
+    val extra = (100L until 106L).map(id => (id, q0emb, 0))
+      .toDF("vec_id", "embedding", "label")
+    IntKMeans.appendIndex(extra, dir)
+    val after = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 3)
+      .collect().toSet
+    assert(after !== exact, "append did not change the blob-0 top-k " +
+      "(fixture no longer exercises the fresh tail)")
+    assert(IntKMeans.servedPqTopK(spark, dir, qs, k = 5, kCand = 66,
+      nprobe = 3).collect().toSet === after,
+      "fresh tail missed appended rows")
+    // a delete kills the seq-stamped code rows like vector rows
+    IntKMeans.deleteFromIndex(Seq(3L, 100L).toDF("vec_id"), dir)
+    assert(IntKMeans.servedPqTopK(spark, dir, qs, k = 5, kCand = 66,
+        nprobe = 3).collect().toSet ===
+      IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 3)
+        .collect().toSet)
+    // a rewrite invalidates the tier: compact drops it atomically and
+    // the PQ serve fails loudly until addPqCodes rebuilds
+    IntKMeans.compactIndex(spark, dir)
+    val e = intercept[IllegalStateException] {
+      IntKMeans.servedPqTopK(spark, dir, qs, k = 5, kCand = 66, nprobe = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("no PQ tier"))
+    IntKMeans.addPqCodes(spark, dir, m = 4, subDim = 2, nCodes = 8)
+    assert(IntKMeans.servedPqTopK(spark, dir, qs, k = 5, kCand = 66,
+        nprobe = 3).collect().toSet ===
+      IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 3)
+        .collect().toSet, "rebuilt tier diverged after compaction")
+  }
+
   test("compacting a fully-tombstoned index publishes empty components; append revives it") {
     // ADVICE r15 #1: the rewrite ops used to commit a _SUCCESS-only
     // segment when every row was tombstoned — every later read died

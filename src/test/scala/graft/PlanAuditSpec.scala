@@ -603,6 +603,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(smj.isEmpty, s"ph32 has ${smj.size} sort-merge joins")
   }
 
+  test("v48 IVF-PQ serve: codes scan is DPP cell-pruned, no sort-merge joins") {
+    // the compressed tier's whole point is reading probed cells' code
+    // rows instead of full vectors — if the pqcodes scan loses its
+    // dynamic cell filter, stage 1 reads every cell dir of the tier
+    val plan = executed(SparkEntry.queries("v48_ivf_pq_served")(spark, sf))
+    val codes = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("pqcodes")) => s
+    }
+    assert(codes.nonEmpty, "pqcodes scan not found in v48's plan")
+    assert(codes.exists(_.partitionFilters.nonEmpty),
+      "IVF-PQ codes scan lost its cell partition filter — DPP regressed")
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"v48 has ${smj.size} sort-merge joins")
+  }
+
   test("v32 deleted-IVF serve keeps DPP cell pruning AND broadcast tombstones") {
     val plan = executed(SparkEntry.queries("v32_ivf_deleted")(spark, sf))
     val smj = plan.collect { case j: SortMergeJoinExec => j }
