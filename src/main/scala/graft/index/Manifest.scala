@@ -242,6 +242,33 @@ object Manifest {
       .toDF("component", "n_segments", "version", "next_seq", "retention")
   }
 
+  /** The RETAINED version history as a queryable frame: one row per
+    * manifest version still on disk — (version, next_seq, retention,
+    * n_postings-class segment total). This is the ledger behind the
+    * gcRetainVersions reader-grace window: which snapshots a pinned
+    * reader (loadVersion) can still resolve, and which gc has pruned.
+    * Driver-side metadata only (one small text file per retained
+    * version); ph42's oracle pins the pruning policy's accounting as
+    * protocol constants the ph37/v47 way. */
+  def history(spark: SparkSession, indexDir: String): DataFrame = {
+    val fs = fsOf(spark, indexDir)
+    val mdir = manifestDir(indexDir)
+    val rows: Seq[(Long, Long, Option[Long], Long)] =
+      if (!fs.exists(mdir)) Seq.empty
+      else fs.listStatus(mdir).toSeq.flatMap(st => st.getPath.getName match {
+        case VerFile(v) =>
+          val in = fs.open(st.getPath)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                    finally in.close()
+          val m = deserialize(txt)
+          Some((m.version, m.nextSeq, m.retention,
+            m.segments.values.map(_.size.toLong).sum))
+        case _ => None
+      }).sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("version", "next_seq", "retention", "n_segments")
+  }
+
   // ---------------- writer lease ------------------------------------
 
   /** Run `body` holding the index's writer lease — the single-writer

@@ -512,6 +512,34 @@ object PhraseQueries {
           "(scan NEAR/6 merg*) AND NOT \"slow table\"")
         .orderBy("doc_id")),
 
+    // PH42: VERSION-HISTORY GC accounting under the reader-grace
+    // window (r15 VERDICT stretch #8) — a maintenance history run
+    // with gcRetainVersions = 2: five commits (build, two appends, a
+    // delete, a compact), each gc pruning manifest versions older
+    // than HEAD−2. The retained ledger is a protocol CONSTANT: v3/v4
+    // survive with their sequence counters and segment totals, v1/v2
+    // are pruned, and the compact's v5 carries the retention
+    // watermark it advanced — pinning the pruning policy in the gate
+    // the way ph37/v47 pin the commit accounting.
+    "ph42_manifest_gc" -> ((s, d) => {
+      val dir = Q.memoIndex("phgc", d) { dir =>
+        val t = toks(s, d)
+        val old = s.conf.get("spark.graft.index.gcRetainVersions", "0")
+        s.conf.set("spark.graft.index.gcRetainVersions", "2")
+        try {
+          PhraseSearch.writeIndex(t.filter(col("doc_id") % 4 === 0),
+            dir, nBuckets = 64)                                     // v1
+          PhraseSearch.appendIndex(t.filter(col("doc_id") % 4 === 1), dir) // v2
+          PhraseSearch.appendIndex(t.filter(col("doc_id") % 4 === 2), dir) // v3
+          PhraseSearch.deleteFromIndex(                             // v4
+            t.filter(col("doc_id") % 8 === 1).select("doc_id").distinct(),
+            dir)
+          PhraseSearch.compactIndex(s, dir)                         // v5
+        } finally s.conf.set("spark.graft.index.gcRetainVersions", old)
+      }
+      graft.index.Manifest.history(s, dir).orderBy("version")
+    }),
+
     // PH41: count-threshold factor + the reference operator
     // spellings — `spark{3} & (merg* | "slow scan")`: docs mentioning
     // spark at least 3 times (a per-doc posting count, grouped before
@@ -920,6 +948,20 @@ object PhraseQueries {
         |  ('tombstones', 0, 1, 1, NULL)
         |) v(component, n_segments, version, next_seq, retention)
         |ORDER BY component""".stripMargin,
+
+    // ph42: the retained version ledger after the 5-commit history at
+    // gcRetainVersions = 2 — v1/v2 pruned, v3 (build + 2 appends: 3
+    // segments per data component), v4 (+1 tombstone), v5 (compact:
+    // one segment per data component, watermark at seq 4, counter
+    // unchanged)
+    "ph42_manifest_gc" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(9 AS BIGINT)),
+        |  (4, 4, NULL, 10),
+        |  (5, 4, 4, 3)
+        |) v(version, next_seq, retention, n_segments)
+        |ORDER BY version""".stripMargin,
 
     // ph38: exact slot + LIKE-prefix slot at adjacent positions
     "ph38_wildcard_phrase" ->
