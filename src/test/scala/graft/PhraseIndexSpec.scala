@@ -872,6 +872,31 @@ class PhraseIndexSpec extends SparkSpec {
     assert(served === direct)
   }
 
+  test("NEAR/k, count thresholds and wildcard escapes evaluate identically in-process and served") {
+    val dir = freshIndex(16)
+    val universe = docs.select("doc_id")
+    for (q <- Seq(
+      "(quick NEAR/3 fox) AND NOT turtle",
+      "\"quick brown\" NEAR/4 dog",
+      "quick{2}",
+      "brown{3} OR (slow NEAR/2 green)",
+      "qu* NEAR/5 dog",
+      "the & brow* | turtle")) {
+      val direct = PhraseSearch.search(q, toks, universe)
+        .collect().map(_.getLong(0)).toSet
+      val served = PhraseSearch.servedSearch(spark, dir, q)
+        .collect().map(_.getLong(0)).toSet
+      assert(served === direct, s"query <$q> diverged between paths")
+    }
+    // ground truth spot checks on the fixture (docs 2 and 4 repeat
+    // 'quick'; 'fox' sits within 3 of a 'quick' in docs 1 and 2)
+    assert(PhraseSearch.search("quick{2}", toks, universe)
+      .collect().map(_.getLong(0)).toSet === Set(2L, 4L),
+      "count threshold missed a repeated-token doc")
+    assert(PhraseSearch.search("(quick NEAR/3 fox) AND NOT turtle", toks,
+      universe).collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("compacting a fully-tombstoned index publishes empty components; append revives it") {
     // ADVICE r15 #1 (phrase twin): the empty rewrite used to fail
     // pre-commit on the lexicon re-read — loud, but the op could
