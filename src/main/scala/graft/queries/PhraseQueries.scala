@@ -512,6 +512,20 @@ object PhraseQueries {
           "(scan NEAR/6 merg*) AND NOT \"slow table\"")
         .orderBy("doc_id")),
 
+    // PH43: the reference's literal `:: k` window spelling — n-ary
+    // proximity over a conjunction with OR-alternatives
+    // (`MOSUL & (BATTLE | SIEGE) :: 60`, stories.ipynb's key-phrase
+    // form), served pruned: docs holding a 'scan' occurrence with a
+    // merge-or-sort occurrence AND a 'table' occurrence both within
+    // 12 positions of it (anchor-window semantics — the first
+    // conjunct is the key term, the rest its context). Each partner
+    // check is the ph05 banding; the anchor set only shrinks per
+    // conjunct.
+    "ph43_window_language" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phIdx(s, d),
+          "scan & (merge | sort) & table :: 12")
+        .orderBy("doc_id")),
+
     // PH42: VERSION-HISTORY GC accounting under the reader-grace
     // window (r15 VERDICT stretch #8) — a maintenance history run
     // with gcRetainVersions = 2: five commits (build, two appends, a
@@ -948,6 +962,21 @@ object PhraseQueries {
         |  ('tombstones', 0, 1, 1, NULL)
         |) v(component, n_segments, version, next_seq, retention)
         |ORDER BY component""".stripMargin,
+
+    // ph43: anchor occurrences of the key term with every context
+    // conjunct within the window (plain |Δ| EXISTS per conjunct — the
+    // oracle need not band)
+    "ph43_window_language" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |anchor AS (SELECT doc_id, pos FROM tk WHERE tok = 'scan'),
+         |c1 AS (SELECT doc_id, pos FROM tk WHERE tok IN ('merge', 'sort')),
+         |c2 AS (SELECT doc_id, pos FROM tk WHERE tok = 'table')
+         |SELECT DISTINCT a.doc_id FROM anchor a
+         |WHERE EXISTS (SELECT 1 FROM c1 WHERE c1.doc_id = a.doc_id
+         |        AND abs(a.pos - c1.pos) <= 12)
+         |  AND EXISTS (SELECT 1 FROM c2 WHERE c2.doc_id = a.doc_id
+         |        AND abs(a.pos - c2.pos) <= 12)
+         |ORDER BY doc_id""".stripMargin,
 
     // ph42: the retained version ledger after the 5-commit history at
     // gcRetainVersions = 2 — v1/v2 pruned, v3 (build + 2 appends: 3

@@ -181,6 +181,17 @@ object PhraseSearch {
     * `n` times (`merge{3}`) — the "mentioned repeatedly, not in
     * passing" relevance gate a caption search offers. */
   final case class MinCount(words: Seq[String], n: Int) extends Q
+  /** PROXIMITY WINDOW over a conjunction — the reference's literal
+    * `:: k` spelling (`MOSUL & (BATTLE | SIEGE) :: 60`,
+    * app/notebooks/stories.ipynb; `A & B :: k` generalizes NEAR/k to
+    * n conjuncts with OR-alternatives): docs holding an occurrence of
+    * the FIRST conjunct with an occurrence of EVERY other conjunct
+    * within k positions of it (the anchor-window semantics — the
+    * first conjunct is the story's key term, the rest its context).
+    * Each part must be position-bearing: a word/phrase/wildcard, an
+    * OR tree of those (positions = the union), or a count-thresholded
+    * leaf (positions of the pattern in qualifying docs). */
+  final case class Within(parts: Seq[Q], k: Int) extends Q
 
   /** Tiny recursive-descent parser:
     * expr := term ((OR | '|') term)* ;
@@ -191,8 +202,29 @@ object PhraseSearch {
     * `&`/`|` are the reference language's operator spellings
     * (captions.py queries: 'SEAN SPICER & [RESIGN]'); AND/OR/NOT the
     * long forms. A trailing `{n}` on a leaf is the count threshold;
-    * NEAR/k operands must be leaves (parse-time error otherwise). */
-  def parse(s: String): Q = new Parser(tokenize(s)).parseExpr()
+    * NEAR/k operands must be leaves (parse-time error otherwise).
+    * A trailing `:: k` on the WHOLE query (the reference notebooks'
+    * usage shape) turns its top-level conjunction into a [[Within]]
+    * proximity window — every conjunct must be position-bearing. */
+  def parse(s: String): Q = {
+    val p = new Parser(tokenize(s))
+    val q = p.parseExpr()
+    p.parseWindowSuffix(q)
+  }
+
+  /** Top-level AND chain, left to right. */
+  private def conjunctsOf(q: Q): Seq[Q] = q match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x         => Seq(x)
+  }
+
+  /** Position-bearing = an occurrence set is well-defined. */
+  private def positionBearing(q: Q): Boolean = q match {
+    case Phrase(_)      => true
+    case MinCount(_, _) => true
+    case Or(l, r)       => positionBearing(l) && positionBearing(r)
+    case _              => false
+  }
 
   private def tokenize(s: String): List[String] = {
     // bare words must not swallow parens or count-braces (`dog)` and
@@ -207,6 +239,22 @@ object PhraseSearch {
   private class Parser(var ts: List[String]) {
     private def peek: Option[String] = ts.headOption
     private def next(): String = { val h = ts.head; ts = ts.tail; h }
+    /** Consume a trailing `:: k` (two tokens — `::` then the number,
+      * or one `::k` token) and wrap the top-level conjunction. */
+    def parseWindowSuffix(q: Q): Q = peek match {
+      case Some(t) if t == "::" || t.matches("::\\d+") =>
+        val k =
+          if (t == "::") { next(); next().toInt }
+          else next().stripPrefix("::").toInt
+        require(k >= 1, ":: 0 is not a proximity window")
+        require(ts.isEmpty, ":: k must end the query")
+        val parts = conjunctsOf(q)
+        parts.foreach(p => require(positionBearing(p),
+          ":: k conjuncts must be words, phrases, OR-alternatives or " +
+            s"count thresholds — got $p"))
+        if (parts.size == 1) q else Within(parts, k)
+      case _ => q
+    }
     def parseExpr(): Q = {
       var l = parseTerm()
       while (peek.exists(t => t.equalsIgnoreCase("OR") || t == "|")) {
@@ -258,12 +306,47 @@ object PhraseSearch {
     }
   }
 
+  /** Occurrence set (doc_id, pos) of a position-bearing subquery. */
+  private def posHits(q: Q, toks: DataFrame): DataFrame = q match {
+    case Phrase(ws) => patternHits(toks, ws)
+    case Or(l, r) =>
+      posHits(l, toks).unionByName(posHits(r, toks)).distinct()
+    case MinCount(ws, n) =>
+      val hits = patternHits(toks, ws)
+      val qualifying = hits.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") >= n)
+        .select("doc_id")
+      hits.join(qualifying, Seq("doc_id"), "left_semi")
+    case other => throw new IllegalArgumentException(
+      s"no occurrence set for $other")
+  }
+
+  /** Anchor positions of `a` that have SOME occurrence of `b` within
+    * k — the same ±1 width-k bucket banding as [[proximityHits]]
+    * (one equi key per within-k pair), deduped back to anchor rows. */
+  private def withinK(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    val aa = a.select(col("doc_id"), col("pos"),
+      explode(array(expr(s"pos div $k - 1"), expr(s"pos div $k"),
+        expr(s"pos div $k + 1"))).as("bk"))
+    val bb = b.select(col("doc_id"), col("pos").as("p_b"),
+      expr(s"pos div $k").as("bk"))
+    aa.join(bb, Seq("doc_id", "bk"))
+      .filter(abs(col("pos") - col("p_b")) <= k)
+      .select("doc_id", "pos").distinct()
+  }
+
   /** Compile a boolean query to the matching doc-id set.
     * `universe` = all doc ids (needed for NOT). */
   def eval(q: Q, toks: DataFrame, universe: DataFrame): DataFrame = q match {
     case Phrase(ws) => patternHits(toks, ws).select("doc_id").distinct()
     case Near(a, b, k) =>
       proximityPatternHits(toks, a, b, k).select("doc_id").distinct()
+    case Within(parts, k) =>
+      // anchor-window: keep first-conjunct occurrences that have every
+      // other conjunct within k, then project to docs
+      parts.tail.foldLeft(posHits(parts.head, toks)) { (acc, p) =>
+        withinK(acc, posHits(p, toks), k)
+      }.select("doc_id").distinct()
     case MinCount(ws, n) =>
       patternHits(toks, ws).groupBy(col("doc_id"))
         .agg(count(lit(1)).as("__c")).filter(col("__c") >= n)
@@ -1095,12 +1178,13 @@ object PhraseSearch {
 
   /** All words a boolean query touches (its served vocabulary). */
   private def vocabOf(q: Q): Seq[String] = q match {
-    case Phrase(ws)      => ws
-    case Near(a, b, _)   => a ++ b
-    case MinCount(ws, _) => ws
-    case And(l, r)       => vocabOf(l) ++ vocabOf(r)
-    case Or(l, r)        => vocabOf(l) ++ vocabOf(r)
-    case Not(x)          => vocabOf(x)
+    case Phrase(ws)       => ws
+    case Near(a, b, _)    => a ++ b
+    case MinCount(ws, _)  => ws
+    case Within(parts, _) => parts.flatMap(vocabOf)
+    case And(l, r)        => vocabOf(l) ++ vocabOf(r)
+    case Or(l, r)         => vocabOf(l) ++ vocabOf(r)
+    case Not(x)           => vocabOf(x)
   }
 
   /** [[search]] over a [[writeIndex]] layout: the boolean evaluator

@@ -656,6 +656,67 @@ class IntKMeansSpec extends SparkSpec {
         .collect().toSet, "rebuilt tier diverged after compaction")
   }
 
+  test("randomized IVF lifecycle: full-pool PQ serve tracks the exact serve at every step (seeded)") {
+    // adversarial composition of the PQ tier with the whole
+    // maintenance surface: random append/delete/upsert streams, the
+    // tier built once at the start — correctness must hold at EVERY
+    // intermediate state because stage 2 re-ranks exactly and the
+    // fresh tail admits post-build rows exactly. kCand >= candidate
+    // count makes the invariant sharp: PQ serve ≡ exact serve.
+    for (trial <- 1 to 2) {
+      val rnd = new scala.util.Random(4242L + trial)
+      var nextId = 1000L
+      def freshId(): Long = { nextId += 1; nextId }
+      def vecOf(id: Long, flip: Boolean = false): Array[Float] =
+        Array.tabulate(8) { d =>
+          val v = ((id % 3) * 100.0 + ((id * 7 + d * 13) % 7) - 3).toFloat
+          if (flip) -v else v
+        }
+      var state = (0L until 30L).map(id => id -> vecOf(id)).toMap
+      def dfOf(m: Map[Long, Array[Float]]) =
+        m.toSeq.map { case (id, e) => (id, e, 0) }
+          .toDF("vec_id", "embedding", "label")
+      val dir = java.nio.file.Files.createTempDirectory("ivf_rnd_").toString
+      IntKMeans.writeIndex(dfOf(state), dir, nlist = 3)
+      IntKMeans.addPqCodes(spark, dir, m = 4, subDim = 2, nCodes = 8)
+      val qs = dfOf(state).filter($"vec_id" < 2)
+      def assertParity(tag: String): Unit = {
+        val exact = IntKMeans.servedTopK(spark, dir, qs, k = 5, nprobe = 3)
+          .collect().toSet
+        val pq = IntKMeans.servedPqTopK(spark, dir, qs, k = 5,
+          kCand = state.size + 60, nprobe = 3).collect().toSet
+        assert(pq === exact, s"trial $trial $tag: PQ serve diverged")
+      }
+      assertParity("after tier build")
+      (1 to 6).foreach { step =>
+        rnd.nextInt(3) match {
+          case 0 => // append brand-new vectors (fresh tail, no codes)
+            val batch = (1 to 1 + rnd.nextInt(2))
+              .map(_ => { val id = freshId(); id -> vecOf(id) }).toMap
+            IntKMeans.appendIndex(dfOf(batch), dir)
+            state = state ++ batch
+          case 1 => // delete an existing id (or a missing one — no-op)
+            val id = if (rnd.nextBoolean() && state.nonEmpty)
+              state.keys.toSeq(rnd.nextInt(state.size))
+            else 5000L + rnd.nextInt(5)
+            IntKMeans.deleteFromIndex(Seq(id).toDF("vec_id"), dir)
+            state = state - id
+          case 2 => // re-encode an existing id (negated vector) or new
+            val id = if (state.nonEmpty)
+              state.keys.toSeq(rnd.nextInt(state.size)) else freshId()
+            val batch = Map(id -> vecOf(id, flip = true))
+            IntKMeans.upsertIndex(dfOf(batch), dir)
+            state = state ++ batch
+        }
+        assertParity(s"step $step")
+      }
+      // a rewrite drops the tier; rebuilding restores the invariant
+      IntKMeans.compactIndex(spark, dir)
+      IntKMeans.addPqCodes(spark, dir, m = 4, subDim = 2, nCodes = 8)
+      assertParity("after compact + tier rebuild")
+    }
+  }
+
   test("compacting a fully-tombstoned index publishes empty components; append revives it") {
     // ADVICE r15 #1: the rewrite ops used to commit a _SUCCESS-only
     // segment when every row was tombstoned — every later read died

@@ -881,7 +881,9 @@ class PhraseIndexSpec extends SparkSpec {
       "quick{2}",
       "brown{3} OR (slow NEAR/2 green)",
       "qu* NEAR/5 dog",
-      "the & brow* | turtle")) {
+      "the & brow* | turtle",
+      "quick & (fox | cat) :: 4",
+      "brown & quick{2} & the :: 6")) {
       val direct = PhraseSearch.search(q, toks, universe)
         .collect().map(_.getLong(0)).toSet
       val served = PhraseSearch.servedSearch(spark, dir, q)

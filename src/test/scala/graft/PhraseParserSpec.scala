@@ -122,6 +122,23 @@ class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
         Or(Phrase(Seq("merg*")), Phrase(Seq("slow", "scan")))))
   }
 
+  test(":: k wraps the top-level conjunction (the reference notebooks' spelling)") {
+    // 'MOSUL & (BATTLE | SIEGE) :: 60' — stories.ipynb's key-phrase form
+    assert(parse("mosul & (battle | siege) :: 60") ===
+      Within(Seq(Phrase(Seq("mosul")),
+        Or(Phrase(Seq("battle")), Phrase(Seq("siege")))), 60))
+    assert(parse("hurricane & irma ::30") ===
+      Within(Seq(Phrase(Seq("hurricane")), Phrase(Seq("irma"))), 30))
+    // a single conjunct has nothing to be near — the window is vacuous
+    assert(parse("hurricane :: 30") === Phrase(Seq("hurricane")))
+    // count-thresholded leaves are position-bearing conjuncts
+    assert(parse("spark{2} & merge :: 9") ===
+      Within(Seq(MinCount(Seq("spark"), 2), Phrase(Seq("merge"))), 9))
+    // NOT has no positions; the window must end the query
+    intercept[IllegalArgumentException](parse("a & NOT b :: 5"))
+    intercept[IllegalArgumentException](parse("a :: 5 OR b"))
+  }
+
   test("trailing \\* escapes the wildcard star (exact literal-star token)") {
     assert(PhraseSearch.slotPrefix("merg*") === Some("merg"))
     assert(PhraseSearch.slotPrefix("merg\\*") === None)
