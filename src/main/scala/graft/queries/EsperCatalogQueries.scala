@@ -238,6 +238,51 @@ object EsperCatalogQueries {
         .orderBy("gender")
     }),
 
+    // E16: "Identity and clothing" (other_queries.py:15-34) — the
+    // group_results shape: one identity's high-probability faces
+    // grouped by clothing attribute, each group with its population
+    // and a small face sample (the reference random-samples per
+    // group; the 3 lowest face ids are the deterministic stand-in).
+    // clothing := the part type's first word.
+    "e16_identity_clothing" -> ((s, d) => {
+      val fc = faces(s, d)
+      val sel = fc.join(
+          broadcast(Tables.part(tune(s), d)
+            .select(col("p_partkey"), col("p_brand"),
+              split(col("p_type"), " ").getItem(0).as("clothing"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === "Brand#1" && col("l_suppkey") % 100 >= 90)
+        .select("face_id", "clothing")
+      val w = Window.partitionBy(col("clothing"))
+      sel.withColumn("rnk", row_number().over(w.orderBy(col("face_id"))))
+        .withColumn("n_faces", count(lit(1)).over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("clothing"), col("n_faces"), col("face_id"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("clothing", "rnk")
+    }),
+
+    // E17: "Random videos w/o topic labels" (other_queries.py:183-204)
+    // — videos with NO topic tag (anti-join on the tag relation), the
+    // reference's [:1000:10] stride (every 3rd here), each emitted as
+    // the full-video frame range {min_frame: 0, max_frame:
+    // num_frames-1}. topic tag := any event whose props thing-key is
+    // exactly 37; num_frames := the video's event count.
+    "e17_untagged_videos" -> ((s, d) => {
+      val raw = Tables.events(tune(s), d)
+      val tagged = raw.filter(
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int") === 37)
+        .select(col("user_id")).distinct()
+      raw.groupBy(col("user_id").as("video_id"))
+        .agg(count(lit(1)).as("n_frames"))
+        .join(tagged, col("video_id") === tagged("user_id"), "left_anti")
+        .withColumn("rn", row_number().over(Window.orderBy("video_id")))
+        .filter(col("rn") % 3 === 1 && col("rn") <= 1000)
+        .select(col("video_id"), lit(0L).as("min_frame"),
+          (col("n_frames") - 1).as("max_frame"))
+        .orderBy("video_id")
+    }),
+
     // E13: "Caption search" (other_queries.py:246-266) — the boolean
     // caption query ('SEAN SPICER & [RESIGN]' shape: spark AND
     // merge*) through the query-language evaluator, then each
@@ -452,6 +497,32 @@ object EsperCatalogQueries {
          |  count(*) AS n_faces
          |FROM face WHERE face_id IN (SELECT face_id FROM sel)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "e16_identity_clothing" ->
+      s"""WITH face AS ($facesSql),
+         |sel AS (SELECT face.face_id, string_split(p.p_type, ' ')[1] AS clothing
+         |        FROM face JOIN part p ON p.p_partkey = face.l_partkey
+         |        WHERE p.p_brand = 'Brand#1' AND face.l_suppkey % 100 >= 90),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY clothing
+         |          ORDER BY face_id) AS rnk,
+         |        count(*) OVER (PARTITION BY clothing) AS n_faces FROM sel)
+         |SELECT clothing, CAST(n_faces AS BIGINT) AS n_faces, face_id,
+         |  CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 3 ORDER BY clothing, rnk""".stripMargin,
+
+    "e17_untagged_videos" ->
+      """WITH tagged AS (SELECT DISTINCT user_id FROM events
+        |  WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) = 37),
+        |vids AS (SELECT user_id AS video_id, count(*) AS n_frames
+        |         FROM events GROUP BY 1),
+        |un AS (SELECT * FROM vids
+        |       WHERE video_id NOT IN (SELECT user_id FROM tagged)),
+        |st AS (SELECT *, row_number() OVER (ORDER BY video_id) AS rn FROM un)
+        |SELECT video_id, CAST(0 AS BIGINT) AS min_frame,
+        |  n_frames - 1 AS max_frame
+        |FROM st WHERE rn % 3 = 1 AND rn <= 1000
+        |ORDER BY video_id""".stripMargin,
 
     "e13_caption_search" ->
       s"""WITH tk AS ($toksSql),

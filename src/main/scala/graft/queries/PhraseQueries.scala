@@ -778,7 +778,7 @@ object PhraseQueries {
        |  FROM tf JOIN dfs ON dfs.tok = tf.tok
        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN tot)""".stripMargin
 
-  private val bm25Ctes = bm25CtesFrom(Q.toksSql)
+  private[queries] val bm25Ctes = bm25CtesFrom(Q.toksSql)
 
   // ph14/ph15/ph16: the corpus with doc_id ≡ 3 (mod 7) deleted — the
   // served deleted index must be indistinguishable from a rebuild on

@@ -602,6 +602,44 @@ object SimilarityQueries {
         .orderBy("plane", "q_id", "id", "rank")
     }),
 
+    // X9: SERVED HYBRID retrieval — ph12's Borda fusion with BOTH
+    // arms answered from PERSISTED indexes: the lexical arm is the
+    // phrase plane's served BM25 (vocab-bucket-pruned postings +
+    // doclen sidecar), the semantic arm is the IVF-PQ tier
+    // (DPP-probed code rows, ADC cut, exact re-rank) — the
+    // production multimodal retrieval query a RAG / training-data
+    // pipeline actually runs, with zero corpus scans. Each arm ends
+    // in a TakeOrdered top-50; fusion is integer Borda over 50x50.
+    // Oracle: ph04's proven BM25 CTEs (served ≡ in-process, ph09)
+    // full-outer-joined with the v48 pipeline SQL at this arm's
+    // parameters.
+    "x09_served_hybrid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val phDir = Q.memoIndex("phidx", d)(dir =>
+        graft.text.PhraseSearch.writeIndex(Q.toks(s, d), dir, nBuckets = 64))
+      val pqDir = Q.memoIndex("ivfpq", d) { dir =>
+        graft.similarity.IntKMeans.writeIndex(e, dir, nlist = 16)
+        graft.similarity.IntKMeans.addPqCodes(s, dir, m = 8, subDim = 8,
+          nCodes = 16)
+      }
+      val tw = Window.orderBy(col("bm25_micro").desc, col("doc_id"))
+      val tr = graft.text.PhraseSearch
+        .servedBm25TopK(s, phDir, Seq("customer", "spark", "vector"), 50)
+        .withColumn("r_t", row_number().over(tw))
+        .select(col("doc_id"), (lit(60) - col("r_t")).cast("long").as("b_t"))
+      val vr = graft.similarity.IntKMeans
+        .servedPqTopK(s, pqDir, e.filter(col("vec_id") === 0), k = 50,
+          kCand = 150, nprobe = 4)
+        .select(col("vec_id").as("doc_id"),
+          (lit(60) - col("rank")).cast("long").as("b_v"))
+      tr.join(vr, Seq("doc_id"), "full_outer")
+        .na.fill(0L, Seq("b_t", "b_v"))
+        .select(col("doc_id"), (col("b_t") + col("b_v")).as("borda"))
+        .orderBy(col("borda").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // V47: the IVF manifest as a query surface (ph37's vector-plane
     // mirror) over the STALE-THEN-UPSERTED index — pins the protocol
     // accounting across a maintenance history: build commits v1, the
@@ -1212,6 +1250,60 @@ object SimilarityQueries {
          |ORDER BY i""".stripMargin
   }
 
+  /** The full served IVF-PQ pipeline in SQL, parameterized: Lloyd
+    * cells, v11's codebook/encoding on the stored grid, per-query ADC
+    * tables, probed-cell candidate cut at `kCand`, exact-dot re-rank
+    * to `k`. Shared by v48 and x09's vector arm (the fresh tail is
+    * empty — the tier is built at HEAD in both scenarios). */
+  private def ivfPqServeSql(qPred: String, nprobe: Int, kCand: Int,
+                            k: Int): String =
+    s"""WITH $qvCte,
+       |${lloydCtes(16)},
+       |sub AS (SELECT vec_id, ms, q[ms*8+1 : ms*8+8] AS sv
+       |        FROM qv, unnest(generate_series(0, 7)) AS g(ms)),
+       |cent AS (SELECT ms AS c_ms, vec_id AS code, sv AS cv
+       |         FROM sub WHERE vec_id < 16),
+       |enc0 AS (SELECT s.vec_id, s.ms, c.code,
+       |           ${l2i("s.sv", "c.cv")} AS d2
+       |         FROM sub s JOIN cent c ON c.c_ms = s.ms),
+       |enc AS (SELECT vec_id, ms, code FROM (
+       |          SELECT vec_id, ms, code,
+       |            row_number() OVER (PARTITION BY vec_id, ms
+       |              ORDER BY d2, code) AS rn
+       |          FROM enc0) z WHERE rn = 1),
+       |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE $qPred),
+       |probes AS (SELECT q_id, qvq, cell FROM (
+       |    SELECT qq.q_id, qq.qvq, c.cell,
+       |      row_number() OVER (PARTITION BY qq.q_id
+       |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
+       |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= $nprobe),
+       |qsub AS (SELECT q_id, ms, qvq[ms*8+1 : ms*8+8] AS qsv
+       |         FROM qq, unnest(generate_series(0, 7)) AS g(ms)),
+       |dtab AS (SELECT s.q_id, s.ms AS d_ms, c.code AS d_code,
+       |           ${l2i("s.qsv", "c.cv")} AS qd2
+       |         FROM qsub s JOIN cent c ON c.c_ms = s.ms),
+       |adc AS (SELECT p.q_id, a.vec_id, CAST(sum(d.qd2) AS BIGINT) AS adist
+       |        FROM af a
+       |        JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |        JOIN enc e ON e.vec_id = a.vec_id
+       |        JOIN dtab d ON d.q_id = p.q_id AND d.d_ms = e.ms
+       |          AND d.d_code = e.code
+       |        GROUP BY 1, 2),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adist, vec_id) AS crn
+       |    FROM adc) z2 WHERE crn <= $kCand),
+       |d2f AS (SELECT c.q_id, c.vec_id, ${doti("a.q", "qq.qvq")} AS qdot
+       |        FROM cand c JOIN qv a ON a.vec_id = c.vec_id
+       |        JOIN qq ON qq.q_id = c.q_id),
+       |r AS (SELECT q_id, vec_id, qdot,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
+       |      FROM d2f)
+       |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // v01: brute-force cosine ranking — every double (dot, the two
     // sqrt'd norms, the divide) mirrors the native expressions' left
@@ -1574,53 +1666,7 @@ object SimilarityQueries {
     // per-query ADC tables, the probed-cell candidate cut at 30, and
     // the exact-dot re-rank to 10. The fresh tail is empty (the tier
     // was built at HEAD with no later appends).
-    "v48_ivf_pq_served" ->
-      s"""WITH $qvCte,
-         |${lloydCtes(16)},
-         |sub AS (SELECT vec_id, ms, q[ms*8+1 : ms*8+8] AS sv
-         |        FROM qv, unnest(generate_series(0, 7)) AS g(ms)),
-         |cent AS (SELECT ms AS c_ms, vec_id AS code, sv AS cv
-         |         FROM sub WHERE vec_id < 16),
-         |enc0 AS (SELECT s.vec_id, s.ms, c.code,
-         |           ${l2i("s.sv", "c.cv")} AS d2
-         |         FROM sub s JOIN cent c ON c.c_ms = s.ms),
-         |enc AS (SELECT vec_id, ms, code FROM (
-         |          SELECT vec_id, ms, code,
-         |            row_number() OVER (PARTITION BY vec_id, ms
-         |              ORDER BY d2, code) AS rn
-         |          FROM enc0) z WHERE rn = 1),
-         |qq AS (SELECT vec_id AS q_id, q AS qvq FROM qv WHERE vec_id < 5),
-         |probes AS (SELECT q_id, qvq, cell FROM (
-         |    SELECT qq.q_id, qq.qvq, c.cell,
-         |      row_number() OVER (PARTITION BY qq.q_id
-         |        ORDER BY ${l2i("qq.qvq", "c.c")}, c.cell) AS rn
-         |    FROM qq CROSS JOIN c2 c) t2 WHERE rn <= 4),
-         |qsub AS (SELECT q_id, ms, qvq[ms*8+1 : ms*8+8] AS qsv
-         |         FROM qq, unnest(generate_series(0, 7)) AS g(ms)),
-         |dtab AS (SELECT s.q_id, s.ms AS d_ms, c.code AS d_code,
-         |           ${l2i("s.qsv", "c.cv")} AS qd2
-         |         FROM qsub s JOIN cent c ON c.c_ms = s.ms),
-         |adc AS (SELECT p.q_id, a.vec_id, CAST(sum(d.qd2) AS BIGINT) AS adist
-         |        FROM af a
-         |        JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id
-         |        JOIN enc e ON e.vec_id = a.vec_id
-         |        JOIN dtab d ON d.q_id = p.q_id AND d.d_ms = e.ms
-         |          AND d.d_code = e.code
-         |        GROUP BY 1, 2),
-         |cand AS (SELECT q_id, vec_id FROM (
-         |    SELECT q_id, vec_id,
-         |      row_number() OVER (PARTITION BY q_id
-         |        ORDER BY adist, vec_id) AS crn
-         |    FROM adc) z2 WHERE crn <= 30),
-         |d2f AS (SELECT c.q_id, c.vec_id, ${doti("a.q", "qq.qvq")} AS qdot
-         |        FROM cand c JOIN qv a ON a.vec_id = c.vec_id
-         |        JOIN qq ON qq.q_id = c.q_id),
-         |r AS (SELECT q_id, vec_id, qdot,
-         |        CAST(row_number() OVER (PARTITION BY q_id
-         |          ORDER BY qdot DESC, vec_id) AS INT) AS rank
-         |      FROM d2f)
-         |SELECT q_id, vec_id, rank, qdot FROM r WHERE rank <= 10
-         |ORDER BY q_id, rank""".stripMargin,
+    "v48_ivf_pq_served" -> ivfPqServeSql("vec_id < 5", 4, 30, 10),
 
     // v30/v31: incremental maintenance — the quantization scale AND
     // the Lloyd fit come from the BUILD half (even vec_ids) only; the
@@ -1727,6 +1773,26 @@ object SimilarityQueries {
     // v44: both snapshots' quantized vectors replayed from the corpus
     // (stale = negated/missing view on the stale scale; current = the
     // upsert resolved on the SAME stored scale)
+    // x09: ph04's BM25 CTEs (served ≡ in-process, ph09's proof) Borda-
+    // fused with the v48 pipeline at this arm's parameters (one query
+    // vector, 150-candidate ADC cut, top-50); DuckDB 1.0 accepts the
+    // nested WITH as a derived table (the x07/x08 pattern)
+    "x09_served_hybrid" ->
+      s"""WITH ${PhraseQueries.bm25Ctes},
+         |bt AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS bm25_micro
+         |       FROM sc GROUP BY 1),
+         |tr AS (SELECT doc_id, CAST(row_number() OVER (
+         |         ORDER BY bm25_micro DESC, doc_id) AS BIGINT) AS r_t FROM bt),
+         |trf AS (SELECT doc_id, CAST(60 - r_t AS BIGINT) AS b_t FROM tr
+         |        WHERE r_t <= 50),
+         |varm AS (SELECT vec_id AS doc_id, CAST(60 - rank AS BIGINT) AS b_v
+         |         FROM (${ivfPqServeSql("vec_id = 0", 4, 150, 50)}) pq),
+         |f AS (SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |        COALESCE(t.b_t, 0) + COALESCE(v.b_v, 0) AS borda
+         |      FROM trf t FULL OUTER JOIN varm v ON v.doc_id = t.doc_id)
+         |SELECT doc_id, CAST(borda AS BIGINT) AS borda FROM f
+         |ORDER BY borda DESC, doc_id LIMIT 10""".stripMargin,
+
     // x07: both planes replayed from the reduced corpus (ids ≡ 2
     // mod 5 taken down everywhere): the phrase arm is ph01's
     // position join over the surviving token table, the ivf arm is
