@@ -92,7 +92,11 @@ object Bench {
       // their own memo tags — unwarmed, their pass-1 sample absorbed
       // the build and polluted `spread` (r15 verdict nit #1: x07 22.7x)
       "x07_cross_plane_takedown", "x08_cross_plane_reencode",
-      "v48_ivf_pq_served")
+      "v48_ivf_pq_served",
+      // the GC-history scenario builds its own memo tag (phgc) — the
+      // r15 bench-spread nit recurred on it in r16 (67.6x first-sample
+      // spread from the 4.5 s scenario build landing in pass 1)
+      "ph42_manifest_gc")
     // targeted runs warm only what they measure — a 1-query iteration
     // loop must not pay 13 index builds it never serves from
     warmups.filter(selected.contains).foreach { n =>

@@ -82,8 +82,12 @@ object CrossPlane {
     catch { case e: Throwable =>
       // compensate: drop the just-committed tombstone event from the
       // phrase manifest (metadata-only), restoring the pre-takedown
-      // snapshot byte-for-byte
-      retractTo(spark, phraseDir, phraseBefore)
+      // snapshot byte-for-byte. If the compensation itself refuses
+      // (another writer committed in the window — retractTo's version
+      // check), the ORIGINAL IVF failure is the root cause the manual
+      // repair needs: attach it as suppressed (ADVICE r16 #3).
+      try retractTo(spark, phraseDir, phraseBefore)
+      catch { case c: Throwable => c.addSuppressed(e); throw c }
       throw new IllegalStateException(
         s"cross-plane takedown failed on the IVF plane at $ivfDir; " +
           s"the phrase plane at $phraseDir was rolled back to snapshot " +
@@ -112,7 +116,9 @@ object CrossPlane {
     try
       graft.similarity.IntKMeans.upsertIndex(newCorpus, ivfDir)
     catch { case e: Throwable =>
-      retractTo(spark, phraseDir, phraseBefore)
+      // same suppressed-cause chaining as takedown's compensation
+      try retractTo(spark, phraseDir, phraseBefore)
+      catch { case c: Throwable => c.addSuppressed(e); throw c }
       throw new IllegalStateException(
         s"cross-plane re-encode failed on the IVF plane at $ivfDir; " +
           s"the phrase plane at $phraseDir was rolled back to snapshot " +

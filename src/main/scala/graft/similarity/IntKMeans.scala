@@ -897,6 +897,20 @@ object IntKMeans {
         s"index at $dir has no PQ tier — run addPqCodes (rewrite ops " +
           "drop a stale tier; rebuild after compact/vacuum/rollback/refresh)")
 
+  /** The PQ tier serves snapshots >= its build seq ONLY (ADVICE r16
+    * #1): a vector live at an older snapshot but deleted before the
+    * tier build has NO code rows (addPqCodes encodes live rows only)
+    * and seq < pq_as_of, so it would enter neither the ADC candidate
+    * set nor the exact fresh tail — the PQ path would silently drop
+    * it while servedTopK(asOf) correctly returns it. Refuse loudly;
+    * pre-tier snapshots go through the uncompressed serve. */
+  private def requirePqServesSnapshot(dir: String, pqAsOf: Long,
+                                      asOf: Option[Long]): Unit =
+    asOf.foreach(s => require(s >= pqAsOf,
+      s"snapshot $s predates the PQ tier build at seq $pqAsOf on $dir — " +
+        "rows deleted before the build have no code rows, so the " +
+        "compressed path cannot serve it; use servedTopK(asOf) instead"))
+
   private def pqCodesOf(spark: SparkSession, dir: String,
                         m: graft.index.Manifest): DataFrame =
     Manifest.readComponent(spark, dir, m, PQCODES)
@@ -950,6 +964,26 @@ object IntKMeans {
       val man = Manifest.load(spark, dir)
       val live = liveOnly(vectorsOf(spark, dir, man), spark, dir, man)
         .select(col("vec_id"), col("q"), col("seq"), col("cell"))
+      // Codebook guards (ADVICE r16 #2): the seed rows are the live
+      // vectors with vec_id < nCodes — if the id space doesn't start
+      // at 0 or the low ids were deleted away, centDf is EMPTY and
+      // both tier segments would be committed as _SUCCESS-only dirs
+      // (the exact schemaless-read bug class the rewrite ops'
+      // segHasData guard closed in r15). The tier build is a rare
+      // batch op, so one driver-side probe of the seed rows is cheap
+      // insurance against bricking every later read. The same probe
+      // pins the subspace geometry: slice() silently SHORTENS past
+      // the array end, so m*subDim != dim would encode truncated
+      // subvectors and serve wrong ADC distances without any error.
+      val seedProbe = live.filter(col("vec_id") < nCodes)
+        .select(size(col("q")).as("dim")).head(1)
+      require(seedProbe.nonEmpty,
+        s"PQ codebook would be empty: no live vector has vec_id < $nCodes " +
+          s"at $dir (id space not 0-based, or the low ids were deleted) — " +
+          "refusing to commit an unreadable tier")
+      require(m * subDim == seedProbe.head.getInt(0),
+        s"PQ geometry m=$m x subDim=$subDim must equal the stored vector " +
+          s"dimension ${seedProbe.head.getInt(0)} at $dir")
       def subspaces(df: DataFrame): DataFrame =
         df.withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
           .select(col("vec_id"),
@@ -1036,6 +1070,7 @@ object IntKMeans {
     val man = Manifest.load(spark, dir)
     requirePqTier(dir, man)
     val pqAsOf = man.scalar("pq_as_of").toLong
+    requirePqServesSnapshot(dir, pqAsOf, asOf)
     val ctr = broadcast(centroidsOf(spark, dir, man))
     val qq = quantizeOnStored(
         queries.select(col("vec_id").as("q_id"), col("embedding")),
@@ -1072,6 +1107,7 @@ object IntKMeans {
                       asOf: Option[Long] = None): DataFrame = {
     val man = Manifest.load(spark, dir)
     requirePqTier(dir, man)
+    requirePqServesSnapshot(dir, man.scalar("pq_as_of").toLong, asOf)
     val ctr = broadcast(centroidsOf(spark, dir, man))
     val qq = quantizeOnStored(
         queries.select(col("vec_id").as("q_id"), col("embedding")),

