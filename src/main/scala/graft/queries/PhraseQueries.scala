@@ -619,7 +619,55 @@ object PhraseQueries {
     // oracle knows the set because the scenario defines it (phDelIdx
     // tombstones docs ≡ 3 mod 7 at event 1, none reclaimed yet).
     "ph36_pending_deletes" -> ((s, d) =>
-      PhraseSearch.pendingDeletes(s, phDelIdx(s, d)).orderBy("doc_id"))
+      PhraseSearch.pendingDeletes(s, phDelIdx(s, d)).orderBy("doc_id")),
+
+    // PH44: INFLECTION GROUP `[WORD]` + count threshold — the
+    // reference caption language's bracketed-lemma construct
+    // ('SEAN SPICER & [RESIGN]', other_queries.py:251): `[scanning]`
+    // matches every corpus member of the scanning-lemma family
+    // (Inflect.expand — a closed exact-word set, so the served path
+    // prunes to the family's hash buckets STATICALLY), `{2}` gates on
+    // per-doc family frequency. The oracle bakes the SAME literal
+    // family list — both engines match byte-identical vocabularies.
+    "ph44_inflection_search" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phIdx(s, d), "[scanning]{2} & customer")
+        .orderBy("doc_id")),
+
+    // PH45: BARE-WORD JUXTAPOSITION — the reference's own query
+    // strings spell multi-word phrases inline with no quotes
+    // ('STONEMAN DOUGLAS', stories.ipynb; 'SEAN SPICER',
+    // other_queries.py:251): adjacent bare words fold into ONE phrase
+    // exactly like the quoted form, so `slow scan | fast merge`
+    // is two position-adjacency joins OR'd, then intersected with a
+    // plain containment conjunct.
+    "ph45_juxtaposed_phrase" -> ((s, d) => {
+      val t = toks(s, d)
+      val universe = Tables.documents(tune(s), d).select("doc_id")
+      PhraseSearch.search("(slow scan | fast merge) & customer", t, universe)
+        .orderBy("doc_id")
+    }),
+
+    // PH46: NEAR over POSITION-BEARING SUBTREES (r16 VERDICT ask #8):
+    // the right operand is an OR-alternative holding an inflection
+    // group — positions of `merge | [scans]` = the union of both
+    // branches' occurrence sets, banded against the customer anchors
+    // with the ph05 width-k bucketing. Served: the whole vocabulary
+    // (customer + merge + the scans family) prunes statically.
+    "ph46_subtree_near" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phIdx(s, d),
+          "customer NEAR/6 (merge | [scans])")
+        .orderBy("doc_id")),
+
+    // PH47: CHAINED NEAR — `a NEAR/5 b NEAR/3 c` associates LEFT like
+    // Within's fold: the customer anchors that have spark within 5
+    // are then checked against window within 9 (anchor positions
+    // survive each stage, so the second window measures from the
+    // ORIGINAL anchor — not from spark). Each stage is one banded
+    // equi-join; the anchor set only shrinks.
+    "ph47_chained_near" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phIdx(s, d),
+          "customer NEAR/5 spark NEAR/9 window")
+        .orderBy("doc_id"))
   )
 
   /** Shared merged index (ph21/ph22): two shard builds over disjoint
@@ -731,6 +779,11 @@ object PhraseQueries {
   private def phIdx(s: org.apache.spark.sql.SparkSession, d: String): String =
     Q.memoIndex("phidx", d)(dir =>
       PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64))
+
+  /** A deterministic word list as a SQL IN-list literal (the words
+    * are plain lowercase tokens — no quoting hazards). */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
 
   // shared oracle bodies: the served/appended paths must return
   // EXACTLY what the in-process forms return — same SQL (the index is
@@ -1035,6 +1088,58 @@ object PhraseQueries {
          |  WHERE a.tok = 'slow' AND b.tok = 'scan')
          |SELECT doc_id FROM c3
          |WHERE doc_id IN (SELECT doc_id FROM alt)
+         |ORDER BY doc_id""".stripMargin,
+
+    // ph44: the SAME literal inflection family both engines match
+    // (Inflect.expand is deterministic/sorted — see its scaladoc),
+    // gated per doc at >= 2 occurrences, intersected with 'customer'
+    "ph44_inflection_search" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |fam AS (SELECT doc_id FROM tk
+         |        WHERE tok IN (${sqlList(graft.text.Inflect.expand("scanning"))})
+         |        GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT doc_id FROM fam
+         |WHERE doc_id IN (SELECT doc_id FROM tk WHERE tok = 'customer')
+         |ORDER BY doc_id""".stripMargin,
+
+    // ph45: the unquoted phrases are plain position-adjacency joins —
+    // juxtaposition is spelling, not semantics
+    "ph45_juxtaposed_phrase" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |ph AS (SELECT DISTINCT a.doc_id FROM tk a JOIN tk b
+         |         ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       WHERE (a.tok = 'slow' AND b.tok = 'scan')
+         |          OR (a.tok = 'fast' AND b.tok = 'merge'))
+         |SELECT doc_id FROM ph
+         |WHERE doc_id IN (SELECT doc_id FROM tk WHERE tok = 'customer')
+         |ORDER BY doc_id""".stripMargin,
+
+    // ph46: the OR-subtree operand's occurrence set is the union of
+    // its branches (merge ∪ the scans family); plain |Δ| EXISTS —
+    // the oracle need not band
+    "ph46_subtree_near" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |anchor AS (SELECT doc_id, pos FROM tk WHERE tok = 'customer'),
+         |ctx AS (SELECT doc_id, pos FROM tk
+         |        WHERE tok = 'merge'
+         |           OR tok IN (${sqlList(graft.text.Inflect.expand("scans"))}))
+         |SELECT DISTINCT a.doc_id FROM anchor a
+         |WHERE EXISTS (SELECT 1 FROM ctx c WHERE c.doc_id = a.doc_id
+         |        AND abs(a.pos - c.pos) <= 6)
+         |ORDER BY doc_id""".stripMargin,
+
+    // ph47: left-chained NEAR — both windows measure from the
+    // ORIGINAL customer anchor (the anchor survives each stage)
+    "ph47_chained_near" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |anchor AS (SELECT doc_id, pos FROM tk WHERE tok = 'customer'),
+         |c1 AS (SELECT doc_id, pos FROM tk WHERE tok = 'spark'),
+         |c2 AS (SELECT doc_id, pos FROM tk WHERE tok = 'window')
+         |SELECT DISTINCT a.doc_id FROM anchor a
+         |WHERE EXISTS (SELECT 1 FROM c1 WHERE c1.doc_id = a.doc_id
+         |        AND abs(a.pos - c1.pos) <= 5)
+         |  AND EXISTS (SELECT 1 FROM c2 WHERE c2.doc_id = a.doc_id
+         |        AND abs(a.pos - c2.pos) <= 9)
          |ORDER BY doc_id""".stripMargin,
 
     // ph36: the scenario's takedown set — docs ≡ 3 mod 7, event 1

@@ -37,12 +37,15 @@ object Inflect {
     val guesses =
       if (w.endsWith("ing") && w.length > 4) {
         val b = w.dropRight(3); Seq(b, b + "e") ++ undouble(b)
-      } else if (w.endsWith("ied") && w.length > 4)
-        Seq(w.dropRight(3) + "y")
+      } else if (w.endsWith("ied") && w.length > 3)
+        // additive with the ed-style guesses: short words like `tied`
+        // need the e-lemma (`tie`), not just the y-lemma (`ty`) —
+        // over-generation is discarded by corpus-vocabulary matching
+        Seq(w.dropRight(3) + "y", w.dropRight(2), w.dropRight(2) + "e")
       else if (w.endsWith("ed") && w.length > 3) {
         val b = w.dropRight(2); Seq(b, b + "e") ++ undouble(b)
-      } else if (w.endsWith("ies") && w.length > 4)
-        Seq(w.dropRight(3) + "y")
+      } else if (w.endsWith("ies") && w.length > 3)
+        Seq(w.dropRight(3) + "y", w.dropRight(2), w.dropRight(1))
       else if (w.endsWith("es") && w.length > 3)
         Seq(w.dropRight(2), w.dropRight(1))
       else if (w.endsWith("s") && !w.endsWith("ss") && w.length > 2)
@@ -62,13 +65,18 @@ object Inflect {
       if (l.endsWith("y") && l.length > 2)
         Seq(l.dropRight(1) + "ies", l.dropRight(1) + "ied")
       else Seq.empty
+    // ie -> y gerund (`die` -> `dying`, `tie` -> `tying`)
+    val ieForms =
+      if (l.endsWith("ie") && l.length > 2)
+        Seq(l.dropRight(2) + "ying")
+      else Seq.empty
     val doubled =
       if (l.length > 2 && !"aeiouy".contains(l.last) &&
           "aeiou".contains(l(l.length - 2)) && !"aeiou".contains(l(l.length - 3)))
         Seq(l + l.last + "ed", l + l.last + "ing")
       else Seq.empty
     (Seq(l, l + "s", l + "es", l + "ed", l + "d", l + "ing") ++
-      eDrop ++ yForms ++ doubled).distinct
+      eDrop ++ yForms ++ ieForms ++ doubled).distinct
   }
 
   /** The full inflection family of a query word — every conjugation

@@ -229,7 +229,10 @@ object PhraseSearch {
   def parse(s: String): Q = {
     val p = new Parser(tokenize(s))
     val q = p.parseExpr()
-    p.parseWindowSuffix(q)
+    val out = p.parseWindowSuffix(q)
+    require(p.ts.isEmpty,
+      s"unparsed trailing tokens: ${p.ts.mkString(" ")}")
+    out
   }
 
   /** Top-level AND chain, left to right. */
@@ -257,6 +260,22 @@ object PhraseSearch {
 
   private val NearTok = """(?i)NEAR/(\d+)""".r
   private val CountTok = """\{(\d+)\}""".r
+  private val InflTok = """\[([^\[\]\s(){}"]+)\]""".r
+
+  /** Token classes the bare-word juxtaposition fold must stop at —
+    * everything with operator or structural meaning. A user phrasing
+    * one of these AS a word quotes it (`"and"`). */
+  private def isOperatorTok(t: String): Boolean =
+    t.equalsIgnoreCase("AND") || t.equalsIgnoreCase("OR") ||
+      t.equalsIgnoreCase("NOT") || t == "&" || t == "|" ||
+      NearTok.pattern.matcher(t).matches() ||
+      t == "::" || t.matches("::\\d+")
+
+  private def isBareWord(t: String): Boolean =
+    !isOperatorTok(t) && t != "(" && t != ")" &&
+      !t.startsWith("\"") &&
+      !CountTok.pattern.matcher(t).matches() &&
+      !InflTok.pattern.matcher(t).matches()
 
   private class Parser(var ts: List[String]) {
     private def peek: Option[String] = ts.headOption
@@ -297,11 +316,10 @@ object PhraseSearch {
         val k = NearTok.findFirstMatchIn(next()).get.group(1).toInt
         require(k >= 1, "NEAR/0 is not a proximity")
         val r = parseFactor()
-        (l, r) match {
-          case (Phrase(a), Phrase(b)) => l = Near(a, b, k)
-          case _ => throw new IllegalArgumentException(
-            "NEAR/k operands must be words or quoted phrases")
-        }
+        Seq(l, r).foreach(o => require(positionBearing(o),
+          "NEAR/k operands must be position-bearing (words, phrases, " +
+            s"[groups], OR-alternatives, counts, NEAR chains) — got $o"))
+        l = Near(l, r, k)
       }
       l
     }
@@ -314,27 +332,49 @@ object PhraseSearch {
         next()
         withCount(Phrase(
           t.stripPrefix("\"").stripSuffix("\"").split("\\s+").toSeq))
+      case Some(t) if InflTok.pattern.matcher(t).matches() =>
+        next()
+        withCount(Infl(InflTok.findFirstMatchIn(t).get.group(1)))
       case Some(t) if CountTok.pattern.matcher(t).matches() =>
         throw new IllegalArgumentException(s"dangling count threshold $t")
-      case Some(t) => next(); withCount(Phrase(Seq(t)))
+      case Some(t) if isBareWord(t) =>
+        // juxtaposition: adjacent bare words are ONE phrase, exactly
+        // like the quoted form — `STONEMAN DOUGLAS` = `"STONEMAN
+        // DOUGLAS"` (the reference queries' inline-phrase spelling)
+        next()
+        val ws = scala.collection.mutable.ListBuffer(t)
+        while (peek.exists(isBareWord)) ws += next()
+        withCount(Phrase(ws.toList))
+      case Some(t) =>
+        throw new IllegalArgumentException(s"unexpected token $t")
       case None => throw new IllegalArgumentException("empty query")
     }
-    private def withCount(p: Phrase): Q = peek match {
+    /** A `{n}` count threshold binds to the leaf just parsed. */
+    private def withCount(leaf: Q): Q = peek match {
       case Some(t) if CountTok.pattern.matcher(t).matches() =>
         val n = CountTok.findFirstMatchIn(next()).get.group(1).toInt
         require(n >= 1, "count threshold must be >= 1")
-        MinCount(p.words, n)
-      case _ => p
+        MinCount(leaf, n)
+      case _ => leaf
     }
   }
 
-  /** Occurrence set (doc_id, pos) of a position-bearing subquery. */
+  /** Occurrence set (doc_id, pos) of a position-bearing subquery.
+    * [[Infl]]'s positions are any family member's (the family is a
+    * closed exact-word set, one pushed-down IN filter); [[Near]]'s are
+    * its ANCHOR (left) positions that survive the window check, which
+    * is what makes NEAR chain left and nest inside [[Within]]. */
   private def posHits(q: Q, toks: DataFrame): DataFrame = q match {
     case Phrase(ws) => patternHits(toks, ws)
+    case Infl(w) =>
+      toks.filter(col("tok").isin(Inflect.expand(w): _*))
+        .select(col("doc_id"), col("pos"))
+    case Near(l, r, k) =>
+      withinK(posHits(l, toks), posHits(r, toks), k)
     case Or(l, r) =>
       posHits(l, toks).unionByName(posHits(r, toks)).distinct()
-    case MinCount(ws, n) =>
-      val hits = patternHits(toks, ws)
+    case MinCount(x, n) =>
+      val hits = posHits(x, toks)
       val qualifying = hits.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("__c")).filter(col("__c") >= n)
         .select("doc_id")
@@ -361,16 +401,16 @@ object PhraseSearch {
     * `universe` = all doc ids (needed for NOT). */
   def eval(q: Q, toks: DataFrame, universe: DataFrame): DataFrame = q match {
     case Phrase(ws) => patternHits(toks, ws).select("doc_id").distinct()
-    case Near(a, b, k) =>
-      proximityPatternHits(toks, a, b, k).select("doc_id").distinct()
+    case i @ Infl(_) => posHits(i, toks).select("doc_id").distinct()
+    case nr @ Near(_, _, _) => posHits(nr, toks).select("doc_id").distinct()
     case Within(parts, k) =>
       // anchor-window: keep first-conjunct occurrences that have every
       // other conjunct within k, then project to docs
       parts.tail.foldLeft(posHits(parts.head, toks)) { (acc, p) =>
         withinK(acc, posHits(p, toks), k)
       }.select("doc_id").distinct()
-    case MinCount(ws, n) =>
-      patternHits(toks, ws).groupBy(col("doc_id"))
+    case MinCount(x, n) =>
+      posHits(x, toks).groupBy(col("doc_id"))
         .agg(count(lit(1)).as("__c")).filter(col("__c") >= n)
         .select("doc_id")
     case And(l, r) =>
@@ -1198,11 +1238,15 @@ object PhraseSearch {
     }
   }
 
-  /** All words a boolean query touches (its served vocabulary). */
+  /** All words a boolean query touches (its served vocabulary). An
+    * [[Infl]] contributes its whole candidate family — every member is
+    * an exact token, so the served path prunes to the family's hash
+    * buckets statically (absent members match nothing). */
   private def vocabOf(q: Q): Seq[String] = q match {
     case Phrase(ws)       => ws
-    case Near(a, b, _)    => a ++ b
-    case MinCount(ws, _)  => ws
+    case Infl(w)          => Inflect.expand(w)
+    case Near(a, b, _)    => vocabOf(a) ++ vocabOf(b)
+    case MinCount(x, _)   => vocabOf(x)
     case Within(parts, _) => parts.flatMap(vocabOf)
     case And(l, r)        => vocabOf(l) ++ vocabOf(r)
     case Or(l, r)         => vocabOf(l) ++ vocabOf(r)

@@ -899,6 +899,40 @@ class PhraseIndexSpec extends SparkSpec {
       universe).collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
+  test("inflection groups, juxtaposition and subtree NEAR evaluate identically in-process and served") {
+    val dir = freshIndex(16)
+    val universe = docs.select("doc_id")
+    for (q <- Seq(
+      "[jump]",                            // family of 'jump' ∋ 'jumps'
+      "[jumping] | [sleep]",               // ing-lemma recovery
+      "the quick brown",                   // unquoted 3-word phrase
+      "quick brown NEAR/3 fox",            // juxtaposed NEAR operand
+      "[jump] NEAR/4 (dog | cat)",         // OR+Infl subtree operand
+      "quick NEAR/2 brown NEAR/5 fox",     // left-chained NEAR
+      "[sleep]{1} & the quick",            // count over an Infl leaf
+      "[jump] & dog :: 5")) {              // Infl conjunct in a window
+      val direct = PhraseSearch.search(q, toks, universe)
+        .collect().map(_.getLong(0)).toSet
+      val served = PhraseSearch.servedSearch(spark, dir, q)
+        .collect().map(_.getLong(0)).toSet
+      assert(served === direct, s"query <$q> diverged between paths")
+    }
+    // ground truth on the fixture: 'jumps' only in doc 1 (pos 4, dog
+    // at 8 → within 4); 'sleeps' only in doc 2; 'the quick brown'
+    // starts in docs 1 and 2; the unquoted and quoted phrase
+    // spellings are the same query
+    def ids(q: String): Set[Long] =
+      PhraseSearch.search(q, toks, docs.select("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    assert(ids("[jump]") === Set(1L))
+    assert(ids("[jumping] | [sleep]") === Set(1L, 2L))
+    assert(ids("the quick brown") === Set(1L, 2L))
+    assert(ids("the quick brown") === ids("\"the quick brown\""))
+    assert(ids("[jump] NEAR/4 (dog | cat)") === Set(1L))
+    assert(ids("[jump] & dog :: 5") === Set(1L))
+    assert(ids("quick NEAR/2 brown NEAR/5 fox") === Set(1L, 2L))
+  }
+
   test("compacting a fully-tombstoned index publishes empty components; append revives it") {
     // ADVICE r15 #1 (phrase twin): the empty rewrite used to fail
     // pre-commit on the lexicon re-read — loud, but the op could

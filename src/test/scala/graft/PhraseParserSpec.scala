@@ -8,10 +8,12 @@ import graft.text.PhraseSearch._
 /** Property tests for the boolean query parser (SURVEY §3.3's
   * mini-language): any AST rendered with full parentheses must parse
   * back to itself, operators are case-insensitive, and precedence
-  * (NOT > AND > OR, left-associative) matches the grammar the
+  * (NOT > NEAR > AND > OR, left-associative) matches the grammar the
   * evaluator assumes. A parser drift would silently re-shape every
   * boolean caption query, so the round-trip is the load-bearing
-  * property. */
+  * property. Covers the r17 grammar: `[word]` inflection groups,
+  * bare-word juxtaposition phrases, position-bearing-subtree NEAR
+  * operands (chaining left), and `{n}` thresholds on any leaf. */
 class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   /** Deterministic sampling (no scalatest-scalacheck bridge in the
@@ -29,36 +31,57 @@ class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
     ws <- Gen.listOfN(n, word)
   } yield Phrase(ws)
 
-  private val near: Gen[Q] = for {
-    Phrase(a) <- phrase; Phrase(b) <- phrase; k <- Gen.choose(1, 20)
-  } yield Near(a, b, k)
+  private val infl: Gen[Q] = word.map(Infl(_))
+
+  // a leaf a `{n}` threshold can bind to (grammar: counts wrap leaves)
+  private val countable: Gen[Q] = Gen.frequency(3 -> phrase, 1 -> infl)
 
   private val minCount: Gen[Q] = for {
-    Phrase(ws) <- phrase; n <- Gen.choose(1, 5)
-  } yield MinCount(ws, n)
+    q <- countable; n <- Gen.choose(1, 5)
+  } yield MinCount(q, n)
 
-  private def tree(depth: Int): Gen[Q] =
-    if (depth <= 0) phrase
+  // position-bearing operand trees for NEAR (words, [groups], counts,
+  // OR-alternatives, nested NEAR — never NOT/AND)
+  private def posTree(depth: Int): Gen[Q] =
+    if (depth <= 0) Gen.frequency(4 -> phrase, 1 -> infl, 1 -> minCount)
     else Gen.frequency(
       3 -> phrase,
+      1 -> infl,
+      1 -> minCount,
+      1 -> (for { l <- posTree(depth - 1); r <- posTree(depth - 1) }
+        yield Or(l, r)),
+      1 -> (for { l <- posTree(depth - 1); r <- posTree(depth - 1);
+                  k <- Gen.choose(1, 20) } yield Near(l, r, k)))
+
+  private val near: Gen[Q] = for {
+    l <- posTree(1); r <- posTree(1); k <- Gen.choose(1, 20)
+  } yield Near(l, r, k)
+
+  private def tree(depth: Int): Gen[Q] =
+    if (depth <= 0) Gen.frequency(4 -> phrase, 1 -> infl)
+    else Gen.frequency(
+      3 -> phrase,
+      1 -> infl,
       1 -> near,
       1 -> minCount,
       2 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield And(l, r)),
       2 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield Or(l, r)),
       1 -> tree(depth - 1).map(Not(_)))
 
-  private def renderLeaf(ws: Seq[String]): String =
+  private def renderWords(ws: Seq[String]): String =
     if (ws.size == 1) ws.head else "\"" + ws.mkString(" ") + "\""
 
   /** Fully parenthesized rendering — structure-preserving by
-    * construction, so parse(render(q)) must equal q exactly. */
+    * construction, so parse(render(q)) must equal q exactly. Count
+    * thresholds only wrap leaves, matching the grammar. */
   private def render(q: Q): String = q match {
-    case Phrase(ws)       => renderLeaf(ws)
-    case Near(a, b, k)    => s"(${renderLeaf(a)} NEAR/$k ${renderLeaf(b)})"
-    case MinCount(ws, n)  => s"${renderLeaf(ws)}{$n}"
-    case And(l, r)        => s"(${render(l)} AND ${render(r)})"
-    case Or(l, r)         => s"(${render(l)} OR ${render(r)})"
-    case Not(x)           => s"(NOT ${render(x)})"
+    case Phrase(ws)      => renderWords(ws)
+    case Infl(w)         => s"[$w]"
+    case MinCount(x, n)  => s"${render(x)}{$n}"
+    case Near(a, b, k)   => s"(${render(a)} NEAR/$k ${render(b)})"
+    case And(l, r)       => s"(${render(l)} AND ${render(r)})"
+    case Or(l, r)        => s"(${render(l)} OR ${render(r)})"
+    case Not(x)          => s"(NOT ${render(x)})"
   }
 
   test("parse is a left inverse of fully-parenthesized rendering (500 random ASTs)") {
@@ -92,24 +115,62 @@ class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
       Or(Phrase(Seq("slow", "scan")), Phrase(Seq("cat"))))
   }
 
-  test("NEAR/k is a proximity construct between leaves, tighter than AND") {
+  test("adjacent bare words are one phrase (the reference's inline spelling)") {
+    // 'SEAN SPICER & [RESIGN]' (other_queries.py:251), 'STONEMAN
+    // DOUGLAS' (stories.ipynb) — multi-word phrases need no quotes
+    assert(parse("stoneman douglas") === Phrase(Seq("stoneman", "douglas")))
+    assert(parse("sean spicer & [resign]") ===
+      And(Phrase(Seq("sean", "spicer")), Infl("resign")))
+    assert(parse("(parkland | stoneman douglas | florida) & shooting") ===
+      And(Or(Or(Phrase(Seq("parkland")),
+        Phrase(Seq("stoneman", "douglas"))), Phrase(Seq("florida"))),
+        Phrase(Seq("shooting"))))
+    // folding stops at operators, parens, brackets, quotes and counts
+    assert(parse("a b AND c d") ===
+      And(Phrase(Seq("a", "b")), Phrase(Seq("c", "d"))))
+    assert(parse("a b{2}") === MinCount(Phrase(Seq("a", "b")), 2))
+    // the unquoted and quoted spellings are the same AST
+    assert(parse("slow scan") === parse("\"slow scan\""))
+  }
+
+  test("[word] is the inflection-group leaf") {
+    assert(parse("[resign]") === Infl("resign"))
+    assert(parse("[merging]{3}") === MinCount(Infl("merging"), 3))
+    assert(parse("a & [scan] | b") ===
+      Or(And(Phrase(Seq("a")), Infl("scan")), Phrase(Seq("b"))))
+    assert(parse("NOT [scan]") === Not(Infl("scan")))
+  }
+
+  test("NEAR/k operands are position-bearing subtrees, tighter than AND") {
     assert(parse("(a NEAR/5 b) AND NOT c") ===
-      And(Near(Seq("a"), Seq("b"), 5), Not(Phrase(Seq("c")))))
+      And(Near(Phrase(Seq("a")), Phrase(Seq("b")), 5),
+        Not(Phrase(Seq("c")))))
     // no parens needed: NEAR binds tighter than AND
     assert(parse("a NEAR/5 b AND c") ===
-      And(Near(Seq("a"), Seq("b"), 5), Phrase(Seq("c"))))
+      And(Near(Phrase(Seq("a")), Phrase(Seq("b")), 5), Phrase(Seq("c"))))
     // phrase + wildcard operands; case-insensitive keyword
     assert(parse("\"slow scan\" near/3 merg*") ===
-      Near(Seq("slow", "scan"), Seq("merg*"), 3))
+      Near(Phrase(Seq("slow", "scan")), Phrase(Seq("merg*")), 3))
+    // OR-alternatives, [groups] and counts are position-bearing
+    assert(parse("a NEAR/5 (b OR c)") ===
+      Near(Phrase(Seq("a")),
+        Or(Phrase(Seq("b")), Phrase(Seq("c"))), 5))
+    assert(parse("[resign] NEAR/4 spicer{2}") ===
+      Near(Infl("resign"), MinCount(Phrase(Seq("spicer")), 2), 4))
+    // chains left: the surviving a-anchors are then checked against c
+    assert(parse("a NEAR/5 b NEAR/3 c") ===
+      Near(Near(Phrase(Seq("a")), Phrase(Seq("b")), 5),
+        Phrase(Seq("c")), 3))
     // boolean operands have no positions to be near — rejected
     intercept[IllegalArgumentException](parse("(a AND b) NEAR/5 c"))
-    intercept[IllegalArgumentException](parse("a NEAR/5 (b OR c)"))
+    intercept[IllegalArgumentException](parse("a NEAR/5 NOT b"))
+    intercept[IllegalArgumentException](parse("a NEAR/5 (NOT b)"))
   }
 
   test("count threshold {n} wraps a leaf; dangling/invalid forms rejected") {
-    assert(parse("spark{3}") === MinCount(Seq("spark"), 3))
+    assert(parse("spark{3}") === MinCount(Phrase(Seq("spark")), 3))
     assert(parse("\"slow scan\"{2} OR x") ===
-      Or(MinCount(Seq("slow", "scan"), 2), Phrase(Seq("x"))))
+      Or(MinCount(Phrase(Seq("slow", "scan")), 2), Phrase(Seq("x"))))
     intercept[IllegalArgumentException](parse("{3}"))
     intercept[IllegalArgumentException](parse("a AND {3}"))
   }
@@ -118,7 +179,7 @@ class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(parse("a & b | c") ===
       Or(And(Phrase(Seq("a")), Phrase(Seq("b"))), Phrase(Seq("c"))))
     assert(parse("spark{3} & (merg* | \"slow scan\")") ===
-      And(MinCount(Seq("spark"), 3),
+      And(MinCount(Phrase(Seq("spark")), 3),
         Or(Phrase(Seq("merg*")), Phrase(Seq("slow", "scan")))))
   }
 
@@ -131,12 +192,20 @@ class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
       Within(Seq(Phrase(Seq("hurricane")), Phrase(Seq("irma"))), 30))
     // a single conjunct has nothing to be near — the window is vacuous
     assert(parse("hurricane :: 30") === Phrase(Seq("hurricane")))
-    // count-thresholded leaves are position-bearing conjuncts
+    // count-thresholded leaves and [groups] are position-bearing
     assert(parse("spark{2} & merge :: 9") ===
-      Within(Seq(MinCount(Seq("spark"), 2), Phrase(Seq("merge"))), 9))
+      Within(Seq(MinCount(Phrase(Seq("spark")), 2),
+        Phrase(Seq("merge"))), 9))
+    assert(parse("[resign] & sean spicer :: 20") ===
+      Within(Seq(Infl("resign"), Phrase(Seq("sean", "spicer"))), 20))
     // NOT has no positions; the window must end the query
     intercept[IllegalArgumentException](parse("a & NOT b :: 5"))
     intercept[IllegalArgumentException](parse("a :: 5 OR b"))
+  }
+
+  test("trailing garbage is rejected, not silently dropped") {
+    intercept[IllegalArgumentException](parse("a ) b"))
+    intercept[IllegalArgumentException](parse("(a OR b) c)"))
   }
 
   test("trailing \\* escapes the wildcard star (exact literal-star token)") {
