@@ -283,21 +283,24 @@ object EsperCatalogQueries {
         .orderBy("video_id")
     }),
 
-    // E13: "Caption search" (other_queries.py:246-266) — the boolean
-    // caption query ('SEAN SPICER & [RESIGN]' shape: spark AND
-    // merge*) through the query-language evaluator, then each
-    // matching posting converted to a frame range with the per-video
+    // E13: "Caption search" (other_queries.py:246-266) — the LITERAL
+    // reference query shape `SEAN SPICER & [RESIGN]`
+    // (other_queries.py:251): an unquoted multi-word phrase
+    // (juxtaposition) conjoined with a `[word]` inflection group,
+    // through the query-language evaluator; then each family posting
+    // in a matching doc converted to a frame range with the per-video
     // fps dimension (convert_time: (t-7)*fps .. (t+1)*fps), first 100
     // in deterministic posting order (the reference shuffles; a
     // hash-compared row needs an order). Composition: parser/eval ->
-    // wildcard pattern hits -> broadcast dim join -> TakeOrdered.
+    // inflection-family hits -> broadcast dim join -> TakeOrdered.
     "e13_caption_search" -> ((s, d) => {
       import graft.text.PhraseSearch
       val tk = toks(s, d)
       val docs = Tables.documents(tune(s), d)
-      val matched = PhraseSearch.search("spark AND merge*", tk,
+      val matched = PhraseSearch.search("slow scan & [merging]", tk,
         docs.select("doc_id"))
-      val hits = PhraseSearch.patternHits(tk, Seq("merge*"))
+      val fam = graft.text.Inflect.expand("merging")
+      val hits = tk.filter(col("tok").isin(fam: _*)).select("doc_id", "pos")
         .join(matched, Seq("doc_id"), "left_semi")
       val fps = docs.select(col("doc_id"),
         (lit(24) + col("doc_id") % 6).as("fps"))
@@ -362,6 +365,154 @@ object EsperCatalogQueries {
         .select((col("bucket") * 5).as("dist_lo_centi"), col("n_in_bucket"),
           col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos6"))
         .orderBy("dist_lo_centi", "rnk")
+    }),
+
+    // E18: the stories notebook's topic-segment proposal macro
+    // (stories.ipynb `_find_segments` -> `extend_postings_with_context`):
+    // key-phrase hits dilated ±5 (clamped at 0) and deoverlapped, then
+    // each key span extended through every chain of context hits with
+    // start-to-end gaps <= 8 in BOTH directions (the notebook's
+    // two-pass merge; for point contexts the reachable set is exactly
+    // the gap-8 island of keys ∪ contexts, so ONE gap-coalesce
+    // computes it — islands without a key are dropped, matching the
+    // notebook never emitting context-only segments), then a
+    // min-length filter. n_key_spans carries how many deoverlapped
+    // key spans the story segment absorbed. Scale shape: every stage
+    // is the per-doc island window + pushed-down token filters —
+    // nothing corpus-global.
+    "e18_story_segments" -> ((s, d) => {
+      import graft.text.PhraseSearch
+      val tk = toks(s, d)
+      val c = IntervalOps.Cols("doc_id")
+      val k1 = PhraseSearch.phraseHits(tk, Seq("customer"))
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + 1).cast("long").as("e"))
+      val k2 = PhraseSearch.phraseHits(tk, Seq("slow", "scan"))
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + 2).cast("long").as("e"))
+      val keys = IntervalOps.coalesce(
+          IntervalOps.dilate(k1.unionByName(k2), 5, c, clampAtZero = true), c)
+        .withColumn("is_key", lit(1L))
+      val ctx = tk.filter(col("tok").isin("merge", "window"))
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + 1).cast("long").as("e"))
+        .withColumn("is_key", lit(0L))
+      IntervalOps.coalesce(keys.unionByName(ctx), c, gap = 8,
+          payloadAggs = Seq(max(col("is_key")).as("has_key"),
+            sum(col("is_key")).as("n_key_spans")))
+        .filter(col("has_key") === 1 && col("e") - col("s") >= 12)
+        .select(col("doc_id"), col("s"), col("e"), col("n_key_spans"))
+        .orderBy("doc_id", "s")
+    }),
+
+    // E19: "Other people who are on screen with X"
+    // (other_queries.py:423-460) — seed identity's high-probability
+    // faces -> their shots (frames) -> co-occurring OTHER faces above
+    // the blurriness floor (anti-join excludes the seed's own faces)
+    // -> browse them by k-means cluster, largest clusters first, 10
+    // exemplar faces each (the reference random-samples; lowest ids
+    // are the deterministic stand-in). The cluster assignment is
+    // v12's integer-Lloyd chain over the embedding plane (face ->
+    // vector via face_id mod corpus size). Scale shape: identity and
+    // part joins broadcast; the shot semi-join and seed anti-join are
+    // equi-shuffles; the cluster browse windows over cluster-sized
+    // partitions.
+    "e19_other_people" -> ((s, d) => {
+      val fc = faces(s, d)
+      val sel = fc.join(
+          broadcast(Tables.part(tune(s), d)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === "Brand#1" && col("l_suppkey") % 100 >= 95)
+        .select("face_id", "frame_id")
+      val shotIds = sel.select("frame_id").distinct()
+      val others = fc.filter(col("l_partkey") % 100 > 10)
+        .join(shotIds, Seq("frame_id"), "left_semi")
+        .join(sel.select("face_id"), Seq("face_id"), "left_anti")
+        .select("face_id")
+      val e = Tables.embeddings(tune(s), d)
+      val n = broadcast(e.agg(count(lit(1)).as("n_emb")))
+      val asg = graft.similarity.IntKMeans.kmeansAssign(e, k = 10)
+        .select(col("vec_id"), col("cluster"))
+      val w = Window.partitionBy(col("cluster"))
+      others.crossJoin(n)
+        .withColumn("vec_id", col("face_id") % col("n_emb"))
+        .join(asg, "vec_id")
+        .withColumn("rnk", row_number().over(w.orderBy(col("face_id"))))
+        .withColumn("n_faces", count(lit(1)).over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("cluster"), col("n_faces"), col("face_id"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy(col("n_faces").desc, col("cluster"), col("rnk"))
+    }),
+
+    // E20: "Face search by id" with positive AND negative seed sets
+    // (other_queries.py:312-378's multi-id knn + its 0.05-increment
+    // distance bucketing; the Bernie Sanders pos/neg id lists) —
+    // every non-seed vector scored by its NEAREST positive seed
+    // (cosine distance), kept iff inside the 0.8 ceiling AND closer
+    // to the positives than to any negative seed (the pos/neg gate),
+    // bucketed by 0.05, each bucket with its population and top-5
+    // nearest members. Seeds are a broadcast dimension; the corpus is
+    // scanned once; per-bucket windows run over bucket-sized frames.
+    "e20_multi_seed_knn" -> ((s, d) => {
+      import graft.functions.Fns
+      val e = Tables.embeddings(tune(s), d)
+      val posIds = Seq(3L, 11L, 19L)
+      val negIds = Seq(5L, 13L)
+      val all = posIds ++ negIds
+      val seeds = broadcast(e.filter(col("vec_id").isin(all: _*))
+        .select(col("embedding").as("s_emb"),
+          Fns.l2norm(col("embedding")).as("s_norm"),
+          col("vec_id").isin(posIds: _*).as("is_pos")))
+      val w = Window.partitionBy(col("bucket"))
+      e.filter(!col("vec_id").isin(all: _*))
+        .withColumn("__norm", Fns.l2norm(col("embedding")))
+        .crossJoin(seeds)
+        .withColumn("dist", lit(1.0) -
+          Fns.dot(col("embedding"), col("s_emb")) /
+            (col("__norm") * col("s_norm")))
+        .groupBy(col("vec_id"))
+        .agg(min(when(col("is_pos"), col("dist"))).as("d_pos"),
+          min(when(!col("is_pos"), col("dist"))).as("d_neg"))
+        .filter(col("d_pos") <= 0.8 && col("d_pos") < col("d_neg"))
+        .withColumn("bucket", floor(col("d_pos") / 0.05).cast("int"))
+        .withColumn("rnk",
+          row_number().over(w.orderBy(col("d_pos"), col("vec_id"))))
+        .withColumn("n_in_bucket", count(lit(1)).over(w))
+        .filter(col("rnk") <= 5)
+        .select((col("bucket") * 5).as("dist_lo_centi"), col("n_in_bucket"),
+          col("vec_id"), col("rnk").cast("int").as("rnk"),
+          round(col("d_pos"), 6).as("dist6"))
+        .orderBy("dist_lo_centi", "rnk")
+    }),
+
+    // E21: "Frames with two poses with two hands above head"
+    // (unused_queries.py:39-60) — the f07 keypoint plane composed:
+    // poses (one per vector, 4 per frame) pass the hands-above-head
+    // predicate (both wrists' y above the nose's — image y grows
+    // downward), frames keep >= 2 qualifying poses, the reference's
+    // [:100000:10] stride samples the qualifying frames, and the
+    // qualifying poses join back. Raw float reads + comparisons only,
+    // so the floats hash-match exactly (f07's contract).
+    "e21_pose_pair" -> ((s, d) => {
+      import graft.functions.Fns.Keypoints
+      val kps = Keypoints.pose(col("embedding"))
+      val p = Tables.embeddings(tune(s), d).select(col("vec_id"),
+        expr("vec_id div 4").as("frame_id"),
+        Keypoints.y(kps, Keypoints.Nose).as("nose_y"),
+        Keypoints.y(kps, Keypoints.LWrist).as("lw_y"),
+        Keypoints.y(kps, Keypoints.RWrist).as("rw_y"),
+        Keypoints.handsAboveHead(kps).as("up"))
+      val f = p.filter(col("up"))
+      val frames = f.groupBy("frame_id").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .withColumn("rn", row_number().over(Window.orderBy("frame_id")))
+        .filter(col("rn") % 10 === 1 && col("rn") <= 100000)
+        .select("frame_id")
+      f.join(frames, Seq("frame_id"), "left_semi")
+        .select("frame_id", "vec_id", "nose_y", "lw_y", "rw_y")
+        .orderBy("frame_id", "vec_id")
     })
   )
 
@@ -395,6 +546,11 @@ object EsperCatalogQueries {
        |  list_transform(list_zip($a, $b),
        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
        |  (a, x) -> a + x)""".stripMargin
+
+  /** e13's `[merging]` family as a SQL IN-list literal (the words are
+    * plain lowercase tokens — no quoting hazards). */
+  private val mergingFam =
+    graft.text.Inflect.expand("merging").map(w => s"'$w'").mkString(", ")
 
   /** Shared e14/e15 scoring CTE: exact cosine of every non-target
     * vector to vec 7 (v01's arithmetic verbatim). */
@@ -524,12 +680,18 @@ object EsperCatalogQueries {
         |FROM st WHERE rn % 3 = 1 AND rn <= 1000
         |ORDER BY video_id""".stripMargin,
 
+    // e13: the unquoted phrase is a position-adjacency join; the
+    // [merging] family is the SAME literal word list Inflect.expand
+    // bakes (deterministic/sorted), so both engines match
+    // byte-identical vocabularies
     "e13_caption_search" ->
       s"""WITH tk AS ($toksSql),
-         |d1 AS (SELECT DISTINCT doc_id FROM tk WHERE tok = 'spark'),
-         |d2 AS (SELECT DISTINCT doc_id FROM tk WHERE tok LIKE 'merge%'),
+         |d1 AS (SELECT DISTINCT a.doc_id FROM tk a JOIN tk b
+         |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.tok = 'slow' AND b.tok = 'scan'),
+         |d2 AS (SELECT DISTINCT doc_id FROM tk WHERE tok IN ($mergingFam)),
          |hits AS (SELECT tk.doc_id, tk.pos FROM tk
-         |  WHERE tok LIKE 'merge%'
+         |  WHERE tok IN ($mergingFam)
          |    AND doc_id IN (SELECT doc_id FROM d1)
          |    AND doc_id IN (SELECT doc_id FROM d2)),
          |fps AS (SELECT doc_id, 24 + doc_id % 6 AS fps FROM documents)
@@ -537,6 +699,116 @@ object EsperCatalogQueries {
          |  (h.pos + 1) * f.fps AS max_frame
          |FROM hits h JOIN fps f ON f.doc_id = h.doc_id
          |ORDER BY h.doc_id, h.pos LIMIT 100""".stripMargin,
+
+    // e18: the gap-8 island over keys ∪ contexts replayed with the
+    // is_key flag carried through the island window (the coalesceSql
+    // pattern widened by one column)
+    "e18_story_segments" ->
+      s"""WITH tk AS ($toksSql),
+         |k1 AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM tk
+         |       WHERE tok = 'customer'),
+         |k2 AS (SELECT a.doc_id, a.pos AS s, a.pos + 2 AS e FROM tk a
+         |       JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |       WHERE a.tok = 'slow' AND b.tok = 'scan'),
+         |kd AS (SELECT doc_id, greatest(s - 5, 0) AS s, e + 5 AS e
+         |       FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2) ku),
+         |keys AS (${Q.coalesceSql("SELECT * FROM kd", key = "doc_id")}),
+         |u AS (SELECT doc_id, s, e, 1 AS is_key FROM keys
+         |      UNION ALL
+         |      SELECT doc_id, pos AS s, pos + 1 AS e, 0 AS is_key FROM tk
+         |      WHERE tok IN ('merge', 'window')),
+         |g AS (SELECT doc_id, s, e, is_key,
+         |    CAST(sum(isnew) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS grp
+         |  FROM (SELECT *, CASE WHEN runmax IS NULL OR s > runmax + 8
+         |          THEN 1 ELSE 0 END AS isnew
+         |        FROM (SELECT *, max(e) OVER (PARTITION BY doc_id
+         |                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+         |                AND 1 PRECEDING) AS runmax
+         |              FROM u) m) gg),
+         |seg AS (SELECT doc_id, min(s) AS s, max(e) AS e,
+         |          max(is_key) AS has_key,
+         |          CAST(sum(is_key) AS BIGINT) AS n_key_spans
+         |        FROM g GROUP BY doc_id, grp)
+         |SELECT doc_id, s, e, n_key_spans FROM seg
+         |WHERE has_key = 1 AND e - s >= 12
+         |ORDER BY doc_id, s""".stripMargin,
+
+    // e19: identity/shot/other-face relational steps are plain SQL;
+    // the cluster assignment replays v12's integer-Lloyd chain
+    // (SimilarityQueries.lloydCtes — hashed-id seeds, truncated
+    // integer means, ties to the lower cell)
+    "e19_other_people" ->
+      s"""WITH face AS ($facesSql),
+         |sel AS (SELECT face.face_id, face.frame_id FROM face
+         |        JOIN part p ON p.p_partkey = face.l_partkey
+         |        WHERE p.p_brand = 'Brand#1' AND face.l_suppkey % 100 >= 95),
+         |others AS (SELECT f.face_id FROM face f
+         |           WHERE f.l_partkey % 100 > 10
+         |             AND f.frame_id IN (SELECT frame_id FROM sel)
+         |             AND f.face_id NOT IN (SELECT face_id FROM sel)),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_emb FROM embeddings),
+         |${SimilarityQueries.qvCte},
+         |${SimilarityQueries.lloydCtes(10)},
+         |sc AS (SELECT o.face_id, a.cell AS cluster
+         |       FROM others o CROSS JOIN nv
+         |       JOIN af a ON a.vec_id = o.face_id % nv.n_emb),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY cluster
+         |          ORDER BY face_id) AS rnk,
+         |        count(*) OVER (PARTITION BY cluster) AS n_faces FROM sc)
+         |SELECT cluster, CAST(n_faces AS BIGINT) AS n_faces, face_id,
+         |  CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 10
+         |ORDER BY n_faces DESC, cluster, rnk""".stripMargin,
+
+    // e20: per-seed cosine distances (the v01 fold arithmetic,
+    // mirrored op-for-op), group-min per candidate, pos/neg gate,
+    // 0.05 buckets
+    "e20_multi_seed_knn" ->
+      s"""WITH sd AS (SELECT embedding AS s_emb,
+         |              sqrt(${sumsq("embedding")}) AS s_norm,
+         |              vec_id IN (3, 11, 19) AS is_pos
+         |            FROM embeddings WHERE vec_id IN (3, 11, 19, 5, 13)),
+         |c AS (SELECT vec_id, embedding,
+         |        sqrt(${sumsq("embedding")}) AS nrm FROM embeddings
+         |      WHERE vec_id NOT IN (3, 11, 19, 5, 13)),
+         |ds AS (SELECT c.vec_id,
+         |    min(CASE WHEN is_pos THEN
+         |      1.0 - ${dotOf("c.embedding", "sd.s_emb")} / (c.nrm * sd.s_norm)
+         |      END) AS d_pos,
+         |    min(CASE WHEN NOT is_pos THEN
+         |      1.0 - ${dotOf("c.embedding", "sd.s_emb")} / (c.nrm * sd.s_norm)
+         |      END) AS d_neg
+         |  FROM c, sd GROUP BY 1),
+         |b AS (SELECT vec_id, d_pos,
+         |        CAST(floor(d_pos / 0.05) AS INT) AS bucket
+         |      FROM ds WHERE d_pos <= 0.8 AND d_pos < d_neg),
+         |r AS (SELECT *,
+         |        CAST(row_number() OVER (PARTITION BY bucket
+         |          ORDER BY d_pos, vec_id) AS INT) AS rnk,
+         |        count(*) OVER (PARTITION BY bucket) AS n_in_bucket FROM b)
+         |SELECT bucket * 5 AS dist_lo_centi,
+         |  CAST(n_in_bucket AS BIGINT) AS n_in_bucket, vec_id, rnk,
+         |  round(d_pos, 6) AS dist6
+         |FROM r WHERE rnk <= 5 ORDER BY 1, 4""".stripMargin,
+
+    // e21: the f07 fixed keypoint layout read raw (pose block leads
+    // the array; y of keypoint i = element 3i+2, 1-based)
+    "e21_pose_pair" ->
+      """WITH p AS (SELECT vec_id, vec_id // 4 AS frame_id,
+        |    embedding[2] AS nose_y, embedding[23] AS lw_y,
+        |    embedding[14] AS rw_y
+        |  FROM embeddings),
+        |f AS (SELECT * FROM p WHERE lw_y < nose_y AND rw_y < nose_y),
+        |fr AS (SELECT frame_id FROM f GROUP BY 1 HAVING count(*) >= 2),
+        |st AS (SELECT frame_id, row_number() OVER (ORDER BY frame_id) AS rn
+        |       FROM fr)
+        |SELECT f.frame_id, f.vec_id, f.nose_y, f.lw_y, f.rw_y
+        |FROM f JOIN st ON st.frame_id = f.frame_id
+        |WHERE st.rn % 10 = 1 AND st.rn <= 100000
+        |ORDER BY 1, 2""".stripMargin,
 
     "e14_face_search" ->
       s"""WITH $simSql,

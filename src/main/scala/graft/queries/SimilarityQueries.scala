@@ -1023,7 +1023,7 @@ object SimilarityQueries {
        |           x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / m.ma) AS BIGINT)) AS q
        |       FROM embeddings, m)""".stripMargin
 
-  private val qvCte = qvCteWith("TRUE")
+  private[queries] val qvCte = qvCteWith("TRUE")
 
   /** One Lloyd assignment: nearest centroid in CTE `ctr` by integer
     * squared L2, ties to the lower cell id. `src` = the quantized
@@ -1186,7 +1186,7 @@ object SimilarityQueries {
 
   /** Hashed-id seeds + two Lloyd rounds + final assignment `af` over
     * `k` cells — the full IntKMeans.fit(k, iters = 2) chain. */
-  private def lloydCtes(k: Int, src: String = "qv") =
+  private[queries] def lloydCtes(k: Int, src: String = "qv") =
     s"""seeds AS (
        |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1
        |           AS cell, q AS c

@@ -742,4 +742,58 @@ class IntKMeansSpec extends SparkSpec {
       blobs.filter($"vec_id" === 0), k = 2, nprobe = 1).collect()
     assert(revived.nonEmpty, "append after empty-compact did not revive")
   }
+
+  test("PQ tier guards: bad geometry and pre-tier snapshots refuse loudly") {
+    // r17's guards, regression-pinned (ADVICE r17 / VERDICT r17 #5):
+    // (c) slice() silently shortens past the array end, so a geometry
+    // where m*subDim != dim would encode truncated subvectors and
+    // serve wrong ADC distances with no error — addPqCodes refuses.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)             // seq -> 1
+    IntKMeans.deleteFromIndex(Seq(9L).toDF("vec_id"), dir)  // seq -> 2
+    val gErr = intercept[IllegalArgumentException](
+      IntKMeans.addPqCodes(spark, dir, m = 3, subDim = 3, nCodes = 8))
+    assert(gErr.getMessage.contains("geometry"),
+      s"wrong failure mode: ${gErr.getMessage}")
+    // (a) a vector deleted BEFORE the tier build (vec 9, at seq 2) has
+    // no code rows: snapshot 1 still owns it, so the compressed path
+    // must refuse asOf < pq_as_of instead of silently dropping it...
+    IntKMeans.addPqCodes(spark, dir, m = 2, subDim = 4, nCodes = 8)
+    val q = blobs.filter($"vec_id" === 0)
+    val aErr = intercept[IllegalArgumentException](
+      IntKMeans.servedPqTopK(spark, dir, q, k = 5, kCand = 10, nprobe = 1,
+        asOf = Some(1L)))
+    assert(aErr.getMessage.contains("predates the PQ tier"),
+      s"wrong failure mode: ${aErr.getMessage}")
+    // ...while the uncompressed serve still answers that snapshot
+    // (vec 9 is a blob-0 cluster-mate of query 0, so top-20 holds it)
+    val exact = IntKMeans.servedTopK(spark, dir, q, k = 20, nprobe = 1,
+        asOf = Some(1L))
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.contains(9L), "exact path lost the pre-tier snapshot row")
+    // and the tier-build snapshot itself serves through the PQ path
+    // WITHOUT vec 9 (the delete predates the build)
+    val pq = IntKMeans.servedPqTopK(spark, dir, q, k = 20, kCand = 40,
+        nprobe = 1, asOf = Some(2L))
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq.nonEmpty && !pq.contains(9L),
+      s"PQ path served a pre-build-deleted row: $pq")
+  }
+
+  test("PQ tier build refuses an empty codebook (low seed ids deleted)") {
+    // (b) the codebook seeds are live vectors with vec_id < nCodes —
+    // deleting them away would commit _SUCCESS-only tier segments and
+    // brick every later read (the r15 schemaless-segment bug class).
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq_").toString
+    IntKMeans.writeIndex(blobs, dir, nlist = 3)
+    IntKMeans.deleteFromIndex((0L until 8L).toDF("vec_id"), dir)
+    val bErr = intercept[IllegalArgumentException](
+      IntKMeans.addPqCodes(spark, dir, m = 2, subDim = 4, nCodes = 8))
+    assert(bErr.getMessage.contains("codebook would be empty"),
+      s"wrong failure mode: ${bErr.getMessage}")
+    // the refusal left the manifest tierless, not torn: the exact
+    // serve still answers
+    assert(IntKMeans.servedTopK(spark, dir, blobs.filter($"vec_id" === 1),
+      k = 3, nprobe = 1).collect().nonEmpty)
+  }
 }
