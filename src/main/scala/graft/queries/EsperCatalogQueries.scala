@@ -513,6 +513,44 @@ object EsperCatalogQueries {
       f.join(frames, Seq("frame_id"), "left_semi")
         .select("frame_id", "vec_id", "nose_y", "lw_y", "rw_y")
         .orderBy("frame_id", "vec_id")
+    }),
+
+    // E22: e18's stories macro SERVED from the persisted caption
+    // index — the 100 TB shape: the whole composition (key hits,
+    // context hits, dilate, island coalesce) runs off ONE pruned
+    // postings read covering the union vocabulary (5 words -> ≤ 5 of
+    // 64 bucket dirs, tok residuals row-group-pruned inside them)
+    // instead of a corpus tokenize. The reference's stories pipeline
+    // does exactly this: query_search hits its prebuilt caption
+    // index, never the raw captions (stories.ipynb `_find_segments`).
+    // Oracle = e18's SQL verbatim: the index is a layout, not a
+    // semantics change.
+    "e22_served_stories" -> ((s, d) => {
+      import graft.text.PhraseSearch
+      val dir = Q.memoIndex("phidx", d)(dir =>
+        PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64))
+      val posts = PhraseSearch.servedPostings(s, dir,
+        Seq("customer", "slow", "scan", "merge", "window"))
+      val c = IntervalOps.Cols("doc_id")
+      val k1 = PhraseSearch.phraseHits(posts, Seq("customer"))
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + 1).cast("long").as("e"))
+      val k2 = PhraseSearch.phraseHits(posts, Seq("slow", "scan"))
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + 2).cast("long").as("e"))
+      val keys = IntervalOps.coalesce(
+          IntervalOps.dilate(k1.unionByName(k2), 5, c, clampAtZero = true), c)
+        .withColumn("is_key", lit(1L))
+      val ctx = posts.filter(col("tok").isin("merge", "window"))
+        .select(col("doc_id"), col("pos").cast("long").as("s"),
+          (col("pos") + 1).cast("long").as("e"))
+        .withColumn("is_key", lit(0L))
+      IntervalOps.coalesce(keys.unionByName(ctx), c, gap = 8,
+          payloadAggs = Seq(max(col("is_key")).as("has_key"),
+            sum(col("is_key")).as("n_key_spans")))
+        .filter(col("has_key") === 1 && col("e") - col("s") >= 12)
+        .select(col("doc_id"), col("s"), col("e"), col("n_key_spans"))
+        .orderBy("doc_id", "s")
     })
   )
 
@@ -551,6 +589,41 @@ object EsperCatalogQueries {
     * plain lowercase tokens — no quoting hazards). */
   private val mergingFam =
     graft.text.Inflect.expand("merging").map(w => s"'$w'").mkString(", ")
+
+  /** e18/e22's oracle body: the stories macro replayed step-for-step
+    * (keys, dilate, key deoverlap, gap-8 island over keys ∪ contexts
+    * with is_key carried, key-bearing islands only, min length). */
+  private val storySegmentsSql =
+    s"""WITH tk AS ($toksSql),
+       |k1 AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM tk
+       |       WHERE tok = 'customer'),
+       |k2 AS (SELECT a.doc_id, a.pos AS s, a.pos + 2 AS e FROM tk a
+       |       JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |       WHERE a.tok = 'slow' AND b.tok = 'scan'),
+       |kd AS (SELECT doc_id, greatest(s - 5, 0) AS s, e + 5 AS e
+       |       FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2) ku),
+       |keys AS (${Q.coalesceSql("SELECT * FROM kd", key = "doc_id")}),
+       |u AS (SELECT doc_id, s, e, 1 AS is_key FROM keys
+       |      UNION ALL
+       |      SELECT doc_id, pos AS s, pos + 1 AS e, 0 AS is_key FROM tk
+       |      WHERE tok IN ('merge', 'window')),
+       |g AS (SELECT doc_id, s, e, is_key,
+       |    CAST(sum(isnew) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS grp
+       |  FROM (SELECT *, CASE WHEN runmax IS NULL OR s > runmax + 8
+       |          THEN 1 ELSE 0 END AS isnew
+       |        FROM (SELECT *, max(e) OVER (PARTITION BY doc_id
+       |                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+       |                AND 1 PRECEDING) AS runmax
+       |              FROM u) m) gg),
+       |seg AS (SELECT doc_id, min(s) AS s, max(e) AS e,
+       |          max(is_key) AS has_key,
+       |          CAST(sum(is_key) AS BIGINT) AS n_key_spans
+       |        FROM g GROUP BY doc_id, grp)
+       |SELECT doc_id, s, e, n_key_spans FROM seg
+       |WHERE has_key = 1 AND e - s >= 12
+       |ORDER BY doc_id, s""".stripMargin
 
   /** Shared e14/e15 scoring CTE: exact cosine of every non-target
     * vector to vec 7 (v01's arithmetic verbatim). */
@@ -700,40 +773,13 @@ object EsperCatalogQueries {
          |FROM hits h JOIN fps f ON f.doc_id = h.doc_id
          |ORDER BY h.doc_id, h.pos LIMIT 100""".stripMargin,
 
-    // e18: the gap-8 island over keys ∪ contexts replayed with the
-    // is_key flag carried through the island window (the coalesceSql
-    // pattern widened by one column)
-    "e18_story_segments" ->
-      s"""WITH tk AS ($toksSql),
-         |k1 AS (SELECT doc_id, pos AS s, pos + 1 AS e FROM tk
-         |       WHERE tok = 'customer'),
-         |k2 AS (SELECT a.doc_id, a.pos AS s, a.pos + 2 AS e FROM tk a
-         |       JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-         |       WHERE a.tok = 'slow' AND b.tok = 'scan'),
-         |kd AS (SELECT doc_id, greatest(s - 5, 0) AS s, e + 5 AS e
-         |       FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2) ku),
-         |keys AS (${Q.coalesceSql("SELECT * FROM kd", key = "doc_id")}),
-         |u AS (SELECT doc_id, s, e, 1 AS is_key FROM keys
-         |      UNION ALL
-         |      SELECT doc_id, pos AS s, pos + 1 AS e, 0 AS is_key FROM tk
-         |      WHERE tok IN ('merge', 'window')),
-         |g AS (SELECT doc_id, s, e, is_key,
-         |    CAST(sum(isnew) OVER (PARTITION BY doc_id ORDER BY s, e
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |      AS grp
-         |  FROM (SELECT *, CASE WHEN runmax IS NULL OR s > runmax + 8
-         |          THEN 1 ELSE 0 END AS isnew
-         |        FROM (SELECT *, max(e) OVER (PARTITION BY doc_id
-         |                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
-         |                AND 1 PRECEDING) AS runmax
-         |              FROM u) m) gg),
-         |seg AS (SELECT doc_id, min(s) AS s, max(e) AS e,
-         |          max(is_key) AS has_key,
-         |          CAST(sum(is_key) AS BIGINT) AS n_key_spans
-         |        FROM g GROUP BY doc_id, grp)
-         |SELECT doc_id, s, e, n_key_spans FROM seg
-         |WHERE has_key = 1 AND e - s >= 12
-         |ORDER BY doc_id, s""".stripMargin,
+    // e18/e22: the gap-8 island over keys ∪ contexts replayed with
+    // the is_key flag carried through the island window (the
+    // coalesceSql pattern widened by one column); the served e22 must
+    // be indistinguishable from the in-process e18 — same SQL (the
+    // index is a layout, not a semantics change)
+    "e18_story_segments" -> storySegmentsSql,
+    "e22_served_stories" -> storySegmentsSql,
 
     // e19: identity/shot/other-face relational steps are plain SQL;
     // the cluster assignment replays v12's integer-Lloyd chain

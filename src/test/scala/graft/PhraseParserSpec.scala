@@ -198,6 +198,13 @@ class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
         Phrase(Seq("merge"))), 9))
     assert(parse("[resign] & sean spicer :: 20") ===
       Within(Seq(Infl("resign"), Phrase(Seq("sean", "spicer"))), 20))
+    // the stories notebook's literal query string, verbatim
+    assert(parse(
+      "(PARKLAND | STONEMAN DOUGLAS | FLORIDA) & SHOOTING :: 60".toLowerCase) ===
+      Within(Seq(
+        Or(Or(Phrase(Seq("parkland")), Phrase(Seq("stoneman", "douglas"))),
+          Phrase(Seq("florida"))),
+        Phrase(Seq("shooting"))), 60))
     // NOT has no positions; the window must end the query
     intercept[IllegalArgumentException](parse("a & NOT b :: 5"))
     intercept[IllegalArgumentException](parse("a :: 5 OR b"))
