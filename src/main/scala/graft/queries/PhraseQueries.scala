@@ -667,6 +667,15 @@ object PhraseQueries {
     "ph47_chained_near" -> ((s, d) =>
       PhraseSearch.servedSearch(s, phIdx(s, d),
           "customer NEAR/5 spark NEAR/9 window")
+        .orderBy("doc_id")),
+
+    // PH48: a JUXTAPOSED phrase as the anchor of the reference's
+    // `:: k` window, SERVED — the full 'STONEMAN DOUGLAS & SHOOTING
+    // :: 60' shape (stories.ipynb): the unquoted two-word phrase's
+    // starts anchor the window, the second conjunct must occur within
+    // 10 positions. Three pruned vocabulary buckets, the ph05 banding.
+    "ph48_window_juxtaposed" -> ((s, d) =>
+      PhraseSearch.servedSearch(s, phIdx(s, d), "slow scan & customer :: 10")
         .orderBy("doc_id"))
   )
 
@@ -1140,6 +1149,19 @@ object PhraseQueries {
          |        AND abs(a.pos - c1.pos) <= 5)
          |  AND EXISTS (SELECT 1 FROM c2 WHERE c2.doc_id = a.doc_id
          |        AND abs(a.pos - c2.pos) <= 9)
+         |ORDER BY doc_id""".stripMargin,
+
+    // ph48: anchor = the unquoted phrase's start positions (adjacency
+    // join); plain |Δ| EXISTS for the window partner
+    "ph48_window_juxtaposed" ->
+      s"""WITH tk AS (${Q.toksSql}),
+         |anchor AS (SELECT a.doc_id, a.pos FROM tk a JOIN tk b
+         |           ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |           WHERE a.tok = 'slow' AND b.tok = 'scan'),
+         |c1 AS (SELECT doc_id, pos FROM tk WHERE tok = 'customer')
+         |SELECT DISTINCT a.doc_id FROM anchor a
+         |WHERE EXISTS (SELECT 1 FROM c1 WHERE c1.doc_id = a.doc_id
+         |        AND abs(a.pos - c1.pos) <= 10)
          |ORDER BY doc_id""".stripMargin,
 
     // ph36: the scenario's takedown set — docs ≡ 3 mod 7, event 1
