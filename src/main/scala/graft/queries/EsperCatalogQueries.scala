@@ -551,6 +551,110 @@ object EsperCatalogQueries {
         .filter(col("has_key") === 1 && col("e") - col("s") >= 12)
         .select(col("doc_id"), col("s"), col("e"), col("n_key_spans"))
         .orderBy("doc_id", "s")
+    }),
+
+    // E23: "Frames with a man left of a woman"
+    // (unused_queries.py:4-34) — the spatial-relation pair: a male box
+    // STRICTLY left of a female box (m.x2 < f.x1), both taller than
+    // 0.3, first qualifying pair per frame (the reference breaks on
+    // the first hit; lowest (m_box, f_box) is the deterministic
+    // stand-in), then the [:100000:10] frame stride. The pair join is
+    // per-frame (<= 7x7), never cross-frame.
+    "e23_man_left_of_woman" -> ((s, d) => {
+      val b = boxes(s, d)
+        .filter(col("y2") - col("y1") > 0.3)
+        .withColumn("gender",
+          when(col("box_id") % 2 === 0, "F").otherwise("M"))
+      val m = b.filter(col("gender") === "M")
+        .select(col("frame_id"), col("box_id").as("m_box"),
+          col("x2").as("m_x2"))
+      val f = b.filter(col("gender") === "F")
+        .select(col("frame_id").as("f_fid"), col("box_id").as("f_box"),
+          col("x1").as("f_x1"))
+      val first = m.join(f,
+          col("frame_id") === col("f_fid") && col("m_x2") < col("f_x1"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("frame_id"))
+            .orderBy(col("m_box"), col("f_box"))))
+        .filter(col("rn") === 1)
+      first.withColumn("fr", row_number().over(Window.orderBy(col("frame_id"))))
+        .filter(col("fr") % 10 === 1 && col("fr") <= 100000)
+        .select("frame_id", "m_box", "f_box")
+        .orderBy("frame_id")
+    }),
+
+    // E24: "People sitting" (unused_queries.py:266-304) — the
+    // knee-above/behind-hip angle predicate over the f07 keypoint
+    // plane, TRIG-FREE: is_angled(v) tests atan2(-dy, dx) in degrees
+    // > 0 or < -140, which is exactly (vy > 0) OR (third-quadrant
+    // vector within 40° of the -x axis: dx < 0 ∧ vy < 0 ∧
+    // |vy| < |dx|·tan 40°) — one double multiply + compares, mirrored
+    // op-for-op in the oracle, no engine atan2/π involved. Frames are
+    // gated by the channel residue (CNN := frame_id ≡ 0 mod 3; the
+    // pose-count gate is structural — 4 poses/frame) and strided /10
+    // BEFORE the pose check, like the reference's frames_qs.
+    "e24_people_sitting" -> ((s, d) => {
+      import graft.functions.Fns.Keypoints
+      val T = 0.8390996311772799 // tan(40°): the -140° ray's |slope|
+      val kps = Keypoints.pose(col("embedding"))
+      def xD(i: Int) = Keypoints.x(kps, i).cast("double")
+      def yD(i: Int) = Keypoints.y(kps, i).cast("double")
+      def angled(hip: Int, knee: Int): Column = {
+        val dx = xD(knee) - xD(hip)
+        val vy = -(yD(knee) - yD(hip)) // image y grows downward
+        (vy > 0) || (dx < 0 && vy < 0 && -vy < -dx * T)
+      }
+      val p = Tables.embeddings(tune(s), d).select(col("vec_id"),
+        expr("vec_id div 4").as("frame_id"),
+        (angled(Keypoints.LHip, Keypoints.LKnee) ||
+          angled(Keypoints.RHip, Keypoints.RKnee)).as("sitting"))
+      val frames = p.select("frame_id").distinct()
+        .filter(col("frame_id") % 3 === 0)
+        .withColumn("fr", row_number().over(Window.orderBy("frame_id")))
+        .filter(col("fr") % 10 === 1 && col("fr") <= 100000)
+        .select("frame_id")
+      p.filter(col("sitting")).join(frames, Seq("frame_id"), "left_semi")
+        .select("frame_id", "vec_id")
+        .orderBy("frame_id", "vec_id")
+    }),
+
+    // E25: "MTCNN missed face bboxes vs. handlabeled"
+    // (unused_queries.py:148-203 + model_cross_validation.ipynb's
+    // bbox_dist = midpoint L2) — the labeler-disagreement audit: on
+    // frames holding BOTH labelers, a handlabeled box of area >= 0.02
+    // is a MISTAKE iff no mtcnn box on the frame has midpoint
+    // distance < 0.1 (squared form — no sqrt), reported for the first
+    // 100 qualifying frames (the reference's [:100] video slice).
+    // The anti-join is per-frame (<= 7x7 pairs), never cross-frame.
+    "e25_labeler_disagreement" -> ((s, d) => {
+      val b = boxes(s, d)
+        .withColumn("labeler",
+          when(col("box_id") % 3 === 0, "handlabeled").otherwise("mtcnn"))
+        .withColumn("mx", (col("x1") + col("x2")) / 2)
+        .withColumn("my", (col("y1") + col("y2")) / 2)
+      val both = b.groupBy("frame_id")
+        .agg(max(when(col("labeler") === "handlabeled", 1).otherwise(0)).as("h"),
+          max(when(col("labeler") === "mtcnn", 1).otherwise(0)).as("m"))
+        .filter(col("h") === 1 && col("m") === 1)
+        .select("frame_id")
+      val hl = b.filter(col("labeler") === "handlabeled" &&
+          (col("x2") - col("x1")) * (col("y2") - col("y1")) >= 0.02)
+        .join(both, Seq("frame_id"), "left_semi")
+      val mt = b.filter(col("labeler") === "mtcnn")
+        .select(col("frame_id").as("o_fid"), col("mx").as("o_mx"),
+          col("my").as("o_my"))
+      val mistakes = hl.join(mt,
+        col("frame_id") === col("o_fid") &&
+          (col("mx") - col("o_mx")) * (col("mx") - col("o_mx")) +
+            (col("my") - col("o_my")) * (col("my") - col("o_my")) < 0.01,
+        "left_anti")
+      val top = mistakes.select("frame_id").distinct()
+        .withColumn("fr", row_number().over(Window.orderBy(col("frame_id"))))
+        .filter(col("fr") <= 100)
+        .select("frame_id")
+      mistakes.join(top, Seq("frame_id"), "left_semi")
+        .select("frame_id", "box_id", "x1", "x2", "y1", "y2")
+        .orderBy("frame_id", "box_id")
     })
   )
 
@@ -839,6 +943,74 @@ object EsperCatalogQueries {
          |  CAST(n_in_bucket AS BIGINT) AS n_in_bucket, vec_id, rnk,
          |  round(d_pos, 6) AS dist6
          |FROM r WHERE rnk <= 5 ORDER BY 1, 4""".stripMargin,
+
+    // e23: per-frame gendered pair with the strict-left predicate;
+    // lowest (m_box, f_box) per frame, then the frame stride
+    "e23_man_left_of_woman" ->
+      s"""WITH b AS (SELECT *,
+         |    CASE WHEN box_id % 2 = 0 THEN 'F' ELSE 'M' END AS gender
+         |  FROM ($boxesSql) bb WHERE y2 - y1 > 0.3),
+         |p AS (SELECT m.frame_id, m.box_id AS m_box, f.box_id AS f_box
+         |      FROM b m JOIN b f ON f.frame_id = m.frame_id
+         |      WHERE m.gender = 'M' AND f.gender = 'F' AND m.x2 < f.x1),
+         |fst AS (SELECT *, row_number() OVER (PARTITION BY frame_id
+         |          ORDER BY m_box, f_box) AS rn FROM p),
+         |q AS (SELECT frame_id, m_box, f_box FROM fst WHERE rn = 1),
+         |st AS (SELECT *, row_number() OVER (ORDER BY frame_id) AS fr FROM q)
+         |SELECT frame_id, m_box, f_box FROM st
+         |WHERE fr % 10 = 1 AND fr <= 100000
+         |ORDER BY frame_id""".stripMargin,
+
+    // e24: the trig-free sitting predicate replayed on raw keypoint
+    // reads (LHip=11 -> x[34]/y[35], LKnee=12 -> x[37]/y[38],
+    // RHip=8 -> x[25]/y[26], RKnee=9 -> x[28]/y[29]; 1-based)
+    "e24_people_sitting" ->
+      """WITH p AS (SELECT vec_id, vec_id // 4 AS frame_id,
+        |    CAST(embedding[37] AS DOUBLE) - CAST(embedding[34] AS DOUBLE) AS ldx,
+        |    -(CAST(embedding[38] AS DOUBLE) - CAST(embedding[35] AS DOUBLE)) AS lvy,
+        |    CAST(embedding[28] AS DOUBLE) - CAST(embedding[25] AS DOUBLE) AS rdx,
+        |    -(CAST(embedding[29] AS DOUBLE) - CAST(embedding[26] AS DOUBLE)) AS rvy
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, frame_id,
+        |    ((lvy > 0) OR (ldx < 0 AND lvy < 0
+        |       AND -lvy < -ldx * 0.8390996311772799))
+        |    OR ((rvy > 0) OR (rdx < 0 AND rvy < 0
+        |       AND -rvy < -rdx * 0.8390996311772799)) AS sitting
+        |  FROM p),
+        |fr AS (SELECT DISTINCT frame_id FROM s WHERE frame_id % 3 = 0),
+        |st AS (SELECT frame_id, row_number() OVER (ORDER BY frame_id) AS fr
+        |       FROM fr)
+        |SELECT s.frame_id, s.vec_id FROM s
+        |JOIN st ON st.frame_id = s.frame_id
+        |WHERE s.sitting AND st.fr % 10 = 1 AND st.fr <= 100000
+        |ORDER BY 1, 2""".stripMargin,
+
+    // e25: midpoint-distance NOT EXISTS on both-labeler frames, first
+    // 100 qualifying frames
+    "e25_labeler_disagreement" ->
+      s"""WITH b AS (SELECT *,
+         |    CASE WHEN box_id % 3 = 0 THEN 'handlabeled' ELSE 'mtcnn' END
+         |      AS labeler,
+         |    (x1 + x2) / 2 AS mx, (y1 + y2) / 2 AS my
+         |  FROM ($boxesSql) bb),
+         |b2 AS (SELECT frame_id FROM b GROUP BY 1
+         |  HAVING max(CASE WHEN labeler = 'handlabeled' THEN 1 ELSE 0 END) = 1
+         |     AND max(CASE WHEN labeler = 'mtcnn' THEN 1 ELSE 0 END) = 1),
+         |hl AS (SELECT * FROM b WHERE labeler = 'handlabeled'
+         |       AND (x2 - x1) * (y2 - y1) >= 0.02
+         |       AND frame_id IN (SELECT frame_id FROM b2)),
+         |mis AS (SELECT hl.* FROM hl
+         |  WHERE NOT EXISTS (SELECT 1 FROM b o
+         |    WHERE o.labeler = 'mtcnn' AND o.frame_id = hl.frame_id
+         |      AND (hl.mx - o.mx) * (hl.mx - o.mx)
+         |        + (hl.my - o.my) * (hl.my - o.my) < 0.01)),
+         |top AS (SELECT frame_id,
+         |          row_number() OVER (ORDER BY frame_id) AS fr
+         |        FROM (SELECT DISTINCT frame_id FROM mis) dm)
+         |SELECT m.frame_id, m.box_id, m.x1, m.x2, m.y1, m.y2
+         |FROM mis m JOIN top t ON t.frame_id = m.frame_id
+         |WHERE t.fr <= 100
+         |ORDER BY 1, 2""".stripMargin,
 
     // e21: the f07 fixed keypoint layout read raw (pose block leads
     // the array; y of keypoint i = element 3i+2, 1-based)

@@ -933,6 +933,32 @@ class PhraseIndexSpec extends SparkSpec {
     assert(ids("quick NEAR/2 brown NEAR/5 fox") === Set(1L, 2L))
   }
 
+  test("an inflection group's served scan prunes statically to the family's buckets") {
+    // the family is a CLOSED exact-word set (Inflect.expand), so the
+    // bucket predicate is a plan-time partition filter — stronger than
+    // the wildcard path's runtime DPP (no lexicon pass needed)
+    val dir = freshIndex(16)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = PhraseSearch.servedSearch(spark, dir, "[jump]")
+      served.collect()
+      val famSize = graft.text.Inflect.expand("jump").size
+      val postingsScans = served.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.output.exists(_.name == "tok") => s
+      }
+      assert(postingsScans.nonEmpty, "postings scan not found")
+      postingsScans.foreach { sc =>
+        assert(sc.partitionFilters.nonEmpty,
+          "[jump]'s postings scan lost its static bucket partition filter")
+        assert(sc.selectedPartitions.partitionCount <= famSize,
+          s"scan read ${sc.selectedPartitions.partitionCount} bucket dirs " +
+            s"for a $famSize-word family")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("compacting a fully-tombstoned index publishes empty components; append revives it") {
     // ADVICE r15 #1 (phrase twin): the empty rewrite used to fail
     // pre-commit on the lexicon re-read — loud, but the op could
