@@ -655,6 +655,60 @@ object EsperCatalogQueries {
       mistakes.join(top, Seq("frame_id"), "left_semi")
         .select("frame_id", "box_id", "x1", "x2", "y1", "y2")
         .orderBy("frame_id", "box_id")
+    }),
+
+    // E26: "Host with other still face" (other_queries.py:196-245) —
+    // the correlated-host composition: the host identity's
+    // high-probability face per shot (lowest box id per frame is the
+    // deterministic stand-in for the reference's last-wins dict),
+    // kept iff entirely on one side of frame and tall enough; the
+    // shot qualifies iff its OTHER faces (all host faces excluded)
+    // number <= 2, are ALL on the opposite side, ALL smaller than the
+    // host by the 1.2 ratio, and at least one is >= 0.1 tall. Every
+    // per-other-face predicate becomes a row flag and the shot gate
+    // one per-frame flag aggregate — no driver loop. Output: all
+    // faces of qualifying shots.
+    "e26_host_still_face" -> ((s, d) => {
+      val fc = faces(s, d)
+      val b = boxes(s, d)
+      val hostIds = fc.join(
+          broadcast(Tables.part(tune(s), d)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === "Brand#1" && col("l_suppkey") % 100 > 80)
+        .select(col("frame_id").as("h_fid"), col("box_id").as("h_box"))
+      val hostBox = b.join(hostIds,
+          b("frame_id") === col("h_fid") && b("box_id") === col("h_box"),
+          "left_semi")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("frame_id")).orderBy(col("box_id"))))
+        .filter(col("rn") === 1)
+        .filter((col("x1") > 0.5 || col("x2") < 0.5) &&
+          col("y2") - col("y1") > 0.2)
+        .select(col("frame_id").as("hb_fid"), col("x1").as("hx1"),
+          col("x2").as("hx2"), col("y1").as("hy1"), col("y2").as("hy2"))
+      val others = b
+        .join(hostIds, b("frame_id") === col("h_fid") &&
+          b("box_id") === col("h_box"), "left_anti")
+        .join(hostBox, b("frame_id") === col("hb_fid"))
+      val gate = others
+        .withColumn("same_side",
+          when((col("hx2") < 0.5 && col("x2") < 0.5) ||
+            (col("hx1") > 0.5 && col("x1") > 0.5), 1).otherwise(0))
+        .withColumn("too_big",
+          when((col("hy2") - col("hy1")) / (col("y2") - col("y1")) < 1.2, 1)
+            .otherwise(0))
+        .withColumn("tall",
+          when(col("y2") - col("y1") >= 0.1, 1).otherwise(0))
+        .groupBy(col("frame_id"))
+        .agg(count(lit(1)).as("n"), max(col("same_side")).as("ss"),
+          max(col("too_big")).as("tb"), max(col("tall")).as("tl"))
+        .filter(col("n") <= 2 && col("ss") === 0 && col("tb") === 0 &&
+          col("tl") === 1)
+        .select("frame_id")
+      b.join(gate, Seq("frame_id"), "left_semi")
+        .select("frame_id", "box_id", "x1", "x2", "y1", "y2")
+        .orderBy("frame_id", "box_id")
     })
   )
 
@@ -1010,6 +1064,40 @@ object EsperCatalogQueries {
          |SELECT m.frame_id, m.box_id, m.x1, m.x2, m.y1, m.y2
          |FROM mis m JOIN top t ON t.frame_id = m.frame_id
          |WHERE t.fr <= 100
+         |ORDER BY 1, 2""".stripMargin,
+
+    // e26: the host pick, its side/height gate, the all-others flag
+    // aggregate — every float predicate mirrored op-for-op (the ratio
+    // division kept as a division, not a multiply)
+    "e26_host_still_face" ->
+      s"""WITH face AS ($facesSql),
+         |b AS ($boxesSql),
+         |hostids AS (SELECT face.frame_id AS h_fid, face.box_id AS h_box
+         |  FROM face JOIN part p ON p.p_partkey = face.l_partkey
+         |  WHERE p.p_brand = 'Brand#1' AND face.l_suppkey % 100 > 80),
+         |hb0 AS (SELECT b.*, row_number() OVER (PARTITION BY b.frame_id
+         |          ORDER BY b.box_id) AS rn
+         |        FROM b WHERE EXISTS (SELECT 1 FROM hostids h
+         |          WHERE h.h_fid = b.frame_id AND h.h_box = b.box_id)),
+         |hostbox AS (SELECT frame_id AS hb_fid, x1 AS hx1, x2 AS hx2,
+         |              y1 AS hy1, y2 AS hy2
+         |            FROM hb0 WHERE rn = 1
+         |              AND (x1 > 0.5 OR x2 < 0.5) AND y2 - y1 > 0.2),
+         |others AS (SELECT b.*, hb.hx1, hb.hx2, hb.hy1, hb.hy2
+         |  FROM b JOIN hostbox hb ON hb.hb_fid = b.frame_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM hostids h
+         |    WHERE h.h_fid = b.frame_id AND h.h_box = b.box_id)),
+         |gate AS (SELECT frame_id FROM (
+         |    SELECT frame_id, count(*) AS n,
+         |      max(CASE WHEN (hx2 < 0.5 AND x2 < 0.5)
+         |            OR (hx1 > 0.5 AND x1 > 0.5) THEN 1 ELSE 0 END) AS ss,
+         |      max(CASE WHEN (hy2 - hy1) / (y2 - y1) < 1.2
+         |            THEN 1 ELSE 0 END) AS tb,
+         |      max(CASE WHEN y2 - y1 >= 0.1 THEN 1 ELSE 0 END) AS tl
+         |    FROM others GROUP BY 1) g
+         |  WHERE n <= 2 AND ss = 0 AND tb = 0 AND tl = 1)
+         |SELECT b.frame_id, b.box_id, b.x1, b.x2, b.y1, b.y2
+         |FROM b WHERE b.frame_id IN (SELECT frame_id FROM gate)
          |ORDER BY 1, 2""".stripMargin,
 
     // e21: the f07 fixed keypoint layout read raw (pose block leads
