@@ -709,6 +709,229 @@ object EsperCatalogQueries {
       b.join(gate, Seq("frame_id"), "left_semi")
         .select("frame_id", "box_id", "x1", "x2", "y1", "y2")
         .orderBy("frame_id", "box_id")
+    }),
+
+    // E27: "Identity across major shows" (other_queries.py:467-487) —
+    // one identity's high-probability sightings grouped per canonical
+    // show, shows sorted, up to 10 sightings each. Show := the frame's
+    // order's customer's nation name (the video->show dimension chain).
+    // Scale: the identity+probability filter runs behind a broadcast
+    // part join and leaves a person-sized face set, so AQE broadcasts
+    // it into the orders equi-join; customer is joined on the already
+    // tiny set; nation is an explicit broadcast; the per-show window
+    // runs over that filtered set (reference limit semantics), never
+    // the face corpus.
+    "e27_identity_across_shows" -> ((s, d) => {
+      val fc = faces(s, d)
+      val idf = fc.join(
+          broadcast(Tables.part(tune(s), d)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === "Brand#13" && col("l_suppkey") % 100 > 90)
+        .select("face_id", "frame_id")
+      val ord = Tables.orders(tune(s), d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(tune(s), d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = broadcast(Tables.nation(tune(s), d)
+        .select(col("n_nationkey"), col("n_name")))
+      val w = Window.partitionBy(col("show_name"))
+      idf.join(ord, idf("frame_id") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("face_id"), col("n_name").as("show_name"))
+        .withColumn("rnk", row_number().over(w.orderBy(col("face_id"))))
+        .withColumn("n_faces", count(lit(1)).over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("show_name"), col("n_faces"), col("face_id"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("show_name", "rnk")
+    }),
+
+    // E28: "Face search with exclusions" (other_queries.py:382-420) —
+    // KNN from one positive seed (ceiling 0.6) MINUS the union of the
+    // exclusion seeds' neighborhoods (ceiling 0.4), non-commercial
+    // faces only, kept faces in the original knn (distance) order.
+    // Scale = e20's: seeds are a 3-row broadcast, the corpus is
+    // scanned once, and the global rank runs over the already
+    // double-thresholded result set, not the corpus.
+    "e28_face_search_exclusions" -> ((s, d) => {
+      import graft.functions.Fns
+      val e = Tables.embeddings(tune(s), d)
+      val all = Seq(7L, 2L, 23L)
+      val seeds = broadcast(e.filter(col("vec_id").isin(all: _*))
+        .select(col("embedding").as("s_emb"),
+          Fns.l2norm(col("embedding")).as("s_norm"),
+          (col("vec_id") === 7L).as("is_pos")))
+      e.filter(!col("vec_id").isin(all: _*) && col("vec_id") % 10 =!= 0)
+        .withColumn("__norm", Fns.l2norm(col("embedding")))
+        .crossJoin(seeds)
+        .withColumn("dist", lit(1.0) -
+          Fns.dot(col("embedding"), col("s_emb")) /
+            (col("__norm") * col("s_norm")))
+        .groupBy(col("vec_id"))
+        .agg(min(when(col("is_pos"), col("dist"))).as("d_pos"),
+          min(when(!col("is_pos"), col("dist"))).as("d_excl"))
+        .filter(col("d_pos") <= 0.6 && col("d_excl") > 0.4)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(col("d_pos"), col("vec_id"))).cast("int"))
+        .select(col("vec_id"), col("rnk"), round(col("d_pos"), 6).as("dist6"))
+        .orderBy("rnk")
+    }),
+
+    // E29: "Talking heads face tracks" (unused_queries.py:63-79) —
+    // person tracks restricted to ONE video whose members have at
+    // least one mtcnn face taller than 0.3 (the correlated-count
+    // EXISTS chain). Track := order, member frames := its lineitems,
+    // video := o_custkey residue class, labeler := e25's box_id
+    // parity convention. Scale: the face predicate filters BEFORE the
+    // per-track partial aggregation (map-side combine), and the
+    // agg/join shuffle is co-keyed on the orderkey.
+    "e29_talking_head_tracks" -> ((s, d) => {
+      val tracks = Tables.orders(tune(s), d)
+        .filter(col("o_custkey") % 100 === 17)
+        .select(col("o_orderkey").as("track_id"),
+          col("o_custkey").as("video_id"))
+      val q = boxes(s, d)
+        .filter(col("box_id") % 3 =!= 0 && col("y2") - col("y1") >= 0.3)
+        .groupBy(col("frame_id"))
+        .agg(count(lit(1)).as("n_heads"),
+          min(col("box_id")).as("first_box"), max(col("box_id")).as("last_box"))
+      tracks.join(q, col("track_id") === col("frame_id"))
+        .select("track_id", "video_id", "n_heads", "first_box", "last_box")
+        .orderBy("track_id")
+    }),
+
+    // E30: "Obama pictures" (unused_queries.py:307-350) — still-face
+    // tracks: every CONSECUTIVE pair of member boxes within the
+    // closeness threshold on all four coordinates (the reference's
+    // per-coordinate `close` loop as a lag window + min-flag
+    // aggregate), gated on the track containing >= 1 face whose
+    // vector sits inside the seed's distto<=1.0 ball (the
+    // FaceFeatures.compute_distances count gate), reporting the
+    // track's first box. Track := frame_id (boxes sequenced by
+    // box_id, <= 7 rows per window partition). Threshold 0.3 keeps
+    // the predicate non-vacuous on the synthetic bbox distribution
+    // (the reference's 0.02 is tuned to real detections); the
+    // composition — lag conjunction, EXISTS-through-modulo-vector
+    // link, arg-min payload — is the reference's, op-for-op.
+    "e30_still_face_tracks" -> ((s, d) => {
+      import graft.functions.Fns
+      val b = boxes(s, d)
+        .withColumn("face_id", col("frame_id") * 10 + col("box_id"))
+      val e = Tables.embeddings(tune(s), d)
+      val n = broadcast(e.agg(count(lit(1)).as("n_emb")))
+      val seed = broadcast(e.filter(col("vec_id") === 7L)
+        .select(col("embedding").as("s_emb"),
+          Fns.l2norm(col("embedding")).as("s_norm")))
+      val near = e.crossJoin(seed)
+        .filter(lit(1.0) - Fns.dot(col("embedding"), col("s_emb")) /
+          (Fns.l2norm(col("embedding")) * col("s_norm")) <= 1.0)
+        .select(col("vec_id").as("near_vid"))
+      // box_id (l_linenumber) is NOT unique per track in the driver's
+      // dirty-row generation — order by the full tuple so the lag
+      // sequence is deterministic across engines (full duplicates may
+      // still tie, but identical rows yield identical lag streams)
+      val w = Window.partitionBy(col("frame_id")).orderBy(
+        col("box_id"), col("x1"), col("y1"), col("x2"), col("y2"))
+      def closeTo(c: String) = abs(col(c) - lag(col(c), 1).over(w)) < 0.3
+      val still = b
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ok",
+          when(lag(col("x1"), 1).over(w).isNull, 1)
+            .when(closeTo("x1") && closeTo("y1") &&
+              closeTo("x2") && closeTo("y2"), 1).otherwise(0))
+      def firstBox(c: String) = max(when(col("rn") === 1, col(c))).as(c)
+      still.crossJoin(n)
+        .withColumn("vec_id", col("face_id") % col("n_emb"))
+        .join(near.withColumn("is_near", lit(1)),
+          col("vec_id") === col("near_vid"), "left")
+        .groupBy(col("frame_id"))
+        .agg(count(lit(1)).as("n_faces"), min(col("ok")).as("all_still"),
+          max(coalesce(col("is_near"), lit(0))).as("has_near"),
+          firstBox("x1"), firstBox("y1"), firstBox("x2"), firstBox("y2"))
+        .filter(col("all_still") === 1 && col("has_near") === 1 &&
+          col("n_faces") >= 2)
+        .select(col("frame_id").as("track_id"), col("n_faces"),
+          col("x1"), col("y1"), col("x2"), col("y2"))
+        .orderBy("track_id")
+    }),
+
+    // E31: "Animated Rachel Maddow" (unused_queries.py:352-400) — the
+    // animatedness score: mean weighted pose distance between
+    // CONSECUTIVE poses of a track (wrists 0.4, nose 0.1, elbows
+    // 0.05; keypoints with a zero confidence on either side excluded;
+    // the norm-of-weighted-per-keypoint-norms shape, op-for-op),
+    // tracks gated on containing a face inside the seed's distto<=1.0
+    // ball, most animated first. Track := vec_id div 4 (e21/e24's
+    // pose plane). Per-pair distances are rounded to integer micros
+    // BEFORE the per-track mean so the cross-engine sum is exact (the
+    // corpus cents convention); the pair arithmetic itself is one
+    // fixed-order IEEE tree mirrored in the oracle. Scale: one
+    // embeddings scan, 4-row window partitions, broadcast seed.
+    "e31_animatedness" -> ((s, d) => {
+      import graft.functions.Fns
+      import graft.functions.Fns.Keypoints
+      val e = Tables.embeddings(tune(s), d)
+      val seed = broadcast(e.filter(col("vec_id") === 7L)
+        .select(col("embedding").as("s_emb"),
+          Fns.l2norm(col("embedding")).as("s_norm")))
+      val kps = Keypoints.pose(col("embedding"))
+      def xd(i: Int) = Keypoints.x(kps, i).cast("double")
+      def yd(i: Int) = Keypoints.y(kps, i).cast("double")
+      def sc(i: Int) = Keypoints.score(kps, i).cast("double")
+      val kp = Seq(
+        ("nose", Keypoints.Nose, 0.1), ("rw", Keypoints.RWrist, 0.4),
+        ("lw", Keypoints.LWrist, 0.4), ("re", Keypoints.RElbow, 0.05),
+        ("le", Keypoints.LElbow, 0.05))
+      val p = e.crossJoin(seed).select(Seq(col("vec_id"),
+        expr("vec_id div 4").as("track_id"),
+        (lit(1.0) - Fns.dot(col("embedding"), col("s_emb")) /
+          (Fns.l2norm(col("embedding")) * col("s_norm")) <= 1.0)
+          .as("is_near")) ++
+        kp.flatMap { case (nm, i, _) => Seq(xd(i).as(s"${nm}_x"),
+          yd(i).as(s"${nm}_y"), sc(i).as(s"${nm}_s")) }: _*)
+      val w = Window.partitionBy(col("track_id")).orderBy(col("vec_id"))
+      def term(nm: String, wgt: Double): Column = {
+        val dx = col(s"${nm}_x") - lag(col(s"${nm}_x"), 1).over(w)
+        val dy = col(s"${nm}_y") - lag(col(s"${nm}_y"), 1).over(w)
+        val d  = sqrt(dx * dx + dy * dy)
+        when(lag(col(s"${nm}_s"), 1).over(w) > 0.0 && col(s"${nm}_s") > 0.0,
+          (lit(wgt) * d) * (lit(wgt) * d)).otherwise(lit(0.0))
+      }
+      val wd = sqrt(term("nose", 0.1) + term("rw", 0.4) + term("lw", 0.4) +
+        term("re", 0.05) + term("le", 0.05))
+      p.withColumn("prev", lag(col("vec_id"), 1).over(w))
+        .withColumn("micro", round(wd * 1e6).cast("long"))
+        .groupBy(col("track_id"))
+        .agg(sum(when(col("prev").isNotNull, col("micro"))).as("sum_micro"),
+          count(when(col("prev").isNotNull, lit(1))).as("n_pairs"),
+          max(when(col("is_near"), 1).otherwise(0)).as("has_near"))
+        .filter(col("has_near") === 1 && col("n_pairs") > 0)
+        .select(col("track_id"), col("n_pairs"),
+          expr("sum_micro div n_pairs").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("track_id"))
+    }),
+
+    // E32: the sandbox hand-label timelines (sandbox_labels.py:4-64)
+    // — three labeled interval planes (interviews / panels /
+    // commercials), each fps-scaled from seconds to frame numbers
+    // (the reference's F('fps') * F('start') annotation; fps := a
+    // per-video residue), merged into one multi-plane timeline with
+    // the widget's color tags. Pure narrow ops: three filters of one
+    // events scan, a union, no shuffle until the output sort.
+    "e32_sandbox_timelines" -> ((s, d) => {
+      val base = ev(s, d)
+      val fps = lit(24) + col("user_id") % 2 * 6
+      def plane(typ: String, name: String, color: String) =
+        base.filter(col("event_type") === typ)
+          .select(col("user_id").as("video_id"), lit(name).as("plane"),
+            lit(color).as("color"),
+            (col("s") * fps).as("min_frame"), (col("e") * fps).as("max_frame"))
+      plane("click", "interview", "default")
+        .unionByName(plane("view", "panel", "blue"))
+        .unionByName(plane("error", "commercial", "purple"))
+        .orderBy("video_id", "plane", "min_frame", "max_frame")
     })
   )
 
@@ -1135,6 +1358,162 @@ object EsperCatalogQueries {
          |SELECT bucket * 5 AS dist_lo_centi,
          |  CAST(n_in_bucket AS BIGINT) AS n_in_bucket, vec_id, rnk,
          |  round(cos, 6) AS cos6
-         |FROM r WHERE rnk <= 5 ORDER BY 1, 4""".stripMargin
+         |FROM r WHERE rnk <= 5 ORDER BY 1, 4""".stripMargin,
+
+    // e27: identity filter -> show dimension chain -> per-show window
+    "e27_identity_across_shows" ->
+      s"""WITH face AS ($facesSql),
+         |idf AS (SELECT face.face_id, face.frame_id FROM face
+         |        JOIN part p ON p.p_partkey = face.l_partkey
+         |        WHERE p.p_brand = 'Brand#13' AND face.l_suppkey % 100 > 90),
+         |sh AS (SELECT i.face_id, n.n_name AS show_name FROM idf i
+         |       JOIN orders o ON o.o_orderkey = i.frame_id
+         |       JOIN customer c ON c.c_custkey = o.o_custkey
+         |       JOIN nation n ON n.n_nationkey = c.c_nationkey),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY show_name
+         |          ORDER BY face_id) AS rnk,
+         |        count(*) OVER (PARTITION BY show_name) AS n_faces FROM sh)
+         |SELECT show_name, CAST(n_faces AS BIGINT) AS n_faces, face_id,
+         |  CAST(rnk AS INT) AS rnk
+         |FROM r WHERE rnk <= 10
+         |ORDER BY show_name, rnk""".stripMargin,
+
+    // e28: e20's per-seed distance fold with the exclusion gate —
+    // inside the positive ceiling AND outside every exclusion ball
+    "e28_face_search_exclusions" ->
+      s"""WITH sd AS (SELECT embedding AS s_emb,
+         |              sqrt(${sumsq("embedding")}) AS s_norm,
+         |              vec_id = 7 AS is_pos
+         |            FROM embeddings WHERE vec_id IN (7, 2, 23)),
+         |c AS (SELECT vec_id, embedding,
+         |        sqrt(${sumsq("embedding")}) AS nrm FROM embeddings
+         |      WHERE vec_id NOT IN (7, 2, 23) AND vec_id % 10 <> 0),
+         |ds AS (SELECT c.vec_id,
+         |    min(CASE WHEN is_pos THEN
+         |      1.0 - ${dotOf("c.embedding", "sd.s_emb")} / (c.nrm * sd.s_norm)
+         |      END) AS d_pos,
+         |    min(CASE WHEN NOT is_pos THEN
+         |      1.0 - ${dotOf("c.embedding", "sd.s_emb")} / (c.nrm * sd.s_norm)
+         |      END) AS d_excl
+         |  FROM c, sd GROUP BY 1)
+         |SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY d_pos, vec_id) AS INT) AS rnk,
+         |  round(d_pos, 6) AS dist6
+         |FROM ds WHERE d_pos <= 0.6 AND d_excl > 0.4
+         |ORDER BY rnk""".stripMargin,
+
+    // e29: the qualifying-face aggregate joined to the one video's
+    // tracks (the correlated-count EXISTS chain, relationally)
+    "e29_talking_head_tracks" ->
+      s"""WITH b AS ($boxesSql),
+         |q AS (SELECT frame_id, count(*) AS n_heads,
+         |        min(box_id) AS first_box, max(box_id) AS last_box
+         |      FROM b WHERE box_id % 3 <> 0 AND y2 - y1 >= 0.3
+         |      GROUP BY 1)
+         |SELECT o.o_orderkey AS track_id, o.o_custkey AS video_id,
+         |  q.n_heads, q.first_box, q.last_box
+         |FROM orders o JOIN q ON q.frame_id = o.o_orderkey
+         |WHERE o.o_custkey % 100 = 17
+         |ORDER BY track_id""".stripMargin,
+
+    // e30: lag-window closeness conjunction, the modulo vector link's
+    // EXISTS gate, arg_min first-box payload
+    "e30_still_face_tracks" ->
+      s"""WITH b AS (SELECT bb.*, frame_id * 10 + box_id AS face_id
+         |           FROM ($boxesSql) bb),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_emb FROM embeddings),
+         |sd AS (SELECT embedding AS s_emb,
+         |         sqrt(${sumsq("embedding")}) AS s_norm
+         |       FROM embeddings WHERE vec_id = 7),
+         |nr AS (SELECT e.vec_id FROM embeddings e, sd
+         |       WHERE 1.0 - ${dotOf("e.embedding", "sd.s_emb")}
+         |         / (sqrt(${sumsq("e.embedding")}) * sd.s_norm) <= 1.0),
+         |lg AS (SELECT b.*, row_number() OVER w AS rn,
+         |        lag(x1) OVER w AS p_x1, lag(y1) OVER w AS p_y1,
+         |        lag(x2) OVER w AS p_x2, lag(y2) OVER w AS p_y2
+         |       FROM b WINDOW w AS (PARTITION BY frame_id
+         |         ORDER BY box_id, x1, y1, x2, y2)),
+         |ok AS (SELECT *, CASE WHEN p_x1 IS NULL THEN 1
+         |         WHEN abs(x1 - p_x1) < 0.3 AND abs(y1 - p_y1) < 0.3
+         |           AND abs(x2 - p_x2) < 0.3 AND abs(y2 - p_y2) < 0.3 THEN 1
+         |         ELSE 0 END AS still FROM lg),
+         |g AS (SELECT frame_id AS track_id, count(*) AS n_faces,
+         |        min(still) AS all_still,
+         |        max(CASE WHEN face_id % (SELECT n_emb FROM nv)
+         |              IN (SELECT vec_id FROM nr) THEN 1 ELSE 0 END)
+         |          AS has_near,
+         |        max(CASE WHEN rn = 1 THEN x1 END) AS x1,
+         |        max(CASE WHEN rn = 1 THEN y1 END) AS y1,
+         |        max(CASE WHEN rn = 1 THEN x2 END) AS x2,
+         |        max(CASE WHEN rn = 1 THEN y2 END) AS y2
+         |      FROM ok GROUP BY 1)
+         |SELECT track_id, n_faces, x1, y1, x2, y2 FROM g
+         |WHERE all_still = 1 AND has_near = 1 AND n_faces >= 2
+         |ORDER BY track_id""".stripMargin,
+
+    // e31: the weighted pose-distance tree replayed on raw keypoint
+    // reads (x/y/score of kp i at elements 3i+1/3i+2/3i+3, 1-based;
+    // nose=0, r-elbow=3, r-wrist=4, l-elbow=6, l-wrist=7), rounded to
+    // micros per pair before the integer-exact per-track mean
+    "e31_animatedness" -> {
+      val kpIdx = Seq(("nose", 0), ("rw", 4), ("lw", 7), ("re", 3), ("le", 6))
+      val cols = kpIdx.map { case (nm, i) =>
+        s"""CAST(embedding[${3 * i + 1}] AS DOUBLE) AS ${nm}_x,
+           |    CAST(embedding[${3 * i + 2}] AS DOUBLE) AS ${nm}_y,
+           |    CAST(embedding[${3 * i + 3}] AS DOUBLE) AS ${nm}_s""".stripMargin
+      }.mkString(",\n    ")
+      val lags = kpIdx.map { case (nm, _) =>
+        s"""lag(${nm}_x) OVER w AS p_${nm}_x,
+           |    lag(${nm}_y) OVER w AS p_${nm}_y,
+           |    lag(${nm}_s) OVER w AS p_${nm}_s""".stripMargin
+      }.mkString(",\n    ")
+      def term(nm: String, wgt: String) =
+        s"""CASE WHEN p_${nm}_s > 0.0 AND ${nm}_s > 0.0 THEN
+           |      ($wgt * sqrt((${nm}_x - p_${nm}_x) * (${nm}_x - p_${nm}_x)
+           |        + (${nm}_y - p_${nm}_y) * (${nm}_y - p_${nm}_y)))
+           |      * ($wgt * sqrt((${nm}_x - p_${nm}_x) * (${nm}_x - p_${nm}_x)
+           |        + (${nm}_y - p_${nm}_y) * (${nm}_y - p_${nm}_y)))
+           |      ELSE 0.0 END""".stripMargin
+      s"""WITH sd AS (SELECT embedding AS s_emb,
+         |         sqrt(${sumsq("embedding")}) AS s_norm
+         |       FROM embeddings WHERE vec_id = 7),
+         |p AS (SELECT vec_id, vec_id // 4 AS track_id,
+         |    1.0 - ${dotOf("e.embedding", "sd.s_emb")}
+         |      / (sqrt(${sumsq("e.embedding")}) * sd.s_norm) <= 1.0 AS is_near,
+         |    $cols
+         |  FROM embeddings e, sd),
+         |lg AS (SELECT *, lag(vec_id) OVER w AS prev,
+         |    $lags
+         |  FROM p WINDOW w AS (PARTITION BY track_id ORDER BY vec_id)),
+         |m AS (SELECT *, CAST(round(sqrt(
+         |    ${term("nose", "0.1")}
+         |    + ${term("rw", "0.4")}
+         |    + ${term("lw", "0.4")}
+         |    + ${term("re", "0.05")}
+         |    + ${term("le", "0.05")}) * 1000000.0, 0) AS BIGINT) AS micro
+         |  FROM lg),
+         |g AS (SELECT track_id,
+         |        CAST(sum(CASE WHEN prev IS NOT NULL THEN micro END)
+         |          AS BIGINT) AS sum_micro,
+         |        count(CASE WHEN prev IS NOT NULL THEN 1 END) AS n_pairs,
+         |        max(CASE WHEN is_near THEN 1 ELSE 0 END) AS has_near
+         |      FROM m GROUP BY 1)
+         |SELECT track_id, n_pairs, sum_micro // n_pairs AS score_micro
+         |FROM g WHERE has_near = 1 AND n_pairs > 0
+         |ORDER BY score_micro DESC, track_id""".stripMargin
+    },
+
+    // e32: three fps-scaled label planes unioned with the widget tags
+    "e32_sandbox_timelines" ->
+      s"""WITH ev AS (${Q.evSql()})
+         |SELECT user_id AS video_id,
+         |  CASE event_type WHEN 'click' THEN 'interview'
+         |    WHEN 'view' THEN 'panel' ELSE 'commercial' END AS plane,
+         |  CASE event_type WHEN 'click' THEN 'default'
+         |    WHEN 'view' THEN 'blue' ELSE 'purple' END AS color,
+         |  s * (24 + user_id % 2 * 6) AS min_frame,
+         |  e * (24 + user_id % 2 * 6) AS max_frame
+         |FROM ev WHERE event_type IN ('click', 'view', 'error')
+         |ORDER BY video_id, plane, min_frame, max_frame""".stripMargin
   )
 }
