@@ -932,6 +932,44 @@ object EsperCatalogQueries {
         .unionByName(plane("view", "panel", "blue"))
         .unionByName(plane("error", "commercial", "purple"))
         .orderBy("video_id", "plane", "min_frame", "max_frame")
+    }),
+
+    // E33: the introduction-detector notebook's evaluation macro
+    // (introduction_detector.ipynb `compute_statistics`): temporal
+    // precision/recall of a PROPOSED segment plane against the
+    // hand-labeled ground truth — overlap seconds / proposal seconds
+    // and / truth seconds, per video. Both planes coalesced first so
+    // the pairwise clipped overlaps sum exactly to the intersection
+    // measure; ratios emitted as integer ppm (the corpus exactness
+    // convention). Distinct from a15's bbox-IoU detection P/R — this
+    // is the notebook's interval-time statistic. Scale: two
+    // single-exchange coalesces, one equi+band overlap join, three
+    // co-keyed per-video aggregates.
+    "e33_interval_pr" -> ((s, d) => {
+      val base = ev(s, d)
+      def plane(typ: String) = IntervalOps.coalesce(
+        base.filter(col("event_type") === typ).select("user_id", "s", "e"), C)
+      val prop = plane("error")
+      val truth = plane("click")
+      val p = prop.groupBy("user_id")
+        .agg(sum(col("e") - col("s")).as("prop_sec"))
+      val t = truth.groupBy("user_id")
+        .agg(sum(col("e") - col("s")).as("truth_sec"))
+      val tr = truth.select(col("user_id").as("t_uid"),
+        col("s").as("ts"), col("e").as("te"))
+      val inter = prop.join(tr, prop("user_id") === col("t_uid") &&
+          col("ts") < prop("e") && col("te") > prop("s"))
+        .select(prop("user_id"),
+          (least(prop("e"), col("te")) - greatest(prop("s"), col("ts")))
+            .as("ov"))
+        .groupBy("user_id").agg(sum(col("ov")).as("inter_sec"))
+      p.join(t, "user_id").join(inter, Seq("user_id"), "left")
+        .withColumn("inter_sec", coalesce(col("inter_sec"), lit(0L)))
+        .select(col("user_id").as("video_id"), col("prop_sec"),
+          col("truth_sec"), col("inter_sec"),
+          expr("inter_sec * 1000000 div prop_sec").as("precision_ppm"),
+          expr("inter_sec * 1000000 div truth_sec").as("recall_ppm"))
+        .orderBy("video_id")
     })
   )
 
@@ -1502,6 +1540,29 @@ object EsperCatalogQueries {
          |FROM g WHERE has_near = 1 AND n_pairs > 0
          |ORDER BY score_micro DESC, track_id""".stripMargin
     },
+
+    // e33: both planes island-coalesced, pairwise clipped overlap
+    // summed per video, integer-ppm ratios
+    "e33_interval_pr" ->
+      s"""WITH pr AS (${Q.coalesceSql(Q.evSql("error"))}),
+         |tr AS (${Q.coalesceSql(Q.evSql("click"))}),
+         |p AS (SELECT user_id, CAST(sum(e - s) AS BIGINT) AS prop_sec
+         |      FROM pr GROUP BY 1),
+         |t AS (SELECT user_id, CAST(sum(e - s) AS BIGINT) AS truth_sec
+         |      FROM tr GROUP BY 1),
+         |iv AS (SELECT pr.user_id,
+         |    CAST(sum(least(pr.e, tr.e) - greatest(pr.s, tr.s)) AS BIGINT)
+         |      AS inter_sec
+         |  FROM pr JOIN tr ON tr.user_id = pr.user_id
+         |    AND tr.s < pr.e AND tr.e > pr.s
+         |  GROUP BY 1)
+         |SELECT p.user_id AS video_id, p.prop_sec, t.truth_sec,
+         |  CAST(coalesce(iv.inter_sec, 0) AS BIGINT) AS inter_sec,
+         |  coalesce(iv.inter_sec, 0) * 1000000 // p.prop_sec AS precision_ppm,
+         |  coalesce(iv.inter_sec, 0) * 1000000 // t.truth_sec AS recall_ppm
+         |FROM p JOIN t ON t.user_id = p.user_id
+         |LEFT JOIN iv ON iv.user_id = p.user_id
+         |ORDER BY video_id""".stripMargin,
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->

@@ -1340,6 +1340,49 @@ object TextQueries {
       graft.multimodal.MediaProbe.probe(media).toDF().orderBy("media_id")
     }),
 
+    // M7 catalog-vs-container runtime audit (corrupted_videos.ipynb:
+    // the reference cross-checks each video's archive-metadata
+    // `runtime` against the ingested container duration and lists the
+    // ones that disagree — its corrupt-ingest detector). The catalog
+    // runtime is a closed-form column (the metadata JSON of the
+    // synthetic mapping) with an injected corruption class; the
+    // container side is the m06 REAL header parse over the fixture
+    // payloads, so a probe regression (wrong box path, wrong
+    // timescale math) surfaces here as phantom mismatches. Narrow
+    // map + filter, no shuffle until the output sort.
+    "m07_runtime_mismatch" -> ((s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).select(col("doc_id")).as[Long]
+      val media = ids.map { id =>
+        val payload =
+          if (id % 2 == 0)
+            graft.multimodal.Mp4Fixture.build(
+              (320 + (id % 8) * 16).toInt, (240 + (id % 6) * 16).toInt,
+              timescale = 25200L, durTicks = (id % 10 + 1) * 25200L,
+              sampleDelta = 25200L / (24 + (id % 4) * 6))
+          else {
+            val fps = if (id % 4 == 1) 25L else 50L
+            graft.multimodal.AviFixture.build(
+              (320 + (id % 8) * 16).toInt, (240 + (id % 6) * 16).toInt,
+              usPerFrame = 1000000L / fps, totalFrames = (id % 100 + 1) * 5L)
+          }
+        (id, payload)
+      }.toDF("media_id", "payload")
+      graft.multimodal.MediaProbe.probe(media).toDF()
+        .withColumn("claimed_ms", expr(
+          """CASE WHEN media_id % 2 = 0 THEN (media_id % 10 + 1) * 1000
+            |  ELSE ((media_id % 100 + 1) * 5) *
+            |    (1000000 div (CASE WHEN media_id % 4 = 1
+            |       THEN 25 ELSE 50 END)) div 1000 END
+            |+ CASE WHEN media_id % 7 = 0 THEN 120000 ELSE 0 END"""
+            .stripMargin))
+        .withColumn("drift_ms", abs(col("duration_ms") - col("claimed_ms")))
+        .filter(col("drift_ms") > 60000)
+        .select("media_id", "container", "duration_ms", "claimed_ms",
+          "drift_ms")
+        .orderBy("media_id")
+    }),
+
     // T59 per-source frequency cap (the RefinedWeb/CCNet host-level
     // cap: no single source may dominate the mix): keep at most 100
     // docs per source, chosen by a deterministic hash priority (so
@@ -2909,6 +2952,26 @@ object TextQueries {
         |  END AS duration_ms,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 316 ELSE 88 END AS INT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // m07: both sides closed-form (the catalog column and the fixture
+    // parameters), the Spark side's duration through the real parse
+    "m07_runtime_mismatch" ->
+      """WITH p AS (SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN (doc_id % 10 + 1) * 1000
+        |      ELSE ((doc_id % 100 + 1) * 5) *
+        |        (1000000 // (CASE WHEN doc_id % 4 = 1 THEN 25 ELSE 50 END))
+        |        // 1000
+        |    END AS duration_ms
+        |  FROM documents),
+        |c AS (SELECT *, duration_ms
+        |    + CASE WHEN media_id % 7 = 0 THEN 120000 ELSE 0 END AS claimed_ms
+        |  FROM p)
+        |SELECT media_id, container, duration_ms, claimed_ms,
+        |  abs(duration_ms - claimed_ms) AS drift_ms
+        |FROM c WHERE abs(duration_ms - claimed_ms) > 60000
+        |ORDER BY media_id""".stripMargin,
 
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS nbytes,
