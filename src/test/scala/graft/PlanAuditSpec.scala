@@ -501,6 +501,41 @@ class PlanAuditSpec extends SparkSpec {
       s"m06 has ${shuffles.size} exchanges — the header parse stopped being map-only")
   }
 
+  test("m07 runtime audit is shuffle-free up to the final sort") {
+    // catalog column + header parse + filter are all narrow; only the
+    // presentation orderBy may exchange
+    val plan = executed(SparkEntry.queries("m07_runtime_mismatch")(spark, sf))
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1,
+      s"m07 has ${shuffles.size} exchanges — the runtime audit stopped being map-only")
+  }
+
+  test("e33 temporal P/R overlap join is keyed, never a cartesian") {
+    // the proposal-vs-truth overlap join must plan as an equi join on
+    // the video key with the band residual as a post-condition; a
+    // cartesian/BNLJ here is corpus x corpus at 100 TB
+    val plan = executed(SparkEntry.queries("e33_interval_pr")(spark, sf))
+    val cart = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(cart.isEmpty,
+      s"e33 planned ${cart.size} unkeyed joins — the overlap join lost its equi key")
+  }
+
+  test("e31 pose-motion window and per-track aggregate share one hash exchange") {
+    // Window partitionBy(track_id) and the groupBy(track_id) that
+    // follows must reuse one partitioning: 1 hash exchange + 1 range
+    // exchange (presentation sort). A second hash exchange means the
+    // aggregate stopped seeing the window's output partitioning, and
+    // the corpus shuffles twice at scale. The seed join is a 1-row
+    // broadcast and must not shuffle at all.
+    val plan = executed(SparkEntry.queries("e31_animatedness")(spark, sf))
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2,
+      s"e31 has ${shuffles.size} exchanges — expected window+agg to share one")
+  }
+
   test("ph14 tombstone filtering is a broadcast anti-join (never sort-merge)") {
     // a takedown list is dimension-sized; if the serve-side liveOnly
     // anti-join ever degrades to sort-merge, every query pays an
