@@ -970,6 +970,36 @@ object EsperCatalogQueries {
           expr("inter_sec * 1000000 div prop_sec").as("precision_ppm"),
           expr("inter_sec * 1000000 div truth_sec").as("recall_ppm"))
         .orderBy("video_id")
+    }),
+
+    // E34: "get canonical shows" (get_canonical_shows.ipynb) — the
+    // show x channel video-count + total-hours rollup that decides
+    // which shows are canonical (enough volume to analyze). Video :=
+    // order with a closed-form duration; show/channel := the
+    // customer's nation/region names. Hours emitted as integer milli
+    // (total_sec * 1000 div 3600). Scale: fact aggregates AFTER the
+    // broadcast dimension joins, one shuffle on the (show, channel)
+    // rollup key; the >= 10 canonicality floor prunes the output, not
+    // the scan.
+    "e34_canonical_shows" -> ((s, d) => {
+      val ord = Tables.orders(tune(s), d).select(col("o_custkey"),
+        (cents(col("o_totalprice")) % 86400).as("dur_sec"))
+      val cust = Tables.customer(tune(s), d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = broadcast(Tables.nation(tune(s), d)
+        .select(col("n_nationkey"), col("n_regionkey"),
+          col("n_name").as("show_name")))
+      val reg = broadcast(Tables.region(tune(s), d)
+        .select(col("r_regionkey"), col("r_name").as("channel")))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("show_name"), col("channel"))
+        .agg(count(lit(1)).as("n_videos"), sum(col("dur_sec")).as("total_sec"))
+        .filter(col("n_videos") >= 10)
+        .select(col("show_name"), col("channel"), col("n_videos"),
+          expr("total_sec * 1000 div 3600").as("hours_milli"))
+        .orderBy(col("n_videos").desc, col("show_name"), col("channel"))
     })
   )
 
@@ -1563,6 +1593,23 @@ object EsperCatalogQueries {
          |FROM p JOIN t ON t.user_id = p.user_id
          |LEFT JOIN iv ON iv.user_id = p.user_id
          |ORDER BY video_id""".stripMargin,
+
+    // e34: the same rollup through the dimension chain; hours as
+    // integer milli
+    "e34_canonical_shows" ->
+      """WITH v AS (SELECT o_custkey,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) % 86400 AS dur_sec
+        |  FROM orders),
+        |g AS (SELECT n.n_name AS show_name, r.r_name AS channel,
+        |    count(*) AS n_videos, CAST(sum(v.dur_sec) AS BIGINT) AS total_sec
+        |  FROM v JOIN customer c ON c.c_custkey = v.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT show_name, channel, n_videos,
+        |  total_sec * 1000 // 3600 AS hours_milli
+        |FROM g WHERE n_videos >= 10
+        |ORDER BY n_videos DESC, show_name, channel""".stripMargin,
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->

@@ -104,6 +104,37 @@ object SourceQueries {
           (sec + floor(col("value")).cast("long") + 1).as("e"))
       graft.result.CaptionExport.supercutClips(hits, 2)
         .orderBy("video_id", "s", "e")
+    }),
+
+    // S19: speaker-diarization segment parse (diarization.ipynb
+    // `parse_segmentation`: skip ';;' comment lines, read
+    // start/end/gender from whitespace fields [2:5], centisecond
+    // units) — the LIUM-style .seg line format built in-query from
+    // event parameters (the m06 fixture-inverse pattern) and parsed
+    // back with the REAL line discipline: comment filter, split,
+    // positional fields. A field-offset or comment-handling bug
+    // breaks the hash. Narrow per-row string ops, shuffle-free to
+    // the sort.
+    "s19_diarization_parse" -> ((s, d) => {
+      val raw = Tables.events(tune(s), d)
+      val sec = tsSec(raw) % 86400
+      val lines = raw.select(
+        when(col("event_id") % 10 === 0,
+          concat(lit(";; cluster spk"), (col("event_id") % 5).cast("string")))
+          .otherwise(format_string("v%d 1 2 %d %d %s U U spk%d",
+            col("user_id"), sec * 100,
+            (sec + floor(col("value")).cast("long") + 1) * 100,
+            when(col("event_id") % 2 === 0, "M").otherwise("F"),
+            col("event_id") % 5))
+          .as("line"))
+      val f = split(col("line"), " ")
+      lines.filter(!col("line").startsWith(";;"))
+        .select(element_at(f, 1).as("video"),
+          element_at(f, 4).cast("long").as("start_cs"),
+          element_at(f, 5).cast("long").as("end_cs"),
+          element_at(f, 6).as("gender"),
+          element_at(f, 9).as("speaker"))
+        .orderBy("video", "start_cs", "end_cs", "speaker", "gender")
     })
   )
 
@@ -153,6 +184,18 @@ object SourceQueries {
           |      FROM events WHERE event_type = 'error' AND props LIKE '%7%') h""".stripMargin
       s"""SELECT user_id AS video_id, s, e FROM (${Q.coalesceSql(hitsSql)}) cc
          |ORDER BY 1, 2, 3""".stripMargin
-    }
+    },
+
+    // s19: the parse output closed-form from the same event
+    // parameters, comment lines (event_id % 10 = 0) excluded
+    "s19_diarization_parse" ->
+      """SELECT 'v' || CAST(user_id AS VARCHAR) AS video,
+        |  ((epoch_ns(ts)//1000000000) % 86400) * 100 AS start_cs,
+        |  ((epoch_ns(ts)//1000000000) % 86400
+        |    + CAST(floor(value) AS BIGINT) + 1) * 100 AS end_cs,
+        |  CASE WHEN event_id % 2 = 0 THEN 'M' ELSE 'F' END AS gender,
+        |  'spk' || CAST(event_id % 5 AS VARCHAR) AS speaker
+        |FROM events WHERE event_id % 10 <> 0
+        |ORDER BY video, start_cs, end_cs, speaker, gender""".stripMargin
   )
 }
