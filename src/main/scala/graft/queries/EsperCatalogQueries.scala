@@ -1000,6 +1000,66 @@ object EsperCatalogQueries {
         .select(col("show_name"), col("channel"), col("n_videos"),
           expr("total_sec * 1000 div 3600").as("hours_milli"))
         .orderBy(col("n_videos").desc, col("show_name"), col("channel"))
+    }),
+
+    // E35: topic-lexicon induction (the `mutual_info(topic)` step of
+    // topic_analysis_workflow.ipynb / notebooks/topics/*; the
+    // reference computes it inside its prebuilt Rust caption-index
+    // utilities, so only the semantics are public): for a seed word,
+    // score every candidate token by how much likelier it is inside
+    // seed-bearing documents than in the corpus — the PMI ratio
+    // P(t|seed docs)/P(t) emitted as integer ppm (a monotone
+    // transform of log-PMI, so the ranking is the reference's without
+    // cross-engine transcendentals). df floor 5, top 50. Scale: one
+    // token-scan aggregate for corpus counts, one semi-join-restricted
+    // aggregate for seed counts, 1-row broadcast totals; candidate
+    // frame is vocabulary-sized before the TakeOrdered. The long
+    // arithmetic holds to ~9e12 corpus tokens (cs<=1e6 per word x
+    // 1e6 ppm); beyond that the ratio should move to cents-scaled
+    // 128-bit or decimal.
+    "e35_topic_lexicon" -> ((s, d) => {
+      val tk = toks(s, d)
+      val seedDocs = tk.filter(col("tok") === "customer")
+        .select("doc_id").distinct()
+      val seedToks = tk.join(seedDocs, Seq("doc_id"), "left_semi")
+      val cc = tk.groupBy("tok").agg(count(lit(1)).as("cc"))
+      val cs = seedToks.groupBy("tok").agg(count(lit(1)).as("cs"))
+      val totals = broadcast(tk.agg(count(lit(1)).as("corpus_total"))
+        .crossJoin(seedToks.agg(count(lit(1)).as("seed_total"))))
+      cs.join(cc, "tok").crossJoin(totals)
+        .filter(col("cc") >= 5 && col("tok") =!= "customer")
+        .select(col("tok"),
+          col("cs"), col("cc"),
+          expr("cs * corpus_total * 1000000 div (cc * seed_total)")
+            .as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("tok"))
+        .limit(50)
+    }),
+
+    // E36: "caption mentions by show" (topics.py:149-177
+    // get_caption_mentions_by_show, both modes in one row): a phrase's
+    // occurrence count per document, rolled up to the video's
+    // canonical show — n_mentions (location count) and n_videos (the
+    // show_count mode's distinct-video count). Phrase hits are the
+    // filter-first adjacency join (never a token self-join of the
+    // full corpus); show := nation of the video key; the rollup runs
+    // on the hit set, dimension joins broadcast.
+    "e36_mentions_by_show" -> ((s, d) => {
+      val tk = toks(s, d)
+      val a = tk.filter(col("tok") === "slow")
+        .select(col("doc_id"), col("pos"))
+      val b = tk.filter(col("tok") === "scan")
+        .select(col("doc_id").as("b_did"), col("pos").as("b_pos"))
+      val hits = a.join(b, col("doc_id") === col("b_did") &&
+          col("b_pos") === col("pos") + 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val nat = broadcast(Tables.nation(tune(s), d)
+        .select(col("n_nationkey"), col("n_name").as("show_name")))
+      hits.join(nat, col("doc_id") % 25 === col("n_nationkey"))
+        .groupBy("show_name")
+        .agg(sum(col("n_hits")).as("n_mentions"),
+          count(lit(1)).as("n_videos"))
+        .orderBy(col("n_mentions").desc, col("show_name"))
     })
   )
 
@@ -1610,6 +1670,38 @@ object EsperCatalogQueries {
         |  total_sec * 1000 // 3600 AS hours_milli
         |FROM g WHERE n_videos >= 10
         |ORDER BY n_videos DESC, show_name, channel""".stripMargin,
+
+    // e35: corpus/seed token counts, the ppm PMI ratio in the same
+    // integer-div order
+    "e35_topic_lexicon" ->
+      s"""WITH tk AS ($toksSql),
+         |sd AS (SELECT DISTINCT doc_id FROM tk WHERE tok = 'customer'),
+         |st AS (SELECT tk.* FROM tk WHERE tk.doc_id IN (SELECT doc_id FROM sd)),
+         |cc AS (SELECT tok, count(*) AS cc FROM tk GROUP BY 1),
+         |cs AS (SELECT tok, count(*) AS cs FROM st GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tk)
+         |            AS corpus_total,
+         |          (SELECT CAST(count(*) AS BIGINT) FROM st) AS seed_total)
+         |SELECT cs.tok, CAST(cs.cs AS BIGINT) AS cs, CAST(cc.cc AS BIGINT) AS cc,
+         |  cs.cs * tot.corpus_total * 1000000 // (cc.cc * tot.seed_total)
+         |    AS score_ppm
+         |FROM cs JOIN cc ON cc.tok = cs.tok CROSS JOIN tot
+         |WHERE cc.cc >= 5 AND cs.tok <> 'customer'
+         |ORDER BY score_ppm DESC, cs.tok LIMIT 50""".stripMargin,
+
+    // e36: filter-first adjacency hits, per-doc counts, show rollup
+    "e36_mentions_by_show" ->
+      s"""WITH tk AS ($toksSql),
+         |h AS (SELECT a.doc_id, count(*) AS n_hits
+         |      FROM (SELECT doc_id, pos FROM tk WHERE tok = 'slow') a
+         |      JOIN (SELECT doc_id, pos FROM tk WHERE tok = 'scan') b
+         |        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |      GROUP BY 1)
+         |SELECT n.n_name AS show_name,
+         |  CAST(sum(h.n_hits) AS BIGINT) AS n_mentions,
+         |  count(*) AS n_videos
+         |FROM h JOIN nation n ON n.n_nationkey = h.doc_id % 25
+         |GROUP BY 1 ORDER BY n_mentions DESC, show_name""".stripMargin,
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->
