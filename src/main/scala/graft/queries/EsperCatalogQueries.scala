@@ -1060,6 +1060,33 @@ object EsperCatalogQueries {
         .agg(sum(col("n_hits")).as("n_mentions"),
           count(lit(1)).as("n_videos"))
         .orderBy(col("n_mentions").desc, col("show_name"))
+    }),
+
+    // E37: the caption-index service's `find_segments` (problang/
+    // transcript_utils.py:33-42, topic_analysis_workflow.ipynb: score
+    // stride-aligned token windows by summed lexicon weights, keep
+    // windows above threshold, merge_overlaps=False): window_size 50,
+    // stride 10, threshold 3, a 5-word weighted lexicon. Spark-first
+    // shape: lexicon hits are FILTERED FIRST (broadcast lexicon
+    // join), then each hit explodes to the <= window/stride = 5
+    // stride-aligned windows covering it, and one (doc, window)
+    // aggregate scores everything — O(hits x 5) rows, never a
+    // per-position sliding scan of the corpus.
+    "e37_window_density" -> ((s, d) => {
+      import s.implicits._
+      val lexDf = broadcast(Seq(("customer", 2L), ("slow", 1L),
+        ("scan", 1L), ("merge", 1L), ("window", 1L)).toDF("tok", "wgt"))
+      val hits = toks(s, d).join(lexDf, "tok")
+        .select(col("doc_id"), col("pos").cast("long").as("p"), col("wgt"))
+      hits
+        .withColumn("w", explode(expr(
+          "sequence(((greatest(p - 49, 0) + 9) div 10) * 10, (p div 10) * 10, 10)")))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(sum(col("wgt")).as("score"))
+        .filter(col("score") >= 3)
+        .select(col("doc_id"), col("w").as("seg_start"),
+          (col("w") + 50).as("seg_end"), col("score"))
+        .orderBy("doc_id", "seg_start")
     })
   )
 
@@ -1702,6 +1729,23 @@ object EsperCatalogQueries {
          |  count(*) AS n_videos
          |FROM h JOIN nation n ON n.n_nationkey = h.doc_id % 25
          |GROUP BY 1 ORDER BY n_mentions DESC, show_name""".stripMargin,
+
+    // e37: same hit-to-covering-windows expansion, same integer
+    // stride arithmetic
+    "e37_window_density" ->
+      s"""WITH tk AS ($toksSql),
+         |lex AS (SELECT * FROM (VALUES ('customer', 2), ('slow', 1),
+         |          ('scan', 1), ('merge', 1), ('window', 1)) l(tok, wgt)),
+         |h AS (SELECT tk.doc_id, CAST(tk.pos AS BIGINT) AS p,
+         |        CAST(l.wgt AS BIGINT) AS wgt
+         |      FROM tk JOIN lex l ON l.tok = tk.tok),
+         |wins AS (SELECT doc_id, wgt, unnest(generate_series(
+         |    ((greatest(p - 49, 0) + 9) // 10) * 10,
+         |    (p // 10) * 10, 10)) AS w FROM h)
+         |SELECT doc_id, w AS seg_start, w + 50 AS seg_end,
+         |  CAST(sum(wgt) AS BIGINT) AS score
+         |FROM wins GROUP BY 1, 2 HAVING sum(wgt) >= 3
+         |ORDER BY doc_id, seg_start""".stripMargin,
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->
