@@ -369,6 +369,52 @@ object StreamParityQueries {
       graft.similarity.IntKMeans
         .servedTopK(s, dir, e.filter(col("vec_id") < 5), k = 10, nprobe = 4)
         .orderBy("q_id", "rank")
+    }),
+
+    // ST20: the strided lexicon window-density macro (e37) computed
+    // INCREMENTALLY over a document stream — documents arrive as 3
+    // ordered micro-batches; each batch tokenizes its docs, filters
+    // through the broadcast lexicon, explodes hits to their covering
+    // windows and appends its scored segments. The (doc, window)
+    // aggregation key never crosses documents, so per-batch
+    // aggregation composes to the batch answer with NO cross-batch
+    // state — the stateless tail of §2.9 (contrast st14, whose island
+    // state genuinely carries). Oracle = e37's SQL verbatim: arrival
+    // batching must be invisible in the result.
+    "st20_stream_density_parity" -> ((s, d) => {
+      import s.implicits._
+      val base = freshBase("st20")
+      val docsDf = Tables.documents(tune(s), d)
+        .select(col("doc_id"), col("text"))
+      val inDir = stage(base,
+        (0 until 3).map(i => docsDf.filter(pmod(col("doc_id"), lit(3)) === i)))
+      val src = s.readStream.schema(docsDf.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val lexDf = broadcast(Seq(("customer", 2L), ("slow", 1L),
+        ("scan", 1L), ("merge", 1L), ("window", 1L)).toDF("tok", "wgt"))
+      val scored = src
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .join(lexDf, "tok")
+        .select(col("doc_id"), col("pos").cast("long").as("p"), col("wgt"))
+        .withColumn("w", explode(expr(
+          "sequence(((greatest(p - 49, 0) + 9) div 10) * 10, (p div 10) * 10, 10)")))
+      val outDir = base.resolve("out")
+      Files.createDirectories(outDir)
+      val q = scored.writeStream.outputMode("append")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.groupBy(col("doc_id"), col("w"))
+            .agg(sum(col("wgt")).as("score"))
+            .filter(col("score") >= 3)
+            .select(col("doc_id"), col("w").as("seg_start"),
+              (col("w") + 50).as("seg_end"), col("score"))
+            .repartition(1).write.mode("append").parquet(outDir.toString)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      Seq("in", "ckpt").foreach(n => rmTree(base.resolve(n)))
+      s.read.parquet(outDir.toString).orderBy("doc_id", "seg_start")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -413,5 +459,10 @@ object StreamParityQueries {
 
     // the stream-converged re-encode must serve v34's single-batch
     // upsert answer exactly — batch order/count must not matter
-    "st19_stream_reencode_parity" -> SimilarityQueries.ivfUpsertedSql)
+    "st19_stream_reencode_parity" -> SimilarityQueries.ivfUpsertedSql,
+
+    // streamed density must equal the batch macro — e37's oracle
+    // verbatim (arrival batching is invisible)
+    "st20_stream_density_parity" ->
+      EsperCatalogQueries.oracle("e37_window_density"))
 }
