@@ -323,6 +323,27 @@ class PhraseIndexSpec extends SparkSpec {
       .collect().toSet === hits1)
   }
 
+  test("randomized grammar serve parity (100 seeded ASTs)") {
+    // the r17 failure mode was a grammar construct landing in one
+    // evaluator but not the others; random ASTs over the corpus
+    // vocabulary (plus an absent word) sweep every construct
+    // COMBINATION — juxtaposed phrases inside NEAR, counts on
+    // [groups], NOT over proximity — not just the hand-picked cases
+    // above. Both sides parse the same rendered string, so parser,
+    // in-process evaluator and served evaluator are all pinned to
+    // one another.
+    val dir = freshIndex(16)
+    val pool = Seq("quick", "brown", "fox", "dog", "turtle", "the",
+      "slow", "zebra")
+    val universe = docs.select("doc_id")
+    PhraseGen.samples(PhraseGen.tree(pool, 3), 100).foreach { q =>
+      val str = PhraseGen.render(q)
+      val direct = PhraseSearch.search(str, toks, universe).collect().toSet
+      val served = PhraseSearch.servedSearch(spark, dir, str).collect().toSet
+      assert(served === direct, s"serve parity diverged for [$str]")
+    }
+  }
+
   test("served boolean search handles queries over absent vocabulary") {
     val dir = freshIndex(16)
     val universe = docs.select("doc_id")

@@ -16,73 +16,20 @@ import graft.text.PhraseSearch._
   * operands (chaining left), and `{n}` thresholds on any leaf. */
 class PhraseParserSpec extends org.scalatest.funsuite.AnyFunSuite {
 
-  /** Deterministic sampling (no scalatest-scalacheck bridge in the
-    * offline cache): draw `n` values from `g` across fixed seeds. */
-  private def samples[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).flatMap(i => g(Gen.Parameters.default, Seed(42L + i)))
+  // generators + renderer shared with PhraseIndexSpec's randomized
+  // serve-parity audit (PhraseGen); words here must avoid reserved
+  // operators and structural characters
+  private val pool = Seq("alpha", "bravo", "charlie", "delta", "echo",
+    "fox", "golf", "hotel", "x1", "y2")
 
-  // words must avoid reserved operators and structural characters
-  private val word: Gen[String] =
-    Gen.oneOf("alpha", "bravo", "charlie", "delta", "echo", "fox",
-      "golf", "hotel", "x1", "y2")
-
-  private val phrase: Gen[Q] = for {
-    n  <- Gen.choose(1, 3)
-    ws <- Gen.listOfN(n, word)
-  } yield Phrase(ws)
-
-  private val infl: Gen[Q] = word.map(Infl(_))
-
-  // a leaf a `{n}` threshold can bind to (grammar: counts wrap leaves)
-  private val countable: Gen[Q] = Gen.frequency(3 -> phrase, 1 -> infl)
-
-  private val minCount: Gen[Q] = for {
-    q <- countable; n <- Gen.choose(1, 5)
-  } yield MinCount(q, n)
-
-  // position-bearing operand trees for NEAR (words, [groups], counts,
-  // OR-alternatives, nested NEAR — never NOT/AND)
-  private def posTree(depth: Int): Gen[Q] =
-    if (depth <= 0) Gen.frequency(4 -> phrase, 1 -> infl, 1 -> minCount)
-    else Gen.frequency(
-      3 -> phrase,
-      1 -> infl,
-      1 -> minCount,
-      1 -> (for { l <- posTree(depth - 1); r <- posTree(depth - 1) }
-        yield Or(l, r)),
-      1 -> (for { l <- posTree(depth - 1); r <- posTree(depth - 1);
-                  k <- Gen.choose(1, 20) } yield Near(l, r, k)))
-
-  private val near: Gen[Q] = for {
-    l <- posTree(1); r <- posTree(1); k <- Gen.choose(1, 20)
-  } yield Near(l, r, k)
-
-  private def tree(depth: Int): Gen[Q] =
-    if (depth <= 0) Gen.frequency(4 -> phrase, 1 -> infl)
-    else Gen.frequency(
-      3 -> phrase,
-      1 -> infl,
-      1 -> near,
-      1 -> minCount,
-      2 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield And(l, r)),
-      2 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield Or(l, r)),
-      1 -> tree(depth - 1).map(Not(_)))
-
-  private def renderWords(ws: Seq[String]): String =
-    if (ws.size == 1) ws.head else "\"" + ws.mkString(" ") + "\""
-
-  /** Fully parenthesized rendering — structure-preserving by
-    * construction, so parse(render(q)) must equal q exactly. Count
-    * thresholds only wrap leaves, matching the grammar. */
-  private def render(q: Q): String = q match {
-    case Phrase(ws)      => renderWords(ws)
-    case Infl(w)         => s"[$w]"
-    case MinCount(x, n)  => s"${render(x)}{$n}"
-    case Near(a, b, k)   => s"(${render(a)} NEAR/$k ${render(b)})"
-    case And(l, r)       => s"(${render(l)} AND ${render(r)})"
-    case Or(l, r)        => s"(${render(l)} OR ${render(r)})"
-    case Not(x)          => s"(NOT ${render(x)})"
-  }
+  private def samples[T](g: Gen[T], n: Int): Seq[T] = PhraseGen.samples(g, n)
+  private val word: Gen[String] = PhraseGen.word(pool)
+  private val phrase: Gen[Q] = PhraseGen.phrase(pool)
+  private val infl: Gen[Q] = PhraseGen.infl(pool)
+  private val minCount: Gen[Q] = PhraseGen.minCount(pool)
+  private val near: Gen[Q] = PhraseGen.near(pool)
+  private def tree(depth: Int): Gen[Q] = PhraseGen.tree(pool, depth)
+  private def render(q: Q): String = PhraseGen.render(q)
 
   test("parse is a left inverse of fully-parenthesized rendering (500 random ASTs)") {
     val qs = samples(tree(4), 500)
