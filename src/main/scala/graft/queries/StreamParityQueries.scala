@@ -415,6 +415,45 @@ object StreamParityQueries {
       q.processAllAvailable(); q.stop()
       Seq("in", "ckpt").foreach(n => rmTree(base.resolve(n)))
       s.read.parquet(outDir.toString).orderBy("doc_id", "seg_start")
+    }),
+
+    // ST21: streaming coalesce via the BUILT-IN session_window — the
+    // declarative twin of st14's flatMapGroupsWithState. A DYNAMIC
+    // per-event gap of (e - s) seconds makes each interval the session
+    // span [s, e), and Spark's session merge (next.start <= current
+    // .end unifies, so touching intervals merge like the batch island
+    // SQL) IS interval coalesce; min(s)/max(e) are aggregated as
+    // integer seconds so the emitted rows are exact. Same staging and
+    // sentinel protocol as st14: the 0-second watermark trails each
+    // batch's max event time, the mid-day split keeps batch-2 rows
+    // on time, and the far-future sentinel closes every real session
+    // (its own session filtered out). The builder contract prefers
+    // built-in operators over custom state — this row pins the
+    // built-in to both the custom op (st14) and the batch oracle.
+    "st21_stream_session_parity" -> ((s, d) => {
+      val base = freshBase("st21")
+      val iv = evTyped(s, d, "click")
+        .select(col("user_id"), col("s"), col("e"),
+          timestamp_seconds(col("s")).as("ts"))
+      val sent = iv.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
+          timestamp_seconds(lit(SENT)).as("ts"))
+      val inDir = stage(base, Seq(
+        iv.filter(col("s") < 43200),
+        iv.filter(col("s") >= 43200).unionByName(sent)))
+      val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val sess = src
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"),
+          concat((col("e") - col("s")).cast("string"), lit(" seconds"))))
+        .agg(min(col("s")).as("min_s"), max(col("e")).as("max_e"))
+        .select(col("user_id"), col("min_s").as("s"), col("max_e").as("e"))
+      runToParquet(s, base, sess,
+          org.apache.spark.sql.Encoders.product[Ingest.ClosedIv].schema)
+        .filter(col("s") < SENT)
+        .orderBy("user_id", "s", "e")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -464,5 +503,11 @@ object StreamParityQueries {
     // streamed density must equal the batch macro — e37's oracle
     // verbatim (arrival batching is invisible)
     "st20_stream_density_parity" ->
-      EsperCatalogQueries.oracle("e37_window_density"))
+      EsperCatalogQueries.oracle("e37_window_density"),
+
+    // the built-in session_window must equal the batch island
+    // coalesce — r01's oracle verbatim (and therefore st14's)
+    "st21_stream_session_parity" ->
+      s"""${coalesceSql(evSql("click"))}
+         |ORDER BY user_id, s, e""".stripMargin)
 }
