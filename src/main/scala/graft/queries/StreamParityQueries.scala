@@ -454,6 +454,55 @@ object StreamParityQueries {
           org.apache.spark.sql.Encoders.product[Ingest.ClosedIv].schema)
         .filter(col("s") < SENT)
         .orderBy("user_id", "s", "e")
+    }),
+
+    // ST22: watermark LATE-DATA semantics as an oracle-checked
+    // contract, over the family's first TUMBLING-window aggregate —
+    // the §2.9 behavior the parity rows hold at zero (their staging
+    // keeps every row on time). Spark ≥3.4 filters late inputs
+    // against the PREVIOUS batch's watermark while evicting against
+    // the current one (watermarkForLateEvents vs watermarkForEviction
+    // — verified empirically on 4.1: a late row one batch behind the
+    // advance still lands; two batches behind is dropped). So the
+    // morning slice (< 20000) is staged TWO batches after the mid-day
+    // slice that advances the watermark: b0 = [20000, 43200), b1 =
+    // evening (>= 43200), b2 = morning + sentinel — by b2 the
+    // late-events watermark is b1's (~86399), >66000 s above every
+    // morning row; nothing rides the boundary. Streamed result must
+    // equal the batch tumbling aggregate of exactly the on-time rows;
+    // the oracle bakes the same arrival split, so a drop-boundary
+    // drift (or a watermark that silently stopped filtering) breaks
+    // the hash.
+    "st22_stream_late_drop" -> ((s, d) => {
+      val base = freshBase("st22")
+      val iv = evTyped(s, d, "click")
+        .select(col("user_id"), col("s"), col("e"),
+          timestamp_seconds(col("s")).as("ts"))
+      val sent = iv.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
+          timestamp_seconds(lit(SENT)).as("ts"))
+      val inDir = stage(base, Seq(
+        iv.filter(col("s") >= 20000 && col("s") < 43200),
+        iv.filter(col("s") >= 43200),
+        iv.filter(col("s") < 20000).unionByName(sent)))
+      val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val agg = src
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), window(col("ts"), "600 seconds"))
+        .agg(count(lit(1)).as("n"),
+          min(col("s")).as("min_s"), max(col("e")).as("max_e"))
+        .select(col("user_id"),
+          col("window.start").cast("long").as("win_s"),
+          col("window.end").cast("long").as("win_e"),
+          col("n"), col("min_s"), col("max_e"))
+      val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, win_s BIGINT, win_e BIGINT, " +
+          "n BIGINT, min_s BIGINT, max_e BIGINT")
+      runToParquet(s, base, agg.toDF(), outSchema)
+        .filter(col("min_s") < SENT)
+        .orderBy("user_id", "win_s")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -509,5 +558,16 @@ object StreamParityQueries {
     // coalesce — r01's oracle verbatim (and therefore st14's)
     "st21_stream_session_parity" ->
       s"""${coalesceSql(evSql("click"))}
-         |ORDER BY user_id, s, e""".stripMargin)
+         |ORDER BY user_id, s, e""".stripMargin,
+
+    // streamed = batch tumbling aggregate of exactly the ON-TIME rows
+    // (the morning slice arrives two batches behind the watermark
+    // advance and is dropped)
+    "st22_stream_late_drop" ->
+      s"""SELECT user_id, (s // 600) * 600 AS win_s,
+         |  (s // 600) * 600 + 600 AS win_e,
+         |  count(*) AS n, min(s) AS min_s, max(e) AS max_e
+         |FROM (${evSql("click")}) ev WHERE s >= 20000
+         |GROUP BY 1, 2, 3
+         |ORDER BY user_id, win_s""".stripMargin)
 }
