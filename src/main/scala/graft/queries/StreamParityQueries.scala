@@ -503,6 +503,45 @@ object StreamParityQueries {
       runToParquet(s, base, agg.toDF(), outSchema)
         .filter(col("min_s") < SENT)
         .orderBy("user_id", "win_s")
+    }),
+
+    // ST23: BUILT-IN stream-stream inner join — clicks x purchases on
+    // the user key with a watermarked event-time range (purchase
+    // within the 600 s before the click), both sides genuinely
+    // streamed as ordered micro-batches. Inner-join emission needs no
+    // closure signal (matches emit as both sides arrive; watermarks
+    // only bound state), so a 2-day delay keeps every fixture row's
+    // state live and the streamed output IS the complete batch join —
+    // the oracle is the plain batch range join. The declarative
+    // sibling of st15's custom as-of state (which needed
+    // flatMapGroupsWithState because 'latest at-or-before' is an
+    // argmax, not a range predicate).
+    "st23_stream_stream_join" -> ((s, d) => {
+      def plane(typ: String, p: String) = evTyped(s, d, typ)
+        .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_uid"),
+          col("s").as(s"${p}_s"), timestamp_seconds(col("s")).as(s"${p}_ts"))
+      val schemaOf = (p: String) => org.apache.spark.sql.types.StructType.fromDDL(
+        s"${p}_id BIGINT, ${p}_uid BIGINT, ${p}_s BIGINT, ${p}_ts TIMESTAMP")
+      def src(df: org.apache.spark.sql.DataFrame, tag: String, p: String) = {
+        val b = freshBase(tag)
+        val inDir = stage(b, Seq(
+          df.filter(col(s"${p}_s") < 43200), df.filter(col(s"${p}_s") >= 43200)))
+        s.readStream.schema(schemaOf(p))
+          .option("maxFilesPerTrigger", 1).parquet(inDir)
+          .withWatermark(s"${p}_ts", "2 days")
+      }
+      val base = freshBase("st23")
+      val joined = src(plane("click", "l"), "st23l", "l")
+        .join(src(plane("purchase", "r"), "st23r", "r"),
+          col("l_uid") === col("r_uid") &&
+            col("r_ts") >= col("l_ts") - expr("INTERVAL 600 SECONDS") &&
+            col("r_ts") <= col("l_ts"))
+        .select(col("l_uid").as("user_id"), col("l_id"), col("r_id"),
+          col("l_s"), col("r_s"))
+      val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, l_id BIGINT, r_id BIGINT, l_s BIGINT, r_s BIGINT")
+      runToParquet(s, base, joined, outSchema)
+        .orderBy("user_id", "l_s", "r_s", "l_id", "r_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -569,5 +608,16 @@ object StreamParityQueries {
          |  count(*) AS n, min(s) AS min_s, max(e) AS max_e
          |FROM (${evSql("click")}) ev WHERE s >= 20000
          |GROUP BY 1, 2, 3
-         |ORDER BY user_id, win_s""".stripMargin)
+         |ORDER BY user_id, win_s""".stripMargin,
+
+    // streamed inner join = the batch range join, arrival batching
+    // invisible
+    "st23_stream_stream_join" ->
+      s"""SELECT l.user_id, l.event_id AS l_id, r.event_id AS r_id,
+         |  l.s AS l_s, r.s AS r_s
+         |FROM (${evSql("click")}) l
+         |JOIN (${evSql("purchase")}) r
+         |  ON r.user_id = l.user_id
+         |  AND r.s >= l.s - 600 AND r.s <= l.s
+         |ORDER BY l.user_id, l_s, r_s, l_id, r_id""".stripMargin)
 }
