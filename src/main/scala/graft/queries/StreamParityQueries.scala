@@ -542,6 +542,44 @@ object StreamParityQueries {
         "user_id BIGINT, l_id BIGINT, r_id BIGINT, l_s BIGINT, r_s BIGINT")
       runToParquet(s, base, joined, outSchema)
         .orderBy("user_id", "l_s", "r_s", "l_id", "r_id")
+    }),
+
+    // ST24: SLIDING-window aggregate (size 600 s, slide 300 s) —
+    // completes the tumbling (st22) / session (st21) / sliding
+    // trio of §2.9's built-in window forms. Every event lands in
+    // exactly 2 windows (Spark emits size/slide assignments,
+    // including the negative-start window for s < 300 — the oracle
+    // generates the same two starts per row). Same sentinel protocol;
+    // sentinel-only windows are filtered by their min_s.
+    "st24_stream_sliding" -> ((s, d) => {
+      val base = freshBase("st24")
+      val iv = evTyped(s, d, "click")
+        .select(col("user_id"), col("s"), col("e"),
+          timestamp_seconds(col("s")).as("ts"))
+      val sent = iv.select(col("user_id")).distinct()
+        .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
+          timestamp_seconds(lit(SENT)).as("ts"))
+      val inDir = stage(base, Seq(
+        iv.filter(col("s") < 43200),
+        iv.filter(col("s") >= 43200).unionByName(sent)))
+      val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val agg = src
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), window(col("ts"), "600 seconds", "300 seconds"))
+        .agg(count(lit(1)).as("n"),
+          min(col("s")).as("min_s"), max(col("e")).as("max_e"))
+        .select(col("user_id"),
+          col("window.start").cast("long").as("win_s"),
+          col("window.end").cast("long").as("win_e"),
+          col("n"), col("min_s"), col("max_e"))
+      val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, win_s BIGINT, win_e BIGINT, " +
+          "n BIGINT, min_s BIGINT, max_e BIGINT")
+      runToParquet(s, base, agg.toDF(), outSchema)
+        .filter(col("min_s") < SENT)
+        .orderBy("user_id", "win_s")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -619,5 +657,15 @@ object StreamParityQueries {
          |JOIN (${evSql("purchase")}) r
          |  ON r.user_id = l.user_id
          |  AND r.s >= l.s - 600 AND r.s <= l.s
-         |ORDER BY l.user_id, l_s, r_s, l_id, r_id""".stripMargin)
+         |ORDER BY l.user_id, l_s, r_s, l_id, r_id""".stripMargin,
+
+    // each row contributes to exactly its two sliding windows
+    "st24_stream_sliding" ->
+      s"""SELECT user_id, w AS win_s, w + 600 AS win_e, count(*) AS n,
+         |  min(s) AS min_s, max(e) AS max_e
+         |FROM (SELECT user_id, s, e, unnest(generate_series(
+         |        (s // 300) * 300 - 300, (s // 300) * 300, 300)) AS w
+         |      FROM (${evSql("click")}) ev) t
+         |GROUP BY 1, 2, 3
+         |ORDER BY user_id, win_s""".stripMargin)
 }
