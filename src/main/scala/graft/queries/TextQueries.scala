@@ -1383,6 +1383,43 @@ object TextQueries {
         .orderBy("media_id")
     }),
 
+    // M8 probe tolerance under corrupt payloads — the never-throw
+    // ingest contract (MediaProbe's scaladoc; a 100 TB ingest queue
+    // must not die on one bad file) as an ORACLE ROW: class 0 =
+    // header too short for any sniff -> 'unknown' sentinels; class 1
+    // = valid container magic but the metadata boxes truncated
+    // mid-walk -> container identified, -1 fields (findBox/findList
+    // bound every read); class 2 = garbage bytes -> 'unknown';
+    // classes 3-4 = intact (the m06 fields). The oracle bakes the
+    // same class arithmetic, so a parser that starts throwing OR
+    // misclassifying degradation breaks the hash.
+    "m08_probe_tolerance" -> ((s, d) => {
+      import s.implicits._
+      val ids = docs(s, d).select(col("doc_id")).as[Long]
+      val media = ids.map { id =>
+        val full =
+          if (id % 2 == 0)
+            graft.multimodal.Mp4Fixture.build(
+              (320 + (id % 8) * 16).toInt, (240 + (id % 6) * 16).toInt,
+              timescale = 25200L, durTicks = (id % 10 + 1) * 25200L,
+              sampleDelta = 25200L / (24 + (id % 4) * 6))
+          else {
+            val fps = if (id % 4 == 1) 25L else 50L
+            graft.multimodal.AviFixture.build(
+              (320 + (id % 8) * 16).toInt, (240 + (id % 6) * 16).toInt,
+              usPerFrame = 1000000L / fps, totalFrames = (id % 100 + 1) * 5L)
+          }
+        val payload = (id % 5) match {
+          case 0 => full.take(8)
+          case 1 => full.take(if (id % 2 == 0) 60 else 40)
+          case 2 => Array.fill(16)(0xAB.toByte)
+          case _ => full
+        }
+        (id, payload)
+      }.toDF("media_id", "payload")
+      graft.multimodal.MediaProbe.probe(media).toDF().orderBy("media_id")
+    }),
+
     // T59 per-source frequency cap (the RefinedWeb/CCNet host-level
     // cap: no single source may dominate the mix): keep at most 100
     // docs per source, chosen by a deterministic hash priority (so
@@ -2972,6 +3009,31 @@ object TextQueries {
         |  abs(duration_ms - claimed_ms) AS drift_ms
         |FROM c WHERE abs(duration_ms - claimed_ms) > 60000
         |ORDER BY media_id""".stripMargin,
+
+    // m08: the same corruption-class arithmetic closed-form; intact
+    // rows replay m06's field formulas
+    "m08_probe_tolerance" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 5 IN (0, 2) THEN 'unknown'
+        |    WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+        |  CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN -1
+        |    ELSE 320 + (doc_id % 8) * 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN -1
+        |    ELSE 240 + (doc_id % 6) * 16 END AS INT) AS height,
+        |  CASE WHEN doc_id % 5 IN (0, 1, 2) THEN -1
+        |    WHEN doc_id % 2 = 0 THEN (24 + (doc_id % 4) * 6) * 1000000
+        |    ELSE (CASE WHEN doc_id % 4 = 1 THEN 25 ELSE 50 END) * 1000000
+        |  END AS fps_ppm,
+        |  CASE WHEN doc_id % 5 IN (0, 1, 2) THEN -1
+        |    WHEN doc_id % 2 = 0 THEN (doc_id % 10 + 1) * 1000
+        |    ELSE ((doc_id % 100 + 1) * 5) *
+        |      (1000000 // (CASE WHEN doc_id % 4 = 1 THEN 25 ELSE 50 END)) // 1000
+        |  END AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 8
+        |    WHEN doc_id % 5 = 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 60 ELSE 40 END)
+        |    WHEN doc_id % 5 = 2 THEN 16
+        |    WHEN doc_id % 2 = 0 THEN 316 ELSE 88 END AS INT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS nbytes,
