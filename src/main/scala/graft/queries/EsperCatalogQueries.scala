@@ -1087,6 +1087,67 @@ object EsperCatalogQueries {
         .select(col("doc_id"), col("w").as("seg_start"),
           (col("w") + 50).as("seg_end"), col("score"))
         .orderBy("doc_id", "seg_start")
+    }),
+
+    // E38: the senator-search sweep (senator_search.ipynb: per-name
+    // caption_search -> video-id sets -> per-show counts), SERVED: one
+    // pruned postings read covers the whole entity list's vocabulary
+    // (N names -> <= N of 64 bucket dirs), distinct docs per entity,
+    // show rollup through the broadcast dimension. The reference
+    // loops caption_search per senator; here the whole list is one
+    // scan — the batch-entity shape a 100-name sweep needs at 100 TB.
+    "e38_entity_mentions" -> ((s, d) => {
+      import graft.text.PhraseSearch
+      val dir = Q.memoIndex("phidx", d)(dir =>
+        PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64))
+      val ents = Seq("customer", "slow", "merge")
+      val hits = PhraseSearch.servedPostings(s, dir, ents)
+        .filter(col("tok").isin(ents: _*))
+        .select(col("tok").as("entity"), col("doc_id")).distinct()
+      val nat = broadcast(Tables.nation(tune(s), d)
+        .select(col("n_nationkey"), col("n_name").as("show_name")))
+      hits.join(nat, col("doc_id") % 25 === col("n_nationkey"))
+        .groupBy("entity", "show_name")
+        .agg(count(lit(1)).as("n_videos"))
+        .orderBy(col("entity"), col("n_videos").desc, col("show_name"))
+    }),
+
+    // E39: "topic time by show" (topics.py:187-208
+    // get_topic_time_by_show) — total seconds of topic segments per
+    // canonical show, with the reference's ZERO-FILL over the major
+    // show list (it emits every MAJOR_CANONICAL_SHOWS key, 0 when the
+    // topic never airs there). Segments are e10's: coalesced view
+    // tracks overlapping a topic-bucket click. The zero-fill is a
+    // LEFT join FROM the broadcast show dimension — the
+    // dimension-complete rollup shape.
+    "e39_topic_time_by_show" -> ((s, d) => {
+      val ev = evHour(s, d)
+      val segs = IntervalOps.coalesce(
+        ev.filter(col("event_type") === "view").select("user_id", "s", "e"), C)
+      val raw = Tables.events(tune(s), d)
+      val sec = tsSec(raw) % 3600
+      val things = raw.filter(col("event_type") === "click")
+        .select(col("user_id").as("th_uid"), sec.as("th_s"),
+          (sec + floor(col("value")).cast("long") + 1).as("th_e"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+            .as("thing_key"))
+        .filter(col("thing_key") % 10 === 7)
+      val topicSec = segs.join(things,
+          segs("user_id") === col("th_uid") &&
+            col("th_s") < segs("e") && col("th_e") > segs("s"), "left_semi")
+        .withColumn("show_key", col("user_id") % 25)
+        .groupBy("show_key")
+        .agg(sum(col("e") - col("s")).as("sec"))
+      // the aggregated topic side is show-keyed (dimension-sized), so
+      // IT is the broadcast side of the zero-fill left join (the
+      // preserved dimension can't broadcast)
+      Tables.nation(tune(s), d)
+        .select(col("n_nationkey"), col("n_name").as("show_name"))
+        .join(broadcast(topicSec), col("n_nationkey") === col("show_key"),
+          "left")
+        .select(col("show_name"),
+          coalesce(col("sec"), lit(0L)).as("topic_sec"))
+        .orderBy("show_name")
     })
   )
 
@@ -1746,6 +1807,39 @@ object EsperCatalogQueries {
          |  CAST(sum(wgt) AS BIGINT) AS score
          |FROM wins GROUP BY 1, 2 HAVING sum(wgt) >= 3
          |ORDER BY doc_id, seg_start""".stripMargin,
+
+    // e38: distinct docs per entity, show rollup (the index is a
+    // layout — plain token semantics in the oracle)
+    "e38_entity_mentions" ->
+      s"""WITH tk AS ($toksSql),
+         |h AS (SELECT DISTINCT tok AS entity, doc_id FROM tk
+         |      WHERE tok IN ('customer', 'slow', 'merge'))
+         |SELECT h.entity, n.n_name AS show_name, count(*) AS n_videos
+         |FROM h JOIN nation n ON n.n_nationkey = h.doc_id % 25
+         |GROUP BY 1, 2
+         |ORDER BY entity, n_videos DESC, show_name""".stripMargin,
+
+    // e39: e10's segment gate, per-show totals, LEFT-join zero fill
+    // from the show dimension
+    "e39_topic_time_by_show" ->
+      s"""WITH sg AS (${coalesceHourSql(
+           s"SELECT user_id, s, e FROM (${evHourSql("view")}) vw")}),
+         |th AS (SELECT user_id,
+         |    (epoch_ns(ts)//1000000000) % 3600 AS th_s,
+         |    (epoch_ns(ts)//1000000000) % 3600
+         |      + CAST(floor(value) AS BIGINT) + 1 AS th_e,
+         |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS thing_key
+         |  FROM events WHERE event_type = 'click'),
+         |ts AS (SELECT sg.user_id % 25 AS show_key,
+         |    CAST(sum(sg.e - sg.s) AS BIGINT) AS sec
+         |  FROM sg WHERE EXISTS (SELECT 1 FROM th
+         |    WHERE th.user_id = sg.user_id AND th.thing_key % 10 = 7
+         |      AND th.th_s < sg.e AND th.th_e > sg.s)
+         |  GROUP BY 1)
+         |SELECT n.n_name AS show_name,
+         |  CAST(coalesce(ts.sec, 0) AS BIGINT) AS topic_sec
+         |FROM nation n LEFT JOIN ts ON ts.show_key = n.n_nationkey
+         |ORDER BY show_name""".stripMargin,
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->
