@@ -1148,6 +1148,46 @@ object EsperCatalogQueries {
         .select(col("show_name"),
           coalesce(col("sec"), lit(0L)).as("topic_sec"))
         .orderBy("show_name")
+    }),
+
+    // E40: "overlap between topics" (topics.py:75-147
+    // get_overlap_between_topics) — two topics' coalesced segment
+    // planes intersected per video, rolled up to the corpus-level
+    // overlap fractions the reference reports (overlap / topic-A
+    // time, / topic-B time, as integer ppm). Completes topics.py:
+    // :75-147 here, :149-177 e36, :187-208 e39. Same 100 TB shape as
+    // e33: two single-exchange coalesces, one equi+band overlap join,
+    // map-side partial sums into a 1-row result.
+    "e40_topic_overlap" -> ((s, d) => {
+      val ev = evHour(s, d)
+      val raw = Tables.events(tune(s), d)
+      val sec = tsSec(raw) % 3600
+      val things = raw.filter(col("event_type") === "click")
+        .select(col("user_id").as("th_uid"), sec.as("th_s"),
+          (sec + floor(col("value")).cast("long") + 1).as("th_e"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int")
+            .as("thing_key"))
+      def topicSegs(bucket: Int) = IntervalOps.coalesce(
+        ev.filter(col("event_type") === "view").select("user_id", "s", "e")
+          .join(things.filter(col("thing_key") % 10 === bucket),
+            col("user_id") === col("th_uid") &&
+              col("th_s") < col("e") && col("th_e") > col("s"), "left_semi"),
+        C)
+      val a = topicSegs(7)
+      val b = topicSegs(3)
+        .select(col("user_id").as("b_uid"), col("s").as("bs"),
+          col("e").as("be"))
+      val ov = a.join(b, a("user_id") === col("b_uid") &&
+          col("bs") < a("e") && col("be") > a("s"))
+        .select((least(a("e"), col("be")) - greatest(a("s"), col("bs")))
+          .as("sec"))
+        .agg(coalesce(sum(col("sec")), lit(0L)).as("overlap_sec"))
+      val ta = a.agg(sum(col("e") - col("s")).as("a_sec"))
+      val tb = b.agg(sum(col("be") - col("bs")).as("b_sec"))
+      ov.crossJoin(ta).crossJoin(tb)
+        .select(col("overlap_sec"), col("a_sec"), col("b_sec"),
+          expr("overlap_sec * 1000000 div a_sec").as("frac_a_ppm"),
+          expr("overlap_sec * 1000000 div b_sec").as("frac_b_ppm"))
     })
   )
 
@@ -1840,6 +1880,36 @@ object EsperCatalogQueries {
          |  CAST(coalesce(ts.sec, 0) AS BIGINT) AS topic_sec
          |FROM nation n LEFT JOIN ts ON ts.show_key = n.n_nationkey
          |ORDER BY show_name""".stripMargin,
+
+    // e40: two topic planes, clipped intersection sum, corpus-level
+    // ppm fractions
+    "e40_topic_overlap" -> {
+      def segs(bucket: Int, nm: String) = coalesceHourSql(
+        s"""SELECT vw.user_id, vw.s, vw.e
+           |FROM (SELECT user_id, s, e FROM (${evHourSql("view")}) v0) vw
+           |WHERE EXISTS (SELECT 1 FROM th
+           |  WHERE th.user_id = vw.user_id AND th.thing_key % 10 = $bucket
+           |    AND th.th_s < vw.e AND th.th_e > vw.s)""".stripMargin)
+      s"""WITH th AS (SELECT user_id,
+         |    (epoch_ns(ts)//1000000000) % 3600 AS th_s,
+         |    (epoch_ns(ts)//1000000000) % 3600
+         |      + CAST(floor(value) AS BIGINT) + 1 AS th_e,
+         |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS thing_key
+         |  FROM events WHERE event_type = 'click'),
+         |a AS (${segs(7, "a")}),
+         |b AS (${segs(3, "b")}),
+         |ov AS (SELECT CAST(coalesce(sum(
+         |    least(a.e, b.e) - greatest(a.s, b.s)), 0) AS BIGINT)
+         |      AS overlap_sec
+         |  FROM a JOIN b ON b.user_id = a.user_id
+         |    AND b.s < a.e AND b.e > a.s),
+         |ta AS (SELECT CAST(sum(e - s) AS BIGINT) AS a_sec FROM a),
+         |tb AS (SELECT CAST(sum(e - s) AS BIGINT) AS b_sec FROM b)
+         |SELECT ov.overlap_sec, ta.a_sec, tb.b_sec,
+         |  ov.overlap_sec * 1000000 // ta.a_sec AS frac_a_ppm,
+         |  ov.overlap_sec * 1000000 // tb.b_sec AS frac_b_ppm
+         |FROM ov, ta, tb""".stripMargin
+    },
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->
