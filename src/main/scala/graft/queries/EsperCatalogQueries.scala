@@ -1188,6 +1188,49 @@ object EsperCatalogQueries {
         .select(col("overlap_sec"), col("a_sec"), col("b_sec"),
           expr("overlap_sec * 1000000 div a_sec").as("frac_a_ppm"),
           expr("overlap_sec * 1000000 div b_sec").as("frac_b_ppm"))
+    }),
+
+    // E41: host-probability annotation (spark_util.py:275-345
+    // get_host_probs) — identity sightings above the labeler
+    // threshold annotated is_host by membership in the CHANNEL's
+    // host set (the reference's 'looser definition' fallback: a
+    // channel's hosts = the union of its shows' annotated hosts),
+    // rolled up per show. The reference collects the host sets to
+    // driver dicts and wraps them in a UDF; Spark-first this is a
+    // derived bridge dimension (show -> channel -> host pairs,
+    // distinct) LEFT-joined broadcast — no UDF, no driver loop, and
+    // the host set can be millions of rows before it stops
+    // broadcasting. Show/channel := the customer nation/region chain.
+    "e41_host_annotation" -> ((s, d) => {
+      val nat = Tables.nation(tune(s), d)
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      val showHosts = nat.select(col("n_regionkey").as("ch_key"),
+        concat(lit("Brand#"), ((col("n_nationkey") % 5) + 1).cast("string"),
+          ((col("n_nationkey") % 3) + 1).cast("string")).as("host_identity"))
+      val chanHosts = broadcast(showHosts.distinct())
+      val idf = faces(s, d).join(
+          broadcast(Tables.part(tune(s), d)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("l_suppkey") % 100 > 25)
+        .select(col("face_id"), col("frame_id"), col("p_brand").as("identity"))
+      val ord = Tables.orders(tune(s), d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(tune(s), d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      idf.join(ord, col("frame_id") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(chanHosts, col("n_regionkey") === col("ch_key") &&
+          col("identity") === col("host_identity"), "left")
+        .withColumn("is_host",
+          when(col("host_identity").isNotNull, 1L).otherwise(0L))
+        .withColumn("show_name", col("n_name"))
+        .groupBy("show_name")
+        .agg(count(lit(1)).as("n_faces"), sum(col("is_host")).as("n_host_faces"))
+        .select(col("show_name"), col("n_faces"), col("n_host_faces"),
+          expr("n_host_faces * 1000000 div n_faces").as("host_ppm"))
+        .orderBy("show_name")
     })
   )
 
@@ -1910,6 +1953,35 @@ object EsperCatalogQueries {
          |  ov.overlap_sec * 1000000 // tb.b_sec AS frac_b_ppm
          |FROM ov, ta, tb""".stripMargin
     },
+
+    // e41: the derived show->channel->host bridge, the left-join
+    // membership flag, the per-show rollup
+    "e41_host_annotation" ->
+      s"""WITH face AS ($facesSql),
+         |sh AS (SELECT n_regionkey AS ch_key,
+         |         'Brand#' || CAST((n_nationkey % 5) + 1 AS VARCHAR)
+         |           || CAST((n_nationkey % 3) + 1 AS VARCHAR)
+         |           AS host_identity
+         |       FROM nation),
+         |ch AS (SELECT DISTINCT ch_key, host_identity FROM sh),
+         |idf AS (SELECT face.face_id, face.frame_id,
+         |          p.p_brand AS identity
+         |        FROM face JOIN part p ON p.p_partkey = face.l_partkey
+         |        WHERE face.l_suppkey % 100 > 25),
+         |w AS (SELECT i.identity, n.n_name AS show_name, n.n_regionkey
+         |      FROM idf i
+         |      JOIN orders o ON o.o_orderkey = i.frame_id
+         |      JOIN customer c ON c.c_custkey = o.o_custkey
+         |      JOIN nation n ON n.n_nationkey = c.c_nationkey),
+         |g AS (SELECT w.show_name, count(*) AS n_faces,
+         |        CAST(sum(CASE WHEN ch.host_identity IS NOT NULL
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_host_faces
+         |      FROM w LEFT JOIN ch ON ch.ch_key = w.n_regionkey
+         |        AND ch.host_identity = w.identity
+         |      GROUP BY 1)
+         |SELECT show_name, n_faces, n_host_faces,
+         |  n_host_faces * 1000000 // n_faces AS host_ppm
+         |FROM g ORDER BY show_name""".stripMargin,
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->
