@@ -1231,6 +1231,52 @@ object EsperCatalogQueries {
         .select(col("show_name"), col("n_faces"), col("n_host_faces"),
           expr("n_host_faces * 1000000 div n_faces").as("host_ppm"))
         .orderBy("show_name")
+    }),
+
+    // E42: "person X says phrase Y on camera" (rekall_query.py:320-345
+    // get_person_phrase_intervals — the supercuts.ipynb headline
+    // macro): person-presence intervals ∩ phrase-caption intervals
+    // clipped to the intersection, kept only where the clip overlaps
+    // a shot with EXACTLY one face (the num_face=1 solo-shot gate).
+    // Three planes: person := coalesced high-probability identity
+    // track, phrase := props-matched caption instants, shots :=
+    // coalesced shot islands with a correlated face count. Scale:
+    // two single-exchange coalesces, every join equi-on-video first
+    // with band residuals, the face count a co-keyed left-join
+    // aggregate — no plane ever crosses videos.
+    "e42_person_phrase" -> ((s, d) => {
+      val ev = evHour(s, d)
+      val raw = Tables.events(tune(s), d)
+      val sec = tsSec(raw) % 3600
+      val person = IntervalOps.coalesce(
+        ev.filter(col("event_type") === "click" && col("k") > 70)
+          .select("user_id", "s", "e"), C)
+      val phrase = raw
+        .filter(col("event_type") === "view" && col("props").contains("3"))
+        .select(col("user_id").as("p_uid"), sec.as("ps"),
+          (sec + floor(col("value")).cast("long") + 1).as("pe"))
+      val said = person.join(phrase,
+          person("user_id") === col("p_uid") &&
+            col("ps") < person("e") && col("pe") > person("s"))
+        .select(person("user_id"),
+          greatest(person("s"), col("ps")).as("cs"),
+          least(person("e"), col("pe")).as("ce"))
+      val shots = IntervalOps.coalesce(
+        ev.filter(col("event_type") === "error").select("user_id", "s", "e"), C)
+      val faceInstants = raw.filter(col("event_type") === "signup")
+        .select(col("user_id").as("f_uid"), sec.as("fs"))
+      val soloShots = shots.join(faceInstants,
+          shots("user_id") === col("f_uid") &&
+            col("fs") >= shots("s") && col("fs") < shots("e"), "left")
+        .groupBy(shots("user_id"), shots("s"), shots("e"))
+        .agg(count(col("f_uid")).as("n_face"))
+        .filter(col("n_face") === 1)
+        .select(col("user_id").as("sh_uid"),
+          col("s").as("shs"), col("e").as("she"))
+      said.join(soloShots, col("user_id") === col("sh_uid") &&
+          col("cs") < col("she") && col("ce") > col("shs"), "left_semi")
+        .select(col("user_id"), col("cs"), col("ce"))
+        .orderBy("user_id", "cs", "ce")
     })
   )
 
@@ -1982,6 +2028,33 @@ object EsperCatalogQueries {
          |SELECT show_name, n_faces, n_host_faces,
          |  n_host_faces * 1000000 // n_faces AS host_ppm
          |FROM g ORDER BY show_name""".stripMargin,
+
+    // e42: person ∩ phrase clipped, solo-shot EXISTS gate
+    "e42_person_phrase" ->
+      s"""WITH per AS (${coalesceHourSql(
+           s"SELECT user_id, s, e FROM (${evHourSql("click")}) c WHERE k > 70")}),
+         |ph AS (SELECT user_id AS p_uid,
+         |    (epoch_ns(ts)//1000000000) % 3600 AS ps,
+         |    (epoch_ns(ts)//1000000000) % 3600
+         |      + CAST(floor(value) AS BIGINT) + 1 AS pe
+         |  FROM events WHERE event_type = 'view' AND props LIKE '%3%'),
+         |said AS (SELECT per.user_id, greatest(per.s, ph.ps) AS cs,
+         |    least(per.e, ph.pe) AS ce
+         |  FROM per JOIN ph ON ph.p_uid = per.user_id
+         |    AND ph.ps < per.e AND ph.pe > per.s),
+         |sh AS (${coalesceHourSql(
+           s"SELECT user_id, s, e FROM (${evHourSql("error")}) er")}),
+         |fi AS (SELECT user_id AS f_uid,
+         |    (epoch_ns(ts)//1000000000) % 3600 AS fs
+         |  FROM events WHERE event_type = 'signup'),
+         |solo AS (SELECT sh.user_id, sh.s, sh.e FROM sh
+         |  LEFT JOIN fi ON fi.f_uid = sh.user_id
+         |    AND fi.fs >= sh.s AND fi.fs < sh.e
+         |  GROUP BY 1, 2, 3 HAVING count(fi.f_uid) = 1)
+         |SELECT sd.user_id, sd.cs, sd.ce FROM said sd
+         |WHERE EXISTS (SELECT 1 FROM solo o
+         |  WHERE o.user_id = sd.user_id AND sd.cs < o.e AND sd.ce > o.s)
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->
