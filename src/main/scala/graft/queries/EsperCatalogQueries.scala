@@ -1277,6 +1277,45 @@ object EsperCatalogQueries {
           col("cs") < col("she") && col("ce") > col("shs"), "left_semi")
         .select(col("user_id"), col("cs"), col("ce"))
         .orderBy("user_id", "cs", "ce")
+    }),
+
+    // E43: the FaceIdentityModel calibration ledger (identity.py:
+    // 55-121 — exp_positives_by_bucket / get_face_ids_above_threshold,
+    // the reference's weak-supervision identity-labeling workflow):
+    // faces bucketed by 0.05 cosine distance to the seed, per-bucket
+    // PRECISION estimated from the hand-labeled subsample (vec_id%7
+    // residue; positive iff inside the 0.45 ball — the synthetic
+    // ground truth both engines recompute), expected positives =
+    // bucket size x precision, and the model's accept flag on
+    // buckets clearing the 0.5 precision floor. Distinct from t61
+    // (classifier-confidence calibration): this is the
+    // distance-bucket x sampled-precision ledger that decides which
+    // faces commit to the identity table. One corpus scan; every
+    // aggregate is bucket-keyed.
+    "e43_identity_model" -> ((s, d) => {
+      import graft.functions.Fns
+      val e = Tables.embeddings(tune(s), d)
+      val seed = broadcast(e.filter(col("vec_id") === 7L)
+        .select(col("embedding").as("s_emb"),
+          Fns.l2norm(col("embedding")).as("s_norm")))
+      e.filter(col("vec_id") =!= 7L).crossJoin(seed)
+        .withColumn("dist", lit(1.0) -
+          Fns.dot(col("embedding"), col("s_emb")) /
+            (Fns.l2norm(col("embedding")) * col("s_norm")))
+        .withColumn("bucket", floor(col("dist") / 0.05).cast("int"))
+        .withColumn("is_labeled", col("vec_id") % 7 === 0)
+        .withColumn("is_pos", col("dist") <= 0.45)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_faces"),
+          sum(when(col("is_labeled"), 1L).otherwise(0L)).as("n_labeled"),
+          sum(when(col("is_labeled") && col("is_pos"), 1L).otherwise(0L))
+            .as("n_pos"))
+        .withColumn("precision_ppm",
+          when(col("n_labeled") === 0, 0L)
+            .otherwise(expr("n_pos * 1000000 div n_labeled")))
+        .withColumn("exp_pos_micro", col("n_faces") * col("precision_ppm"))
+        .withColumn("accepted", (col("precision_ppm") >= 500000L).cast("int"))
+        .orderBy("bucket")
     })
   )
 
@@ -2055,6 +2094,35 @@ object EsperCatalogQueries {
          |WHERE EXISTS (SELECT 1 FROM solo o
          |  WHERE o.user_id = sd.user_id AND sd.cs < o.e AND sd.ce > o.s)
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // e43: the same distance-bucket x sampled-precision ledger; the
+    // v01 cosine fold mirrored op-for-op
+    "e43_identity_model" ->
+      s"""WITH sd AS (SELECT embedding AS s_emb,
+         |         sqrt(${sumsq("embedding")}) AS s_norm
+         |       FROM embeddings WHERE vec_id = 7),
+         |c AS (SELECT e.vec_id,
+         |    1.0 - ${dotOf("e.embedding", "sd.s_emb")}
+         |      / (sqrt(${sumsq("e.embedding")}) * sd.s_norm) AS dist
+         |  FROM embeddings e, sd WHERE e.vec_id <> 7),
+         |b AS (SELECT CAST(floor(dist / 0.05) AS INT) AS bucket,
+         |        vec_id % 7 = 0 AS is_labeled, dist <= 0.45 AS is_pos
+         |      FROM c),
+         |g AS (SELECT bucket, count(*) AS n_faces,
+         |        CAST(sum(CASE WHEN is_labeled THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_labeled,
+         |        CAST(sum(CASE WHEN is_labeled AND is_pos THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_pos
+         |      FROM b GROUP BY 1)
+         |SELECT bucket, n_faces, n_labeled, n_pos,
+         |  CASE WHEN n_labeled = 0 THEN 0
+         |    ELSE n_pos * 1000000 // n_labeled END AS precision_ppm,
+         |  n_faces * (CASE WHEN n_labeled = 0 THEN 0
+         |    ELSE n_pos * 1000000 // n_labeled END) AS exp_pos_micro,
+         |  CAST(CASE WHEN (CASE WHEN n_labeled = 0 THEN 0
+         |    ELSE n_pos * 1000000 // n_labeled END) >= 500000
+         |    THEN 1 ELSE 0 END AS INT) AS accepted
+         |FROM g ORDER BY bucket""".stripMargin,
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->
