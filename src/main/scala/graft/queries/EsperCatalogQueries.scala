@@ -1316,6 +1316,61 @@ object EsperCatalogQueries {
         .withColumn("exp_pos_micro", col("n_faces") * col("precision_ppm"))
         .withColumn("accepted", (col("precision_ppm") >= 500000L).cast("int"))
         .orderBy("bucket")
+    }),
+
+    // E44: agglomerative meta-clustering (identity_clusters.py:51-91
+    // _recluster_clusters: merge clusters whose centroids sit within
+    // the threshold, transitively) — integer-Lloyd centroids (exact
+    // cross-engine), centroid pairs under the integer squared-L2
+    // threshold form the merge graph, and the meta-cluster is the
+    // connected component's min cell (9 min-label propagation rounds
+    // cover any component diameter over k=10 nodes; both engines
+    // unroll the same rounds, and both reach the true closure).
+    // Scale: the pair join and the propagation are k^2 = dimension-
+    // sized; the corpus appears only in the final per-meta member
+    // count, one co-keyed aggregate.
+    "e44_meta_clusters" -> ((s, d) => {
+      val e = Tables.embeddings(tune(s), d)
+      val (asg, ctr) = graft.similarity.IntKMeans.fit(e, 10, 2)
+      val a = ctr.select(col("cell").as("ca"), col("c").as("va"))
+      val b = ctr.select(col("cell").as("cb"), col("c").as("vb"))
+      val edges = a.join(b, col("ca") < col("cb"))
+        // centroid arrays carry integer VALUES (truncated means) in a
+        // double container — the fold is exact far below 2^53, and
+        // the BIGINT cast lands on the same integer as the oracle's
+        // all-BIGINT fold
+        .withColumn("d2", expr(
+          "CAST(aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), " +
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS BIGINT)"))
+        .filter(col("d2") < 8000L)
+        .select(col("ca"), col("cb"))
+      // each round references the previous label table TWICE (its own
+      // row + the neighbor min), so un-truncated lineage doubles per
+      // round — the rolled local checkpoint keeps the iterated plan
+      // linear, exactly as the Lloyd loop itself does
+      val (und0, undPin) = graft.util.Checkpoints.roll(
+        edges.unionByName(
+          edges.select(col("cb").as("ca"), col("ca").as("cb"))), None)
+      val und = und0
+      var (lbl, pin) = graft.util.Checkpoints.roll(
+        ctr.select(col("cell"), col("cell").as("meta")), None)
+      (1 to 9).foreach { _ =>
+        val nbr = und.join(lbl.select(col("cell").as("cb"),
+            col("meta").as("nm")), "cb")
+          .groupBy(col("ca").as("cell")).agg(min(col("nm")).as("nbr_min"))
+        val next = lbl.join(nbr, Seq("cell"), "left")
+          .select(col("cell"),
+            least(col("meta"), coalesce(col("nbr_min"), col("meta")))
+              .as("meta"))
+        val (l2, p2) = graft.util.Checkpoints.roll(next, pin)
+        lbl = l2; pin = p2
+      }
+      undPin.foreach(_.unpersist(blocking = false))
+      asg.select(col("cell")).join(lbl, "cell")
+        .groupBy(col("meta"))
+        .agg(countDistinct(col("cell")).as("n_cells"),
+          count(lit(1)).as("n_vectors"))
+        .orderBy("meta")
     })
   )
 
@@ -2123,6 +2178,42 @@ object EsperCatalogQueries {
          |    ELSE n_pos * 1000000 // n_labeled END) >= 500000
          |    THEN 1 ELSE 0 END AS INT) AS accepted
          |FROM g ORDER BY bucket""".stripMargin,
+
+    // e44: the same centroid merge graph + 9 unrolled min-label
+    // rounds over the v12 integer-Lloyd chain
+    "e44_meta_clusters" -> {
+      def l2iSql(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(list_zip($a, $b),
+           |    p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           |  (a, x) -> a + x)""".stripMargin
+      // MATERIALIZED: each round references the previous one twice —
+      // an inlining planner would otherwise expand 2^9 copies of the
+      // Lloyd chain (the SQL twin of the Spark side's rolled
+      // checkpoints)
+      val rounds = (1 to 9).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT l.cell,
+           |  CASE WHEN m.nbr IS NULL OR l.meta <= m.nbr THEN l.meta
+           |    ELSE m.nbr END AS meta
+           |  FROM l${k - 1} l LEFT JOIN (
+           |    SELECT u.ca AS cell, min(p.meta) AS nbr
+           |    FROM und u JOIN l${k - 1} p ON p.cell = u.cb GROUP BY 1) m
+           |  ON m.cell = l.cell)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${SimilarityQueries.qvCte},
+         |${SimilarityQueries.lloydCtes(10)},
+         |ed AS MATERIALIZED (SELECT x.cell AS ca, y.cell AS cb
+         |       FROM c2 x JOIN c2 y ON x.cell < y.cell
+         |       WHERE ${l2iSql("x.c", "y.c")} < 8000),
+         |und AS MATERIALIZED (
+         |  SELECT ca, cb FROM ed UNION ALL SELECT cb, ca FROM ed),
+         |l0 AS MATERIALIZED (SELECT cell, cell AS meta FROM c2),
+         |$rounds
+         |SELECT l9.meta, count(DISTINCT a.cell) AS n_cells,
+         |  count(*) AS n_vectors
+         |FROM af a JOIN l9 ON l9.cell = a.cell
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // e32: three fps-scaled label planes unioned with the widget tags
     "e32_sandbox_timelines" ->
