@@ -1420,6 +1420,38 @@ object TextQueries {
       graft.multimodal.MediaProbe.probe(media).toDF().orderBy("media_id")
     }),
 
+    // M9 blurriness audit (blurriness.py: per-frame sharpness metric
+    // -> flag blurry videos; the real pipeline's variance-of-Laplacian
+    // becomes, on the honest byte-probe stand-in, the variance of
+    // adjacent sampled-probe differences). Integer-exact: probes are
+    // byte ints, so n*sum(d^2) - sum(d)^2 is an exact BIGINT variance
+    // numerator and the blur flag is an integer comparison against
+    // the threshold-scaled denominator — no cross-engine float
+    // division anywhere. Same per-media lag window as m05 (bounded
+    // partitions), one aggregate.
+    "m09_blurriness" -> ((s, d) => {
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.asMedia(docs(s, d), "doc_id", "text",
+          "video"), 64)
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_off"))
+      frames
+        .withColumn("prev", lag(col("probe"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("dd", (col("probe") - col("prev")).cast("long"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("dd")).as("sum_d"),
+          sum(col("dd") * col("dd")).as("sum_d2"))
+        .withColumn("var_num",
+          col("n_pairs") * col("sum_d2") - col("sum_d") * col("sum_d"))
+        // blurry iff variance < 900: n*sum_d2 - sum_d^2 < 900 * n^2
+        .withColumn("blurry",
+          (col("var_num") < lit(900L) * col("n_pairs") * col("n_pairs"))
+            .cast("int"))
+        .select("media_id", "n_pairs", "sum_d", "sum_d2", "var_num", "blurry")
+        .orderBy("media_id")
+    }),
+
     // T59 per-source frequency cap (the RefinedWeb/CCNet host-level
     // cap: no single source may dominate the mix): keep at most 100
     // docs per source, chosen by a deterministic hash priority (so
@@ -3034,6 +3066,28 @@ object TextQueries {
         |    WHEN doc_id % 5 = 2 THEN 16
         |    WHEN doc_id % 2 = 0 THEN 316 ELSE 88 END AS INT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // m09: same probe/lag/variance-numerator arithmetic over m05's
+    // sampled-byte CTE
+    "m09_blurriness" ->
+      """WITH f AS (SELECT doc_id AS media_id, CAST(off AS INT) AS frame_off,
+        |    ascii(substr(text, CAST(off AS INT) + 1, 1)) AS probe
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(0, octet_length(CAST(text AS BLOB)) - 1, 64))
+        |            AS off
+        |        FROM documents) t),
+        |c AS (SELECT media_id, probe,
+        |        lag(probe, 1) OVER (PARTITION BY media_id ORDER BY frame_off)
+        |          AS prev FROM f),
+        |g AS (SELECT media_id, count(*) AS n_pairs,
+        |        CAST(sum(probe - prev) AS BIGINT) AS sum_d,
+        |        CAST(sum((probe - prev) * (probe - prev)) AS BIGINT) AS sum_d2
+        |      FROM c WHERE prev IS NOT NULL GROUP BY 1)
+        |SELECT media_id, n_pairs, sum_d, sum_d2,
+        |  n_pairs * sum_d2 - sum_d * sum_d AS var_num,
+        |  CAST(CASE WHEN n_pairs * sum_d2 - sum_d * sum_d
+        |    < 900 * n_pairs * n_pairs THEN 1 ELSE 0 END AS INT) AS blurry
+        |FROM g ORDER BY media_id""".stripMargin,
 
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS nbytes,
