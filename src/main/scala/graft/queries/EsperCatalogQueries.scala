@@ -1371,6 +1371,43 @@ object EsperCatalogQueries {
         .agg(countDistinct(col("cell")).as("n_cells"),
           count(lit(1)).as("n_vectors"))
         .orderBy("meta")
+    }),
+
+    // E45: the headline screen-time gender-share analysis (the
+    // gender.ipynb / report.py figure the reference system was built
+    // to produce): per show, male/female face-time seconds, the
+    // female share, and a 95% Wilson interval treating seconds as
+    // trials. Totals are integer-exact; the share and interval bounds
+    // are ONE fixed float expression tree per show row, mirrored
+    // op-for-op in the oracle and rounded to 1e-6 (the corpus
+    // per-row-IEEE convention — no cross-engine sums of floats).
+    // Scale: one events scan, per-(show, gender) map-side partial
+    // sums, a 25-row result.
+    "e45_gender_screen_share" -> ((s, d) => {
+      val ev = evHour(s, d)
+      val byShow = ev.filter(col("event_type").isin("click", "view"))
+        .withColumn("show_key", col("user_id") % 25)
+        .groupBy(col("show_key"))
+        .agg(sum(when(col("event_type") === "click", col("e") - col("s"))
+            .otherwise(0L)).as("m_sec"),
+          sum(when(col("event_type") === "view", col("e") - col("s"))
+            .otherwise(0L)).as("f_sec"))
+      val nat = broadcast(Tables.nation(tune(s), d)
+        .select(col("n_nationkey"), col("n_name").as("show_name")))
+      val z = 1.959963984540054
+      val n = (col("m_sec") + col("f_sec")).cast("double")
+      val p = col("f_sec").cast("double") / n
+      val denom = lit(1.0) + lit(z * z) / n
+      val center = p + lit(z * z) / (lit(2.0) * n)
+      val rad = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+        lit(z * z) / (lit(4.0) * n * n))
+      byShow.join(nat, col("show_key") === col("n_nationkey"))
+        .filter(col("m_sec") + col("f_sec") > 0)
+        .select(col("show_name"), col("m_sec"), col("f_sec"),
+          round(p, 6).as("f_share6"),
+          round((center - rad) / denom, 6).as("wilson_lo6"),
+          round((center + rad) / denom, 6).as("wilson_hi6"))
+        .orderBy("show_name")
     })
   )
 
@@ -2213,6 +2250,33 @@ object EsperCatalogQueries {
          |  count(*) AS n_vectors
          |FROM af a JOIN l9 ON l9.cell = a.cell
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // e45: identical Wilson tree — every float op in the same order,
+    // rounded to 1e-6
+    "e45_gender_screen_share" -> {
+      val z = "1.959963984540054"
+      val n = "CAST(m_sec + f_sec AS DOUBLE)"
+      val p = s"CAST(f_sec AS DOUBLE) / $n"
+      val denom = s"1.0 + ($z * $z) / $n"
+      val center = s"$p + ($z * $z) / (2.0 * $n)"
+      val rad = s"$z * sqrt($p * (1.0 - $p) / $n " +
+        s"+ ($z * $z) / (4.0 * $n * $n))"
+      s"""WITH g AS (SELECT user_id % 25 AS show_key,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN e - s
+         |      ELSE 0 END) AS BIGINT) AS m_sec,
+         |    CAST(sum(CASE WHEN event_type = 'view' THEN e - s
+         |      ELSE 0 END) AS BIGINT) AS f_sec
+         |  FROM (${evHourSql()}) ev
+         |  WHERE event_type IN ('click', 'view')
+         |  GROUP BY 1)
+         |SELECT n.n_name AS show_name, g.m_sec, g.f_sec,
+         |  round($p, 6) AS f_share6,
+         |  round(($center - $rad) / ($denom), 6) AS wilson_lo6,
+         |  round(($center + $rad) / ($denom), 6) AS wilson_hi6
+         |FROM g JOIN nation n ON n.n_nationkey = g.show_key
+         |WHERE g.m_sec + g.f_sec > 0
+         |ORDER BY show_name""".stripMargin
     },
 
     // e32: three fps-scaled label planes unioned with the widget tags
