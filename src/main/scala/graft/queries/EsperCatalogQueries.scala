@@ -287,24 +287,31 @@ object EsperCatalogQueries {
     // reference query shape `SEAN SPICER & [RESIGN]`
     // (other_queries.py:251): an unquoted multi-word phrase
     // (juxtaposition) conjoined with a `[word]` inflection group,
-    // through the query-language evaluator; then each family posting
-    // in a matching doc converted to a frame range with the per-video
-    // fps dimension (convert_time: (t-7)*fps .. (t+1)*fps), first 100
-    // in deterministic posting order (the reference shuffles; a
-    // hash-compared row needs an order). Composition: parser/eval ->
-    // inflection-family hits -> broadcast dim join -> TakeOrdered.
+    // SERVED from the persisted caption index (the reference's own
+    // serve path: query_search hits the prebuilt Rust caption index,
+    // app/esper/captions.py:13-30 — it never re-tokenizes the corpus
+    // per query); then each family posting in a matching doc converted
+    // to a frame range with the per-video fps dimension (convert_time:
+    // (t-7)*fps .. (t+1)*fps), first 100 in deterministic posting
+    // order (the reference shuffles; a hash-compared row needs an
+    // order). The whole composition reads ≤ |vocab| of 64 postings
+    // bucket dirs — the evaluator's docs, the family occurrence rows,
+    // and the fps dim (a doc_id-derived column) all come off the same
+    // pruned read; nothing is corpus-linear. The in-process evaluator
+    // form of the same query stays pinned to this served plan by
+    // PhraseIndexSpec's randomized serve-parity property. Oracle
+    // unchanged: the index is a layout, not a semantics change.
     "e13_caption_search" -> ((s, d) => {
       import graft.text.PhraseSearch
-      val tk = toks(s, d)
-      val docs = Tables.documents(tune(s), d)
-      val matched = PhraseSearch.search("slow scan & [merging]", tk,
-        docs.select("doc_id"))
+      val dir = Q.memoIndex("phidx", d)(dir =>
+        PhraseSearch.writeIndex(toks(s, d), dir, nBuckets = 64))
+      val matched = PhraseSearch.servedSearch(s, dir, "slow scan & [merging]")
       val fam = graft.text.Inflect.expand("merging")
-      val hits = tk.filter(col("tok").isin(fam: _*)).select("doc_id", "pos")
+      val hits = PhraseSearch.servedPostings(s, dir, fam)
+        .select("doc_id", "pos")
         .join(matched, Seq("doc_id"), "left_semi")
-      val fps = docs.select(col("doc_id"),
-        (lit(24) + col("doc_id") % 6).as("fps"))
-      hits.join(broadcast(fps), "doc_id")
+      hits
+        .withColumn("fps", lit(24) + col("doc_id") % 6)
         .select(col("doc_id"), col("pos"),
           ((col("pos") - 7) * col("fps")).as("min_frame"),
           ((col("pos") + 1) * col("fps")).as("max_frame"))
