@@ -41,21 +41,32 @@ object StreamParityQueries {
   private def stage(base: Path, dfs: Seq[DataFrame]): String = {
     val inDir = base.resolve("in")
     Files.createDirectories(inDir)
-    dfs.zipWithIndex.foreach { case (df, i) =>
-      val tmp = base.resolve(s"stage$i")
-      df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = Files.list(tmp)
+    // ONE job stages every frame: tag each with its batch ordinal,
+    // repartition BY the tag (each ordinal lands in exactly one task)
+    // and partitionBy it — each __b=i dir then holds exactly one part
+    // file, which becomes ordered micro-batch i. The per-frame
+    // repartition(1) writes this replaces cost one full job round-trip
+    // per frame (3-frame fixtures paid ~3x the scheduling + scan).
+    val tmp = base.resolve("stage")
+    dfs.zipWithIndex
+      .map { case (df, i) => df.withColumn("__b", lit(i)) }
+      .reduce(_.unionByName(_))
+      .repartition(col("__b"))
+      .write.partitionBy("__b").mode("overwrite").parquet(tmp.toString)
+    dfs.indices.foreach { i =>
+      val bDir = tmp.resolve(s"__b=$i")
+      val listing = Files.list(bDir)
       val part =
         try listing.iterator().asScala
           .find(_.getFileName.toString.startsWith("part-"))
-          .getOrElse(sys.error(s"no part file under $tmp"))
+          .getOrElse(sys.error(s"no part file under $bDir"))
         finally listing.close()
       val dst = inDir.resolve(f"b$i%02d.parquet")
       Files.move(part, dst)
       Files.setLastModifiedTime(dst,
         FileTime.fromMillis(1700000000000L + i * 60000L))
-      rmTree(tmp)
     }
+    rmTree(tmp)
     inDir.toString
   }
 
@@ -63,6 +74,26 @@ object StreamParityQueries {
   // read; the previous execution's tree is reclaimed on re-run —
   // see Q.freshBase (shared with the served-index queries)
   private def freshBase(tag: String): Path = Q.freshBase(tag)
+
+  /** Conf-isolated session for the STREAMING leg of a parity query.
+    * Stateful micro-batches pay a fixed per-batch cost PER SHUFFLE
+    * PARTITION (one state store instance each: load + commit + delta
+    * file per batch), and the fixture planes here hold a few thousand
+    * keys in a handful of micro-batches — at the session default of 32
+    * partitions ~94% of that state machinery runs empty (measured at
+    * sf0.1: the st20-st24 family total 18.3 s with 32-partition
+    * state, 11.6 s with 4, 10.8 s with 2). A `newSession()` clone
+    * shares the SparkContext but gets its own SQLConf, so pinning the
+    * streaming leg to 2 partitions never leaks into the batch corpus
+    * the bench interleaves with (the conf is also baked into each
+    * query's fresh checkpoint, so there is no cross-run drift). On a
+    * real cluster this is the same knob sized up — state partitions
+    * should track key volume, not the batch default. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "2")
+    ss
+  }
 
   /** Run a streaming Dataset to completion through a foreachBatch
     * parquet sink; returns the sink dir read back with `schema`. */
@@ -110,7 +141,7 @@ object StreamParityQueries {
         iv.filter(col("s") < 43200),
         iv.filter(col("s") >= 43200).unionByName(sent)))
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
-      val src = s.readStream.schema(schema)
+      val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       // the huge watermark delay keeps every fixture row on-time under
       // any file race; island closure comes from the sentinel, not
@@ -153,7 +184,7 @@ object StreamParityQueries {
         lit(false).as("is_left"), lit(0L).as("id"), lit(0L).as("rv"))
       val inDir = stage(base, Seq(lefts.unionByName(rights), sent))
       val schema = org.apache.spark.sql.Encoders.product[Ingest.AsofEvent].schema
-      val src = s.readStream.schema(schema)
+      val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val streamed = Ingest.streamingAsof(
         src.as[Ingest.AsofEvent], watermark = "2 hours", rightTtlMs = 1L << 45)
@@ -184,7 +215,7 @@ object StreamParityQueries {
         val docs = Tables.documents(tune(s), d).select(col("doc_id"), col("text"))
         val inDir = stage(base,
           (0 until 3).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i)))
-        val src = s.readStream.schema(docs.schema)
+        val src = streamSession(s).readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val applied = base.resolve("applied")
         Files.createDirectories(applied)
@@ -252,7 +283,7 @@ object StreamParityQueries {
         val base = freshBase("st17")
         val inDir = stage(base,
           (0 until 3).map(i => cdc.filter(pmod(col("doc_id"), lit(3)) === i)))
-        val src = s.readStream.schema(cdc.schema)
+        val src = streamSession(s).readStream.schema(cdc.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val applied = base.resolve("applied")
         Files.createDirectories(applied)
@@ -297,7 +328,7 @@ object StreamParityQueries {
         val base = freshBase("st18")
         val inDir = stage(base,
           (1 until 7).map(i => e.filter(pmod(col("vec_id"), lit(7)) === i)))
-        val src = s.readStream.schema(e.schema)
+        val src = streamSession(s).readStream.schema(e.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val applied = base.resolve("applied")
         Files.createDirectories(applied)
@@ -348,7 +379,7 @@ object StreamParityQueries {
         val base = freshBase("st19")
         val inDir = stage(base,
           (0 until 3).map(i => fixes.filter(pmod(col("vec_id"), lit(3)) === i)))
-        val src = s.readStream.schema(e.schema)
+        val src = streamSession(s).readStream.schema(e.schema)
           .option("maxFilesPerTrigger", 1).parquet(inDir)
         val applied = base.resolve("applied")
         Files.createDirectories(applied)
@@ -388,7 +419,7 @@ object StreamParityQueries {
         .select(col("doc_id"), col("text"))
       val inDir = stage(base,
         (0 until 3).map(i => docsDf.filter(pmod(col("doc_id"), lit(3)) === i)))
-      val src = s.readStream.schema(docsDf.schema)
+      val src = streamSession(s).readStream.schema(docsDf.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val lexDf = broadcast(Seq(("customer", 2L), ("slow", 1L),
         ("scan", 1L), ("merge", 1L), ("window", 1L)).toDF("tok", "wgt"))
@@ -442,7 +473,7 @@ object StreamParityQueries {
         iv.filter(col("s") < 43200),
         iv.filter(col("s") >= 43200).unionByName(sent)))
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
-      val src = s.readStream.schema(schema)
+      val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val sess = src
         .withWatermark("ts", "0 seconds")
@@ -486,7 +517,7 @@ object StreamParityQueries {
         iv.filter(col("s") >= 43200),
         iv.filter(col("s") < 20000).unionByName(sent)))
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
-      val src = s.readStream.schema(schema)
+      val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val agg = src
         .withWatermark("ts", "0 seconds")
@@ -517,6 +548,9 @@ object StreamParityQueries {
     // flatMapGroupsWithState because 'latest at-or-before' is an
     // argmax, not a range predicate).
     "st23_stream_stream_join" -> ((s, d) => {
+      // both source legs share ONE conf clone so the join's state
+      // partitioning is consistent across sides
+      val ss = streamSession(s)
       def plane(typ: String, p: String) = evTyped(s, d, typ)
         .select(col("event_id").as(s"${p}_id"), col("user_id").as(s"${p}_uid"),
           col("s").as(s"${p}_s"), timestamp_seconds(col("s")).as(s"${p}_ts"))
@@ -526,7 +560,7 @@ object StreamParityQueries {
         val b = freshBase(tag)
         val inDir = stage(b, Seq(
           df.filter(col(s"${p}_s") < 43200), df.filter(col(s"${p}_s") >= 43200)))
-        s.readStream.schema(schemaOf(p))
+        ss.readStream.schema(schemaOf(p))
           .option("maxFilesPerTrigger", 1).parquet(inDir)
           .withWatermark(s"${p}_ts", "2 days")
       }
@@ -563,7 +597,7 @@ object StreamParityQueries {
         iv.filter(col("s") < 43200),
         iv.filter(col("s") >= 43200).unionByName(sent)))
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
-      val src = s.readStream.schema(schema)
+      val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val agg = src
         .withWatermark("ts", "0 seconds")
