@@ -108,33 +108,173 @@ object SourceQueries {
 
     // S19: speaker-diarization segment parse (diarization.ipynb
     // `parse_segmentation`: skip ';;' comment lines, read
-    // start/end/gender from whitespace fields [2:5], centisecond
+    // [start, end, gender] = line.split(' ')[2:5], centisecond
     // units) — the LIUM-style .seg line format built in-query from
     // event parameters (the m06 fixture-inverse pattern) and parsed
     // back with the REAL line discipline: comment filter, split,
-    // positional fields. A field-offset or comment-handling bug
-    // breaks the hash. Narrow per-row string ops, shuffle-free to
-    // the sort.
+    // 0-indexed positional fields 2/3/4 (element_at is 1-based, so
+    // 3/4/5). The field the notebook names `end` is a DURATION —
+    // `save_segmentation` computes max_frame=(start+end)*fps — so the
+    // parse emits end_cs = start_cs + dur_cs, the same semantics in
+    // centisecond integers (no float /100 * fps round-trip to drift
+    // cross-engine). A field-offset, duration-vs-absolute or
+    // comment-handling bug breaks the hash. Narrow per-row string
+    // ops, shuffle-free to the sort.
     "s19_diarization_parse" -> ((s, d) => {
       val raw = Tables.events(tune(s), d)
       val sec = tsSec(raw) % 86400
       val lines = raw.select(
         when(col("event_id") % 10 === 0,
           concat(lit(";; cluster spk"), (col("event_id") % 5).cast("string")))
-          .otherwise(format_string("v%d 1 2 %d %d %s U U spk%d",
+          .otherwise(format_string("v%d 1 %d %d %s U spk%d",
             col("user_id"), sec * 100,
-            (sec + floor(col("value")).cast("long") + 1) * 100,
+            (floor(col("value")).cast("long") + 1) * 100,
             when(col("event_id") % 2 === 0, "M").otherwise("F"),
             col("event_id") % 5))
           .as("line"))
       val f = split(col("line"), " ")
       lines.filter(!col("line").startsWith(";;"))
         .select(element_at(f, 1).as("video"),
-          element_at(f, 4).cast("long").as("start_cs"),
-          element_at(f, 5).cast("long").as("end_cs"),
-          element_at(f, 6).as("gender"),
-          element_at(f, 9).as("speaker"))
+          element_at(f, 3).cast("long").as("start_cs"),
+          element_at(f, 4).cast("long").as("dur_cs"),
+          element_at(f, 5).as("gender"),
+          element_at(f, 7).as("speaker"))
+        .select(col("video"), col("start_cs"),
+          (col("start_cs") + col("dur_cs")).as("end_cs"),
+          col("gender"), col("speaker"))
         .orderBy("video", "start_cs", "end_cs", "speaker", "gender")
+    }),
+
+    // S20: duplicate-video marking pass (duplicate_videos.ipynb cell
+    // 4) — the maintenance job that populates the Video.duplicate
+    // column SURVEY §1.1 carries: per channel, videos sharing the
+    // same air time keep the FIRST and mark the rest duplicate=True
+    // (the notebook's `vs[1:]` after order_by('time'); within a tied
+    // (channel, time) group Python list order is DB order, so lowest
+    // video_id is the deterministic stand-in). Video plane := orders
+    // (video_id = o_orderkey, channel = custkey residue, time =
+    // o_orderdate — dates repeat heavily, so tied groups are real).
+    // ONE window over the (channel, time) partition — a single
+    // shuffle on the dedup key; at 100 TB this is the st03/a07
+    // first-per-group shape, no driver loop over channels (the
+    // notebook iterates channels in Python; the partition key IS the
+    // channel loop).
+    "s20_duplicate_videos" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.orders(tune(s), d)
+        .select(col("o_orderkey").as("video_id"),
+          concat(lit("ch"), (col("o_custkey") % 5).cast("string"))
+            .as("channel"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("vtime"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("channel"), col("vtime"))
+            .orderBy(col("video_id"))))
+        .select(col("video_id"), col("channel"), col("vtime"),
+          (col("rn") > 1).cast("int").as("duplicate"))
+        .orderBy("channel", "vtime", "video_id")
+    }),
+
+    // S21: labeled-annotation TSV ingest
+    // (ingest_interview_annotations.py:1-260) — the named-interviews
+    // table's full line discipline, s19's sibling: TAB-separated rows
+    // `video_id \t name \t default_names \t interview_string...`,
+    // parsed with the REAL rules: the nested "interviewer, guest"
+    // default split (', '); the optional "clips of " /
+    // "(originally from a different show) " prefixes (scattered_clips
+    // / original flags); the `interviewer1[, interviewer2] *
+    // guest1[, guest2]` name clause split on '*' then ',' with
+    // per-name strip (and the reference's bare-'interviewer'
+    // discard); name overrides applied over row defaults exactly as
+    // parse_named_interview_row does; and the variable-width
+    // `[[hh:]m]m:ss-[[hh:]m]m:ss` time range (3-unit vs 2-unit colon
+    // split). The fixture builds every variant from event parameters
+    // (the m06/s19 fixture-inverse pattern) and the oracle computes
+    // the expected LabeledInterview rows closed-form — the parse must
+    // exactly invert the generation or the hash breaks. Narrow
+    // per-row string expressions, shuffle-free to the sort.
+    "s21_interview_tsv_parse" -> ((s, d) => {
+      val raw = Tables.events(tune(s), d)
+      val sec = tsSec(raw) % 86400
+      val stS = sec % 7200
+      val enS = stS + floor(col("value")).cast("long") + 1
+      def fmtT(t: org.apache.spark.sql.Column) =
+        when(t >= 3600, format_string("%d:%02d:%02d",
+            floor(t / 3600).cast("long"),
+            floor((t % 3600) / 60).cast("long"), (t % 60).cast("long")))
+          .otherwise(format_string("%d:%02d",
+            floor(t / 60).cast("long"), (t % 60).cast("long")))
+      val k = (col("user_id") % 7).cast("string")
+      val namepart = when(col("event_id") % 4 === 0, lit(""))
+        .when(col("event_id") % 4 === 1, concat(lit("guest"), k, lit(" ")))
+        .when(col("event_id") % 4 === 2,
+          concat(lit("host"), k, lit(" * guest"), k, lit(" ")))
+        .otherwise(concat(lit("host"), k, lit(", cohost"), k,
+          lit(" * guest"), k, lit(", friend"), k, lit(" ")))
+      val prefix = when(col("event_id") % 5 === 0, lit("clips of "))
+        .when(col("event_id") % 5 === 1,
+          lit("(originally from a different show) "))
+        .otherwise(lit(""))
+      val defaults = when(col("user_id") % 3 === 0, lit("none"))
+        .otherwise(concat(lit("anchor"), k, lit(", visitor"), k))
+      val lines = raw.select(format_string("%d\tshow_%d\t%s\t%s",
+        col("user_id"), col("user_id"), defaults,
+        concat(prefix, namepart, lit("int "), fmtT(stS), lit("-"), fmtT(enS)))
+        .as("line"))
+      // ---- the parse (reference rules, expression-for-expression) —
+      val f = split(col("line"), "\t")
+      val defs = element_at(f, 3)
+      val defInt = when(defs === "none", lit(null).cast("string"))
+        .otherwise(trim(element_at(split(defs, ", "), 1)))
+      val defGuest = when(defs === "none", lit(null).cast("string"))
+        .otherwise(trim(element_at(split(defs, ", "), 2)))
+      val istr0 = element_at(f, 4)
+      val CLIPS = "clips of"
+      val UNORIG = "(originally from a different show) "
+      val scat = istr0.startsWith(CLIPS)
+      val s1 = when(scat, trim(substring(istr0, CLIPS.length + 1, 1 << 20)))
+        .otherwise(istr0)
+      val unorig = s1.startsWith(UNORIG)
+      val s2 = when(unorig, substring(s1, UNORIG.length + 1, 1 << 20))
+        .otherwise(s1)
+      val isPlain = s2.startsWith("int ")
+      val nameStr = element_at(split(s2, " int "), 1)
+      val timeRange = when(isPlain, substring(s2, 5, 1 << 20))
+        .otherwise(element_at(split(s2, " int "), 2))
+      val hasStar = nameStr.contains("*")
+      val ivrs = split(element_at(split(nameStr, "\\*"), 1), ",")
+      val i1one = trim(element_at(ivrs, 1))
+      val iv1 = when(!hasStar, lit(null).cast("string"))
+        .when(size(ivrs) === 2, trim(element_at(ivrs, 1)))
+        .otherwise(when(i1one === "interviewer", lit(null).cast("string"))
+          .otherwise(i1one))
+      val iv2 = when(hasStar && size(ivrs) === 2 && iv1.isNotNull,
+        trim(element_at(ivrs, 2)))
+      val gs = split(element_at(split(nameStr, "\\*"), 2), ",")
+      val g1 = when(isPlain, lit(null).cast("string"))
+        .when(hasStar, trim(element_at(gs, 1)))
+        .otherwise(trim(nameStr))
+      val g2 = when(hasStar && size(gs) === 2, trim(element_at(gs, 2)))
+      def toSec(x: org.apache.spark.sql.Column) = {
+        val u = split(x, ":")
+        when(size(u) === 3,
+          element_at(u, 1).cast("long") * 3600 +
+            element_at(u, 2).cast("long") * 60 +
+            element_at(u, 3).cast("long"))
+          .otherwise(element_at(u, 1).cast("long") * 60 +
+            element_at(u, 2).cast("long"))
+      }
+      val tr = split(timeRange, "-")
+      lines.select(element_at(f, 1).cast("long").as("video_id"),
+          coalesce(iv1, defInt).as("interviewer1"),
+          iv2.as("interviewer2"),
+          coalesce(g1, defGuest).as("guest1"),
+          g2.as("guest2"),
+          toSec(element_at(tr, 1)).as("start_s"),
+          toSec(element_at(tr, 2)).as("end_s"),
+          (!(scat || unorig)).cast("int").as("original"),
+          scat.cast("int").as("scattered"))
+        .orderBy("video_id", "start_s", "end_s", "guest1", "interviewer1",
+          "original", "scattered")
     })
   )
 
@@ -196,6 +336,45 @@ object SourceQueries {
         |  CASE WHEN event_id % 2 = 0 THEN 'M' ELSE 'F' END AS gender,
         |  'spk' || CAST(event_id % 5 AS VARCHAR) AS speaker
         |FROM events WHERE event_id % 10 <> 0
-        |ORDER BY video, start_cs, end_cs, speaker, gender""".stripMargin
+        |ORDER BY video, start_cs, end_cs, speaker, gender""".stripMargin,
+
+    // s20: first-per-(channel, time) keeps duplicate=0, later video
+    // ids in the tied group get 1 — the notebook's vs[1:] marking
+    "s20_duplicate_videos" ->
+      """SELECT o_orderkey AS video_id,
+        |  'ch' || CAST(o_custkey % 5 AS VARCHAR) AS channel,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS vtime,
+        |  CAST(CASE WHEN row_number() OVER (
+        |      PARTITION BY o_custkey % 5, o_orderdate
+        |      ORDER BY o_orderkey) > 1 THEN 1 ELSE 0 END AS INT) AS duplicate
+        |FROM orders
+        |ORDER BY channel, vtime, video_id""".stripMargin,
+
+    // s21: the expected LabeledInterview rows closed-form from the
+    // same event parameters the fixture generator used — name
+    // overrides over row defaults, prefix flags, and the start/dur
+    // time range; the Spark side must invert its own generated lines
+    // through the reference's parse rules to reproduce this
+    "s21_interview_tsv_parse" ->
+      """WITH p AS (SELECT user_id,
+        |    event_id % 4 AS nm, event_id % 5 AS pf,
+        |    CAST(user_id % 7 AS VARCHAR) AS k, user_id % 3 AS d3,
+        |    (epoch_ns(ts)//1000000000) % 86400 % 7200 AS st,
+        |    (epoch_ns(ts)//1000000000) % 86400 % 7200
+        |      + CAST(floor(value) AS BIGINT) + 1 AS en
+        |  FROM events)
+        |SELECT user_id AS video_id,
+        |  CASE WHEN nm IN (2, 3) THEN 'host' || k
+        |       WHEN d3 <> 0 THEN 'anchor' || k END AS interviewer1,
+        |  CASE WHEN nm = 3 THEN 'cohost' || k END AS interviewer2,
+        |  CASE WHEN nm IN (1, 2, 3) THEN 'guest' || k
+        |       WHEN d3 <> 0 THEN 'visitor' || k END AS guest1,
+        |  CASE WHEN nm = 3 THEN 'friend' || k END AS guest2,
+        |  st AS start_s, en AS end_s,
+        |  CAST(CASE WHEN pf IN (0, 1) THEN 0 ELSE 1 END AS INT) AS original,
+        |  CAST(CASE WHEN pf = 0 THEN 1 ELSE 0 END AS INT) AS scattered
+        |FROM p
+        |ORDER BY video_id, start_s, end_s, guest1, interviewer1,
+        |  original, scattered""".stripMargin
   )
 }
