@@ -171,13 +171,14 @@ object Bench {
       // until the old gen fills and late queries pay GC/eviction
       // (measured: the same query 2-4x slower late in a full run)
       spark.catalog.clearCache()
-      // checkpoint blocks (the CC rounds' labels, most visibly) are
-      // NOT catalog entries — clearCache never touches them. Sweep
-      // persistent RDDs so no query's pinned state bills the next:
-      // the r6 gate leaked localCheckpoints until t15/t14/v10 ran
-      // 3-5x their standalone cost late in the run.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // checkpoint blocks (the CC rounds' labels, e44's final label
+      // pin and Lloyd assignment pin, most visibly) are NOT catalog
+      // entries — clearCache never touches them. Sweep persistent
+      // RDDs AFTER the noop write materialized the result, so no
+      // query's pinned state bills the next: the r6 gate leaked
+      // localCheckpoints until t15/t14/v10 ran 3-5x their standalone
+      // cost late in the run (ordering contract: Checkpoints.sweep).
+      graft.util.Checkpoints.sweep(spark)
       // bill this sample's garbage to this sample, not the next one
       System.gc()
       if (ok) Some(dt) else None

@@ -62,10 +62,12 @@ object Verify {
       // cached blocks until the old gen fills and every later query
       // pays GC + eviction
       spark.catalog.clearCache()
-      // checkpoint blocks (CC rounds) are not catalog entries — sweep
-      // them too (see Bench for the measured r6 leak)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // checkpoint blocks (CC rounds, e44's final label pin, the
+      // Lloyd assignment pin) are not catalog entries — sweep them
+      // too, AFTER the write above materialized the result (see
+      // Checkpoints.sweep for the ordering contract and Bench for
+      // the measured r6 leak)
+      graft.util.Checkpoints.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

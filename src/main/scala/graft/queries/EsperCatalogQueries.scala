@@ -1373,6 +1373,13 @@ object EsperCatalogQueries {
         lbl = l2; pin = p2
       }
       undPin.foreach(_.unpersist(blocking = false))
+      // the FINAL label pin (and fit's assignment pin behind `asg`)
+      // deliberately stay persisted here: the returned frame is lazy
+      // and localCheckpoint blocks have no lineage to recompute from,
+      // so an in-query unpersist would free data the consumer's
+      // action still needs. Cleanup is the consumer's
+      // post-materialization Checkpoints.sweep (Verify and Bench both
+      // run it per query).
       asg.select(col("cell")).join(lbl, "cell")
         .groupBy(col("meta"))
         .agg(countDistinct(col("cell")).as("n_cells"),

@@ -31,4 +31,20 @@ object Checkpoints {
     prev.foreach(_.unpersist(blocking = false))
     (cp, pinned)
   }
+
+  /** Post-materialization cleanup for a query whose RESULT plan still
+    * references pinned checkpoints (e44's final label pin, the Lloyd
+    * loop's assignment pin inside IntKMeans.fit): those blocks cannot
+    * be unpersisted inside the query — the returned frame is lazy,
+    * localCheckpoint data has no lineage to recompute from, and an
+    * early unpersist would make the consumer's eventual action read
+    * freed blocks. The contract is therefore: materialize the result
+    * FIRST, then call this. Verify and Bench both do (their per-query
+    * sweep is exactly this call); an embedding application running
+    * many queries in one session should do the same between queries,
+    * or the final pins of each iterative query accumulate for the
+    * session's lifetime. */
+  def sweep(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
 }

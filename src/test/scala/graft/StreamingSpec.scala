@@ -384,6 +384,51 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq(5L, 10L, 40L))
   }
 
+  test("session_window merges exactly-TOUCHING intervals (st21 boundary pin)") {
+    // st21's parity with the batch island coalesce depends on Spark's
+    // session merge unifying next.start == current.end (the <= merge
+    // rule). The generated fixture may or may not contain a touching
+    // pair at a given scale factor, so this spec pins the boundary
+    // with injected rows: user 1's [0,10)+[10,15) MUST coalesce into
+    // one session; user 2's [0,10)+[11,20) (1 s gap) must NOT. A
+    // strict-overlap implementation would pass st21 on gap-free data
+    // and silently diverge later — this test makes that a failure.
+    implicit val sql = spark.sqlContext
+    import graft.streaming.Ingest.KeyedIv
+    def kiv(u: Long, s: Long, e: Long) = KeyedIv(u, s, e, ts(s))
+    val in = MemoryStream[KeyedIv]
+    val sess = in.toDS().toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"),
+        concat((col("e") - col("s")).cast("string"), lit(" seconds"))))
+      .agg(min(col("s")).as("min_s"), max(col("e")).as("max_e"))
+      .select(col("user_id"), col("min_s"), col("max_e"))
+    val q = sess.writeStream.format("memory").queryName("sess_touch")
+      .outputMode("append").start()
+    in.addData(kiv(1, 0, 10), kiv(1, 10, 15), kiv(2, 0, 10), kiv(2, 11, 20))
+    q.processAllAvailable()
+    // far-future sentinels advance the watermark past every session end
+    in.addData(kiv(1, 100000, 100001), kiv(2, 100000, 100001))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_touch").as[(Long, Long, Long)].collect()
+      .filter(_._2 < 100000).toSet
+    assert(got === Set((1L, 0L, 15L), (2L, 0L, 10L), (2L, 11L, 20L)))
+  }
+
+  test("st22's watermark staging is pinned to the Spark 4.x late-filter") {
+    // st22's oracle bakes Spark >= 3.4's two-phase watermark
+    // (watermarkForLateEvents lags one batch behind
+    // watermarkForEviction, verified empirically on 4.1); its morning
+    // slice is staged with a >= 2-batch margin so only a wholesale
+    // semantics change — not a one-batch boundary shift — can flip
+    // the result. A Spark major upgrade could legitimately change the
+    // boundary with no repo bug: if this fires, re-derive st22's
+    // staging against the new filter before trusting a red hash.
+    assert(spark.version.startsWith("4."),
+      s"st22's late-drop staging was derived on Spark 4.x; running on " +
+        s"${spark.version} — re-verify watermarkForLateEvents semantics")
+  }
+
   test("ingestJob end-to-end: files -> dedup -> parquet") {
     val tmp = Files.createTempDirectory("graft_ingest").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
