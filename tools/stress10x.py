@@ -85,6 +85,25 @@ def build100():
       COPY (SELECT vec_id + i*1000000 AS vec_id, embedding, label
             FROM embeddings CROSS JOIN range(100) t(i))
       TO '/tmp/sf10/embeddings.parquet' (FORMAT PARQUET)""")
+    # r19: the round-18 tail's heavy shapes need the events plane
+    # (st21 session_window: user_id shift grows KEY CARDINALITY 100x,
+    # per-key session work constant — the state-size-vs-key-count
+    # axis) and the lineitem plane (e30's full-tuple-ordered windows:
+    # l_orderkey shift grows the frame count 100x at constant 7-row
+    # window partitions)
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    con.execute("""
+      COPY (SELECT event_id + i*10000000 AS event_id, ts,
+              user_id + i*1000000 AS user_id, event_type, value, props
+            FROM events CROSS JOIN range(100) t(i))
+      TO '/tmp/sf10/events.parquet' (FORMAT PARQUET)""")
+    cols = [r[0] for r in con.execute("DESCRIBE lineitem").fetchall()]
+    rest = ", ".join(c for c in cols if c != 'l_orderkey')
+    con.execute(f"""
+      COPY (SELECT l_orderkey + i*10000000 AS l_orderkey, {rest}
+            FROM lineitem CROSS JOIN range(100) t(i))
+      TO '/tmp/sf10/lineitem.parquet' (FORMAT PARQUET)""")
     print("built /tmp/sf10")
 
 def report():
