@@ -27,6 +27,9 @@ object Bench {
       // did — t05 measured 0.6 s standalone vs 2.2 s mid-run
       .config("spark.sql.codegen.cache.maxEntries", "8000")
       .config("spark.ui.enabled", "false")
+      // the layout section's bucketed catalog tables land here, not in
+      // the repo working dir
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // drop ONLY the expected per-unpersist truncation WARN from freed
@@ -242,13 +245,85 @@ object Bench {
       val good = samples(n).flatten
       if (good.nonEmpty) Some(n -> good.min) else None
     }
+    val resultMap = results.toMap
+    // explicit Locale.ROOT: the f"" interpolator is default-locale
+    // sensitive, and a comma-decimal locale would emit invalid JSON
+    def num3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // ---- corpus-level bucketed-layout bench (r18 verdict ask #5) ----
+    // StorageSpec proves bucketing kills the join/agg exchange on toy
+    // tables; this measures it on the REAL corpus queries: the shuffle-
+    // heavy j/r/e rows re-run off bucketed+sorted catalog tables via
+    // Tables.load's `catalog:` scheme (zero query changes — the layout
+    // is a deployment choice). One layout, keyed by the dominant access
+    // pattern: lineitem/orders by orderkey (the j01/j04/j05 join+agg
+    // spine; e30's frame windows ride the same key), events by user_id
+    // (the interval family's partition key), customer by c_custkey
+    // (j02's outer-join+rollup key — its orders side still shuffles,
+    // the honest partial-co-location case). Reported per query: wall
+    // seconds on both layouts (parquet number = the main corpus min)
+    // and the count of HASH-partitioned exchanges in the physical plan
+    // (the range exchange of a final orderBy is presentation, not
+    // data-motion the layout can remove). Skipped in partial runs.
+    // runs on full-corpus benches by default; SPARK_GRAFT_BENCH_LAYOUT=1
+    // forces it in a partial run (iteration aid), =0 disables entirely
+    def layoutSection(partialRun: Boolean): String = {
+      val want = sys.env.get("SPARK_GRAFT_BENCH_LAYOUT")
+      if (want.contains("0") || (partialRun && !want.contains("1"))) "null"
+      else try {
+      import graft.sources.Tables
+      val pre = "graft_"
+      def pq(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+      val lt0 = System.nanoTime()
+      Tables.writeBucketed(pq("lineitem"), pre + "lineitem", "l_orderkey",
+        32, Seq("l_orderkey", "l_linenumber"))
+      Tables.writeBucketed(pq("orders"), pre + "orders", "o_orderkey",
+        32, Seq("o_orderkey"))
+      Tables.writeBucketed(pq("events"), pre + "events", "user_id",
+        32, Seq("user_id"))
+      Tables.writeBucketed(pq("customer"), pre + "customer", "c_custkey",
+        32, Seq("c_custkey"))
+      Seq("region", "nation", "supplier", "part", "documents", "embeddings")
+        .foreach(n => pq(n).createOrReplaceTempView(pre + n))
+      val buildSec = (System.nanoTime() - lt0) / 1e9
+      val cdir = s"catalog:$pre"
+      val lqs = Seq("j01_equi_join_agg", "j02_left_outer",
+        "j04_correlated_count", "j05_self_theta", "r01_coalesce",
+        "e30_still_face_tracks").filter(SparkEntry.queries.contains)
+      def hashExchanges(dir: String, name: String): Int = {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val prev = spark.conf.get("spark.sql.adaptive.enabled")
+        // AQE off so exchanges are plain nodes (planning is lazy: the
+        // toggle lands before the plan is forced; no execution needed)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+            => e
+        }.size
+        finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+      val rows = lqs.map { n =>
+        val f = SparkEntry.queries(n)
+        val ss = Seq.fill(2)(once(s"layout:$n", (sp, _) => f(sp, cdir))).flatten
+        val exP = hashExchanges(sfDir, n)
+        val exB = hashExchanges(cdir, n)
+        val pqSec = resultMap.get(n).map(num3).getOrElse("null")
+        val bkSec = if (ss.nonEmpty) num3(ss.min) else "null"
+        s""""$n":{"parquet_sec":$pqSec,"bucketed_sec":$bkSec,""" +
+          s""""parquet_hash_exchanges":$exP,"bucketed_hash_exchanges":$exB}"""
+      }
+      s"""{"build_sec":${num3(buildSec)},"buckets":32,""" +
+        s""""queries":${rows.mkString("{", ",", "}")}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] layout section failed: ${e.getMessage}")
+        "null"
+      }
+    }
     val failed = ordered.collect {
       case (n, _) if samples(n).flatten.isEmpty =>
         n -> errors.getOrElse(n, "failed")
     }
-    // explicit Locale.ROOT: the f"" interpolator is default-locale
-    // sensitive, and a comma-decimal locale would emit invalid JSON
-    def num3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val sampleJson = samples.map { case (k, vs) =>
@@ -298,8 +373,9 @@ object Bench {
       if (good.size >= 2 && good.min >= 0.25)
         Some("\"" + n + "\":" + num3(good.max / good.min)) else None
     }.mkString("{", ",", "}")
+    val layoutJson = layoutSection(partial)
     val json =
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec",$partialField"queries":$qs,"failed":$failedJson,"samples":$sampleJson,"load_probe_sec":$probeJson,"load_probe_at":$probeAtJson,"index_build_sec":$buildJson,"wall_sec":${num3(wallSec)},"spread":$spreadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec",$partialField"queries":$qs,"failed":$failedJson,"samples":$sampleJson,"load_probe_sec":$probeJson,"load_probe_at":$probeAtJson,"index_build_sec":$buildJson,"layout":$layoutJson,"wall_sec":${num3(wallSec)},"spread":$spreadJson,"sf":"$sfDir"}"""
     Files.write(Paths.get(effOut), (json + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
     // The stdout copy must survive a bounded log-tail capture (~2 KB):

@@ -15,9 +15,18 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /** S2: parquet load by table key. Column pruning + predicate pushdown
-    * happen in Catalyst; callers select/filter freely. */
+    * happen in Catalyst; callers select/filter freely.
+    *
+    * The `catalog:<prefix>` scheme resolves `name` to the session
+    * catalog table `<prefix><name>` instead of a parquet path, so the
+    * SAME query functions run unchanged off bucketed/sorted catalog
+    * tables (Bench's layout section, PlanAuditSpec's zero-exchange
+    * cases) — the storage layout is a deployment choice, never a
+    * query rewrite. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (sfDir.startsWith("catalog:"))
+      spark.table(sfDir.stripPrefix("catalog:") + name)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -668,4 +668,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(vectors.exists(_.partitionFilters.nonEmpty),
       "deleted-IVF vectors scan lost its cell partition filter — DPP regressed")
   }
+
+  test("corpus queries off the bucketed catalog lose their hash exchanges") {
+    // the Bench `layout` section's claim as a pinned plan property:
+    // the SAME query functions (Tables.load's `catalog:` scheme — a
+    // deployment choice, not a query rewrite) run with ZERO
+    // hash-partitioned exchanges when the tables are bucketed by the
+    // dominant access key. The final orderBy's range exchange is
+    // presentation, not data motion the layout can remove, so only
+    // HashPartitioning exchanges are counted.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import graft.sources.Tables
+    def pq(n: String) = spark.read.parquet(s"$sf/$n.parquet")
+    Tables.writeBucketed(pq("lineitem"), "graft_pa_lineitem", "l_orderkey",
+      4, Seq("l_orderkey", "l_linenumber"))
+    Tables.writeBucketed(pq("orders"), "graft_pa_orders", "o_orderkey",
+      4, Seq("o_orderkey"))
+    Tables.writeBucketed(pq("events"), "graft_pa_events", "user_id",
+      4, Seq("user_id"))
+    Tables.writeBucketed(pq("customer"), "graft_pa_customer", "c_custkey",
+      4, Seq("c_custkey"))
+    try {
+      def hashEx(q: String): Int =
+        executed(SparkEntry.queries(q)(spark, "catalog:graft_pa_")).collect {
+          case e: ShuffleExchangeLike
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }.size
+      // j04: lineitem agg on its bucket key + join to co-bucketed
+      // orders; r01: island coalesce windows over the events bucket
+      // key; j05: self-join on the bucket key. All data motion is
+      // already on disk.
+      Seq("j04_correlated_count", "r01_coalesce", "j05_self_theta")
+        .foreach { q =>
+          assert(hashEx(q) === 0,
+            s"$q should be exchange-free on the bucketed layout")
+        }
+      // j02's orders side joins on o_custkey — NOT its bucket key —
+      // so exactly the customer side's co-location survives; the plan
+      // may shuffle orders but must not shuffle customer. Pin the
+      // weaker, honest property: strictly fewer hash exchanges than
+      // the parquet layout plus the agg reuse (<= 1).
+      assert(hashEx("j02_left_outer") <= 1,
+        "j02 should keep the customer side co-located")
+    } finally
+      Seq("lineitem", "orders", "events", "customer").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_pa_$t"))
+  }
 }
