@@ -419,17 +419,46 @@ object RelationalQueries {
     // (group, value) pre-aggregation is map-side combinable and bounds
     // every window to the DISTINCT-VALUE domain (price cents), never
     // the row count.
+    // Weighted median, TWO-PHASE: a flag-partitioned cumulative window
+    // over the (flag, v) table is a 3-reducer sort of the corpus — the
+    // r18 shape that cannot scale past |distinct flags| executors. The
+    // scalable form localizes the sort: (1) per-(flag, 2^16-value-
+    // bucket) partial weights (map-side combinable shuffle), (2) the
+    // flag window runs over BUCKET rows only (hundreds, not corpus-
+    // sized) to find the bucket containing the weighted half plus the
+    // cumulative weight strictly below it, (3) one broadcast of that
+    // 3-row dimension gates a second corpus pass to the median bucket's
+    // rows, whose in-bucket cumulative resumes from `below` — at most
+    // 2^16 distinct values per flag by construction, so the final
+    // window is bounded at ANY corpus size. Same exact answer as the
+    // single-window form (the crossing value is inside the first
+    // bucket whose cumulative reaches half, since `below*2 < tw` by
+    // minimality); the oracle keeps the direct one-window SQL.
     "a22_weighted_median" -> ((s, d) => {
       val li = Tables.lineitem(tune(s), d).select(
         col("l_returnflag").as("flag"),
         cents(col("l_extendedprice")).as("v"),
         asLong(col("l_quantity")).as("w"))
-      val byVal = li.groupBy("flag", "v").agg(sum(col("w")).as("w"))
-      val wc = Window.partitionBy(col("flag")).orderBy(col("v"))
+        .withColumn("b", expr("v div 65536"))
+      val byBucket = li.groupBy("flag", "b").agg(sum(col("w")).as("bw"))
+      val wb = Window.partitionBy(col("flag")).orderBy(col("b"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wall = Window.partitionBy(col("flag"))
-      byVal.withColumn("cw", sum(col("w")).over(wc))
-        .withColumn("tw", sum(col("w")).over(wall))
+      val medB = byBucket
+        .withColumn("cwb", sum(col("bw")).over(wb))
+        .withColumn("tw", sum(col("bw")).over(wall))
+        .withColumn("below", col("cwb") - col("bw"))
+        .filter(col("cwb") * 2 >= col("tw"))
+        .groupBy(col("flag"))
+        .agg(min(col("b")).as("mb"), min_by(col("below"), col("b")).as("below"),
+          min(col("tw")).as("tw"))
+      li.join(broadcast(medB), Seq("flag"))
+        .filter(col("b") === col("mb"))
+        .groupBy(col("flag"), col("v"), col("below"), col("tw"))
+        .agg(sum(col("w")).as("w"))
+        .withColumn("cw", col("below") + sum(col("w")).over(
+          Window.partitionBy(col("flag")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .filter(col("cw") * 2 >= col("tw"))
         .groupBy(col("flag"), col("tw").as("total_w"))
         .agg(min(col("v")).as("wmedian_cents"))
