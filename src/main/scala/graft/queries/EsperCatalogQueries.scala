@@ -112,9 +112,11 @@ object EsperCatalogQueries {
     // correlated-count composition: faces filtered by gender and the
     // commercial flag, frames having EXACTLY 2 of them, then the
     // reference's [:1000:10] stride over the qualifying frames, then
-    // back to the face rows. The stride's global row_number runs over
-    // the already-aggregated frame list (dimension-sized by
-    // construction — it IS a top-1000 sample), not the face table.
+    // back to the face rows. The stride takes the 1000 smallest frame
+    // ids with a distributed top-K (orderBy+limit — every partition
+    // contributes its own top-1000; no corpus-sized single-partition
+    // window), so the ordinal window after it is 1000-row-bounded at
+    // ANY corpus size.
     "e07_two_women_frames" -> ((s, d) => {
       val f = boxes(s, d)
         .withColumn("gender",
@@ -123,8 +125,9 @@ object EsperCatalogQueries {
       val fq = f.filter(col("gender") === "F" && !col("in_commercial"))
       val frames = fq.groupBy("frame_id").agg(count(lit(1)).as("c"))
         .filter(col("c") === 2)
+        .orderBy("frame_id").limit(1000)
         .withColumn("rn", row_number().over(Window.orderBy("frame_id")))
-        .filter(col("rn") % 10 === 1 && col("rn") <= 1000)
+        .filter(col("rn") % 10 === 1)
         .select("frame_id")
       fq.join(frames, Seq("frame_id"), "left_semi")
         .select("frame_id", "box_id", "x1", "x2", "y1", "y2")
@@ -138,9 +141,13 @@ object EsperCatalogQueries {
     // difference is an anti-join (broadcast at dimension size).
     "e08_white_hair_not_bald" -> ((s, d) => {
       val fc = faces(s, d)
-      val whiteStrided = fc.filter(col("l_partkey") % 5 === 0)
-        .select("face_id")
-        .withColumn("rn", row_number().over(Window.orderBy("face_id")))
+      // UNCAPPED [::100] stride over every white-hair face: the global
+      // ordinal comes from the two-phase running offset (Q.globalRn) —
+      // a bare row_number window here would sort the whole face plane
+      // in one task at 100 TB
+      val whiteStrided = Q.globalRn(
+          fc.filter(col("l_partkey") % 5 === 0).select("face_id"),
+          "face_id", "rn")
         .filter(col("rn") % 100 === 1)
         .select("face_id")
       val bald = fc.filter(col("l_suppkey") % 11 === 0).select("face_id")
@@ -276,8 +283,10 @@ object EsperCatalogQueries {
       raw.groupBy(col("user_id").as("video_id"))
         .agg(count(lit(1)).as("n_frames"))
         .join(tagged, col("video_id") === tagged("user_id"), "left_anti")
+        // [:1000:3] stride: distributed top-K first, K-bounded window
+        .orderBy("video_id").limit(1000)
         .withColumn("rn", row_number().over(Window.orderBy("video_id")))
-        .filter(col("rn") % 3 === 1 && col("rn") <= 1000)
+        .filter(col("rn") % 3 === 1)
         .select(col("video_id"), lit(0L).as("min_frame"),
           (col("n_frames") - 1).as("max_frame"))
         .orderBy("video_id")
@@ -514,8 +523,9 @@ object EsperCatalogQueries {
       val f = p.filter(col("up"))
       val frames = f.groupBy("frame_id").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2)
+        .orderBy("frame_id").limit(100000)
         .withColumn("rn", row_number().over(Window.orderBy("frame_id")))
-        .filter(col("rn") % 10 === 1 && col("rn") <= 100000)
+        .filter(col("rn") % 10 === 1)
         .select("frame_id")
       f.join(frames, Seq("frame_id"), "left_semi")
         .select("frame_id", "vec_id", "nose_y", "lw_y", "rw_y")
@@ -584,8 +594,9 @@ object EsperCatalogQueries {
           Window.partitionBy(col("frame_id"))
             .orderBy(col("m_box"), col("f_box"))))
         .filter(col("rn") === 1)
-      first.withColumn("fr", row_number().over(Window.orderBy(col("frame_id"))))
-        .filter(col("fr") % 10 === 1 && col("fr") <= 100000)
+      first.orderBy("frame_id").limit(100000)
+        .withColumn("fr", row_number().over(Window.orderBy(col("frame_id"))))
+        .filter(col("fr") % 10 === 1)
         .select("frame_id", "m_box", "f_box")
         .orderBy("frame_id")
     }),
@@ -617,8 +628,9 @@ object EsperCatalogQueries {
           angled(Keypoints.RHip, Keypoints.RKnee)).as("sitting"))
       val frames = p.select("frame_id").distinct()
         .filter(col("frame_id") % 3 === 0)
+        .orderBy("frame_id").limit(100000)
         .withColumn("fr", row_number().over(Window.orderBy("frame_id")))
-        .filter(col("fr") % 10 === 1 && col("fr") <= 100000)
+        .filter(col("fr") % 10 === 1)
         .select("frame_id")
       p.filter(col("sitting")).join(frames, Seq("frame_id"), "left_semi")
         .select("frame_id", "vec_id")
@@ -656,8 +668,7 @@ object EsperCatalogQueries {
             (col("my") - col("o_my")) * (col("my") - col("o_my")) < 0.01,
         "left_anti")
       val top = mistakes.select("frame_id").distinct()
-        .withColumn("fr", row_number().over(Window.orderBy(col("frame_id"))))
-        .filter(col("fr") <= 100)
+        .orderBy("frame_id").limit(100)
         .select("frame_id")
       mistakes.join(top, Seq("frame_id"), "left_semi")
         .select("frame_id", "box_id", "x1", "x2", "y1", "y2")

@@ -50,6 +50,21 @@ object Q {
     * timestamp[us]; assuming either crashes the other generation). */
   def tsSec(df: DataFrame): Column = graft.functions.Fns.tsSec(df)
 
+  /** Global 1-based ordinal over a UNIQUE `ordCol` without a
+    * single-partition sort: Packing's two-phase running offset
+    * (range-partition, per-partition cumsum, P-row offset table) with
+    * weight 1. For the reference's UNCAPPED `[::k]` strides — a bare
+    * `row_number() over (order by ..)` window puts the whole corpus
+    * in one task; this is bit-identical (PackingSpec pins the
+    * machinery) and every partition sorts only its own range. Capped
+    * strides (`[:K:k]`) don't need it: `orderBy(ord).limit(K)` is a
+    * distributed top-K and the follow-up window is K-bounded. */
+  def globalRn(df: DataFrame, ordCol: String, outCol: String): DataFrame =
+    graft.text.Packing.withRunningOffset(
+        df.withColumn("__one", lit(1L)), ordCol, "__one", outCol)
+      .withColumn(outCol, col(outCol) + lit(1L))
+      .drop("__one")
+
   // -------------------------------------------------------------------
   // Derived interval collection from `events`: one interval per event,
   // [epoch_sec(ts), epoch_sec(ts) + floor(value) + 1), keyed by user.
