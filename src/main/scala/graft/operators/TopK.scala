@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group top-k whose parallelism does NOT collapse to the
+  * group count.
+  *
+  * The browse/sample surfaces (reference: app/query UI panels that
+  * show "largest clusters, 10 exemplar faces each" / "per distance
+  * bucket, the 5 most similar" — other_queries.py:279-316, 423-460)
+  * are naturally written as `row_number() over (partition by group
+  * order by ...) <= k` — but a window clusters by its PARTITION keys,
+  * so with tens of groups over a corpus-sized frame the whole corpus
+  * sorts on tens of reducers no matter how many executors exist. The
+  * scalable form is the standard two-stage candidate cut:
+  *
+  *   1. rank within (group, salt) — `fanout` deterministic salt values
+  *      per group spread the corpus over |groups| x fanout reducers;
+  *      every row beyond local rank k is provably outside the global
+  *      top-k and is dropped there;
+  *   2. rank within group over the <= k x fanout survivors per group —
+  *      bounded by the QUERY's constants, not the corpus.
+  *
+  * The salt is a hash of a caller-named unique column (NOT
+  * spark_partition_id: a physical partition id changes under AQE
+  * coalescing/retries, and a nondeterministic salt would make stage
+  * retries emit different — though still correct — candidate sets;
+  * the deterministic hash keeps every execution byte-stable).
+  * Ordering must be total (break ties in `orderCols`) for ranks to be
+  * well-defined; result == the naive single-window form row-for-row
+  * (TopKSpec pins both the equality and the bounded second stage).
+  */
+object TopK {
+
+  /** Adds `rankCol` = the row's 1-based rank within its group under
+    * `orderCols`, keeping only ranks <= k. `saltOn` must be a
+    * deterministic per-row expression (any unique id column works). */
+  def perGroup(df: DataFrame, k: Int, groupCols: Seq[String],
+               orderCols: Seq[Column], saltOn: Column, rankCol: String,
+               fanout: Int = 64): DataFrame = {
+    require(k > 0 && fanout > 0)
+    val gs = groupCols.map(col)
+    val local = Window.partitionBy(gs :+ col("__salt"): _*).orderBy(orderCols: _*)
+    val global = Window.partitionBy(gs: _*).orderBy(orderCols: _*)
+    df.withColumn("__salt", pmod(hash(saltOn), lit(fanout)))
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn(rankCol, row_number().over(global))
+      .filter(col(rankCol) <= k)
+      .drop("__salt", "__lr")
+  }
+}

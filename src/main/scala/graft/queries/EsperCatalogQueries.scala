@@ -360,24 +360,28 @@ object EsperCatalogQueries {
     // increments, per-bucket population plus the top-5 most-similar
     // members as the displayed sample (the reference random-samples
     // per bucket; rank-by-similarity is the deterministic stand-in).
+    // The sample uses TopK.perGroup — a bare per-bucket window would
+    // sort the corpus on ~40 reducers; the population count is its
+    // own combinable rollup, broadcast back onto the 5-row samples.
     "e15_face_distance_groups" -> ((s, d) => {
       import graft.functions.Fns
       val e = Tables.embeddings(tune(s), d)
       val q = broadcast(e.filter(col("vec_id") === 7)
         .select(col("embedding").as("q_emb"),
           Fns.l2norm(col("embedding")).as("q_norm")))
-      val w = Window.partitionBy(col("bucket"))
-      e.filter(col("vec_id") =!= 7)
+      val scored = e.filter(col("vec_id") =!= 7)
         .withColumn("__norm", Fns.l2norm(col("embedding")))
         .crossJoin(q)
         .withColumn("cos", Fns.dot(col("embedding"), col("q_emb")) /
           (col("__norm") * col("q_norm")))
         .withColumn("bucket",
           floor((lit(1.0) - col("cos")) / 0.05).cast("int"))
-        .withColumn("rnk",
-          row_number().over(w.orderBy(col("cos").desc, col("vec_id"))))
-        .withColumn("n_in_bucket", count(lit(1)).over(w))
-        .filter(col("rnk") <= 5)
+        .select("bucket", "vec_id", "cos")
+      val counts = scored.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_in_bucket"))
+      graft.operators.TopK.perGroup(scored, 5, Seq("bucket"),
+          Seq(col("cos").desc, col("vec_id")), col("vec_id"), "rnk")
+        .join(broadcast(counts), "bucket")
         .select((col("bucket") * 5).as("dist_lo_centi"), col("n_in_bucket"),
           col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos6"))
         .orderBy("dist_lo_centi", "rnk")
@@ -450,13 +454,17 @@ object EsperCatalogQueries {
       val n = broadcast(e.agg(count(lit(1)).as("n_emb")))
       val asg = graft.similarity.IntKMeans.kmeansAssign(e, k = 10)
         .select(col("vec_id"), col("cluster"))
-      val w = Window.partitionBy(col("cluster"))
-      others.crossJoin(n)
+      // exemplar browse via TopK.perGroup (10 clusters over a corpus-
+      // sized face frame would otherwise sort on 10 reducers); cluster
+      // populations are a combinable rollup broadcast onto the samples
+      val clustered = others.crossJoin(n)
         .withColumn("vec_id", col("face_id") % col("n_emb"))
         .join(asg, "vec_id")
-        .withColumn("rnk", row_number().over(w.orderBy(col("face_id"))))
-        .withColumn("n_faces", count(lit(1)).over(w))
-        .filter(col("rnk") <= 10)
+      val counts = clustered.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_faces"))
+      graft.operators.TopK.perGroup(clustered, 10, Seq("cluster"),
+          Seq(col("face_id")), col("face_id"), "rnk")
+        .join(broadcast(counts), "cluster")
         .select(col("cluster"), col("n_faces"), col("face_id"),
           col("rnk").cast("int").as("rnk"))
         .orderBy(col("n_faces").desc, col("cluster"), col("rnk"))
@@ -481,8 +489,7 @@ object EsperCatalogQueries {
         .select(col("embedding").as("s_emb"),
           Fns.l2norm(col("embedding")).as("s_norm"),
           col("vec_id").isin(posIds: _*).as("is_pos")))
-      val w = Window.partitionBy(col("bucket"))
-      e.filter(!col("vec_id").isin(all: _*))
+      val gated = e.filter(!col("vec_id").isin(all: _*))
         .withColumn("__norm", Fns.l2norm(col("embedding")))
         .crossJoin(seeds)
         .withColumn("dist", lit(1.0) -
@@ -493,10 +500,11 @@ object EsperCatalogQueries {
           min(when(!col("is_pos"), col("dist"))).as("d_neg"))
         .filter(col("d_pos") <= 0.8 && col("d_pos") < col("d_neg"))
         .withColumn("bucket", floor(col("d_pos") / 0.05).cast("int"))
-        .withColumn("rnk",
-          row_number().over(w.orderBy(col("d_pos"), col("vec_id"))))
-        .withColumn("n_in_bucket", count(lit(1)).over(w))
-        .filter(col("rnk") <= 5)
+      val counts = gated.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_in_bucket"))
+      graft.operators.TopK.perGroup(gated, 5, Seq("bucket"),
+          Seq(col("d_pos"), col("vec_id")), col("vec_id"), "rnk")
+        .join(broadcast(counts), "bucket")
         .select((col("bucket") * 5).as("dist_lo_centi"), col("n_in_bucket"),
           col("vec_id"), col("rnk").cast("int").as("rnk"),
           round(col("d_pos"), 6).as("dist6"))
