@@ -347,8 +347,13 @@ object EsperCatalogQueries {
         .withColumn("cos", Fns.dot(col("embedding"), col("q_emb")) /
           (col("__norm") * col("q_norm")))
         .filter(lit(1.0) - col("cos") <= 0.8)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+        // the [::3] stride is UNCAPPED, so the knn rank comes from the
+        // two-phase running offset under the composite (cos DESC,
+        // vec_id) order — a bare rank window would sort the whole
+        // distance ball in one task at corpus scale
+        .transform(df => Q.globalRn(df,
+          Seq(col("cos").desc, col("vec_id")), "rank"))
+        .withColumn("rank", col("rank").cast("int"))
         .filter((col("rank") - 1) % 3 === 0)
         .select(col("vec_id"), col("rank"), round(col("cos"), 6).as("cos6"))
         .orderBy("rank")

@@ -65,6 +65,14 @@ object Q {
       .withColumn(outCol, col(outCol) + lit(1L))
       .drop("__one")
 
+  /** [[globalRn]] under a composite total order (e14's `cos DESC,
+    * vec_id` knn rank). */
+  def globalRn(df: DataFrame, ordCols: Seq[Column], outCol: String): DataFrame =
+    graft.text.Packing.withRunningOffsetOrdered(
+        df.withColumn("__one", lit(1L)), ordCols, "__one", outCol)
+      .withColumn(outCol, col(outCol) + lit(1L))
+      .drop("__one")
+
   // -------------------------------------------------------------------
   // Derived interval collection from `events`: one interval per event,
   // [epoch_sec(ts), epoch_sec(ts) + floor(value) + 1), keyed by user.

@@ -869,9 +869,10 @@ object TextQueries {
     "t47_oov_audit" -> ((s, d) => {
       val bg = TextOps.positionedShingles(docs(s, d), 2)
         .select(col("doc_id"), col("sh"))
-      val vw = Window.orderBy(col("cnt").desc, col("sh"))
+      // top-400 vocab via distributed TakeOrdered — a bare rank window
+      // here would sort the whole bigram vocabulary in one task
       val vocab = broadcast(bg.groupBy("sh").agg(count(lit(1)).as("cnt"))
-        .withColumn("vr", row_number().over(vw)).filter(col("vr") <= 400)
+        .orderBy(col("cnt").desc, col("sh")).limit(400)
         .select("sh"))
       val perDoc = bg.join(vocab.withColumn("__v", lit(1)), Seq("sh"), "left")
         .groupBy("doc_id")

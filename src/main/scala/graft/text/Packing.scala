@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,32 @@ object Packing {
   def withRunningOffset(df: DataFrame, ordCol: String, valCol: String,
                         outCol: String): DataFrame =
     withRunningOffsets(df, ordCol, Seq(valCol), Seq(outCol))
+
+  /** [[withRunningOffset]] under a COMPOSITE total order (e.g.
+    * `cos DESC, vec_id` — e14's knn-rank stride): same two-phase
+    * machinery, range-partitioned by the full ordering expression
+    * list. RangePartitioner assigns ascending partition ids in range
+    * order (desc sort expressions included), so the P-row offset
+    * cumsum over `__pid` matches the global order exactly. `ordCols`
+    * must be a total order — break ties with a unique column. */
+  def withRunningOffsetOrdered(df: DataFrame, ordCols: Seq[Column],
+                               valCol: String, outCol: String): DataFrame = {
+    val withPid = df.repartitionByRange(ordCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withPid.groupBy(col("__pid"))
+      .agg(sum(col(valCol)).as("__psum"))
+      .select(col("__pid"),
+        coalesce(sum(col("__psum")).over(offW), lit(0L)).as("__poff"))
+    val local = Window.partitionBy(col("__pid")).orderBy(ordCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withPid.join(broadcast(offs), "__pid")
+      .withColumn(outCol,
+        coalesce(sum(col(valCol)).over(local), lit(0L)) + col("__poff"))
+      .drop("__pid", "__poff")
+  }
 
   /** Multi-column form of [[withRunningOffset]]: one range exchange
     * and one partial-sum table serve every (valCol -> outCol) pair —

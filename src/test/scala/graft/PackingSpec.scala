@@ -25,6 +25,24 @@ class PackingSpec extends SparkSpec {
     // P-row partial table
   }
 
+  test("withRunningOffsetOrdered equals the global window under a " +
+    "composite DESC order (e14's knn rank)") {
+    val rnd = new scala.util.Random(59)
+    // duplicated scores force the vec_id tie-break to matter
+    val df = (1 to 4000).map(i => (i.toLong, rnd.nextInt(200).toDouble))
+      .toDF("vec_id", "cos").repartition(11)
+    val order = Seq($"cos".desc, $"vec_id")
+    val fast = Packing.withRunningOffsetOrdered(
+        df.withColumn("one", lit(1L)), order, "one", "rn")
+      .select("vec_id", "rn").as[(Long, Long)].collect().sorted.toList
+    val naive = df
+      .withColumn("rn", coalesce(sum(lit(1L)).over(
+        Window.orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("vec_id", "rn").as[(Long, Long)].collect().sorted.toList
+    assert(fast === naive)
+  }
+
   test("withRunningOffsets: two parallel cumsums from one exchange match " +
     "two independent single-column runs") {
     val rnd = new scala.util.Random(97)
