@@ -273,6 +273,14 @@ object Bench {
       import graft.sources.Tables
       val pre = "graft_"
       def pq(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+      // a previous JVM's managed-table dirs survive under the warehouse
+      // while the in-memory catalog starts empty — creating the table
+      // again then fails on "location already exists"; clear the stale
+      // dirs first (DROP TABLE can't: the fresh catalog never knew them)
+      Seq("lineitem", "orders", "events", "customer").foreach { t =>
+        graft.queries.Q.rmTree(
+          java.nio.file.Paths.get(s"/tmp/graft_warehouse/$pre$t"))
+      }
       val lt0 = System.nanoTime()
       Tables.writeBucketed(pq("lineitem"), pre + "lineitem", "l_orderkey",
         32, Seq("l_orderkey", "l_linenumber"))
