@@ -337,11 +337,47 @@ object RelationalQueries {
     // A10 median / quantiles — exact percentile with linear interpolation
     // (approxQuantile in the reference, spark.py:65-66; exact here so the
     // oracle matches bit-for-bit on integral quantities)
-    "a10_median" -> ((s, d) =>
-      li(s, d).groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
-          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
-        .orderBy("l_returnflag")),
+    // Exact percentile WITHOUT the per-group value buffer: Spark's
+    // `percentile()` is an ImperativeAggregate that materializes every
+    // group's values in executor memory — at 100 TB a hot flag's
+    // buffer is the OOM. l_quantity's value domain is bounded, so the
+    // histogram form is exact and O(|domain|) after one combinable
+    // shuffle: per-(flag, qty) counts, a cumulative over the <= 50
+    // histogram rows per flag, then Spark's own interpolation replayed
+    // closed-form — pos = p*(n-1), v_lo = min qty with cum > floor(pos),
+    // v_hi = min qty with cum > floor(pos)+1 (v_lo when past the end),
+    // result = v_lo + (pos - floor(pos)) * (v_hi - v_lo). Bit-identical
+    // to percentile()'s double arithmetic (same expression tree); the
+    // unbounded-domain form of the same idea is a22's value-bucket
+    // two-phase. Oracle unchanged (quantile_cont).
+    "a10_median" -> ((s, d) => {
+      val h = li(s, d).groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+      def pct(p: Double, out: String) = {
+        val pos = (col("n") - 1).cast("double") * p
+        val k = floor(pos)
+        val vLo = min(when(col("cum") > k, col("l_quantity")))
+        val vHi = min(when(col("cum") > k + 1, col("l_quantity")))
+        Seq(vLo.as(s"__lo_$out"), vHi.as(s"__hi_$out"),
+          min(pos).as(s"__pos_$out"))
+      }
+      cum.groupBy(col("l_returnflag"))
+        .agg((pct(0.5, "med") ++ pct(0.9, "p90")).head,
+          (pct(0.5, "med") ++ pct(0.9, "p90")).tail: _*)
+        .select(col("l_returnflag"),
+          (col("__lo_med") + (col("__pos_med") - floor(col("__pos_med"))) *
+            (coalesce(col("__hi_med"), col("__lo_med")) - col("__lo_med")))
+            .as("med_qty"),
+          (col("__lo_p90") + (col("__pos_p90") - floor(col("__pos_p90"))) *
+            (coalesce(col("__hi_p90"), col("__lo_p90")) - col("__lo_p90")))
+            .as("p90_qty"))
+        .orderBy("l_returnflag")
+    }),
 
     // A11 count per group to dict (spark_util.py:21-31)
     "a11_count_per_group" -> ((s, d) =>

@@ -266,12 +266,29 @@ object TextQueries {
     // token-length band — quantile-based filtering (the perplexity-
     // band move) where the threshold comes from the corpus itself.
     // The two cutoffs are a broadcast 1-row aggregate over the same
-    // scan, not driver-side constants.
+    // scan, not driver-side constants. Computed a10's histogram way —
+    // `percentile()` would buffer every doc's ntok in ONE aggregate
+    // buffer at 100 TB; the (ntok, count) histogram is length-domain-
+    // sized and the interpolation is percentile()'s own closed form
+    // (pos = p*(n-1); v_lo/v_hi = min ntok with cum past floor(pos) /
+    // floor(pos)+1), bit-identical doubles.
     "t17_quality_band" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val q = docs(s, d)
         .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
-      val cuts = q.agg(expr("percentile(ntok, 0.10)").as("p10"),
-        expr("percentile(ntok, 0.90)").as("p90"))
+      val h = q.groupBy(col("ntok")).agg(count(lit(1)).as("c"))
+      val cum = h.crossJoin(broadcast(h.agg(sum(col("c")).as("n"))))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("ntok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      def pct(p: Double, out: String) = {
+        val pos = (col("n") - 1).cast("double") * p
+        val k = floor(pos)
+        val vLo = min(when(col("cum") > k, col("ntok"))).cast("double")
+        val vHi = coalesce(min(when(col("cum") > k + 1, col("ntok")))
+          .cast("double"), min(when(col("cum") > k, col("ntok"))).cast("double"))
+        (vLo + (min(pos) - floor(min(pos))) * (vHi - vLo)).as(out)
+      }
+      val cuts = cum.agg(pct(0.10, "p10"), pct(0.90, "p90"))
       q.crossJoin(broadcast(cuts))
         .filter(col("ntok") >= col("p10") && col("ntok") <= col("p90"))
         .groupBy(col("lang"))
