@@ -404,7 +404,11 @@ object EsperCatalogQueries {
     // min-length filter. n_key_spans carries how many deoverlapped
     // key spans the story segment absorbed. Scale shape: every stage
     // is the per-doc island window + pushed-down token filters —
-    // nothing corpus-global.
+    // nothing corpus-global EXCEPT the tokenize itself: this row is
+    // the corpus's ONE deliberate in-process semantics reference
+    // (REFERENCE-ONLY for the serve-latency story — e22 is the served
+    // twin off the persisted index, same oracle SQL; 100x stress:
+    // e18 5.6x vs e22 1.7x, STRESS10X.md).
     "e18_story_segments" -> ((s, d) => {
       import graft.text.PhraseSearch
       val tk = toks(s, d)
