@@ -389,6 +389,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(r._2 > 2.0 - 1e-9 && r._2 < 4.0 + 1e-9)
   }
 
+  test("histogram percentile (a10/t17's form) equals percentile() exactly") {
+    // the corpus computes exact percentiles from (value, count)
+    // histograms + percentile()'s own closed-form interpolation so no
+    // aggregate buffers a group's raw values; this pins the two forms
+    // to each other bit-for-bit, including ties, interpolated
+    // positions and the past-the-end upper neighbor
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 3001).map(i =>
+      (s"g${i % 3}", rnd.nextInt(37).toDouble)).toDF("g", "v")
+    val direct = df.groupBy($"g")
+      .agg(expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val h = df.groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"g").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"g")))
+    def pct(p: Double, out: String) = {
+      val pos = ($"n" - 1).cast("double") * p
+      val k = floor(pos)
+      val vLo = min(when($"cum" > k, $"v"))
+      val vHi = coalesce(min(when($"cum" > k + 1, $"v")), min(when($"cum" > k, $"v")))
+      (vLo + (min(pos) - floor(min(pos))) * (vHi - vLo)).as(out)
+    }
+    val hist = cum.groupBy($"g").agg(pct(0.5, "p50"), pct(0.9, "p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(hist === direct) // exact double equality, not a tolerance
+  }
+
   test("o09 SCD2 merge: open rows reconstruct the new snapshot exactly") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("o09_scd2_merge")(spark, sf).cache()
