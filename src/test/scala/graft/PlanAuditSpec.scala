@@ -669,6 +669,47 @@ class PlanAuditSpec extends SparkSpec {
       "deleted-IVF vectors scan lost its cell partition filter — DPP regressed")
   }
 
+  test("e13 served caption search is INDEX-ONLY: pruned postings " +
+    "buckets, zero corpus scans") {
+    // the r18 verdict's done-criterion for the e13 conversion: a plan
+    // audit showing the whole query answers from the persisted index
+    // — every file scan sits under the phidx layout with a static
+    // bucket partition filter, and NOTHING reads the documents table
+    // (the fps dim is doc_id-derived, so even the dimension join the
+    // in-process form needed is gone)
+    val plan = executed(SparkEntry.queries("e13_caption_search")(spark, sf))
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scans found in e13's plan")
+    val paths = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(!paths.exists(_.contains("documents.parquet")),
+      s"e13 still scans the documents table: $paths")
+    assert(paths.forall(_.contains("phidx")),
+      s"e13 scanned outside the caption index: $paths")
+    val postings = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings")))
+    assert(postings.nonEmpty, "postings scan missing from e13's plan")
+    postings.foreach(s => assert(s.partitionFilters.nonEmpty,
+      "postings scan lost its static bucket partition filter"))
+  }
+
+  test("a10/t17 plans carry no Percentile buffering aggregate") {
+    // the histogram rewrite's guard: Spark's percentile() buffers
+    // every group value in executor memory — if either query slides
+    // back to it, this fails before a 100 TB OOM does
+    Seq("a10_median", "t17_quality_band").foreach { q =>
+      val plan = executed(SparkEntry.queries(q)(spark, sf))
+      val percentiles = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }.flatMap(_.aggregateExpressions).map(_.aggregateFunction)
+        .filter(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.Percentile])
+      assert(percentiles.isEmpty,
+        s"$q regressed to the value-buffering percentile() aggregate")
+    }
+  }
+
   test("corpus queries off the bucketed catalog lose their hash exchanges") {
     // the Bench `layout` section's claim as a pinned plan property:
     // the SAME query functions (Tables.load's `catalog:` scheme — a
