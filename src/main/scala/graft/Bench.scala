@@ -18,6 +18,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // per-run warehouse: two concurrent bench runs on one box must not
+    // clobber each other's managed tables, and getOrCreate reusing an
+    // existing session would silently ignore a fixed-path conf while
+    // cleanup still targeted it (ADVICE r19) — a fresh temp dir makes
+    // conf, writes and cleanup all agree, and the exit hook reclaims it
+    val warehouse = Files.createTempDirectory("graft_warehouse_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try graft.queries.Q.rmTree(warehouse) catch { case _: Throwable => () }))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,7 +37,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // the layout section's bucketed catalog tables land here, not in
       // the repo working dir
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.warehouse.dir", warehouse.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // drop ONLY the expected per-unpersist truncation WARN from freed
@@ -273,13 +281,11 @@ object Bench {
       import graft.sources.Tables
       val pre = "graft_"
       def pq(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
-      // a previous JVM's managed-table dirs survive under the warehouse
-      // while the in-memory catalog starts empty — creating the table
-      // again then fails on "location already exists"; clear the stale
-      // dirs first (DROP TABLE can't: the fresh catalog never knew them)
+      // the warehouse is a fresh per-run temp dir, but clear any table
+      // dirs defensively (a re-entrant layoutSection call in one JVM
+      // would otherwise hit "location already exists")
       Seq("lineitem", "orders", "events", "customer").foreach { t =>
-        graft.queries.Q.rmTree(
-          java.nio.file.Paths.get(s"/tmp/graft_warehouse/$pre$t"))
+        graft.queries.Q.rmTree(warehouse.resolve(pre + t))
       }
       val lt0 = System.nanoTime()
       Tables.writeBucketed(pq("lineitem"), pre + "lineitem", "l_orderkey",

@@ -41,6 +41,12 @@ object TopK {
                orderCols: Seq[Column], saltOn: Column, rankCol: String,
                fanout: Int = 64): DataFrame = {
     require(k > 0 && fanout > 0)
+    // the two intermediate names are injected unconditionally — a
+    // caller column of the same name would be silently shadowed and
+    // then dropped; fail fast instead (same for the output rank name)
+    Seq("__salt", "__lr", rankCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"TopK.perGroup: input already has a column named '$c'"))
     val gs = groupCols.map(col)
     val local = Window.partitionBy(gs :+ col("__salt"): _*).orderBy(orderCols: _*)
     val global = Window.partitionBy(gs: _*).orderBy(orderCols: _*)

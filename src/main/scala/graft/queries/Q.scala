@@ -59,19 +59,25 @@ object Q {
     * machinery) and every partition sorts only its own range. Capped
     * strides (`[:K:k]`) don't need it: `orderBy(ord).limit(K)` is a
     * distributed top-K and the follow-up window is K-bounded. */
-  def globalRn(df: DataFrame, ordCol: String, outCol: String): DataFrame =
+  def globalRn(df: DataFrame, ordCol: String, outCol: String): DataFrame = {
+    require(!df.columns.contains("__one"),
+      "globalRn: input already has a column named '__one'")
     graft.text.Packing.withRunningOffset(
         df.withColumn("__one", lit(1L)), ordCol, "__one", outCol)
       .withColumn(outCol, col(outCol) + lit(1L))
       .drop("__one")
+  }
 
   /** [[globalRn]] under a composite total order (e14's `cos DESC,
     * vec_id` knn rank). */
-  def globalRn(df: DataFrame, ordCols: Seq[Column], outCol: String): DataFrame =
+  def globalRn(df: DataFrame, ordCols: Seq[Column], outCol: String): DataFrame = {
+    require(!df.columns.contains("__one"),
+      "globalRn: input already has a column named '__one'")
     graft.text.Packing.withRunningOffsetOrdered(
         df.withColumn("__one", lit(1L)), ordCols, "__one", outCol)
       .withColumn(outCol, col(outCol) + lit(1L))
       .drop("__one")
+  }
 
   // -------------------------------------------------------------------
   // Derived interval collection from `events`: one interval per event,

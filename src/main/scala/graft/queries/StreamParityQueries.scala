@@ -55,6 +55,17 @@ object StreamParityQueries {
       .write.partitionBy("__b").mode("overwrite").parquet(tmp.toString)
     dfs.indices.foreach { i =>
       val bDir = tmp.resolve(s"__b=$i")
+      // an all-empty frame produces NO __b=i dir (a partitioned write
+      // only creates directories for values that exist — unlike the
+      // old repartition(1) write, whose single eager writer always
+      // emitted a part file). Residue-class slices can be empty at
+      // tiny scale factors; the stream contract needs a file per
+      // ordinal so batch numbering stays dense — write a 0-row
+      // parquet file with the frame's schema instead of failing.
+      if (!Files.exists(bDir)) {
+        dfs(i).limit(0).coalesce(1)
+          .write.mode("overwrite").parquet(bDir.toString)
+      }
       val listing = Files.list(bDir)
       val part =
         try listing.iterator().asScala

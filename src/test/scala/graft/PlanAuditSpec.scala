@@ -721,6 +721,17 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import graft.sources.Tables
     def pq(n: String) = spark.read.parquet(s"$sf/$n.parquet")
+    // a test JVM that died between saveAsTable and the finally DROP
+    // leaves managed-table dirs the fresh in-memory catalog never knew
+    // about — saveAsTable then fails on "location already exists" in
+    // every later run. Mirror Bench: clear both the catalog entry and
+    // the surviving warehouse dir BEFORE writing, not only in finally.
+    val warehouse = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    Seq("lineitem", "orders", "events", "customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_pa_$t")
+      graft.queries.Q.rmTree(warehouse.resolve(s"graft_pa_$t"))
+    }
     Tables.writeBucketed(pq("lineitem"), "graft_pa_lineitem", "l_orderkey",
       4, Seq("l_orderkey", "l_linenumber"))
     Tables.writeBucketed(pq("orders"), "graft_pa_orders", "o_orderkey",

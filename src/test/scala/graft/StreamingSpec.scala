@@ -424,9 +424,15 @@ class StreamingSpec extends SparkSpec {
     // the result. A Spark major upgrade could legitimately change the
     // boundary with no repo bug: if this fires, re-derive st22's
     // staging against the new filter before trusting a red hash.
-    assert(spark.version.startsWith("4."),
-      s"st22's late-drop staging was derived on Spark 4.x; running on " +
-        s"${spark.version} — re-verify watermarkForLateEvents semantics")
+    // pinned to the MINOR version: the one-batch late-filter lag is an
+    // implementation detail verified empirically on 4.1, not a
+    // documented contract — a 4.2 bump must fail here by name, not as
+    // a mystery st22 hash break (r19 verdict nit #1)
+    assert(spark.version.startsWith("4.1"),
+      s"st22's late-drop staging was verified empirically on Spark 4.1; " +
+        s"running on ${spark.version} — re-verify the " +
+        "watermarkForLateEvents/watermarkForEviction lag before trusting " +
+        "st22's oracle")
   }
 
   test("ingestJob end-to-end: files -> dedup -> parquet") {
