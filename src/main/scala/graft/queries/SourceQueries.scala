@@ -275,6 +275,84 @@ object SourceQueries {
           scat.cast("int").as("scattered"))
         .orderBy("video_id", "start_s", "end_s", "guest1", "interviewer1",
           "original", "scattered")
+    }),
+
+    // S22: video-path show/channel re-parse (update_show.py:4-12) —
+    // the catalog maintenance pass that re-derives channel, air time
+    // and show name from the video FILENAME with the reference's
+    // literal path rules: basename split on '_'; parts[:3] =
+    // [channel, yyyyMMdd, HHmmss] parsed as a datetime; a trailing
+    // 'W' stripped from the channel (the west-coast feed suffix:
+    // CNNW -> CNN); show = parts[3:-1] joined with spaces when the
+    // LAST part is the literal 'segment', else parts[3:] — including
+    // the degenerate '<channel>_<date>_<time>_segment' path whose
+    // show name is the EMPTY string (parts[3:-1] = []). Paths are
+    // built fixture-inverse from order parameters (the s19/s21
+    // pattern) and the oracle computes the expected rows closed-form,
+    // so a W-strip, '_segment', field-offset or datetime-format bug
+    // breaks the hash. Narrow per-row string ops, shuffle-free to
+    // the sort.
+    "s22_show_path_parse" -> ((s, d) => {
+      val chan = element_at(
+        array(lit("CNN"), lit("CNNW"), lit("FOXNEWSW"), lit("MSNBC"),
+          lit("KNTVW")),
+        (col("o_custkey") % 5 + 1).cast("int"))
+      val hh = format_string("%02d", col("o_orderkey") % 24)
+      val mm = format_string("%02d", col("o_orderkey") % 60)
+      val ss = format_string("%02d", (col("o_orderkey") * 7) % 60)
+      val showPart = when(col("o_orderkey") % 4 === 0, lit("situation_room"))
+        .when(col("o_orderkey") % 4 === 1, lit("hardball"))
+        .when(col("o_orderkey") % 4 === 2, lit("news_hour_segment"))
+        .otherwise(lit("segment"))
+      val paths = Tables.orders(tune(s), d)
+        .select(col("o_orderkey").as("video_id"),
+          format_string("/tvnews/videos/%s_%s_%s%s%s_%s.mp4",
+            chan, date_format(col("o_orderdate"), "yyyyMMdd"),
+            hh, mm, ss, showPart).as("path"))
+      // ---- the parse (update_show.py rules, op-for-op) ----
+      val base = regexp_extract(col("path"), "([^/]+)\\.[^.]*$", 1)
+      val parts = split(base, "_")
+      val ch0 = element_at(parts, 1)
+      val ch = when(ch0.endsWith("W"),
+        ch0.substr(lit(1), length(ch0) - 1)).otherwise(ch0)
+      val dt = to_timestamp(
+        concat(element_at(parts, 2), lit(" "), element_at(parts, 3)),
+        "yyyyMMdd HHmmss")
+      val isSeg = element_at(parts, -1) === "segment"
+      val showName = when(isSeg,
+          array_join(slice(parts, lit(4), size(parts) - 4), " "))
+        .otherwise(array_join(slice(parts, lit(4), size(parts) - 3), " "))
+      paths.select(col("video_id"), ch.as("channel"),
+          date_format(dt, "yyyy-MM-dd HH:mm:ss").as("air_ts"),
+          showName.as("show_name"))
+        .orderBy("video_id")
+    }),
+
+    // S23: per-track frame-range refresh (update_tracks.py:3-11) —
+    // the maintenance pass that recomputes PersonTrack.min_frame /
+    // max_frame as min/max over the track's member faces' frame
+    // numbers, restricted to tagged videos
+    // (filter(video__videotag__tag__name='pose-test')), SKIPPING
+    // tracks with no faces (the loop's `continue` == inner join).
+    // Track := order (tag filter = e29's custkey residue), member
+    // faces := its lineitems, frame number := l_partkey. Scale: the
+    // min/max aggregate runs map-side-partial on the fact plane
+    // BEFORE the join, and the join ships only the P-row aggregate —
+    // the reference loops tracks in Python with one query per track;
+    // here the groupBy key IS that loop.
+    "s23_track_minmax_refresh" -> ((s, d) => {
+      val t = tune(s)
+      val tracks = Tables.orders(t, d)
+        .filter(col("o_custkey") % 100 === 17)
+        .select(col("o_orderkey").as("track_id"),
+          col("o_custkey").as("video_id"))
+      val frames = Tables.lineitem(t, d)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_partkey")).as("min_frame"),
+          max(col("l_partkey")).as("max_frame"))
+      tracks.join(frames, col("track_id") === col("l_orderkey"))
+        .select("track_id", "video_id", "min_frame", "max_frame")
+        .orderBy("track_id")
     })
   )
 
@@ -375,6 +453,35 @@ object SourceQueries {
         |  CAST(CASE WHEN pf = 0 THEN 1 ELSE 0 END AS INT) AS scattered
         |FROM p
         |ORDER BY video_id, start_s, end_s, guest1, interviewer1,
-        |  original, scattered""".stripMargin
+        |  original, scattered""".stripMargin,
+
+    // s22: expected (channel, air time, show) closed-form from the
+    // same order parameters the path generator used — W-strip and
+    // '_segment' rules applied by hand, including the empty show name
+    "s22_show_path_parse" ->
+      """SELECT o_orderkey AS video_id,
+        |  CASE o_custkey % 5 WHEN 0 THEN 'CNN' WHEN 1 THEN 'CNN'
+        |    WHEN 2 THEN 'FOXNEWS' WHEN 3 THEN 'MSNBC'
+        |    ELSE 'KNTV' END AS channel,
+        |  strftime(o_orderdate, '%Y-%m-%d') || ' ' ||
+        |    printf('%02d:%02d:%02d', o_orderkey % 24, o_orderkey % 60,
+        |      (o_orderkey * 7) % 60) AS air_ts,
+        |  CASE o_orderkey % 4 WHEN 0 THEN 'situation room'
+        |    WHEN 1 THEN 'hardball' WHEN 2 THEN 'news hour'
+        |    ELSE '' END AS show_name
+        |FROM orders
+        |ORDER BY video_id""".stripMargin,
+
+    // s23: the per-track min/max refresh as one aggregate+join — the
+    // inner join IS the reference's zero-face `continue`
+    "s23_track_minmax_refresh" ->
+      """SELECT o_orderkey AS track_id, o_custkey AS video_id,
+        |  min_frame, max_frame
+        |FROM orders
+        |JOIN (SELECT l_orderkey, min(l_partkey) AS min_frame,
+        |        max(l_partkey) AS max_frame
+        |      FROM lineitem GROUP BY 1) f ON o_orderkey = l_orderkey
+        |WHERE o_custkey % 100 = 17
+        |ORDER BY track_id""".stripMargin
   )
 }
