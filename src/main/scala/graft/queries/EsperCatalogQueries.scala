@@ -788,8 +788,10 @@ object EsperCatalogQueries {
     // exclusion seeds' neighborhoods (ceiling 0.4), non-commercial
     // faces only, kept faces in the original knn (distance) order.
     // Scale = e20's: seeds are a 3-row broadcast, the corpus is
-    // scanned once, and the global rank runs over the already
-    // double-thresholded result set, not the corpus.
+    // scanned once, and the ordered output rank is the two-phase
+    // composite ordinal (Q.globalRn — range-partitioned, no
+    // single-task sort even when the ball is corpus-sized; the same
+    // e14 treatment, closing the round-19 builder-known row).
     "e28_face_search_exclusions" -> ((s, d) => {
       import graft.functions.Fns
       val e = Tables.embeddings(tune(s), d)
@@ -808,8 +810,8 @@ object EsperCatalogQueries {
         .agg(min(when(col("is_pos"), col("dist"))).as("d_pos"),
           min(when(!col("is_pos"), col("dist"))).as("d_excl"))
         .filter(col("d_pos") <= 0.6 && col("d_excl") > 0.4)
-        .withColumn("rnk", row_number()
-          .over(Window.orderBy(col("d_pos"), col("vec_id"))).cast("int"))
+        .transform(df => Q.globalRn(df, Seq(col("d_pos"), col("vec_id")), "rnk"))
+        .withColumn("rnk", col("rnk").cast("int"))
         .select(col("vec_id"), col("rnk"), round(col("d_pos"), 6).as("dist6"))
         .orderBy("rnk")
     }),

@@ -421,6 +421,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("e28's ordered ball output is the two-phase ordinal, not a global rank window") {
+    // the round-19 builder-known row: e28 used to rank its
+    // double-thresholded ball through row_number() OVER (ORDER BY ..)
+    // — a single-partition sort whose input is corpus-sized whenever
+    // the thresholds stop being selective. The rewrite routes it
+    // through Q.globalRn (range partition + per-partition cumsum +
+    // P-row offset table): the only partition-less window allowed is
+    // the P-row offset cumsum sitting on the __pid partial-sum
+    // aggregate.
+    val plan = executed(
+      SparkEntry.queries("e28_face_search_exclusions")(spark, sf))
+    val globalWins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWins.size === 1,
+      s"e28 has ${globalWins.size} global windows, expected exactly the P-row one")
+    assert(globalWins.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("__pid")) => a
+    }.nonEmpty, "e28's global window does not sit on the __pid partial-sum table")
+  }
+
   test("t57 sketch estimation joins broadcast; no sort-merge anywhere") {
     val plan = executed(SparkEntry.queries("t57_cms_heavy")(spark, sf))
     assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
