@@ -99,6 +99,12 @@ object Bench {
       "ph29_vacuumed_phrase", "v43_ivf_vacuumed",
       "st16_stream_index_parity", "st17_stream_cdc_parity",
       "st18_stream_ivf_parity", "st19_stream_reencode_parity",
+      // the parity fixtures' staged inputs are memoized per corpus
+      // (stagedInput) — warm each distinct staging tag so no pass-1
+      // sample absorbs a fixture build (st21/st24 share st14's tag)
+      "st14_stream_coalesce_parity", "st15_stream_asof_parity",
+      "st20_stream_density_parity", "st22_stream_late_drop",
+      "st23_stream_stream_join",
       // cross-plane pairs (xpl/xpl2) and the PQ tier (ivfpq) build in
       // their own memo tags — unwarmed, their pass-1 sample absorbed
       // the build and polluted `spread` (r15 verdict nit #1: x07 22.7x)

