@@ -60,6 +60,51 @@ class PackingSpec extends SparkSpec {
     assert(multi === multi.map { case (id, _, _) => (id, a(id), b(id)) })
   }
 
+  test("branch consistency survives exchange-reuse OFF (the cache claim, " +
+    "pinned cluster-shaped)") {
+    // Packing.scala's cache rationale: the offset branch and the main
+    // branch must observe the SAME range-partition assignment, and
+    // exchange reuse — an optimizer courtesy, not a contract — is the
+    // only thing that would align them without the materialization.
+    // local[32] never shows the failure incidentally (reuse is on by
+    // default), so pin it: with reuse disabled BOTH forms must still
+    // equal the naive global window bit-for-bit, and the plan must
+    // actually serve the shared subtree from the cache.
+    val reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val rnd = new scala.util.Random(83)
+      val df = (1 to 5000).map(i => (i.toLong, 1L + rnd.nextInt(40)))
+        .toDF("id", "v").repartition(13)
+      val fast = Packing.withRunningOffset(df, "id", "v", "off")
+      val got = fast.select("id", "off").as[(Long, Long)].collect().sorted.toList
+      val naive = df
+        .withColumn("off", coalesce(sum($"v").over(
+          Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("id", "off").as[(Long, Long)].collect().sorted.toList
+      assert(got === naive)
+      // the cached pid-stamped subtree may sit inside AQE query stages
+      // — check the post-execution plan rendering, which includes them
+      assert(fast.queryExecution.executedPlan.toString
+          .contains("InMemoryTableScan"),
+        "the pid-stamped subtree is not served from the cache — " +
+          "branch consistency would ride on exchange reuse alone")
+      // the composite-order form (e14/e28's ordinal) under the same conf
+      val df2 = (1 to 4000).map(i => (i.toLong, rnd.nextInt(200).toDouble))
+        .toDF("vec_id", "cos").repartition(11)
+      val order = Seq($"cos".desc, $"vec_id")
+      val got2 = Packing.withRunningOffsetOrdered(
+          df2.withColumn("one", lit(1L)), order, "one", "rn")
+        .select("vec_id", "rn").as[(Long, Long)].collect().sorted.toList
+      val naive2 = df2
+        .withColumn("rn", coalesce(sum(lit(1L)).over(
+          Window.orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("vec_id", "rn").as[(Long, Long)].collect().sorted.toList
+      assert(got2 === naive2)
+    } finally spark.conf.set("spark.sql.exchange.reuse", reuse)
+  }
+
   test("packChunks: offsets are exclusive cumsums, chunks cover each doc") {
     val docs = Seq(
       (1L, "a b c"),          // ntok 3, off 0

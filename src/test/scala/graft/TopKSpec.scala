@@ -46,6 +46,56 @@ class TopKSpec extends SparkSpec {
     assert(got.filter(col("g") === 9L).select("rnk").as[Int].head() === 1)
   }
 
+  test("perGroup is stable under forced AQE partition coalescing and |groups|=1") {
+    // cluster-shaped determinism: the salt is a hash of a caller
+    // column, NOT spark_partition_id, so AQE collapsing every
+    // post-shuffle partition must not change the candidate sets. Force
+    // the most aggressive coalescing AQE allows and re-check row-for-
+    // row equality; then the degenerate single-group frame (the shape
+    // where the naive window is fully serial and the salt does all
+    // the spreading).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256MB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1g")
+    val df = ss.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(data().collect(): _*)),
+      data().schema)
+    val order = Seq(col("score").desc, col("id"))
+    val naive = df.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(order: _*)))
+      .filter(col("rnk") <= 7)
+    val got = TopK.perGroup(df, 7, Seq("g"), order, col("id"), "rnk")
+    assert(got.select("g", "id", "score", "rnk").except(
+      naive.select("g", "id", "score", "rnk")).isEmpty &&
+      naive.select("g", "id", "score", "rnk").except(
+        got.select("g", "id", "score", "rnk")).isEmpty,
+      "forced AQE coalescing changed perGroup's output")
+    // |groups| = 1: every row in one group
+    val one = df.withColumn("g", lit(0L))
+    val naive1 = one.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(order: _*)))
+      .filter(col("rnk") <= 7)
+    val got1 = TopK.perGroup(one, 7, Seq("g"), order, col("id"), "rnk")
+    assert(got1.select("g", "id", "score", "rnk").except(
+      naive1.select("g", "id", "score", "rnk")).isEmpty &&
+      naive1.select("g", "id", "score", "rnk").except(
+        got1.select("g", "id", "score", "rnk")).isEmpty,
+      "|groups|=1 diverged from the naive window")
+    assert(got1.count() === 7)
+  }
+
+  test("perGroup rejects intermediate-column collisions up front") {
+    val df = data().withColumn("__salt", lit(1))
+    intercept[IllegalArgumentException] {
+      TopK.perGroup(df, 7, Seq("g"), Seq(col("score")), col("id"), "rnk")
+    }
+    intercept[IllegalArgumentException] {
+      TopK.perGroup(data(), 7, Seq("g"), Seq(col("score")), col("id"), "id")
+    }
+  }
+
   test("the global stage ranks only candidate rows (<= k x fanout per group)") {
     // the property that makes it scale: after the local cut, the
     // per-group frame entering the global window is bounded by the
