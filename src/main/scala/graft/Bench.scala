@@ -263,6 +263,13 @@ object Bench {
     // explicit Locale.ROOT: the f"" interpolator is default-locale
     // sensitive, and a comma-decimal locale would emit invalid JSON
     def num3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // JSON string escape (error messages, exchange-key expressions)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // ---- corpus-level bucketed-layout bench (r18 verdict ask #5) ----
     // StorageSpec proves bucketing kills the join/agg exchange on toy
     // tables; this measures it on the REAL corpus queries: the shuffle-
@@ -306,10 +313,30 @@ object Bench {
         .foreach(n => pq(n).createOrReplaceTempView(pre + n))
       val buildSec = (System.nanoTime() - lt0) / 1e9
       val cdir = s"catalog:$pre"
-      val lqs = Seq("j01_equi_join_agg", "j02_left_outer",
-        "j04_correlated_count", "j05_self_theta", "r01_coalesce",
-        "e30_still_face_tracks").filter(SparkEntry.queries.contains)
-      def hashExchanges(dir: String, name: String): Int = {
+      // CORPUS-WIDE sweep (r19 verdict ask #1): every runnable batch
+      // query over the bucketed tables — the j/r spine, the full
+      // a/e/x/o/p analytical families and the st batch rows (st01-13,
+      // the user_id session/window family). Excluded: index-backed
+      // rows (their serves read the persisted index layout, not the
+      // tables — re-keying the memo on `catalog:` would measure a
+      // pointless rebuild), the streaming-parity rows (file-source
+      // fixtures), and the t/v text/vector planes, whose shuffle keys
+      // are DERIVED (shingle hashes, LSH bands, IVF cells) — a table
+      // bucketing cannot pre-place those; their scale story is the
+      // banded/bucketed join shape itself (STRESS10X).
+      val idxBacked = Set("e13_caption_search", "e22_served_stories",
+        "e38_entity_mentions", "x07_cross_plane_takedown",
+        "x08_cross_plane_reencode", "x09_served_hybrid")
+      val fams = Set("j", "r", "a", "e", "x", "o", "p")
+      // a prefix-filtered run sweeps only its own selection (iteration
+      // aid — the full-corpus gate run always sweeps everything)
+      val lqs = selected.keys.toSeq.sorted.filter { n =>
+        val fam = n.takeWhile(_.isLetter)
+        !idxBacked(n) &&
+          (fams(fam) ||
+            (fam == "st" && n.stripPrefix("st").takeWhile(_.isDigit).toInt <= 13))
+      }
+      def hashExchanges(dir: String, name: String): Seq[String] = {
         val df = SparkEntry.queries(name)(spark, dir)
         val prev = spark.conf.get("spark.sql.adaptive.enabled")
         // AQE off so exchanges are plain nodes (planning is lazy: the
@@ -319,8 +346,11 @@ object Bench {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
             if e.outputPartitioning.isInstanceOf[
               org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
-            => e
-        }.size
+            => e.outputPartitioning
+              .asInstanceOf[
+                org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+              .expressions.map(_.sql).mkString(", ")
+        }
         finally spark.conf.set("spark.sql.adaptive.enabled", prev)
       }
       val rows = lqs.map { n =>
@@ -330,10 +360,20 @@ object Bench {
         val exB = hashExchanges(cdir, n)
         val pqSec = resultMap.get(n).map(num3).getOrElse("null")
         val bkSec = if (ss.nonEmpty) num3(ss.min) else "null"
+        // the keys of every exchange the bucketed layout did NOT
+        // remove — each remaining shuffle names itself (a rollup on a
+        // non-bucket dim, a derived key, a second join key)
+        val keys = if (exB.isEmpty) "" else
+          s""","bucketed_exchange_keys":${exB.map(jq).mkString("[", ",", "]")}"""
         s""""$n":{"parquet_sec":$pqSec,"bucketed_sec":$bkSec,""" +
-          s""""parquet_hash_exchanges":$exP,"bucketed_hash_exchanges":$exB}"""
+          s""""parquet_hash_exchanges":${exP.size},""" +
+          s""""bucketed_hash_exchanges":${exB.size}$keys}"""
       }
-      s"""{"build_sec":${num3(buildSec)},"buckets":32,""" +
+      val nZeroB = rows.count(_.contains("\"bucketed_hash_exchanges\":0"))
+      System.err.println(
+        s"[bench] layout sweep: ${lqs.size} queries, $nZeroB zero-exchange on bucketed")
+      s"""{"build_sec":${num3(buildSec)},"buckets":32,"n_queries":${lqs.size},""" +
+        s""""n_zero_exchange_bucketed":$nZeroB,""" +
         s""""queries":${rows.mkString("{", ",", "}")}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] layout section failed: ${e.getMessage}")
@@ -350,13 +390,6 @@ object Bench {
       s"\"" + k + "\":" +
         vs.map(_.map(num3).getOrElse("null")).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    // JSON string escape for error messages (quotes/backslashes/ctl)
-    def jq(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val failedJson = failed.map { case (k, v) => jq(k) + ":" + jq(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -769,11 +769,22 @@ class PlanAuditSpec extends SparkSpec {
           case e: ShuffleExchangeLike
             if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
         }.size
-      // j04: lineitem agg on its bucket key + join to co-bucketed
-      // orders; r01: island coalesce windows over the events bucket
-      // key; j05: self-join on the bucket key. All data motion is
-      // already on disk.
-      Seq("j04_correlated_count", "r01_coalesce", "j05_self_theta")
+      // one representative per zero-exchange family (the corpus-wide
+      // sweep in Bench's layout section found 60 of 139; these pin the
+      // plan property per family so a regression names itself):
+      //   j04 lineitem agg on its bucket key + join to co-bucketed
+      //       orders; j05 self-join on the bucket key; j07 interval
+      //       containment co-keyed on the orderkey
+      //   r01/r08 island windows over the events bucket key
+      //   st03 first-per-user dedup window; st01 sessionize
+      //   a13 overlap totals (events windows + agg on user_id)
+      //   e04 timeline rows (the widget data layer's frame joins)
+      //   o09 SCD2 merge (orders keyed on o_orderkey)
+      //   x01 the native overlap-seconds expression's banded join
+      Seq("j04_correlated_count", "r01_coalesce", "j05_self_theta",
+        "j07_containment", "r08_merge_spans", "st03_dedup_first",
+        "st01_sessionize", "a13_overlap_totals", "e04_timeline_rows",
+        "o09_scd2_merge", "x01_native_overlap")
         .foreach { q =>
           assert(hashEx(q) === 0,
             s"$q should be exchange-free on the bucketed layout")
