@@ -226,11 +226,15 @@ object Bench {
       probe()
       shuffledPass(pass).foreach { case (n, f) => timedOne(n, f) }
     }
-    // third pass only over queries whose best is still >1 s (a query
-    // with no successful sample yet gets one more chance too)
+    // third pass over every non-trivial query (best still > 0.25 s —
+    // the spread floor; r19 verdict ask #2: two same-HEAD gate runs
+    // disagreed by up to ±15% on totals, and a min-of-TWO estimator
+    // leaves mid-range queries one contended window away from a >10%
+    // per-query move; min-of-three corroborates the min). A query
+    // with no successful sample yet gets one more chance too.
     probe()
     shuffledPass(3).filter { case (n, _) =>
-        samples(n).flatten.forall(_ > 1.0) }
+        samples(n).flatten.forall(_ > 0.25) }
       .foreach { case (n, f) => timedOne(n, f) }
     // Spread-gated resampling (r11 verdict ask #5): a query whose
     // samples disagree by >2x was measured under at least one
@@ -247,8 +251,11 @@ object Bench {
       val noisy = shuffledPass(pass).filter { case (n, _) =>
         val good = samples(n).flatten
         // cap at 5 samples/query: once a min is corroborated twice the
-        // extra pass adds decidability, not information
-        good.nonEmpty && good.size < 5 && good.min > 0.5 && spreadOf(n) > 2.0
+        // extra pass adds decidability, not information. Gate floor =
+        // the 0.25 s spread floor and ratio 1.5 (was 0.5/2.0 — r19's
+        // same-HEAD reruns showed 0.3-1 s queries moving 10-25% under
+        // the looser gate)
+        good.nonEmpty && good.size < 5 && good.min > 0.25 && spreadOf(n) > 1.5
       }
       if (noisy.nonEmpty) {
         probe()

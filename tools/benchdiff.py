@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Same-HEAD bench stability check (r19 verdict ask #2).
+
+Compares two BENCH.json artifacts on their common per-query MINS and
+reports the movement distribution. The bench's estimator is already
+min-of-interleaved-passes with spread-gated resampling — what totals
+hide is that a sum of 300+ mins moves when ANY min was contended in
+every pass; the per-query comparison is the signal the verdict should
+read. Queries under the spread floor (0.25 s) are compared but
+reported separately: at that size the ratio measures scheduler jitter,
+not plan cost.
+
+Usage: python3 tools/benchdiff.py A.json B.json [threshold_pct=10]
+Exit 1 if any non-trivial (>=0.25 s) query moved more than threshold.
+"""
+import json, sys
+
+def main():
+    a = json.load(open(sys.argv[1]))['queries']
+    b = json.load(open(sys.argv[2]))['queries']
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    common = sorted(set(a) & set(b))
+    movers, tiny_movers = [], []
+    for q in common:
+        lo, hi = sorted((a[q], b[q]))
+        pct = (hi / lo - 1.0) * 100 if lo > 0 else 0.0
+        if pct > thr:
+            (movers if lo >= 0.25 else tiny_movers).append((pct, q, a[q], b[q]))
+    pcts = sorted((max(a[q], b[q]) / min(a[q], b[q]) - 1) * 100
+                  for q in common if min(a[q], b[q]) > 0)
+    def pctl(p):
+        return pcts[min(len(pcts) - 1, int(p / 100 * len(pcts)))]
+    print(f"common queries: {len(common)}")
+    print(f"total A={sum(a[q] for q in common):.1f}s "
+          f"B={sum(b[q] for q in common):.1f}s")
+    print(f"per-query |move|: p50={pctl(50):.1f}% p90={pctl(90):.1f}% "
+          f"p99={pctl(99):.1f}% max={pcts[-1]:.1f}%")
+    print(f">{thr:.0f}% movers (>=0.25s): {len(movers)}; "
+          f"sub-0.25s movers: {len(tiny_movers)}")
+    for pct, q, va, vb in sorted(movers, reverse=True):
+        print(f"  MOVED {q}: {va:.3f} vs {vb:.3f} ({pct:.0f}%)")
+    for pct, q, va, vb in sorted(tiny_movers, reverse=True)[:10]:
+        print(f"  (tiny) {q}: {va:.3f} vs {vb:.3f} ({pct:.0f}%)")
+    sys.exit(1 if movers else 0)
+
+if __name__ == '__main__':
+    main()

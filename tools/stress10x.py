@@ -104,7 +104,27 @@ def build100():
       COPY (SELECT l_orderkey + i*10000000 AS l_orderkey, {rest}
             FROM lineitem CROSS JOIN range(100) t(i))
       TO '/tmp/sf10/lineitem.parquet' (FORMAT PARQUET)""")
+    orders100()
     print("built /tmp/sf10")
+
+def orders100():
+    """r20: 100x orders plane, o_orderkey shifted IN STEP with
+    lineitem's l_orderkey so the j-spine joins stay 1:1 per copy;
+    o_custkey unshifted (customer is a dim — dims don't scale). Feeds
+    the s20/s22/s23 maintenance parses and the bucketed-layout stress.
+    Standalone subcommand so the (big) document/embedding planes need
+    not rebuild."""
+    import duckdb
+    con = duckdb.connect()
+    sf = '/root/testdata/sf0.1'
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    cols = [r[0] for r in con.execute("DESCRIBE orders").fetchall()]
+    rest = ", ".join(c for c in cols if c != 'o_orderkey')
+    con.execute(f"""
+      COPY (SELECT o_orderkey + i*10000000 AS o_orderkey, {rest}
+            FROM orders CROSS JOIN range(100) t(i))
+      TO '/tmp/sf10/orders.parquet' (FORMAT PARQUET)""")
+    print("built /tmp/sf10/orders.parquet")
 
 def report():
     hi = json.load(open('/tmp/sf1_bench.json'))['queries']
@@ -117,7 +137,10 @@ def report():
 
 if __name__ == '__main__':
     import os
-    if 'build100' in sys.argv[1:]:
+    if 'orders100' in sys.argv[1:]:
+        os.makedirs('/tmp/sf10', exist_ok=True)
+        orders100()
+    elif 'build100' in sys.argv[1:]:
         os.makedirs('/tmp/sf10', exist_ok=True)
         build100()
     else:
