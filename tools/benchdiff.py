@@ -10,10 +10,20 @@ read. Queries under the spread floor (0.25 s) are compared but
 reported separately: at that size the ratio measures scheduler jitter,
 not plan cost.
 
+A "mover" needs BOTH a relative move > threshold AND an absolute move
+> 0.1 s: on a shared box, sub-second queries' mins wobble by a few
+tens of ms no matter how many samples corroborate them (scheduler
+quantum + one GC), and a 60 ms delta on a 0.4 s query is 15% of
+nothing — a plan regression that matters at scale either moves real
+wall time here or shows up in the ladder/plan audits. Pure-relative
+micro-moves are reported separately as jitter so nothing is hidden.
+
 Usage: python3 tools/benchdiff.py A.json B.json [threshold_pct=10]
-Exit 1 if any non-trivial (>=0.25 s) query moved more than threshold.
+Exit 1 if any query moved more than threshold AND more than 0.1 s.
 """
 import json, sys
+
+ABS_FLOOR_S = 0.1
 
 def main():
     a = json.load(open(sys.argv[1]))['queries']
@@ -25,7 +35,8 @@ def main():
         lo, hi = sorted((a[q], b[q]))
         pct = (hi / lo - 1.0) * 100 if lo > 0 else 0.0
         if pct > thr:
-            (movers if lo >= 0.25 else tiny_movers).append((pct, q, a[q], b[q]))
+            (movers if hi - lo > ABS_FLOOR_S else tiny_movers)\
+                .append((pct, q, a[q], b[q]))
     pcts = sorted((max(a[q], b[q]) / min(a[q], b[q]) - 1) * 100
                   for q in common if min(a[q], b[q]) > 0)
     def pctl(p):
@@ -35,12 +46,12 @@ def main():
           f"B={sum(b[q] for q in common):.1f}s")
     print(f"per-query |move|: p50={pctl(50):.1f}% p90={pctl(90):.1f}% "
           f"p99={pctl(99):.1f}% max={pcts[-1]:.1f}%")
-    print(f">{thr:.0f}% movers (>=0.25s): {len(movers)}; "
-          f"sub-0.25s movers: {len(tiny_movers)}")
+    print(f">{thr:.0f}% AND >{ABS_FLOOR_S}s movers: {len(movers)}; "
+          f"relative-only jitter (<={ABS_FLOOR_S}s delta): {len(tiny_movers)}")
     for pct, q, va, vb in sorted(movers, reverse=True):
         print(f"  MOVED {q}: {va:.3f} vs {vb:.3f} ({pct:.0f}%)")
     for pct, q, va, vb in sorted(tiny_movers, reverse=True)[:10]:
-        print(f"  (tiny) {q}: {va:.3f} vs {vb:.3f} ({pct:.0f}%)")
+        print(f"  (jitter) {q}: {va:.3f} vs {vb:.3f} ({pct:.0f}%)")
     sys.exit(1 if movers else 0)
 
 if __name__ == '__main__':
