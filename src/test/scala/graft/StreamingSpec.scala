@@ -435,6 +435,25 @@ class StreamingSpec extends SparkSpec {
         "st22's oracle")
   }
 
+  test("staging tolerates an all-empty micro-batch slice (ADVICE r19)") {
+    // st16 slices documents by doc_id % 3 into three staged frames; a
+    // corpus with NO doc ≡ 2 (mod 3) makes frame 2 empty, and a
+    // partitioned write emits no dir for it — the fallback must stage
+    // a 0-row file so micro-batch numbering stays dense instead of
+    // sys.error-ing. Run the REAL query end-to-end on such a corpus.
+    val tiny = Files.createTempDirectory("graft_tinysf")
+    try {
+      Seq((0L, "the customer waited"), (1L, "the customer paid"),
+          (3L, "a slow scan"), (4L, "the merge window"))
+        .toDF("doc_id", "text")
+        .write.parquet(s"$tiny/documents.parquet")
+      val out = SparkEntry.queries("st16_stream_index_parity")(
+        spark, tiny.toString).collect()
+      // "the customer" appears in docs 0 and 1
+      assert(out.map(_.getLong(0)).toSet === Set(0L, 1L))
+    } finally graft.queries.Q.rmTree(tiny)
+  }
+
   test("ingestJob end-to-end: files -> dedup -> parquet") {
     val tmp = Files.createTempDirectory("graft_ingest").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ck = s"$tmp/ck"
