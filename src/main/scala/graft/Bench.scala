@@ -315,7 +315,8 @@ object Bench {
       // the warehouse is a fresh per-run temp dir, but clear any table
       // dirs defensively (a re-entrant layoutSection call in one JVM
       // would otherwise hit "location already exists")
-      Seq("lineitem", "orders", "events", "customer").foreach { t =>
+      Seq("lineitem", "orders", "events", "customer", "documents",
+        "embeddings").foreach { t =>
         graft.queries.Q.rmTree(warehouse.resolve(pre + t))
       }
       val lt0 = System.nanoTime()
@@ -327,25 +328,31 @@ object Bench {
         32, Seq("user_id"))
       Tables.writeBucketed(pq("customer"), pre + "customer", "c_custkey",
         32, Seq("c_custkey"))
-      Seq("region", "nation", "supplier", "part", "documents", "embeddings")
+      // r20: the t/v exclusion ("their shuffle keys are derived") was
+      // TESTED via graft.LayoutAudit and found wrong for 26 of 91
+      // rows — a doc_id/vec_id bucketing removes real exchanges (t44
+      // 13->0, t05 4->0: the per-doc aggregate/join legs AROUND the
+      // derived-key stages ride the table key). Documents and
+      // embeddings are bucketed too and the t/v families swept.
+      Tables.writeBucketed(pq("documents"), pre + "documents", "doc_id",
+        32, Seq("doc_id"))
+      Tables.writeBucketed(pq("embeddings"), pre + "embeddings", "vec_id",
+        32, Seq("vec_id"))
+      Seq("region", "nation", "supplier", "part")
         .foreach(n => pq(n).createOrReplaceTempView(pre + n))
       val buildSec = (System.nanoTime() - lt0) / 1e9
       val cdir = s"catalog:$pre"
       // CORPUS-WIDE sweep (r19 verdict ask #1): every runnable batch
       // query over the bucketed tables — the j/r spine, the full
-      // a/e/x/o/p analytical families and the st batch rows (st01-13,
-      // the user_id session/window family). Excluded: index-backed
-      // rows (their serves read the persisted index layout, not the
-      // tables — re-keying the memo on `catalog:` would measure a
-      // pointless rebuild), the streaming-parity rows (file-source
-      // fixtures), and the t/v text/vector planes, whose shuffle keys
-      // are DERIVED (shingle hashes, LSH bands, IVF cells) — a table
-      // bucketing cannot pre-place those; their scale story is the
-      // banded/bucketed join shape itself (STRESS10X).
-      val idxBacked = Set("e13_caption_search", "e22_served_stories",
-        "e38_entity_mentions", "x07_cross_plane_takedown",
-        "x08_cross_plane_reencode", "x09_served_hybrid")
-      val fams = Set("j", "r", "a", "e", "x", "o", "p")
+      // a/e/x/o/p analytical families, the st batch rows (st01-13,
+      // the user_id session/window family) and the t/v text/vector
+      // planes. Excluded: index-backed rows (their serves read the
+      // persisted index layout, not the tables — re-keying the memo
+      // on `catalog:` would measure a pointless rebuild; the shared
+      // list is Q.layoutIdxBacked) and the streaming-parity rows
+      // (file-source fixtures).
+      val idxBacked = graft.queries.Q.layoutIdxBacked
+      val fams = Set("j", "r", "a", "e", "x", "o", "p", "t", "v")
       // a prefix-filtered run sweeps only its own selection (iteration
       // aid — the full-corpus gate run always sweeps everything)
       val lqs = selected.keys.toSeq.sorted.filter { n =>
@@ -373,7 +380,12 @@ object Bench {
       }
       val rows = lqs.map { n =>
         val f = SparkEntry.queries(n)
-        val ss = Seq.fill(2)(once(s"layout:$n", (sp, _) => f(sp, cdir))).flatten
+        // t/v rows get ONE timed bucketed sample (the exchange counts
+        // are the primary signal there; the wall number is a sanity
+        // check) — the original seven families keep min-of-2
+        val fam = n.takeWhile(_.isLetter)
+        val nSamples = if (fam == "t" || fam == "v") 1 else 2
+        val ss = Seq.fill(nSamples)(once(s"layout:$n", (sp, _) => f(sp, cdir))).flatten
         val exP = hashExchanges(sfDir, n)
         val exB = hashExchanges(cdir, n)
         val pqSec = resultMap.get(n).map(num3).getOrElse("null")

@@ -79,6 +79,23 @@ object Q {
       .drop("__one")
   }
 
+  /** Queries whose SERVE path reads a persisted index layout, not the
+    * catalog tables — running them against a `catalog:` dir would
+    * measure a pointless index rebuild keyed on the dir string, so the
+    * layout sweep (Bench) and the layout audit (LayoutAudit) skip
+    * them. One list, two consumers. */
+  val layoutIdxBacked: Set[String] = Set(
+    "e13_caption_search", "e22_served_stories", "e38_entity_mentions",
+    "x07_cross_plane_takedown", "x08_cross_plane_reencode",
+    "x09_served_hybrid",
+    "v29_ivf_served", "v30_ivf_appended", "v31_ivf_compacted",
+    "v32_ivf_deleted", "v33_ivf_reclaimed", "v34_ivf_upserted",
+    "v35_ivf_merged", "v36_ivf_asof", "v37_ivf_asof_stale",
+    "v38_ivf_audit", "v39_ivf_rollback", "v40_ivf_refreshed",
+    "v41_ivf_filtered", "v42_radius_search", "v43_ivf_vacuumed",
+    "v44_ivf_snapshot_diff", "v45_ivf_two_stage", "v46_two_stage_recall",
+    "v47_ivf_manifest", "v48_ivf_pq_served")
+
   // -------------------------------------------------------------------
   // Derived interval collection from `events`: one interval per event,
   // [epoch_sec(ts), epoch_sec(ts) + floor(value) + 1), keyed by user.

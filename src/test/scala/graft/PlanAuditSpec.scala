@@ -751,7 +751,8 @@ class PlanAuditSpec extends SparkSpec {
     // the surviving warehouse dir BEFORE writing, not only in finally.
     val warehouse = java.nio.file.Paths.get(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
-    Seq("lineitem", "orders", "events", "customer").foreach { t =>
+    Seq("lineitem", "orders", "events", "customer", "documents",
+      "embeddings").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS graft_pa_$t")
       graft.queries.Q.rmTree(warehouse.resolve(s"graft_pa_$t"))
     }
@@ -763,6 +764,10 @@ class PlanAuditSpec extends SparkSpec {
       4, Seq("user_id"))
     Tables.writeBucketed(pq("customer"), "graft_pa_customer", "c_custkey",
       4, Seq("c_custkey"))
+    Tables.writeBucketed(pq("documents"), "graft_pa_documents", "doc_id",
+      4, Seq("doc_id"))
+    Tables.writeBucketed(pq("embeddings"), "graft_pa_embeddings", "vec_id",
+      4, Seq("vec_id"))
     try {
       def hashEx(q: String): Int =
         executed(SparkEntry.queries(q)(spark, "catalog:graft_pa_")).collect {
@@ -781,10 +786,16 @@ class PlanAuditSpec extends SparkSpec {
       //   e04 timeline rows (the widget data layer's frame joins)
       //   o09 SCD2 merge (orders keyed on o_orderkey)
       //   x01 the native overlap-seconds expression's banded join
+      //   t05 per-doc simhash fold + pair join legs on doc_id; t13
+      //       per-doc feature hash; v06/v23 doc/vec-keyed joins — the
+      //       r20 LayoutAudit finding that overturned the "derived
+      //       keys only" t/v exclusion
       Seq("j04_correlated_count", "r01_coalesce", "j05_self_theta",
         "j07_containment", "r08_merge_spans", "st03_dedup_first",
         "st01_sessionize", "a13_overlap_totals", "e04_timeline_rows",
-        "o09_scd2_merge", "x01_native_overlap")
+        "o09_scd2_merge", "x01_native_overlap",
+        "t05_simhash", "t13_feature_hash", "v06_knn_predict",
+        "v23_semantic_decontam")
         .foreach { q =>
           assert(hashEx(q) === 0,
             s"$q should be exchange-free on the bucketed layout")
@@ -797,7 +808,8 @@ class PlanAuditSpec extends SparkSpec {
       assert(hashEx("j02_left_outer") <= 1,
         "j02 should keep the customer side co-located")
     } finally
-      Seq("lineitem", "orders", "events", "customer").foreach(t =>
+      Seq("lineitem", "orders", "events", "customer", "documents",
+        "embeddings").foreach(t =>
         spark.sql(s"DROP TABLE IF EXISTS graft_pa_$t"))
   }
 }
