@@ -195,6 +195,95 @@ object WinnowFps {
   }
 }
 
+/** Per-row 64-bit SimHash emitted as `bits/bandBits` band limbs in one
+  * codegen'd pass — the map-side replacement (r21 optimization) for the
+  * explode×bits + two-level-aggregate pipeline in
+  * [[graft.text.TextOps.simhashBands]] fed by a (doc_id, tok)
+  * count aggregate. That pipeline paid THREE corpus exchanges before a
+  * signature existed (the (doc_id, tok) count, the (doc_id, j)
+  * accumulate, the (doc_id, band) fold); every one of those groupBy
+  * keys is doc-local, so the whole computation is a per-row quantity —
+  * the same argument that moved shingling map-side
+  * ([[graft.text.TextOps.distinctShingleCount]], ADVICE r7).
+  *
+  * Arithmetic is op-for-op the aggregate form's (TextOpsSpec pins
+  * bit-equality): token multiplicities within the row's
+  * `split(text, ' ')` array, token id = [[RollingHash]] (multiplicity
+  * keyed by tid directly — two tokens colliding on tid contribute
+  * identically in both forms since the bit signs depend only on tid),
+  * bit j's sign = ((tid*(2j+3)+j) % 97 % 2)*2-1, acc_j = Σ cnt·sign
+  * (integer sums — order-free), limb b = Σ_{j∈band b, acc_j>0}
+  * 1L << (j % bandBits). The DuckDB oracle mirror is unchanged. */
+case class SimHashLimbs(child: Expression, bits: Int, bandBits: Int)
+    extends UnaryExpression {
+  require(bits % bandBits == 0 && bandBits < 63,
+    s"simhash_limbs: bits=$bits bandBits=$bandBits")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def prettyName: String = "simhash_limbs"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SimHashLimbs.limbs(a.asInstanceOf[UTF8String], bits, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.SimHashLimbs.limbs($a, $bits, $bandBits)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object SimHashLimbs {
+  /** Static helper shared by interpreted eval and generated code. */
+  def limbs(s: UTF8String, bits: Int, bandBits: Int):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = s.toString.split(" ", -1)
+    // multiplicity per token id (not per token string): the bit signs
+    // are a function of tid alone, so same-tid tokens contribute
+    // identically whether counted together or separately
+    val cnt = new java.util.HashMap[java.lang.Long, Array[Long]](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val tid = java.lang.Long.valueOf(
+        RollingHash.hash(UTF8String.fromString(toks(i))))
+      val prev = cnt.get(tid)
+      if (prev == null) cnt.put(tid, Array(1L)) else prev(0) += 1L
+      i += 1
+    }
+    val acc = new Array[Long](bits)
+    val it = cnt.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val tid = e.getKey.longValue()
+      val c = e.getValue()(0)
+      var j = 0
+      while (j < bits) {
+        // tid < 1e9+7 and (2j+3) <= 131 keep the product far from 2^63
+        val sign = (tid * (2L * j + 3L) + j) % 97L % 2L * 2L - 1L
+        acc(j) += c * sign
+        j += 1
+      }
+    }
+    val nLimbs = bits / bandBits
+    val out = new Array[Any](nLimbs)
+    var b = 0
+    while (b < nLimbs) {
+      var v = 0L
+      var j = b * bandBits
+      val end = j + bandBits
+      while (j < end) {
+        if (acc(j) > 0) v |= 1L << (j % bandBits)
+        j += 1
+      }
+      out(b) = v
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Unicode NFC normalization — the canonical-composition pass every
   * corpus pipeline runs before hashing/dedup (decomposed "e +
   * COMBINING ACUTE" and composed "é" must fingerprint identically, or

@@ -216,7 +216,16 @@ object SourceQueries {
         .otherwise(lit(""))
       val defaults = when(col("user_id") % 3 === 0, lit("none"))
         .otherwise(concat(lit("anchor"), k, lit(", visitor"), k))
-      val lines = raw.select(format_string("%d\tshow_%d\t%s\t%s",
+      // r21: (a) hash-repartition the NARROW event rows before the
+      // line build so the expensive format/parse expression trees run
+      // at cluster parallelism instead of the tiny single-file scan's
+      // 1-2 splits (guide §2.5's repartition-after-unsplittable-read;
+      // the exchange ships ~30-byte rows); (b) see the second
+      // repartition below the parse for the sampling-pass argument.
+      val lines = raw
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+        .repartition(col("event_id"))
+        .select(format_string("%d\tshow_%d\t%s\t%s",
         col("user_id"), col("user_id"), defaults,
         concat(prefix, namepart, lit("int "), fmtT(stS), lit("-"), fmtT(enS)))
         .as("line"))
@@ -273,6 +282,17 @@ object SourceQueries {
           toSec(element_at(tr, 2)).as("end_s"),
           (!(scat || unorig)).cast("int").as("original"),
           scat.cast("int").as("scattered"))
+        // r21: materialize the parse ONCE directly below the final
+        // range sort. The sort keys are PARSED columns (unlike s22's
+        // input-column key), so the parse cannot move above the sort;
+        // without this shuffle stage the range partitioner's sampling
+        // pass re-executes the entire build+parse subtree a second
+        // time (guide §1.4/§7.2: the sampling job runs the exchange's
+        // child in full). One extra hash exchange of the parsed rows
+        // (~60 B/row) buys back a whole corpus-sized expression pass —
+        // the right trade at any scale where the parse dominates the
+        // row width, which a format/regexp/split tree always does.
+        .repartition(col("video_id"))
         .orderBy("video_id", "start_s", "end_s", "guest1", "interviewer1",
           "original", "scattered")
     }),
@@ -304,7 +324,18 @@ object SourceQueries {
         .when(col("o_orderkey") % 4 === 1, lit("hardball"))
         .when(col("o_orderkey") % 4 === 2, lit("news_hour_segment"))
         .otherwise(lit("segment"))
+      // r21: hash-repartition the NARROW (o_orderkey, o_custkey,
+      // o_orderdate) rows before the heavy build — the single-file
+      // scan yields 1-2 splits, so the format/regexp/timestamp trees
+      // otherwise run at scan parallelism (the s21 move; the exchange
+      // ships ~24-byte rows). NOTE an `orderBy` BEFORE the heavy
+      // projections was tried first (the sort key is the input column
+      // o_orderkey) and Catalyst's EliminateSorts erased it — the
+      // lower sort is provably redundant under the final one, so that
+      // rewrite cannot stick.
       val paths = Tables.orders(tune(s), d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .repartition(col("o_orderkey"))
         .select(col("o_orderkey").as("video_id"),
           format_string("/tvnews/videos/%s_%s_%s%s%s_%s.mp4",
             chan, date_format(col("o_orderdate"), "yyyyMMdd"),
@@ -325,6 +356,11 @@ object SourceQueries {
       paths.select(col("video_id"), ch.as("channel"),
           date_format(dt, "yyyy-MM-dd HH:mm:ss").as("air_ts"),
           showName.as("show_name"))
+        // r21: materialize the parse ONCE below the final range sort —
+        // without this stage the range partitioner's sampling pass
+        // re-executes the whole build+parse subtree (see s21; same
+        // narrow-rows-for-wide-recompute trade)
+        .repartition(col("video_id"))
         .orderBy("video_id")
     }),
 

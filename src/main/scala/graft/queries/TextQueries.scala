@@ -16,6 +16,25 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(tune(s), d)
 
+  /** Per-doc 64-bit SimHash as four 16-bit limbs (doc_id, b0..b3) —
+    * one map-side codegen'd pass (r21; see TextOps.simhashLimbs).
+    * Shared by t05 (the signature surface) and t06 (the pair join). */
+  private def simhashSig(s: org.apache.spark.sql.SparkSession, d: String,
+                         sortFirst: Boolean = false) = {
+    val limbs = TextOps.simhashLimbs(col("text"), 64, 16)
+    // sortFirst (t05): run the presentation sort on the RAW (doc_id,
+    // text) rows and compute the limbs above it — doc_id is an input
+    // column, so the order is identical, and the range partitioner's
+    // sampling pass (which re-executes the exchange's child) re-runs
+    // only the scan, not the signature pass (the s22 move)
+    val base0 = docs(s, d).select(col("doc_id"), col("text"))
+    val base = if (sortFirst) base0.orderBy("doc_id") else base0
+    base.select(col("doc_id"), limbs.as("l"))
+      .select(col("doc_id"),
+        element_at(col("l"), 1).as("b0"), element_at(col("l"), 2).as("b1"),
+        element_at(col("l"), 3).as("b2"), element_at(col("l"), 4).as("b3"))
+  }
+
   private val P = 1000003L
 
   val queries: Map[String, QFn] = Map(
@@ -81,23 +100,13 @@ object TextQueries {
     // zipWithIndex; hashing is embarrassingly parallel, same move t04
     // made for shingles)
     "t05_simhash" -> ((s, d) => {
-      // NOTE (measured, round 3): pre-partitioning this pipeline by
-      // doc_id makes every downstream agg exchange-free, but it was
-      // not reliably faster locally and it shuffles RAW token rows
-      // where the partial/final splits ship combined partials — the
-      // wrong trade at corpus scale. Keep the planner's default.
-      val cnts = toks(s, d).groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-      val withIds = cnts
-        .withColumn("tid", TextOps.fingerprint(col("tok")))
-        .select("doc_id", "tid", "cnt")
-      TextOps.simhashBands(withIds, 64, 16)
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("band") === 0, col("val")).otherwise(0L)).as("b0"),
-          sum(when(col("band") === 1, col("val")).otherwise(0L)).as("b1"),
-          sum(when(col("band") === 2, col("val")).otherwise(0L)).as("b2"),
-          sum(when(col("band") === 3, col("val")).otherwise(0L)).as("b3"))
-        .orderBy("doc_id")
+      // r21: ONE map-side pass — the signature is a per-doc quantity,
+      // so the former explode×64 + three-exchange aggregate pipeline
+      // (token counts, per-bit accumulate, band fold) collapses into
+      // the codegen'd SimHashLimbs expression (bit-equal by TextOpsSpec;
+      // measured 1.23 s -> see OPTIMIZATION_r21.md). Zero exchanges
+      // before the presentation sort at ANY scale.
+      simhashSig(s, d, sortFirst = true).orderBy("doc_id")
     }),
 
     // T6 SimHash near-dup pairs at Hamming distance <= 3 via 4x16-bit
@@ -107,20 +116,12 @@ object TextQueries {
     // equal-16-bit-signature pairing, whose 65,536 buckets go
     // birthday-quadratic at corpus scale.
     "t06_simhash_pairs" -> ((s, d) => {
-      val cnts = toks(s, d).groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-      val withIds = cnts
-        .withColumn("tid", TextOps.fingerprint(col("tok")))
-        .select("doc_id", "tid", "cnt")
       // wide signatures: the 4 limbs ride along through the band join,
       // so the exact Hamming verify is a projection on the join output —
-      // no re-join of the candidate pairs against the band table
-      val sig = TextOps.simhashBands(withIds, 64, 16)
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("band") === 0, col("val")).otherwise(0L)).as("b0"),
-          sum(when(col("band") === 1, col("val")).otherwise(0L)).as("b1"),
-          sum(when(col("band") === 2, col("val")).otherwise(0L)).as("b2"),
-          sum(when(col("band") === 3, col("val")).otherwise(0L)).as("b3"))
+      // no re-join of the candidate pairs against the band table.
+      // r21: signatures come from the map-side SimHashLimbs pass (see
+      // t05) — the three signature-build exchanges are gone
+      val sig = simhashSig(s, d)
         .cache() // both self-join sides re-derive from sig; one row/doc
       // ONE self-join on the exploded (band-index, band-value) postings
       // replaces four per-band joins + union: the equi key is
@@ -139,14 +140,21 @@ object TextQueries {
       // corpus's max bucket (395 at sf0.1), so today's result set is
       // exactly the uncapped one.
       val bandCap = 1000
-      // window count, not a separate hot-list broadcast job: the
-      // posting table is 4 rows/doc, so one (bi, bv) exchange is
-      // cheaper than an extra aggregate job + broadcast anti-join
-      // (t03 keeps the broadcast form — ITS posting table is every
-      // shingle occurrence, far too big to window-sort casually)
-      val bw = Window.partitionBy(col("bi"), col("bv"))
-      val pruned = posting.withColumn("bn", count(lit(1)).over(bw))
-        .filter(col("bn") <= bandCap).drop("bn")
+      // r21: broadcast hot-list anti-join (t03's df-cap form), not a
+      // window count. The window needed a full (bi, bv) exchange+sort
+      // of the posting table and — because `pruned` feeds BOTH self-
+      // join sides and one side is broadcast — Catalyst executed that
+      // exchange+sort TWICE (no reuse across a broadcast boundary;
+      // the r20 plan shows both Window subtrees). The hot list is one
+      // map-side-partial aggregate off the cached sig, bounded by
+      // |corpus|/cap entries (the same boilerplate-bucket bound as
+      // t03's dfCap broadcast), and the anti-join keeps both pruned
+      // sides fully map-side. Result set identical: bn <= cap ≡
+      // NOT IN {buckets with bn > cap}.
+      val hotBands = broadcast(posting.groupBy(col("bi"), col("bv"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") > bandCap)
+        .select("bi", "bv"))
+      val pruned = posting.join(hotBands, Seq("bi", "bv"), "left_anti")
       val cand = pruned.as("x")
         .join(pruned.as("y"),
           col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&

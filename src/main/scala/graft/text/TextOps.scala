@@ -237,15 +237,25 @@ object TextOps {
     val ids = if (persist) ids0.cache() else ids0
     val hot = broadcast(ids.groupBy(col("sid"))
       .agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("sid"))
+    // r21: per-doc set size rides WITH each posting row (window count
+    // over the pruned postings) instead of being re-attached to the
+    // candidate pairs by two post-aggregation joins on d1/d2 — those
+    // joins re-shuffled the doc-count-sized `sizes` table twice (and
+    // cost two more plan stages); the self-join now carries n1/n2
+    // through for free and the pair aggregate folds them with min()
+    // (constant per group, so min = the value). The cached frame is
+    // the windowed postings so the window's doc_id exchange+sort runs
+    // once, not once per self-join side.
+    val shw = Window.partitionBy(col("doc_id"))
     val sh0 = ids.join(hot, Seq("sid"), "left_anti")
+      .withColumn("nsh", count(lit(1)).over(shw))
     val sh = if (persist) sh0.cache() else sh0
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val plan = sh.select(col("doc_id").as("d1"), col("sid"))
-      .join(sh.select(col("doc_id").as("d2"), col("sid")), Seq("sid"))
+    val plan = sh.select(col("doc_id").as("d1"), col("sid"), col("nsh").as("n1"))
+      .join(sh.select(col("doc_id").as("d2"), col("sid"), col("nsh").as("n2")),
+        Seq("sid"))
       .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("nsh").as("n2")), "d2")
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"),
+        min(col("n1")).as("n1"), min(col("n2")).as("n2"))
       .withColumn("jacc", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")).cast("double"))
     (plan, if (persist) Seq(ids, sh) else Nil)
@@ -463,6 +473,18 @@ object TextOps {
       .agg(sum(when(col("acc") > 0,
           expr(s"shiftleft(CAST(1 AS BIGINT), CAST(j % $bandBits AS INT))"))
         .otherwise(0L)).as("val"))
+  }
+
+  /** Per-row band limbs of the 64-bit SimHash — the map-side form of
+    * `simhashBands(toks.groupBy(doc_id, tok).count, bits, bandBits)`
+    * pivoted to one row per doc (r21: the aggregate pipeline paid three
+    * corpus exchanges for doc-local quantities; see
+    * [[graft.plans.SimHashLimbs]] for the bit-equality argument —
+    * TextOpsSpec pins it). Returns array<long> of bits/bandBits limbs,
+    * limb b = bits [b*bandBits, (b+1)*bandBits). */
+  def simhashLimbs(textCol: Column, bits: Int = 64, bandBits: Int = 16): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.SimHashLimbs(Bridge.expression(textCol), bits, bandBits))
   }
 
   /** Content-defined chunk array (LBFS/FastCDC family, pure local
