@@ -359,7 +359,11 @@ object Bench {
         val fam = n.takeWhile(_.isLetter)
         !idxBacked(n) &&
           (fams(fam) ||
-            (fam == "st" && n.stripPrefix("st").takeWhile(_.isDigit).toInt <= 13))
+            // toIntOption: a future digit-free st name must skip this
+            // row, not NumberFormatException the whole layout section
+            // (ADVICE r20)
+            (fam == "st" && n.stripPrefix("st").takeWhile(_.isDigit)
+              .toIntOption.exists(_ <= 13)))
       }
       def hashExchanges(dir: String, name: String): Seq[String] = {
         val df = SparkEntry.queries(name)(spark, dir)

@@ -1369,9 +1369,16 @@ object EsperCatalogQueries {
     "e44_meta_clusters" -> ((s, d) => {
       val e = Tables.embeddings(tune(s), d)
       val (asg, ctr) = graft.similarity.IntKMeans.fit(e, 10, 2)
+      // r21: every frame in the merge-graph loop is k-sized (k = 10
+      // cells) but sits behind a localCheckpoint leaf whose stats are
+      // unknown, so the planner defaulted to shuffle joins — each of
+      // the 9 rounds paid several exchange stages for 10-row tables.
+      // Explicit broadcast() on the k-sized sides is the deliberate
+      // strategy (guide §3.1) and is scale-correct by construction:
+      // these tables are dimension-sized (k, k^2), never corpus-sized.
       val a = ctr.select(col("cell").as("ca"), col("c").as("va"))
       val b = ctr.select(col("cell").as("cb"), col("c").as("vb"))
-      val edges = a.join(b, col("ca") < col("cb"))
+      val edges = a.join(broadcast(b), col("ca") < col("cb"))
         // centroid arrays carry integer VALUES (truncated means) in a
         // double container — the fold is exact far below 2^53, and
         // the BIGINT cast lands on the same integer as the oracle's
@@ -1392,10 +1399,10 @@ object EsperCatalogQueries {
       var (lbl, pin) = graft.util.Checkpoints.roll(
         ctr.select(col("cell"), col("cell").as("meta")), None)
       (1 to 9).foreach { _ =>
-        val nbr = und.join(lbl.select(col("cell").as("cb"),
-            col("meta").as("nm")), "cb")
+        val nbr = und.join(broadcast(lbl.select(col("cell").as("cb"),
+            col("meta").as("nm"))), "cb")
           .groupBy(col("ca").as("cell")).agg(min(col("nm")).as("nbr_min"))
-        val next = lbl.join(nbr, Seq("cell"), "left")
+        val next = lbl.join(broadcast(nbr), Seq("cell"), "left")
           .select(col("cell"),
             least(col("meta"), coalesce(col("nbr_min"), col("meta")))
               .as("meta"))
@@ -1410,7 +1417,7 @@ object EsperCatalogQueries {
       // action still needs. Cleanup is the consumer's
       // post-materialization Checkpoints.sweep (Verify and Bench both
       // run it per query).
-      asg.select(col("cell")).join(lbl, "cell")
+      asg.select(col("cell")).join(broadcast(lbl), "cell")
         .groupBy(col("meta"))
         .agg(countDistinct(col("cell")).as("n_cells"),
           count(lit(1)).as("n_vectors"))

@@ -146,14 +146,36 @@ object StreamParityQueries {
     java.nio.file.Paths.get(dir, "in").toString
   }
 
-  /** [[stagedInput]] for the multi-source form (st23's two legs). */
-  private def stagedSides(tag: String, d: String)
+  /** [[stagedInput]] for the multi-source form (st23's two legs).
+    * `sideNames` is eager so a memo HIT never constructs the frames —
+    * and a miss builds them exactly once (ADVICE r20: the by-name
+    * `sides` was evaluated twice on a miss and once on every hit,
+    * rebuilding both DataFrame legs just to read the side names). */
+  private def stagedSides(tag: String, d: String, sideNames: Seq[String])
       (sides: => Seq[(String, Seq[DataFrame])]): Map[String, String] = {
     val dir = Q.memoIndex(tag + "in", d) { dd =>
       stageSides(java.nio.file.Paths.get(dd), sides); ()
     }
-    sides.map { case (side, _) =>
+    sideNames.map { side =>
       side -> java.nio.file.Paths.get(dir, "in", side).toString }.toMap
+  }
+
+  /** The shared st14/st21/st24 fixture: the r01 click intervals split
+    * at mid-day (islands genuinely continue across the micro-batch
+    * boundary) plus the per-user island-closing sentinel in the last
+    * frame. ONE builder under the shared 'st14in' memo tag — the three
+    * queries previously carried verbatim copies, and whichever ran
+    * first in the JVM won (ADVICE r20: a drifted copy would silently
+    * stream a different fixture than its code states). */
+  private def st14Frames(s: SparkSession, d: String): Seq[DataFrame] = {
+    val iv = evTyped(s, d, "click")
+      .select(col("user_id"), col("s"), col("e"),
+        timestamp_seconds(col("s")).as("ts"))
+    val sent = iv.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
+        timestamp_seconds(lit(SENT)).as("ts"))
+    Seq(iv.filter(col("s") < 43200),
+      iv.filter(col("s") >= 43200).unionByName(sent))
   }
 
   /** Conf-isolated session for the STREAMING leg of a parity query.
@@ -185,12 +207,15 @@ object StreamParityQueries {
     val q = out.toDF().writeStream.outputMode("append")
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .foreachBatch { (b: Dataset[Row], _: Long) =>
-        // one file per micro-batch — via repartition, NOT coalesce:
-        // coalesce(1) narrows the UPSTREAM stage to one task, so the
-        // whole flatMapGroupsWithState batch ran single-threaded
-        // (measured: st14/st15 doubled to ~6.5 s); the tiny
-        // result-row exchange is the cheap side of that trade
-        b.repartition(1).write.mode("append").parquet(outDir.toString)
+        // write the batch AS PARTITIONED — the sink dir is read back
+        // wholesale, so file count is irrelevant, and the former
+        // `repartition(1)` (one cosmetic file per micro-batch) paid a
+        // full extra exchange+stage in EVERY batch of every parity
+        // query (r21; StFloor measured the per-batch machinery at
+        // ~0.27 s — the sink job is a large slice of it). The earlier
+        // coalesce(1) experiment stands: never narrow the upstream
+        // stateful stage either.
+        b.write.mode("append").parquet(outDir.toString)
       }
       .start()
     q.processAllAvailable(); q.stop()
@@ -212,16 +237,7 @@ object StreamParityQueries {
     "st14_stream_coalesce_parity" -> ((s, d) => {
       import s.implicits._
       val base = freshBase("st14")
-      val inDir = stagedInput("st14", d) {
-        val iv = evTyped(s, d, "click")
-          .select(col("user_id"), col("s"), col("e"),
-            timestamp_seconds(col("s")).as("ts"))
-        val sent = iv.select(col("user_id")).distinct()
-          .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
-            timestamp_seconds(lit(SENT)).as("ts"))
-        Seq(iv.filter(col("s") < 43200),
-          iv.filter(col("s") >= 43200).unionByName(sent))
-      }
+      val inDir = stagedInput("st14", d)(st14Frames(s, d))
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
       val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -525,7 +541,8 @@ object StreamParityQueries {
             .filter(col("score") >= 3)
             .select(col("doc_id"), col("w").as("seg_start"),
               (col("w") + 50).as("seg_end"), col("score"))
-            .repartition(1).write.mode("append").parquet(outDir.toString)
+            // as-partitioned write — see runToParquet (r21)
+            .write.mode("append").parquet(outDir.toString)
         }
         .start()
       q.processAllAvailable(); q.stop()
@@ -549,16 +566,7 @@ object StreamParityQueries {
     "st21_stream_session_parity" -> ((s, d) => {
       val base = freshBase("st21")
       // same fixture as st14 — share its memoized staging
-      val inDir = stagedInput("st14", d) {
-        val iv = evTyped(s, d, "click")
-          .select(col("user_id"), col("s"), col("e"),
-            timestamp_seconds(col("s")).as("ts"))
-        val sent = iv.select(col("user_id")).distinct()
-          .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
-            timestamp_seconds(lit(SENT)).as("ts"))
-        Seq(iv.filter(col("s") < 43200),
-          iv.filter(col("s") >= 43200).unionByName(sent))
-      }
+      val inDir = stagedInput("st14", d)(st14Frames(s, d))
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
       val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -647,7 +655,7 @@ object StreamParityQueries {
       val generic = org.apache.spark.sql.types.StructType.fromDDL(
         "id BIGINT, uid BIGINT, s BIGINT, ts TIMESTAMP")
       val base = freshBase("st23")
-      val inDirs = stagedSides("st23", d)(Seq("l", "r").map { p =>
+      val inDirs = stagedSides("st23", d, Seq("l", "r"))(Seq("l", "r").map { p =>
         val df = plane(if (p == "l") "click" else "purchase")
         p -> Seq(df.filter(col("s") < 43200), df.filter(col("s") >= 43200))
       })
@@ -680,16 +688,7 @@ object StreamParityQueries {
     "st24_stream_sliding" -> ((s, d) => {
       val base = freshBase("st24")
       // same fixture as st14 — share its memoized staging
-      val inDir = stagedInput("st14", d) {
-        val iv = evTyped(s, d, "click")
-          .select(col("user_id"), col("s"), col("e"),
-            timestamp_seconds(col("s")).as("ts"))
-        val sent = iv.select(col("user_id")).distinct()
-          .select(col("user_id"), lit(SENT).as("s"), lit(SENT + 1).as("e"),
-            timestamp_seconds(lit(SENT)).as("ts"))
-        Seq(iv.filter(col("s") < 43200),
-          iv.filter(col("s") >= 43200).unionByName(sent))
-      }
+      val inDir = stagedInput("st14", d)(st14Frames(s, d))
       val schema = org.apache.spark.sql.Encoders.product[Ingest.KeyedIv].schema
       val src = streamSession(s).readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)

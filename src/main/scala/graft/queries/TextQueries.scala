@@ -213,13 +213,18 @@ object TextQueries {
           size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
         .filter(col("ntok") >= 5 && col("uniq_ratio") >= 0.3)
         .select("doc_id", "text", "ntok")
-      val dw = Window.partitionBy(col("text")).orderBy(col("doc_id"))
       // cached: the survivors frame feeds BOTH the pair generator and
       // the anti-join below — uncached, the quality filter + full-text
-      // dedup window (a corpus scan + a shuffle of the text column)
-      // ran twice per execution (r11 profile: ~1.3 s/pass at sf0.1)
-      val uniqDocs = qual.withColumn("rn", row_number().over(dw))
-        .filter(col("rn") === 1).drop("rn").cache()
+      // dedup (a corpus scan + a shuffle of the text column) ran twice
+      // per execution (r11 profile: ~1.3 s/pass at sf0.1).
+      // r21: keep-first is a groupBy(text).min(doc_id), not a window —
+      // row_number needed the full text exchange PLUS a sort, while
+      // the aggregate partial-combines duplicate texts map-side before
+      // the exchange (guide §2.3 "aggregate before you shuffle").
+      // min(ntok) is exact: ntok is a function of the grouping key.
+      val uniqDocs = qual.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), min(col("ntok")).as("ntok"))
+        .select("doc_id", "text", "ntok").cache()
       // the SAME pair generator t03/t15/t31/t33 use — map-side distinct
       // shingle ids, broadcast df-cap, inverted-index self-join (the r7
       // inline copy of this block paid a redundant corpus-wide

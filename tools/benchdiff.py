@@ -39,6 +39,12 @@ def main():
                 .append((pct, q, a[q], b[q]))
     pcts = sorted((max(a[q], b[q]) / min(a[q], b[q]) - 1) * 100
                   for q in common if min(a[q], b[q]) > 0)
+    if not pcts:
+        # mismatched artifacts (no shared queries, or all-zero mins)
+        # should diagnose, not stack-trace (ADVICE r20)
+        print("no comparable queries between the two artifacts "
+              f"(common={len(common)})")
+        sys.exit(2)
     def pctl(p):
         return pcts[min(len(pcts) - 1, int(p / 100 * len(pcts)))]
     print(f"common queries: {len(common)}")
