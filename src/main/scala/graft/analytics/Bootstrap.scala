@@ -61,6 +61,15 @@ object Bootstrap {
     // loud in both engines — DuckDB raises on the overflow itself).
     df.select(col(idCol).as("__id"),
         round(col(valueCol) * 100).cast("long").as("__vc"))
+      // r21: the trial fold costs O(trials) per ROW (a 200-iteration
+      // JIT loop), so its partial aggregate must not run at the
+      // input's SPLIT parallelism — a single-file local scan yields
+      // 1-3 splits and serializes 120M draws onto them. One hash
+      // exchange of the narrow (id, cents) rows (~16 B/row) buys
+      // cluster-wide parallelism for the fold; where the scan is
+      // already well-split the exchange is a cheap narrow shuffle
+      // (guide §2.5: repartition after an under-split read).
+      .repartition(col("__id"))
       .agg(graft.plans.BootstrapTrialsAgg
         .bootstrapTrials(col("__id"), col("__vc"), trials, seed).as("tw"))
       // m = trial mean in value*1e6 units, exact integer

@@ -195,6 +195,81 @@ object WinnowFps {
   }
 }
 
+/** Per-row MinHash signature over the doc's distinct k-shingle ids in
+  * one codegen'd pass (r21) — the map-side replacement for the
+  * explode + groupBy pipeline `TextOps.minhash(shingleIds(docs, k))`:
+  * every minhash is a per-doc min, so the (doc_id, i) aggregate's
+  * corpus exchange is unnecessary. Arithmetic op-for-op the aggregate
+  * form's (TextOpsSpec pins bit-equality): shingle ids are
+  * [[RollingHash]] over the [[Shingles]] windows, deduped within the
+  * doc; h_i = min over ids of (sid * ((2i+3)*524287 mod p) +
+  * (5i+7)*8191) mod p. A doc too short to shingle yields an array of
+  * `nHashes` NULLs — mirroring the aggregate form's absent rows: its
+  * band signatures become NULL and can never collide. */
+case class MinHashSigs(child: Expression, k: Int, nHashes: Int, p: Long)
+    extends UnaryExpression {
+  require(k >= 1 && nHashes >= 1 && p > 1)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def nullSafeEval(a: Any): Any =
+    MinHashSigs.sigs(a.asInstanceOf[UTF8String], k, nHashes, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.plans.MinHashSigs.sigs($a, $k, $nHashes, ${p}L)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object MinHashSigs {
+  /** Static helper shared by interpreted eval and generated code. */
+  def sigs(s: UTF8String, k: Int, nHashes: Int, p: Long):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length - k + 1
+    val out = new Array[Any](nHashes)
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    // distinct shingle ids (within-doc dedup — same set as
+    // array_distinct over the hashed Shingles array; duplicates are
+    // irrelevant to a min anyway, dedup just bounds the hash loop)
+    val ids = new java.util.HashSet[java.lang.Long](n * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      ids.add(RollingHash.hash(UTF8String.fromString(sb.toString)))
+      i += 1
+    }
+    var h = 0
+    while (h < nHashes) {
+      val a = (2L * h + 3L) * 524287L % p
+      val b = (5L * h + 7L) * 8191L
+      var m = Long.MaxValue
+      val it = ids.iterator()
+      while (it.hasNext) {
+        val v = (it.next().longValue() * a + b) % p
+        if (v < m) m = v
+      }
+      out(h) = m
+      h += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Per-row 64-bit SimHash emitted as `bits/bandBits` band limbs in one
   * codegen'd pass — the map-side replacement (r21 optimization) for the
   * explode×bits + two-level-aggregate pipeline in

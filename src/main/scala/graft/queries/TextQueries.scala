@@ -70,26 +70,33 @@ object TextQueries {
     "t04_minhash_lsh" -> ((s, d) => {
       // shingle id = cross-engine rolling hash of the shingle text: no
       // dictionary build at all (fully distributed; collisions are just
-      // part of the hash family). Map-side hashed+deduped ids — the
-      // explode ships longs, not shingle strings, and min() is
-      // dup-insensitive so the per-doc dedup cannot change a minhash
-      val ids = TextOps.shingleIds(docs(s, d), 3)
+      // part of the hash family). r21: every minhash is a per-doc min,
+      // so the whole 16-hash signature is ONE map-side codegen'd pass
+      // (MinHashSigs — bit-equal to the explode+groupBy form by
+      // TextOpsSpec) and the est_jacc stage compares the two 16-slot
+      // ARRAYS per candidate pair instead of re-joining 16 rows per
+      // doc and re-aggregating. 16 hashes / 8 bands of 2 (round-1
+      // verdict called 8/4 toy-sized; collision threshold ~ 0.35).
       // mh feeds banding AND the est_jacc double-join — cache it.
-      // 16 hashes / 8 bands of 2 (round-1 verdict called 8/4 toy-sized;
-      // the same banded plan just carries a wider signature — collision
-      // threshold (1/8)^(1/2) ~ 0.35)
-      val mh = TextOps.minhash(ids, 16, P).cache()
-      val bands = TextOps.lshBands(mh, 2, P)
+      val mh = docs(s, d).select(col("doc_id"),
+        TextOps.minhashSigs(col("text"), 3, 16, P).as("mh")).cache()
+      val bands = mh.select(col("doc_id"),
+        posexplode(array((0 until 8).map { b =>
+          element_at(col("mh"), 2 * b + 1) * P +
+            element_at(col("mh"), 2 * b + 2)
+        }: _*)).as(Seq("band", "sig")))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
       cand
-        .join(mh.select(col("doc_id").as("d1"), col("i"), col("mh").as("mh1")), Seq("d1"))
-        .join(mh.select(col("doc_id").as("d2"), col("i"), col("mh").as("mh2")), Seq("d2", "i"))
-        .groupBy(col("d1"), col("d2"))
-        .agg((sum(when(col("mh1") === col("mh2"), 1).otherwise(0)).cast("double") / 16.0)
-          .as("est_jacc"))
+        .join(mh.select(col("doc_id").as("d1"), col("mh").as("m1")), Seq("d1"))
+        .join(mh.select(col("doc_id").as("d2"), col("mh").as("m2")), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          (aggregate(zip_with(col("m1"), col("m2"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).cast("double") / 16.0)
+            .as("est_jacc"))
         .orderBy("d1", "d2")
     }),
 
@@ -791,8 +798,9 @@ object TextQueries {
       val oldD = base.filter(col("hb") < 8).select("doc_id", "text")
       val idsN = TextOps.shingleIds(newD, 3)
       val idsO = TextOps.shingleIds(oldD, 3)
-      val bandsN = TextOps.lshBands(TextOps.minhash(idsN, 16, P), 2, P)
-      val bandsO = TextOps.lshBands(TextOps.minhash(idsO, 16, P), 2, P)
+      // r21: map-side banded signatures (see t04 / TextOps.minhashBands)
+      val bandsN = TextOps.minhashBands(newD, 3, 16, P)
+      val bandsO = TextOps.minhashBands(oldD, 3, 16, P)
       val cand = bandsN.select(col("doc_id").as("dn"), col("band"), col("sig"))
         .join(bandsO.select(col("doc_id").as("dold"), col("band"), col("sig")),
           Seq("band", "sig"))
@@ -1512,9 +1520,8 @@ object TextQueries {
       val dd = docs(s, d)
       val truth = TextOps.jaccardPairs(dd, k = 3, dfCap = 50, tauJacc = 0.5)
         .select(col("d1"), col("d2")).withColumn("t", lit(1L))
-      val ids = TextOps.shingleIds(dd, 3)
-      val mh = TextOps.minhash(ids, 16, P)
-      val bands = TextOps.lshBands(mh, 2, P)
+      // r21: map-side banded signatures (see t04 / TextOps.minhashBands)
+      val bands = TextOps.minhashBands(dd, 3, 16, P)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -1618,8 +1625,8 @@ object TextQueries {
     // exactly the probe pattern a 100 TB pipeline runs, where loading
     // vectors for every pair beats shipping vectors to every band.
     "t54_crossmodal_dedup" -> ((s, d) => {
-      val ids = TextOps.shingleIds(docs(s, d), 3)
-      val bands = TextOps.lshBands(TextOps.minhash(ids, 16, P), 2, P)
+      // r21: map-side banded signatures (see t04 / TextOps.minhashBands)
+      val bands = TextOps.minhashBands(docs(s, d), 3, 16, P)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
             col("x.doc_id") < col("y.doc_id"))

@@ -590,7 +590,7 @@ object Similarity {
     val qv = quant(corpus).select(col("vec_id"), col("__q").as("qv"))
     val planes = broadcast(quant(corpus.filter(col("vec_id") < nPlanes))
       .select(col("vec_id").as("pid"), col("__q").as("ph")))
-    val withCell = qv.join(cellsOf(qv, planes), "vec_id")
+    val withCell = withCells(qv, planes)  // r21: map-side cell, no join-back
     val probes = broadcast(withCell.join(
         broadcast(queries.select(col("vec_id").as("q_id"))),
         col("vec_id") === col("q_id"))
@@ -611,10 +611,30 @@ object Similarity {
     * deterministic IVF (v09) and SemDeDup (v10) coarse quantizers —
     * only (vec_id, cell) crosses the aggregation exchange. */
   private def cellsOf(qv: DataFrame, planes: DataFrame): DataFrame =
-    qv.crossJoin(planes)
-      .withColumn("bit", when(Fns.dot(col("qv"), col("ph")) > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pid AS INT))")).otherwise(0L))
-      .groupBy(col("vec_id")).agg(sum(col("bit")).as("cell"))
+    withCells(qv, planes).select(col("vec_id"), col("cell"))
+
+  /** r21 map-side form: the cell id is a PER-ROW quantity (a fold over
+    * the <= 2^nPlanes broadcast planes), so the former crossJoin +
+    * groupBy(vec_id) — a corpus exchange, and a corpus-sized join-back
+    * in every caller that needed the vector next to its cell — is
+    * unnecessary. The planes collapse to ONE broadcast row carrying
+    * (2^pid, plane) structs in pid order; each vector folds its cell
+    * in place: bit pid set iff the exact integer dot is positive —
+    * op-for-op the old bit sum, summed in pid order. Returns qv plus
+    * `cell`, zero exchanges. */
+  private def withCells(qv: DataFrame, planes: DataFrame): DataFrame = {
+    val parr = broadcast(planes.groupBy().agg(
+      transform(array_sort(collect_list(struct(col("pid"), col("ph")))),
+        x => struct(
+          call_function("shiftleft", lit(1L), x.getField("pid").cast("int"))
+            .as("m"),
+          x.getField("ph").as("ph"))).as("__planes")))
+    qv.crossJoin(parr)
+      .withColumn("cell", aggregate(col("__planes"), lit(0L),
+        (acc, e) => acc + when(Fns.dot(col("qv"), e.getField("ph")) > 0,
+          e.getField("m")).otherwise(0L)))
+      .drop("__planes")
+  }
 
   /** IVF list-balance audit over the deterministic quantized-hyperplane
     * coarse quantizer (v09's cell layout): per-cell vector counts plus
@@ -666,7 +686,7 @@ object Similarity {
     val qv = quant(corpus).select(col("vec_id"), col("__q").as("qv"))
     val planes = broadcast(quant(corpus.filter(col("vec_id") < nPlanes))
       .select(col("vec_id").as("pid"), col("__q").as("ph")))
-    val withCell = qv.join(cellsOf(qv, planes), "vec_id")
+    val withCell = withCells(qv, planes)  // r21: map-side cell, no join-back
       .withColumn("nsq", Fns.dot(col("qv"), col("qv")).cast("long"))
     val a = withCell.select(col("cell"), col("vec_id").as("d1"),
       col("qv").as("q1"), col("nsq").as("n1"))

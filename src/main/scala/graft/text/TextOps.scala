@@ -475,6 +475,34 @@ object TextOps {
         .otherwise(0L)).as("val"))
   }
 
+  /** Per-row MinHash signature array (nh hashes) — the map-side form
+    * of `minhash(shingleIds(docs, k), nh, p)` pivoted to one row per
+    * doc (r21; see [[graft.plans.MinHashSigs]] — TextOpsSpec pins
+    * bit-equality). A doc too short to shingle gets an all-NULL
+    * array (the aggregate form emitted no rows; null band signatures
+    * can never collide, so the candidate sets agree). */
+  def minhashSigs(textCol: Column, k: Int, nh: Int = 16,
+                  p: Long = 1000003L): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.MinHashSigs(Bridge.expression(textCol), k, nh, p))
+  }
+
+  /** Banded (doc_id, band, sig) rows off the per-row signature — the
+    * map-side form of `lshBands(minhash(...), rows = 2, p)`: band b's
+    * signature is the base-p positional fold mh[2b]*p + mh[2b+1],
+    * exactly lshBands' sum of positionally-scaled hashes. Docs too
+    * short to shingle produce NULL sigs that no equi-join can match
+    * (the aggregate form emitted no rows at all — same pair sets). */
+  def minhashBands(docs: DataFrame, k: Int, nh: Int = 16,
+                   p: Long = 1000003L): DataFrame = {
+    val mh = minhashSigs(col("text"), k, nh, p)
+    docs.select(col("doc_id"), mh.as("__mh"))
+      .select(col("doc_id"), posexplode(array((0 until nh / 2).map { b =>
+        (element_at(col("__mh"), 2 * b + 1) * p +
+          element_at(col("__mh"), 2 * b + 2)).as(s"s$b")
+      }: _*)).as(Seq("band", "sig")))
+  }
+
   /** Per-row band limbs of the 64-bit SimHash — the map-side form of
     * `simhashBands(toks.groupBy(doc_id, tok).count, bits, bandBits)`
     * pivoted to one row per doc (r21: the aggregate pipeline paid three

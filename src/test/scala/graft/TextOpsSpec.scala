@@ -89,6 +89,53 @@ class TextOpsSpec extends SparkSpec {
     assert(sig(0L).zip(sig(2L)).count { case (a, b) => a == b } === 0)
   }
 
+  test("minhashSigs/minhashBands bit-match the explode+groupBy aggregate forms") {
+    // edge cases included: doc too short to shingle (one token), empty
+    // string, duplicated shingles, multi-space tokens
+    val edge = Seq((0L, "a b c d e"), (1L, "a b c d x"),
+      (2L, "z z z z z q"), (3L, "solo"), (4L, ""), (5L, "a  b  c d e f"))
+      .toDF("doc_id", "text")
+    val P = 1000003L
+    val ids = TextOps.shingleIds(edge, 3)
+    val mhRows = TextOps.minhash(ids, 16, P)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    val mhArr = edge.select($"doc_id", TextOps.minhashSigs($"text", 3, 16, P))
+      .as[(Long, Seq[Option[Long]])].collect().toMap
+    edge.select("doc_id").as[Long].collect().foreach { d =>
+      mhRows.get(d) match {
+        case Some(expect) => assert(mhArr(d).map(_.get) === expect, s"doc $d")
+        case None => assert(mhArr(d).forall(_.isEmpty),
+          s"doc $d shingles nothing; expected all-null sigs")
+      }
+    }
+    val bandsOld = TextOps.lshBands(TextOps.minhash(ids, 16, P), 2, P)
+      .as[(Long, Long, Long)].collect().toSet
+    val bandsNew = TextOps.minhashBands(edge, 3, 16, P)
+      .filter($"sig".isNotNull)
+      .select($"doc_id", $"band".cast("long"), $"sig")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bandsNew === bandsOld)
+  }
+
+  test("simhashLimbs bit-match the explode+two-level-aggregate form") {
+    val edge = Seq((0L, "a b c d e"), (1L, "a b c d x"),
+      (2L, "z z z z z q"), (3L, "solo"), (4L, ""), (5L, "a  b  a b b"))
+      .toDF("doc_id", "text")
+    val cnts = TextOps.tokens(edge).groupBy($"doc_id", $"tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tid", TextOps.fingerprint($"tok"))
+      .select("doc_id", "tid", "cnt")
+    val old = TextOps.simhashBands(cnts, 64, 16)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    val neu = edge.select($"doc_id", TextOps.simhashLimbs($"text", 64, 16))
+      .as[(Long, Seq[Long])].collect().toMap
+    neu.foreach { case (d, limbs) =>
+      assert(limbs === old(d), s"doc $d")
+    }
+  }
+
   test("fingerprint is the polynomial rolling hash") {
     val fp = docs.filter($"doc_id" === 0)
       .select(TextOps.fingerprint($"text")).as[Long].head()
