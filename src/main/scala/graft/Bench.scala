@@ -352,12 +352,15 @@ object Bench {
       // list is Q.layoutIdxBacked) and the streaming-parity rows
       // (file-source fixtures).
       val idxBacked = graft.queries.Q.layoutIdxBacked
-      val fams = Set("j", "r", "a", "e", "x", "o", "p", "t", "v")
+      // r21: the in-process ph rows join the sweep (VERDICT r20 nit
+      // #1); the family's served rows stay out via layoutInProcessPh
+      val fams = Set("j", "r", "a", "e", "x", "o", "p", "t", "v", "ph")
       // a prefix-filtered run sweeps only its own selection (iteration
       // aid — the full-corpus gate run always sweeps everything)
       val lqs = selected.keys.toSeq.sorted.filter { n =>
         val fam = n.takeWhile(_.isLetter)
         !idxBacked(n) &&
+          (fam != "ph" || graft.queries.Q.layoutInProcessPh(n)) &&
           (fams(fam) ||
             // toIntOption: a future digit-free st name must skip this
             // row, not NumberFormatException the whole layout section

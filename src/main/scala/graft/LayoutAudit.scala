@@ -65,7 +65,11 @@ object LayoutAudit {
       }
     val names = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       val fam = n.takeWhile(_.isLetter)
-      fams.contains(fam) && !idxBacked(n)
+      fams.contains(fam) && !idxBacked(n) &&
+        // ph: only the in-process rows — a served row's plan reads the
+        // index layout, and building one keyed on the catalog dir
+        // would measure a pointless rebuild (see Q.layoutInProcessPh)
+        (fam != "ph" || graft.queries.Q.layoutInProcessPh(n))
     }
     var improved = 0
     names.foreach { n =>

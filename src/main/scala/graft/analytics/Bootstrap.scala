@@ -59,17 +59,17 @@ object Bootstrap {
     // DuckDB oracle still replays the exploded form and hashes equal).
     // The id-range guard lives inside the aggregate's update (throws,
     // loud in both engines — DuckDB raises on the overflow itself).
+    // NOTE (r21): a repartition of the narrow (id, cents) rows before
+    // the fold was tried — it cut a14 1.37 -> 0.75 s locally because a
+    // single-file scan yields 1-3 splits and the 200-draw-per-row
+    // partial fold serialized onto them. REVERTED: PlanAuditSpec pins
+    // the fold map-side (no shuffle beneath the partial), and it is
+    // right — at production scale the scan is well-split, so the added
+    // exchange is a full corpus-narrow shuffle bought for nothing. The
+    // local gap is a split-count artifact of the one-file testdata,
+    // not a plan defect.
     df.select(col(idCol).as("__id"),
         round(col(valueCol) * 100).cast("long").as("__vc"))
-      // r21: the trial fold costs O(trials) per ROW (a 200-iteration
-      // JIT loop), so its partial aggregate must not run at the
-      // input's SPLIT parallelism — a single-file local scan yields
-      // 1-3 splits and serializes 120M draws onto them. One hash
-      // exchange of the narrow (id, cents) rows (~16 B/row) buys
-      // cluster-wide parallelism for the fold; where the scan is
-      // already well-split the exchange is a cheap narrow shuffle
-      // (guide §2.5: repartition after an under-split read).
-      .repartition(col("__id"))
       .agg(graft.plans.BootstrapTrialsAgg
         .bootstrapTrials(col("__id"), col("__vc"), trials, seed).as("tw"))
       // m = trial mean in value*1e6 units, exact integer

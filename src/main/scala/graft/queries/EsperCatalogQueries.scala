@@ -715,8 +715,17 @@ object EsperCatalogQueries {
       val hostBox = b.join(hostIds,
           b("frame_id") === col("h_fid") && b("box_id") === col("h_box"),
           "left_semi")
+        // r21 determinism fix: (frame_id, box_id) is NOT unique
+        // (lineitem carries duplicate (l_orderkey, l_linenumber) rows
+        // with different coordinate payloads), so ordering by box_id
+        // alone left rn = 1 tie-ambiguous — the sf0.1 oracle sweep
+        // caught DuckDB flipping between runs (241/230/247 rows)
+        // while sf0.01 happened to have no host-row ties. The window
+        // order is now total over the full coordinate tuple,
+        // identically in the oracle SQL.
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("frame_id")).orderBy(col("box_id"))))
+          Window.partitionBy(col("frame_id")).orderBy(col("box_id"),
+            col("x1"), col("x2"), col("y1"), col("y2"))))
         .filter(col("rn") === 1)
         .filter((col("x1") > 0.5 || col("x2") < 0.5) &&
           col("y2") - col("y1") > 0.2)
@@ -1826,7 +1835,7 @@ object EsperCatalogQueries {
          |  FROM face JOIN part p ON p.p_partkey = face.l_partkey
          |  WHERE p.p_brand = 'Brand#1' AND face.l_suppkey % 100 > 80),
          |hb0 AS (SELECT b.*, row_number() OVER (PARTITION BY b.frame_id
-         |          ORDER BY b.box_id) AS rn
+         |          ORDER BY b.box_id, b.x1, b.x2, b.y1, b.y2) AS rn
          |        FROM b WHERE EXISTS (SELECT 1 FROM hostids h
          |          WHERE h.h_fid = b.frame_id AND h.h_box = b.box_id)),
          |hostbox AS (SELECT frame_id AS hb_fid, x1 AS hx1, x2 AS hx2,

@@ -79,11 +79,24 @@ object Q {
       .drop("__one")
   }
 
+  /** The ph rows that run IN-PROCESS over the documents/token tables —
+    * the only ph rows a table-layout change can affect, so the only
+    * ones the layout sweep and audit run (r21, VERDICT r20 nit #1:
+    * the whole family was previously excluded without an audit).
+    * Every other ph row serves from the persisted index (including
+    * ph28/ph35, whose side table reads ride behind an index serve that
+    * would trigger a rebuild keyed on the `catalog:` dir string). */
+  val layoutInProcessPh: Set[String] = Set(
+    "ph01_phrase_hits", "ph02_boolean_search", "ph03_phrase_segments",
+    "ph04_bm25_topk", "ph05_near_search", "ph12_hybrid_fusion")
+
   /** Queries whose SERVE path reads a persisted index layout, not the
     * catalog tables — running them against a `catalog:` dir would
     * measure a pointless index rebuild keyed on the dir string, so the
     * layout sweep (Bench) and the layout audit (LayoutAudit) skip
-    * them. One list, two consumers. */
+    * them. One list, two consumers. (The ph family is handled by
+    * [[layoutInProcessPh]] — a whitelist is tighter than enumerating
+    * its 42 served rows here.) */
   val layoutIdxBacked: Set[String] = Set(
     "e13_caption_search", "e22_served_stories", "e38_entity_mentions",
     "x07_cross_plane_takedown", "x08_cross_plane_reencode",

@@ -216,15 +216,7 @@ object SourceQueries {
         .otherwise(lit(""))
       val defaults = when(col("user_id") % 3 === 0, lit("none"))
         .otherwise(concat(lit("anchor"), k, lit(", visitor"), k))
-      // r21: (a) hash-repartition the NARROW event rows before the
-      // line build so the expensive format/parse expression trees run
-      // at cluster parallelism instead of the tiny single-file scan's
-      // 1-2 splits (guide §2.5's repartition-after-unsplittable-read;
-      // the exchange ships ~30-byte rows); (b) see the second
-      // repartition below the parse for the sampling-pass argument.
       val lines = raw
-        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
-        .repartition(col("event_id"))
         .select(format_string("%d\tshow_%d\t%s\t%s",
         col("user_id"), col("user_id"), defaults,
         concat(prefix, namepart, lit("int "), fmtT(stS), lit("-"), fmtT(enS)))
@@ -324,18 +316,14 @@ object SourceQueries {
         .when(col("o_orderkey") % 4 === 1, lit("hardball"))
         .when(col("o_orderkey") % 4 === 2, lit("news_hour_segment"))
         .otherwise(lit("segment"))
-      // r21: hash-repartition the NARROW (o_orderkey, o_custkey,
-      // o_orderdate) rows before the heavy build — the single-file
-      // scan yields 1-2 splits, so the format/regexp/timestamp trees
-      // otherwise run at scan parallelism (the s21 move; the exchange
-      // ships ~24-byte rows). NOTE an `orderBy` BEFORE the heavy
-      // projections was tried first (the sort key is the input column
-      // o_orderkey) and Catalyst's EliminateSorts erased it — the
-      // lower sort is provably redundant under the final one, so that
-      // rewrite cannot stick.
+      // NOTE (r21): an `orderBy` BEFORE the heavy projections was
+      // tried (the sort key is the input column o_orderkey) and
+      // Catalyst's EliminateSorts erased it — the lower sort is
+      // provably redundant under the final one, so that rewrite
+      // cannot stick; an input repartition was also tried and dropped
+      // (the parallelism gain is a local single-file-split artifact,
+      // the same verdict PlanAuditSpec enforces on a14's fold).
       val paths = Tables.orders(tune(s), d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .repartition(col("o_orderkey"))
         .select(col("o_orderkey").as("video_id"),
           format_string("/tvnews/videos/%s_%s_%s%s%s_%s.mp4",
             chan, date_format(col("o_orderdate"), "yyyyMMdd"),
