@@ -87,7 +87,7 @@ object StFloor {
             col("window.end").cast("long").as("win_e"),
             col("n"), col("min_s"), col("max_e"))
         else src.toDF()
-      val q = out.writeStream.outputMode(if (agg) "append" else "append")
+      val q = out.writeStream.outputMode("append")
         .option("checkpointLocation", base.resolve("ckpt").toString)
         .foreachBatch { (b: Dataset[Row], _: Long) =>
           b.repartition(1).write.mode("append").parquet(outDir.toString)

@@ -7,8 +7,23 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER (additive, default unchanged): lets the
+    // twice-deferred multi-executor correctness run (VERDICT r20 ask
+    // #5) use local-cluster[2,16,*] so broadcasts/repartitions cross a
+    // real executor boundary at least once per round
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    // local-cluster executors are SEPARATE JVMs launched by the
+    // in-process worker: they need this JVM's classpath (sbt-managed,
+    // no assembly jar) and a real heap to run the corpus
+    val builder0 = SparkSession.builder().master(master)
+    val builder =
+      if (master.startsWith("local-cluster")) builder0
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "4g"))
+      else builder0
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // see Bench: avoid compiled-class cache thrash across 100+ queries

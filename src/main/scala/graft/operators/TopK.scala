@@ -57,4 +57,50 @@ object TopK {
       .filter(col(rankCol) <= k)
       .drop("__salt", "__lr")
   }
+
+  /** [[perGroup]] plus the group POPULATION as `countCol` — the
+    * browse-surface shape "bucket population + top-k sample"
+    * (e15/e19/e20). The naive composition re-aggregates the scored
+    * input and broadcast-joins the counts back, which EVALUATES THE
+    * INPUT SUBTREE TWICE (for e15/e19 that input is a corpus-sized
+    * crossJoin/kmeans pipeline — the second evaluation, not the tiny
+    * join, is the cost). Here the population rides the same two window
+    * stages perGroup already pays: the local stage counts its
+    * (group, salt) slice over the SAME exchange its rank uses, and the
+    * global stage sums exactly one surviving slice-count per salt
+    * (each nonempty slice's __lr = 1 row always survives the local
+    * k-cut) over the SAME exchange the global rank uses. One input
+    * pass, zero joins, zero extra exchanges.
+    *
+    * Window order matters for the WindowGroupLimit pushdown: the count
+    * windows sit BELOW their stage's rank window, so the rank-filter
+    * group-limit truncates above them and the counts see every row
+    * (TopKSpec pins equality against the aggregate+join form). */
+  def perGroupWithCount(df: DataFrame, k: Int, groupCols: Seq[String],
+      orderCols: Seq[Column], saltOn: Column, rankCol: String,
+      countCol: String, fanout: Int = 64): DataFrame = {
+    require(k > 0 && fanout > 0)
+    Seq("__salt", "__lr", "__lsn", rankCol, countCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"TopK.perGroupWithCount: input already has a column named '$c'"))
+    val gs = groupCols.map(col)
+    val localP = Window.partitionBy(gs :+ col("__salt"): _*)
+    val local = localP.orderBy(orderCols: _*)
+    val globalP = Window.partitionBy(gs: _*)
+    val global = globalP.orderBy(orderCols: _*)
+    df.withColumn("__salt", pmod(hash(saltOn), lit(fanout)))
+      .withColumn("__lsn", count(lit(1)).over(localP))
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      // one row per nonempty (group, salt) slice carries the slice
+      // count; their sum is the group population (coalesce pins the
+      // non-nullable schema of the count() aggregate this replaces —
+      // every group partition here has >= 1 surviving __lr = 1 row)
+      .withColumn(countCol,
+        coalesce(sum(when(col("__lr") === 1, col("__lsn"))).over(globalP),
+          lit(0L)))
+      .withColumn(rankCol, row_number().over(global))
+      .filter(col(rankCol) <= k)
+      .drop("__salt", "__lr", "__lsn")
+  }
 }

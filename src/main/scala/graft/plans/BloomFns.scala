@@ -37,7 +37,7 @@ object BloomFns {
     * subquery (never a joined column), matching how
     * `InjectRuntimeFilter` shapes Spark's own runtime bloom filters:
     * the subquery runs once and ships to every task as a literal. */
-  private def scalarSubquery(df: DataFrame): Column = {
+  private[graft] def scalarSubquery(df: DataFrame): Column = {
     val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
     Bridge.column(

@@ -619,3 +619,73 @@ object MergePair {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }
+
+/** Per-row hot-set prune: the elements of a long array NOT present in
+  * a sorted long array (binary search per element) — the map-side form
+  * of `postings LEFT ANTI JOIN hot ON sid`, for hot sets small enough
+  * to ship as one value (they already shipped whole as a broadcast
+  * hash relation in the anti-join form; a sorted primitive array is
+  * strictly smaller). Built for [[graft.text.TextOps.pairStatsImpl]]:
+  * with the prune per-row, the per-doc SURVIVING-set size is
+  * `size(...)` on the same row — the r21 `count() over (partition by
+  * doc_id)` window (a full-posting corpus shuffle + sort) and the
+  * anti-join both disappear from the pair generator. The right child
+  * is expected foldable (a scalar subquery / literal); eval cost is
+  * O(n log h) per row, no per-row set construction. */
+case class ArrayLongsNotInSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = left.dataType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+  override def prettyName: String = "array_longs_not_in_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayLongsNotInSorted.filter(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.ArrayLongsNotInSorted.filter($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object ArrayLongsNotInSorted {
+  /** Static helper shared by interpreted eval and generated code. */
+  def filter(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+             hot: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      if (!containsSorted(hot, v)) out.add(v)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  private def containsSorted(
+      hot: org.apache.spark.sql.catalyst.util.ArrayData, v: Long): Boolean = {
+    var lo = 0
+    var hi = hot.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val x = hot.getLong(mid)
+      if (x == v) return true
+      if (x < v) lo = mid + 1 else hi = mid - 1
+    }
+    false
+  }
+}

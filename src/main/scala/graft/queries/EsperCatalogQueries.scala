@@ -382,11 +382,12 @@ object EsperCatalogQueries {
         .withColumn("bucket",
           floor((lit(1.0) - col("cos")) / 0.05).cast("int"))
         .select("bucket", "vec_id", "cos")
-      val counts = scored.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_in_bucket"))
-      graft.operators.TopK.perGroup(scored, 5, Seq("bucket"),
-          Seq(col("cos").desc, col("vec_id")), col("vec_id"), "rnk")
-        .join(broadcast(counts), "bucket")
+      // r22: population rides the TopK windows (perGroupWithCount) —
+      // the former groupBy + broadcast-join form evaluated the scored
+      // corpus subtree (crossJoin + cosine) TWICE, once per branch
+      graft.operators.TopK.perGroupWithCount(scored, 5, Seq("bucket"),
+          Seq(col("cos").desc, col("vec_id")), col("vec_id"), "rnk",
+          "n_in_bucket")
         .select((col("bucket") * 5).as("dist_lo_centi"), col("n_in_bucket"),
           col("vec_id"), col("rnk"), round(col("cos"), 6).as("cos6"))
         .orderBy("dist_lo_centi", "rnk")
@@ -463,17 +464,18 @@ object EsperCatalogQueries {
       val n = broadcast(e.agg(count(lit(1)).as("n_emb")))
       val asg = graft.similarity.IntKMeans.kmeansAssign(e, k = 10)
         .select(col("vec_id"), col("cluster"))
-      // exemplar browse via TopK.perGroup (10 clusters over a corpus-
-      // sized face frame would otherwise sort on 10 reducers); cluster
-      // populations are a combinable rollup broadcast onto the samples
+      // exemplar browse via TopK.perGroupWithCount (10 clusters over a
+      // corpus-sized face frame would otherwise sort on 10 reducers).
+      // r22: cluster populations ride the TopK windows — the former
+      // groupBy + broadcast-join form evaluated the whole `clustered`
+      // subtree (semi/anti joins + crossJoin + the kmeans-assignment
+      // join) TWICE, once per branch; the r21 plan dump shows both
+      // copies node for node
       val clustered = others.crossJoin(n)
         .withColumn("vec_id", col("face_id") % col("n_emb"))
         .join(asg, "vec_id")
-      val counts = clustered.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_faces"))
-      graft.operators.TopK.perGroup(clustered, 10, Seq("cluster"),
-          Seq(col("face_id")), col("face_id"), "rnk")
-        .join(broadcast(counts), "cluster")
+      graft.operators.TopK.perGroupWithCount(clustered, 10, Seq("cluster"),
+          Seq(col("face_id")), col("face_id"), "rnk", "n_faces")
         .select(col("cluster"), col("n_faces"), col("face_id"),
           col("rnk").cast("int").as("rnk"))
         .orderBy(col("n_faces").desc, col("cluster"), col("rnk"))
@@ -509,11 +511,12 @@ object EsperCatalogQueries {
           min(when(!col("is_pos"), col("dist"))).as("d_neg"))
         .filter(col("d_pos") <= 0.8 && col("d_pos") < col("d_neg"))
         .withColumn("bucket", floor(col("d_pos") / 0.05).cast("int"))
-      val counts = gated.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_in_bucket"))
-      graft.operators.TopK.perGroup(gated, 5, Seq("bucket"),
-          Seq(col("d_pos"), col("vec_id")), col("vec_id"), "rnk")
-        .join(broadcast(counts), "bucket")
+      // r22: population rides the TopK windows (perGroupWithCount) —
+      // the former groupBy + broadcast-join form evaluated the gated
+      // subtree (corpus crossJoin over the seed set + min-agg) TWICE
+      graft.operators.TopK.perGroupWithCount(gated, 5, Seq("bucket"),
+          Seq(col("d_pos"), col("vec_id")), col("vec_id"), "rnk",
+          "n_in_bucket")
         .select((col("bucket") * 5).as("dist_lo_centi"), col("n_in_bucket"),
           col("vec_id"), col("rnk").cast("int").as("rnk"),
           round(col("d_pos"), 6).as("dist6"))
@@ -705,13 +708,25 @@ object EsperCatalogQueries {
     // faces of qualifying shots.
     "e26_host_still_face" -> ((s, d) => {
       val fc = faces(s, d)
-      val b = boxes(s, d)
+      // r22 (VERDICT ask #1, exchange consolidation): ONE frame_id
+      // repartition of the box table serves its three consumers (the
+      // host-box semi join, the others anti join, the final gate semi
+      // join) and ONE h_fid repartition of hostIds serves both its
+      // join sides. The (frame_id, box_id) joins accept the frame_id-
+      // only clustering (both sides hash the SAME key position, the
+      // SPARK-35703 subset rule), the frame window / frame aggregate /
+      // final semi join then reuse that partitioning, and ReuseExchange
+      // dedupes the identical repartition subtrees — the r21 plan paid
+      // five separate corpus exchanges (two of them re-evaluating the
+      // faces ⋈ part build) plus the gate aggregate's.
+      val b = boxes(s, d).repartition(col("frame_id"))
       val hostIds = fc.join(
           broadcast(Tables.part(tune(s), d)
             .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
         .filter(col("p_brand") === "Brand#1" && col("l_suppkey") % 100 > 80)
         .select(col("frame_id").as("h_fid"), col("box_id").as("h_box"))
+        .repartition(col("h_fid"))
       val hostBox = b.join(hostIds,
           b("frame_id") === col("h_fid") && b("box_id") === col("h_box"),
           "left_semi")
@@ -881,18 +896,26 @@ object EsperCatalogQueries {
       val w = Window.partitionBy(col("frame_id")).orderBy(
         col("box_id"), col("x1"), col("y1"), col("x2"), col("y2"))
       def closeTo(c: String) = abs(col(c) - lag(col(c), 1).over(w)) < 0.3
-      val still = b
+      // r22 (VERDICT ask #1): the near join runs BELOW the frame
+      // window — the r21 order (window by frame_id, then join by
+      // vec_id, then aggregate by frame_id again) paid the frame_id
+      // exchange twice because the vec_id join destroyed the window's
+      // partitioning. Joining first (near_vid is unique — vec_id is
+      // the embeddings PK — so the left join preserves the row set,
+      // and the window sees identical rows either way) lets ONE
+      // frame_id exchange serve both the window and the gate
+      // aggregate: 4 corpus exchanges -> 3.
+      val still = b.crossJoin(n)
+        .withColumn("vec_id", col("face_id") % col("n_emb"))
+        .join(near.withColumn("is_near", lit(1)),
+          col("vec_id") === col("near_vid"), "left")
         .withColumn("rn", row_number().over(w))
         .withColumn("ok",
           when(lag(col("x1"), 1).over(w).isNull, 1)
             .when(closeTo("x1") && closeTo("y1") &&
               closeTo("x2") && closeTo("y2"), 1).otherwise(0))
       def firstBox(c: String) = max(when(col("rn") === 1, col(c))).as(c)
-      still.crossJoin(n)
-        .withColumn("vec_id", col("face_id") % col("n_emb"))
-        .join(near.withColumn("is_near", lit(1)),
-          col("vec_id") === col("near_vid"), "left")
-        .groupBy(col("frame_id"))
+      still.groupBy(col("frame_id"))
         .agg(count(lit(1)).as("n_faces"), min(col("ok")).as("all_still"),
           max(coalesce(col("is_near"), lit(0))).as("has_near"),
           firstBox("x1"), firstBox("y1"), firstBox("x2"), firstBox("y2"))

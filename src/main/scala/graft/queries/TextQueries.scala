@@ -113,7 +113,14 @@ object TextQueries {
       // the codegen'd SimHashLimbs expression (bit-equal by TextOpsSpec;
       // measured 1.23 s -> see OPTIMIZATION_r21.md). Zero exchanges
       // before the presentation sort at ANY scale.
-      simhashSig(s, d, sortFirst = true).orderBy("doc_id")
+      // r22 (ADVICE r21): no outer orderBy — simhashSig's internal
+      // sort IS the declared doc_id order (projection preserves it),
+      // and with no redundant outer sort EliminateSorts keeps it BELOW
+      // the limbs projection, so the range partitioner's sampling pass
+      // re-runs only the scan, not the signature pass. The r21 form
+      // (inner + outer sort) had the outer one erase the inner and the
+      // limbs Project ended up under the range exchange after all.
+      simhashSig(s, d, sortFirst = true)
     }),
 
     // T6 SimHash near-dup pairs at Hamming distance <= 3 via 4x16-bit

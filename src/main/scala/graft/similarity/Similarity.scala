@@ -153,8 +153,14 @@ object Similarity {
           Fns.dot(col("sq"), col("sq")) -
           lit(2.0d) * Fns.dot(col("q"), col("sq"))).cast("long"))
         .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
-      val next = dmin.orderBy(col("d2").desc, col("vec_id")).limit(1)
-        .join(qv, "vec_id")
+      // r22 (VERDICT r21 ask #3): the winner frame is ONE row by
+      // construction but sits behind a limit with unknown stats — the
+      // planner defaulted its qv join to a shuffle join, re-exchanging
+      // the cached corpus every round. Broadcast the 1-row side; qv is
+      // probed in place.
+      val next = qv.join(
+          broadcast(dmin.orderBy(col("d2").desc, col("vec_id")).limit(1)),
+          "vec_id")
         .select(col("vec_id"), col("q"), lit(i).as("pick"), col("d2"))
       val (rolled, p) = graft.util.Checkpoints.roll(sel.unionByName(next), pinned)
       sel = rolled; pinned = p
@@ -470,14 +476,21 @@ object Similarity {
     var pinned: Option[org.apache.spark.rdd.RDD[_]] = None
     var i = 2
     while (i <= k) {
-      val selIds = sel.select(col("q_id").as("sq"), col("vec_id").as("sv"))
+      // r22 (VERDICT r21 ask #3): the slate (<= |Q|·k rows) and the
+      // per-candidate max-sim rollup (<= |Q|·poolK rows) are pool-
+      // bounded by construction but sit behind checkpoints/aggregates
+      // with unknown stats — the planner defaulted these joins to
+      // shuffle joins, paying exchanges on every pick. Broadcast the
+      // bounded sides; pool/sims are probed from their caches in place.
+      val selIds = broadcast(
+        sel.select(col("q_id").as("sq"), col("vec_id").as("sv")))
       val cand = pool.join(selIds,
         col("q_id") === col("sq") && col("vec_id") === col("sv"), "left_anti")
       val ms = sims.join(selIds,
           col("q_id") === col("sq") && col("bv") === col("sv"))
         .select(col("q_id").as("mq"), col("av"), col("s"))
         .groupBy("mq", "av").agg(max(col("s")).as("maxsim"))
-      val scored = cand.join(ms,
+      val scored = cand.join(broadcast(ms),
           col("q_id") === col("mq") && col("vec_id") === col("av"))
         .withColumn("score", col("rel") - col("maxsim"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis / dedup operators for a training-data pipeline over a
@@ -44,24 +43,24 @@ object TextOps {
     * the (doc_id, sid) set is globally distinct by construction, so
     * the inverted-index builders pay ZERO shuffles before their first
     * aggregation. */
-  def shingleIds(docs: DataFrame, k: Int): DataFrame = {
+  def shingleIds(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(sidArray(col("text"), k)).as("sid"))
+
+  /** The per-doc distinct hashed-shingle array [[shingleIds]] explodes
+    * (string dups AND hash collisions within a doc collapse). */
+  private[graft] def sidArray(textCol: Column, k: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     val arr = Bridge.column(
-      graft.plans.Shingles(Bridge.expression(col("text")), k))
-    docs.select(col("doc_id"),
-      explode(array_distinct(transform(arr, sh => fingerprint(sh)))).as("sid"))
+      graft.plans.Shingles(Bridge.expression(textCol), k))
+    array_distinct(transform(arr, sh => fingerprint(sh)))
   }
 
   /** [[shingleIds]] carrying extra per-doc columns through the explode
     * map-side — callers that need (doc attr, sid) pairs must NOT pay a
     * corpus-sized re-join on doc_id to get the attribute back. */
-  def shingleIdsWith(docs: DataFrame, k: Int, extra: String*): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    val arr = Bridge.column(
-      graft.plans.Shingles(Bridge.expression(col("text")), k))
+  def shingleIdsWith(docs: DataFrame, k: Int, extra: String*): DataFrame =
     docs.select((col("doc_id") +: extra.map(col)) :+
-      explode(array_distinct(transform(arr, sh => fingerprint(sh)))).as("sid"): _*)
-  }
+      explode(sidArray(col("text"), k)).as("sid"): _*)
 
   /** Per-row distinct k-shingle count — the map-side form of
     * `shingles(df,k).groupBy(doc_id).count()`: a quantity every row can
@@ -230,25 +229,33 @@ object TextOps {
     * plan (the public APIs return opaque LogicalRDD leaves). */
   private[graft] def pairStatsImpl(docs: DataFrame, k: Int, dfCap: Int,
       persist: Boolean): (DataFrame, Seq[DataFrame]) = {
-    // map-side distinct ids (see shingleIds): the former
-    // shingles().distinct() + fingerprint + .distinct() chain paid TWO
-    // corpus-wide shuffles before the inverted index even started
-    val ids0 = shingleIds(docs, k)
-    val ids = if (persist) ids0.cache() else ids0
-    val hot = broadcast(ids.groupBy(col("sid"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("sid"))
-    // r21: per-doc set size rides WITH each posting row (window count
-    // over the pruned postings) instead of being re-attached to the
-    // candidate pairs by two post-aggregation joins on d1/d2 — those
-    // joins re-shuffled the doc-count-sized `sizes` table twice (and
-    // cost two more plan stages); the self-join now carries n1/n2
-    // through for free and the pair aggregate folds them with min()
-    // (constant per group, so min = the value). The cached frame is
-    // the windowed postings so the window's doc_id exchange+sort runs
-    // once, not once per self-join side.
-    val shw = Window.partitionBy(col("doc_id"))
-    val sh0 = ids.join(hot, Seq("sid"), "left_anti")
-      .withColumn("nsh", count(lit(1)).over(shw))
+    import org.apache.spark.sql.graftbridge.Bridge
+    // df-cap hot set: the same map-side-explode -> partial-combined
+    // (sid, df) aggregate as ever, but delivered to every task as ONE
+    // sorted long array through a scalar subquery (the BloomFns shape,
+    // exact instead of approximate) rather than as a broadcast
+    // anti-join relation. The subquery runs once per execution and
+    // ships with the task binary — the same bytes the broadcast hash
+    // relation shipped, minus the hash-table framing.
+    val hotArr = shingleIds(docs, k)
+      .groupBy(col("sid")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .agg(sort_array(collect_list(col("sid"))).as("hot"))
+    // r22 (VERDICT r21 ask #4): prune AND size per row. kept = the
+    // doc's distinct sid array minus the hot set (binary search per
+    // element) and nsh = size(kept) on the same row — the r21 `count()
+    // over (partition by doc_id)` window shuffled + sorted EVERY pruned
+    // posting row by doc_id to compute a quantity each row can compute
+    // about itself, and the anti-join re-shipped the hot set as a hash
+    // relation. Both are gone: the generator is now map-side from scan
+    // to the inverted-index self-join, for all nine consumers.
+    val kept = Bridge.column(graft.plans.ArrayLongsNotInSorted(
+      Bridge.expression(sidArray(col("text"), k)),
+      Bridge.expression(graft.plans.BloomFns.scalarSubquery(hotArr))))
+    val sh0 = docs
+      .select(col("doc_id"), kept.as("__kept"))
+      .select(col("doc_id"), size(col("__kept")).cast("long").as("nsh"),
+        explode(col("__kept")).as("sid"))
     val sh = if (persist) sh0.cache() else sh0
     val plan = sh.select(col("doc_id").as("d1"), col("sid"), col("nsh").as("n1"))
       .join(sh.select(col("doc_id").as("d2"), col("sid"), col("nsh").as("n2")),
@@ -258,7 +265,7 @@ object TextOps {
         min(col("n1")).as("n1"), min(col("n2")).as("n2"))
       .withColumn("jacc", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")).cast("double"))
-    (plan, if (persist) Seq(ids, sh) else Nil)
+    (plan, if (persist) Seq(sh) else Nil)
   }
 
   /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank power

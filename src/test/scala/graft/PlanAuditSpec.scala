@@ -156,7 +156,10 @@ class PlanAuditSpec extends SparkSpec {
       a.groupingExpressions.flatMap(_.collect {
         case r: AttributeReference => r.name
       }).toSet
-    val aggs = plan.collect { case a: HashAggregateExec => a }
+    // r22: the df-cap hot-set aggregate moved into a scalar subquery
+    // (the sorted-array hot set ArrayLongsNotInSorted probes per row),
+    // so the audit walks subquery plans too
+    val aggs = plan.collectWithSubqueries { case a: HashAggregateExec => a }
     val distincts = aggs.filter { a =>
       val n = names(a)
       n == Set("doc_id", "sid") || n == Set("doc_id", "sh")
@@ -175,6 +178,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(a.collect { case e: ShuffleExchangeLike => e }.isEmpty,
         "an exchange crept below the first sid aggregation")
     }
+    // r22 (VERDICT r21 ask #4): the per-doc surviving-set size is
+    // per-row (size of the pruned sid array) — a WindowExec here means
+    // the full-posting doc_id shuffle+sort is back in the generator
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "a window crept back into the pair generator (nsh must be per-row)")
   }
 
   test("jaccardPairs (the t03/t14/t15/t31/t33 pair stage) is map-side to the first sid agg") {

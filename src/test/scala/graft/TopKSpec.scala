@@ -86,6 +86,36 @@ class TopKSpec extends SparkSpec {
     assert(got1.count() === 7)
   }
 
+  test("perGroupWithCount equals perGroup + the aggregate/join population") {
+    // r22: the population must ride the TopK windows — pin row-for-row
+    // equality (rank rows AND the count column) against the naive
+    // groupBy + broadcast-join composition it replaced in e15/e19/e20,
+    // across fanouts, on skewed groups and a group smaller than k
+    val df = data()
+    val order = Seq(col("score").desc, col("id"))
+    val counts = df.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val naive = TopK.perGroup(df, 7, Seq("g"), order, col("id"), "rnk")
+      .join(broadcast(counts), "g")
+      .select("g", "id", "score", "rnk", "n")
+    for (fanout <- Seq(1, 4, 64)) {
+      val got = TopK.perGroupWithCount(df, 7, Seq("g"), order, col("id"),
+          "rnk", "n", fanout = fanout)
+        .select("g", "id", "score", "rnk", "n")
+      assert(got.except(naive).isEmpty && naive.except(got).isEmpty,
+        s"fanout=$fanout diverged from the aggregate+join form")
+      assert(got.count() === naive.count())
+    }
+    // the count column is the FULL group population, not the top-k size
+    val g0 = df.filter(col("g") === 0L).count()
+    val got = TopK.perGroupWithCount(df, 7, Seq("g"), order, col("id"),
+      "rnk", "n")
+    assert(got.filter(col("g") === 0L).select("n").distinct()
+      .as[Long].head() === g0)
+    // group 9 has one row: rank 1, population 1
+    assert(got.filter(col("g") === 9L).select("rnk", "n")
+      .as[(Int, Long)].head() === ((1, 1L)))
+  }
+
   test("perGroup rejects intermediate-column collisions up front") {
     val df = data().withColumn("__salt", lit(1))
     intercept[IllegalArgumentException] {
